@@ -1,0 +1,167 @@
+"""Canonical table readers over the driver-generated parquet fixtures.
+
+Every operator loads its inputs through ``load_table`` so the whole
+engine shares one canonical schema per table. Tables and physical
+schemas are fixed by TESTDATA.md / FIXTURES.md §A.
+
+``events`` needs special handling: its parquet ``ts`` column is
+TIMESTAMP(NANOS), which Spark 4 cannot map to a Catalyst type. We read
+it via ``spark.sql.legacy.parquet.nanosAsLong`` (long nanoseconds) and
+rebuild a ``TIMESTAMP_NTZ`` at microsecond precision, *without* any
+session-timezone dependency (epoch-NTZ + exact interval arithmetic; the
+``div`` keeps everything in integer space — a double round-trip would
+lose precision above 2^53 ns). The DuckDB oracle sees the same value via
+``CAST(ts AS TIMESTAMP)`` (ns→µs truncation on both sides).
+
+Scale note (100 TB): these are plain parquet scans, so Catalyst handles
+column pruning + predicate/partition pushdown. Keep all filtering
+declarative (``.filter`` on the DataFrame) so it reaches the scan —
+check ``PushedFilters`` in ``.explain("formatted")``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# TIMESTAMP_NTZ '1970-01-01' + exact integer-microsecond interval.
+# ts is long nanoseconds here; `div` is integer division (no double detour).
+_TS_NS_TO_NTZ = (
+    "CAST('1970-01-01 00:00:00' AS TIMESTAMP_NTZ)"
+    " + make_dt_interval(0, 0, 0, (ts div 1000) / 1000000.0)"
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table with its canonical engine schema."""
+    if name not in TABLES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(path)
+        return raw.select(
+            "event_id",
+            F.expr(_TS_NS_TO_NTZ).alias("ts"),
+            F.col("ts").alias("ts_ns"),  # original long nanos, kept for fingerprints
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+    return spark.read.parquet(path)
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+# ---------------------------------------------------------------------------
+# Reference-derived logical fixtures (FIXTURES.md §B) — views over the
+# driver tables reproducing the exact row shapes the reference ETL moves.
+# ---------------------------------------------------------------------------
+
+# po_number: zero-padded ⇒ lexicographic order == numeric order, mirroring
+# the reference's fixed-width string watermark key ('U0000001D',
+# bin/copy-seamless-to-sharepoint.rb:71,:80-84).
+PO_FORMAT = "U%08dD"
+
+
+def seamless_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The source "pipeline" table (reference form submissions analog).
+
+    One row per order; columns mirror COLUMN_VALUES
+    (bin/copy-seamless-to-sharepoint.rb:18): vendor, description,
+    picker (a date-picker string), charge_code, plus the po_number
+    watermark key and the $1500-routing amount.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    # customer is the small side at every SF (1 row per 10 orders);
+    # broadcast keeps the enrichment shuffle-free at 100 TB.
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey, "left")
+        .select(
+            F.format_string(PO_FORMAT, F.col("o_orderkey")).alias("po_number"),
+            F.col("c_name").alias("vendor"),
+            F.concat_ws(
+                "-", F.col("o_orderstatus"), F.col("o_orderpriority")
+            ).alias("description"),
+            F.date_format(F.col("o_orderdate"), "yyyy-MM-dd").alias("picker"),
+            F.col("c_mktsegment").alias("charge_code"),
+            F.col("o_totalprice").alias("amount"),
+        )
+    )
+
+
+# DuckDB twin of seamless_items, used by every oracle over the view.
+SEAMLESS_ITEMS_SQL = """
+SELECT printf('U%08dD', o_orderkey)          AS po_number,
+       c_name                                 AS vendor,
+       concat_ws('-', o_orderstatus, o_orderpriority) AS description,
+       strftime(o_orderdate, '%Y-%m-%d')      AS picker,
+       c_mktsegment                           AS charge_code,
+       o_totalprice                           AS amount
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def watermark_fraction_expr() -> str:
+    """Deterministic already-loaded frontier: orders with key ≤ 60% of max.
+
+    Gives every scale factor a non-trivial 'new rows' tail without any
+    wall-clock or random dependency.
+    """
+    return "0.6"
+
+
+def sharepoint_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The positional sink table (5 cols, watermark at index 4 —
+    bin/copy-seamless-to-sharepoint.rb:64-66): rows already loaded."""
+    items = seamless_items(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    # Frontier key as a *scalar subquery-style* aggregate — never a
+    # driver-side collect (SURVEY.md §7.1 step 8).
+    frontier = orders.agg(
+        F.format_string(
+            PO_FORMAT, F.floor(F.max("o_orderkey") * F.lit(0.6)).cast("long")
+        ).alias("wm")
+    )
+    return (
+        items.join(F.broadcast(frontier), items.po_number <= frontier.wm, "left_semi")
+        .select(
+            F.col("vendor").alias("c0"),
+            F.col("description").alias("c1"),
+            F.col("picker").alias("c2"),
+            F.col("charge_code").alias("c3"),
+            F.col("po_number"),
+        )
+    )
+
+
+SHAREPOINT_ROWS_SQL = f"""
+WITH items AS ({SEAMLESS_ITEMS_SQL}),
+frontier AS (
+  SELECT printf('U%08dD', CAST(floor(max(o_orderkey) * 0.6) AS BIGINT)) AS wm
+  FROM orders
+)
+SELECT vendor AS c0, description AS c1, picker AS c2, charge_code AS c3, po_number
+FROM items WHERE po_number <= (SELECT wm FROM frontier)
+"""

@@ -1,0 +1,188 @@
+"""Aggregation operators: hash agg, distinct, rollup/cube/grouping sets.
+
+Scale posture: every groupBy here is a Catalyst hash aggregate with
+map-side partial aggregation, so the shuffle carries one row per
+(partition × group), not per input row. Group-key cardinality is low
+(flags, priorities, months) — the classic safe shape at 100 TB.
+`count(DISTINCT)` rewrites to a two-phase expand+agg; for high-card
+distinct counting at scale the approx variant (HLL++) is the right
+tool and is included as its own (rows-only-checked) query.
+
+Float policy: every double aggregate is rounded in-query (both engines)
+so the driver's value-hash is stable against summation-order ulps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import io
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary over lineitem (the flagship agg)."""
+    li = io.load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def multikey_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key agg + exact count distinct (two-phase expand in Spark)."""
+    o = io.load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+MULTIKEY_DISTINCT_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       count(DISTINCT o_custkey) AS n_customers,
+       count(*) AS n_orders,
+       round(min(o_totalprice), 2) AS min_price,
+       round(max(o_totalprice), 2) AS max_price
+FROM orders
+GROUP BY o_orderstatus, o_orderpriority
+"""
+
+
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct — the 100 TB answer to countDistinct.
+
+    No DuckDB oracle (different sketch ⇒ different estimate); the
+    driver records a rows-only check and pytest asserts the estimate is
+    within rsd of the exact count.
+    """
+    li = io.load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+    )
+
+
+def filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (FILTER/CASE-guarded sums) — one pass,
+    no per-branch scans."""
+    o = io.load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(
+            F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))), 2
+        ).alias("sum_finished"),
+        F.round(
+            F.sum(F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice"))), 2
+        ).alias("sum_open"),
+        F.count(F.when(F.col("o_totalprice") > 150000, 1)).alias("n_large"),
+    )
+
+
+FILTERED_AGG_SQL = """
+SELECT o_orderpriority,
+       round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2) AS sum_finished,
+       round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2) AS sum_open,
+       count(*) FILTER (WHERE o_totalprice > 150000) AS n_large
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+def rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP: hierarchical subtotals + grand total (Expand in Spark)."""
+    o = io.load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+ROLLUP_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all grouping-set combinations."""
+    o = io.load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+    )
+
+
+CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       round(avg(o_totalprice), 4) AS avg_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table (no-group) aggregate — partial agg per partition,
+    single-row final exchange (the watermark-extraction shape, A2)."""
+    li = io.load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        F.round(F.avg("l_discount"), 6).alias("mean_discount"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
+GLOBAL_AGG_SQL = """
+SELECT count(*) AS n_rows,
+       count(DISTINCT l_orderkey) AS n_orders,
+       round(sum(l_extendedprice), 2) AS total_price,
+       round(avg(l_discount), 6) AS mean_discount,
+       min(l_shipdate) AS first_ship,
+       max(l_shipdate) AS last_ship
+FROM lineitem
+"""
+
+
+QUERIES = {
+    "agg_pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
+    "agg_multikey_distinct": (multikey_distinct, MULTIKEY_DISTINCT_SQL),
+    "agg_approx_distinct": (approx_distinct, None),
+    "agg_filtered": (filtered_agg, FILTERED_AGG_SQL),
+    "agg_rollup": (rollup_status_priority, ROLLUP_SQL),
+    "agg_cube": (cube_status_priority, CUBE_SQL),
+    "agg_global": (global_agg, GLOBAL_AGG_SQL),
+}

@@ -1,0 +1,58 @@
+"""Local mirror of the driver's correctness gate (sf0.001, DuckDB oracle).
+
+Every oracle-checkable query in the registry is hash-compared exactly
+the way the driver will do it at sf0.01: row count + sorted column
+names + order-insensitive value multiset.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from conftest import assert_query_matches_oracle
+
+
+def _oracle_names():
+    from seamless_sharepoint_etl_spark import registry
+
+    return sorted(registry.oracle_sql().keys())
+
+
+def _all_names():
+    from seamless_sharepoint_etl_spark import registry
+
+    return sorted(registry.queries().keys())
+
+
+@pytest.mark.parametrize("name", _oracle_names())
+def test_query_matches_oracle(spark, oracle, name):
+    assert_query_matches_oracle(spark, oracle, name)
+
+
+@pytest.mark.parametrize("name", sorted(set(_all_names()) - set(_oracle_names())))
+def test_rows_only_queries_run(spark, name):
+    """Queries without an oracle still must run and return a stable schema."""
+    from seamless_sharepoint_etl_spark import registry
+
+    fn = registry.queries()[name]
+    df = fn(spark, "/root/testdata/sf0.001")
+    assert df.columns  # schema resolvable
+    assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns == ["vendor", "description", "picker", "charge_code", "po_number"]
+
+
+def test_driver_contract_shape():
+    import __spark_entry__ as e
+
+    q = e.queries()
+    o = e.oracle_sql()
+    assert q, "queries() must not be empty"
+    assert set(o).issubset(set(q))
