@@ -1,3 +1,323 @@
-"""Placeholder — filled in a later milestone."""
+"""Join operators: broadcast, shuffle, semi/anti, outer, cross, range, as-of.
 
-QUERIES: dict = {}
+Scale posture per join:
+  * dim joins (region/nation/customer enrich) — explicit ``F.broadcast``:
+    zero shuffle of the fact side at any scale.
+  * fact⋈fact (orders⋈lineitem) — shuffle join on the key; AQE picks
+    sort-merge vs shuffled-hash and splits skewed partitions. Both sides
+    are pre-filtered *before* the join so the shuffle carries the
+    minimum (filter pushdown reaches the scans).
+  * range/theta (events band join) — equi-key on user_id carries the
+    shuffle; the ts-band is a post-join predicate, so this is a hash
+    join + filter, NOT a nested loop. Output is sparse.
+  * as-of — implemented as union + window (single shuffle by key,
+    linear state), not join+filter+rank (which would materialize the
+    full candidate set). This is the 100 TB-safe as-of shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import io
+
+
+def broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ nation ⋈ region (both dims broadcast): per-region stats."""
+    c = io.load_table(spark, sf_dir, "customer")
+    n = io.load_table(spark, sf_dir, "nation")
+    r = io.load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+    )
+
+
+BROADCAST_DIM_SQL = """
+SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def shuffle_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ lineitem (fact⋈fact shuffle join) → revenue per priority.
+
+    Filters sit under the join on both sides so the scans prune first.
+    """
+    o = io.load_table(spark, sf_dir, "orders")
+    li = io.load_table(spark, sf_dir, "lineitem")
+    return (
+        o.filter(F.col("o_orderstatus") != "P")
+        .join(
+            li.filter(F.col("l_quantity") > 5.0),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SHUFFLE_FACT_SQL = """
+SELECT o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderstatus <> 'P' AND l_quantity > 5.0
+GROUP BY o_orderpriority
+"""
+
+
+def left_join_null_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer LEFT JOIN orders; histogram of orders-per-customer
+    (customers with zero orders appear via the null arm)."""
+    c = io.load_table(spark, sf_dir, "customer")
+    o = io.load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))  # count skips nulls
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+LEFT_JOIN_HIST_SQL = """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS n_orders
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+SELECT n_orders, count(*) AS n_customers FROM per_cust GROUP BY n_orders
+"""
+
+
+def semi_join_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as left-semi: customers having ≥1 finished ('F') order."""
+    c = io.load_table(spark, sf_dir, "customer")
+    o = io.load_table(spark, sf_dir, "orders")
+    return c.join(
+        o.filter(F.col("o_orderstatus") == "F"),
+        c.c_custkey == o.o_custkey,
+        "left_semi",
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+SEMI_JOIN_SQL = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+"""
+
+
+def anti_join_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as left-anti: customers with no pending ('P') order.
+
+    (Pending, not "no orders at all": at sf≥0.01 every customer has
+    orders, which would make the result empty and the check vacuous.)
+    """
+    c = io.load_table(spark, sf_dir, "customer")
+    o = io.load_table(spark, sf_dir, "orders")
+    return c.join(
+        o.filter(F.col("o_orderstatus") == "P"),
+        c.c_custkey == o.o_custkey,
+        "left_anti",
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+ANTI_JOIN_SQL = """
+SELECT c_custkey, c_name, c_acctbal FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+"""
+
+
+def full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER over two disjoint-ish aggregates of customer keys:
+    big spenders vs low-balance accounts; both null arms populated."""
+    o = io.load_table(spark, sf_dir, "orders")
+    c = io.load_table(spark, sf_dir, "customer")
+    spenders = (
+        o.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spent"))
+        .filter(F.col("total_spent") > 400000)
+    )
+    low_bal = c.filter(F.col("c_acctbal") < 0).select(
+        "c_custkey", F.round("c_acctbal", 2).alias("acctbal")
+    )
+    return (
+        spenders.join(low_bal, spenders.o_custkey == low_bal.c_custkey, "full_outer")
+        .select(
+            F.coalesce("o_custkey", "c_custkey").alias("custkey"),
+            "total_spent",
+            "acctbal",
+        )
+    )
+
+
+FULL_OUTER_SQL = """
+WITH spenders AS (
+  SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spent
+  FROM orders GROUP BY o_custkey HAVING round(sum(o_totalprice), 2) > 400000
+),
+low_bal AS (
+  SELECT c_custkey, round(c_acctbal, 2) AS acctbal FROM customer WHERE c_acctbal < 0
+)
+SELECT coalesce(o_custkey, c_custkey) AS custkey, total_spent, acctbal
+FROM spenders FULL OUTER JOIN low_bal ON o_custkey = c_custkey
+"""
+
+
+def cross_join_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-loop cross join of two tiny relations (the only sane use)."""
+    r = io.load_table(spark, sf_dir, "region")
+    statuses = (
+        io.load_table(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    )
+    return r.crossJoin(statuses).select("r_name", "o_orderstatus")
+
+
+CROSS_JOIN_SQL = """
+SELECT r_name, o_orderstatus
+FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+"""
+
+
+def range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range join: for each error event, clicks by the same user in
+    the preceding hour. Equi-key (user_id) drives the hash join; the ts
+    band is a residual predicate — no nested loop, no explosion."""
+    ev = io.load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("user_id").alias("err_user"),
+        F.col("ts").alias("err_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("clk_user"),
+        F.col("ts").alias("clk_ts"),
+        F.col("value").alias("clk_value"),
+    )
+    return (
+        errors.join(
+            clicks,
+            (F.col("err_user") == F.col("clk_user"))
+            & (F.col("clk_ts") <= F.col("err_ts"))
+            & (F.col("clk_ts") >= F.col("err_ts") - F.expr("INTERVAL 1 HOUR")),
+        )
+        .groupBy("err_id", "err_user")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks_before"),
+            F.round(F.sum("clk_value"), 4).alias("sum_click_value"),
+        )
+    )
+
+
+RANGE_BAND_SQL = """
+SELECT a.event_id AS err_id, a.user_id AS err_user,
+       count(*) AS n_clicks_before,
+       round(sum(b.value), 4) AS sum_click_value
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.event_type = 'click' AND a.event_type = 'error'
+ AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP)
+ AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+GROUP BY a.event_id, a.user_id
+"""
+
+
+def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the most recent click (ts ≤ purchase
+    ts) by the same user.
+
+    Union + running ``last(ignorenulls)`` window: one shuffle on
+    user_id, O(1) state per row — the scalable as-of (a join + rank
+    would materialize every candidate pair). Ties at equal ts resolve
+    clicks-before-purchases, then event_id (total order ⇒ deterministic).
+    """
+    ev = io.load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("tag"),
+        "event_id",
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("tag"),
+        "event_id",
+        F.lit(None).cast("timestamp_ntz").alias("click_ts"),
+        F.lit(None).cast("double").alias("click_value"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        clicks.unionByName(purchases)
+        .withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+        .withColumn("last_click_value", F.last("click_value", ignorenulls=True).over(w))
+        .filter(F.col("tag") == 1)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "last_click_ts",
+            "last_click_value",
+        )
+    )
+
+
+ASOF_JOIN_SQL = """
+WITH tagged AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, 0 AS tag, event_id,
+         CAST(ts AS TIMESTAMP) AS click_ts, value AS click_value
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, 1 AS tag, event_id,
+         NULL, NULL
+  FROM events WHERE event_type = 'purchase'
+),
+runn AS (
+  SELECT *,
+         last_value(click_ts IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY ts, tag, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts,
+         last_value(click_value IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY ts, tag, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_value
+  FROM tagged
+)
+SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+       last_click_ts, last_click_value
+FROM runn WHERE tag = 1
+"""
+
+
+QUERIES = {
+    "join_broadcast_dim": (broadcast_dim_join, BROADCAST_DIM_SQL),
+    "join_shuffle_fact": (shuffle_fact_join, SHUFFLE_FACT_SQL),
+    "join_left_null_histogram": (left_join_null_histogram, LEFT_JOIN_HIST_SQL),
+    "join_semi_exists": (semi_join_exists, SEMI_JOIN_SQL),
+    "join_anti_not_exists": (anti_join_not_exists, ANTI_JOIN_SQL),
+    "join_full_outer": (full_outer_join, FULL_OUTER_SQL),
+    "join_cross_small": (cross_join_small, CROSS_JOIN_SQL),
+    "join_range_band": (range_band_join, RANGE_BAND_SQL),
+    "join_asof_last_click": (asof_join_last_click, ASOF_JOIN_SQL),
+}

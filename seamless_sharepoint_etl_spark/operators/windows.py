@@ -1,3 +1,162 @@
-"""Placeholder — filled in a later milestone."""
+"""Window-function operators: rank/top-N, lag/lead, running & framed aggs.
 
-QUERIES: dict = {}
+Scale posture: every window here partitions by a real key (priority,
+customer, user) — state per partition is bounded and the single shuffle
+is on the partition key. No global (unpartitioned) windows: those
+serialize the dataset through one task and are forbidden in this
+engine at 100 TB (a global rank is expressed as orderBy+limit instead,
+see sorts_setops).
+
+Determinism policy: any ORDER BY that feeds row_number/ntile/lag gets a
+unique tie-break column so the oracle can't disagree on tie order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import io
+
+
+def topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price within each priority (rank ≤ k pattern)."""
+    o = io.load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_orderpriority",
+            "rn",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+        )
+    )
+
+
+TOPN_PER_GROUP_SQL = """
+SELECT o_orderpriority, rn, o_orderkey, round(o_totalprice, 2) AS price
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+def rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile over customers by balance per segment."""
+    c = io.load_table(spark, sf_dir, "customer")
+    by_bal = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"))
+    by_bal_uniq = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.rank().over(by_bal).alias("bal_rank"),
+        F.dense_rank().over(by_bal).alias("bal_dense_rank"),
+        F.ntile(4).over(by_bal_uniq).alias("bal_quartile"),
+    )
+
+
+RANK_DENSE_NTILE_SQL = """
+SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS acctbal,
+       rank()       OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS bal_rank,
+       dense_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS bal_dense_rank,
+       ntile(4)     OVER (PARTITION BY c_mktsegment
+                          ORDER BY c_acctbal DESC, c_custkey ASC) AS bal_quartile
+FROM customer
+"""
+
+
+def lag_lead_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event sequence: previous/next value and step delta."""
+    ev = io.load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round("value", 4).alias("value"),
+        F.round(F.lag("value", 1).over(w), 4).alias("prev_value"),
+        F.round(F.lead("value", 1).over(w), 4).alias("next_value"),
+        F.round(F.col("value") - F.lag("value", 1).over(w), 4).alias("delta"),
+    )
+
+
+LAG_LEAD_SQL = """
+SELECT event_id, user_id, round(value, 4) AS value,
+       round(lag(value, 1)  OVER w, 4) AS prev_value,
+       round(lead(value, 1) OVER w, 4) AS next_value,
+       round(value - lag(value, 1) OVER w, 4) AS delta
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+"""
+
+
+def running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running revenue per customer (rows frame, unbounded → current)."""
+    o = io.load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+        F.count(F.lit(1)).over(w).alias("order_seq"),
+    )
+
+
+RUNNING_SUM_SQL = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER w, 2) AS running_spend,
+       count(*) OVER w AS order_seq
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def range_frame_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame: per order, that customer's order count/value over the
+    trailing 30 days (value-based frame on a day-number column)."""
+    o = io.load_table(spark, sf_dir, "orders")
+    day_num = F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day_num.cast("long"))
+        .rangeBetween(-30, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count(F.lit(1)).over(w).alias("n_orders_30d"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
+    )
+
+
+RANGE_FRAME_SQL = """
+SELECT o_custkey, o_orderkey,
+       count(*) OVER w AS n_orders_30d,
+       round(sum(o_totalprice) OVER w, 2) AS spend_30d
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY datediff('day', DATE '1995-01-01', o_orderdate)
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+"""
+
+
+QUERIES = {
+    "win_topn_per_group": (topn_per_group, TOPN_PER_GROUP_SQL),
+    "win_rank_dense_ntile": (rank_dense_ntile, RANK_DENSE_NTILE_SQL),
+    "win_lag_lead_deltas": (lag_lead_deltas, LAG_LEAD_SQL),
+    "win_running_sum": (running_sum, RUNNING_SUM_SQL),
+    "win_range_frame_30d": (range_frame_30d, RANGE_FRAME_SQL),
+}

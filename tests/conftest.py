@@ -62,7 +62,7 @@ def assert_query_matches_oracle(spark, oracle, name, sf_dir=SF_DIR):
     sdf = fn(spark, sf_dir)
     spark_cols = sorted(sdf.columns)
     spark_rows = sorted(
-        tuple(_norm(row[c]) for c in spark_cols) for row in sdf.collect()
+        (tuple(_norm(row[c]) for c in spark_cols) for row in sdf.collect()), key=repr
     )
 
     assert sql is not None, f"{name} has no oracle SQL"
@@ -71,7 +71,7 @@ def assert_query_matches_oracle(spark, oracle, name, sf_dir=SF_DIR):
     order = sorted(range(len(oracle_cols_raw)), key=lambda i: oracle_cols_raw[i])
     oracle_cols = [oracle_cols_raw[i] for i in order]
     oracle_rows = sorted(
-        tuple(_norm(row[i]) for i in order) for row in odf.fetchall()
+        (tuple(_norm(row[i]) for i in order) for row in odf.fetchall()), key=repr
     )
 
     assert spark_cols == oracle_cols, (

@@ -76,7 +76,7 @@ def main() -> int:
         try:
             sdf = queries[name](spark, sf_dir)
             scols = sorted(sdf.columns)
-            srows = sorted(tuple(norm(r[c]) for c in scols) for r in sdf.collect())
+            srows = sorted((tuple(norm(r[c]) for c in scols) for r in sdf.collect()), key=repr)
             if name not in oracles:
                 print(f"ROWS-ONLY {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
                 n_rows_only += 1
@@ -85,7 +85,7 @@ def main() -> int:
             ocols_raw = list(odf.columns)
             order = sorted(range(len(ocols_raw)), key=lambda i: ocols_raw[i])
             ocols = [ocols_raw[i] for i in order]
-            orows = sorted(tuple(norm(r[i]) for i in order) for r in odf.fetchall())
+            orows = sorted((tuple(norm(r[i]) for i in order) for r in odf.fetchall()), key=repr)
             if scols != ocols:
                 print(f"FAIL {name}: cols spark={scols} oracle={ocols}")
                 n_fail += 1
