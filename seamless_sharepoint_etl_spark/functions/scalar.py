@@ -1,3 +1,209 @@
-"""Placeholder — filled in a later milestone."""
+"""Scalar function surface: string / date / math / array / JSON.
 
-QUERIES: dict = {}
+All JVM-side Catalyst built-ins inside whole-stage codegen — no Python
+in these paths. Cross-engine parity traps handled explicitly in the
+oracles (documented per query): 0- vs 1-based array indexing, dayofweek
+origins, date_trunc return types, global regexp_replace flags.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import io
+
+
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """upper/lower/trim/substring/concat/split/regexp/replace/pad over part."""
+    p = io.load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.trim(F.lit("  padded  ")).alias("trimmed"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_pipe_type"),
+        # split + element access: Spark getItem is 0-based (oracle's
+        # string_split is 1-based).
+        F.split(F.col("p_brand"), "#").getItem(1).alias("brand_num"),
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_digits"),
+        F.regexp_replace("p_name", r"[aeiou]", "_").alias("name_devoweled"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("-")).alias("type_dashed"),
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("key_padded"),
+        F.reverse(F.col("p_brand")).alias("brand_reversed"),
+        F.instr(F.col("p_name"), "a").alias("first_a_pos"),
+    )
+
+
+STRING_FUNCTIONS_SQL = """
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       lower(p_brand) AS brand_lower,
+       trim('  padded  ') AS trimmed,
+       substring(p_type, 1, 5) AS type_prefix,
+       length(p_name) AS name_len,
+       concat_ws('|', p_brand, p_type) AS brand_pipe_type,
+       string_split(p_brand, '#')[2] AS brand_num,
+       regexp_extract(p_brand, '([0-9]+)', 1) AS brand_digits,
+       regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_devoweled,
+       replace(p_type, ' ', '-') AS type_dashed,
+       lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS key_padded,
+       reverse(p_brand) AS brand_reversed,
+       strpos(p_name, 'a') AS first_a_pos
+FROM part
+"""
+
+
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """year/month/day/dayofweek/date_trunc/datediff/last_day/date_add.
+
+    dayofweek origin differs: Spark Sunday=1 … DuckDB Sunday=0, so the
+    oracle adds 1. date_trunc is CAST back to TIMESTAMP in the oracle
+    so both sides yield naive datetimes.
+    """
+    o = io.load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch95"
+        ),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.date_add(F.to_date("o_orderdate"), 30).alias("due_date"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+    )
+
+
+DATE_FUNCTIONS_SQL = """
+SELECT o_orderkey,
+       year(o_orderdate) AS yr,
+       month(o_orderdate) AS mo,
+       dayofmonth(o_orderdate) AS dom,
+       dayofweek(o_orderdate) + 1 AS dow,
+       quarter(o_orderdate) AS qtr,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch95,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       CAST(o_orderdate AS DATE) + 30 AS due_date,
+       strftime(o_orderdate, '%Y-%m') AS ym
+FROM orders
+"""
+
+
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """round/abs/floor/ceil/mod/power/sqrt/ln/log10/sign/greatest/least."""
+    li = io.load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") / 3.0, 4).alias("third"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.floor("l_quantity").cast("long").alias("qty_floor"),
+        F.ceil(F.col("l_extendedprice") / 1000.0).cast("long").alias("price_k_ceil"),
+        (F.col("l_orderkey") % 7).alias("key_mod7"),
+        F.round(F.pow(F.col("l_quantity"), 2), 4).alias("qty_sq"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1.0), 6).alias("price_ln"),
+        F.round(F.log10(F.col("l_extendedprice") + 1.0), 6).alias("price_log10"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        F.least("l_tax", "l_discount").alias("min_rate"),
+    )
+
+
+MATH_FUNCTIONS_SQL = """
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice / 3.0, 4) AS third,
+       abs(l_discount - 0.05) AS disc_dev,
+       CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+       CAST(ceil(l_extendedprice / 1000.0) AS BIGINT) AS price_k_ceil,
+       l_orderkey % 7 AS key_mod7,
+       round(pow(l_quantity, 2), 4) AS qty_sq,
+       round(sqrt(l_extendedprice), 6) AS price_sqrt,
+       round(ln(l_extendedprice + 1.0), 6) AS price_ln,
+       round(log10(l_extendedprice + 1.0), 6) AS price_log10,
+       CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign,
+       greatest(l_tax, l_discount) AS max_rate,
+       least(l_tax, l_discount) AS min_rate
+FROM lineitem
+"""
+
+
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """size/element_at/slice/sort + transform/aggregate lambdas over vectors.
+
+    Oracle indexing is 1-based lists; lambdas compute in DOUBLE on both
+    sides with identical (sequential) fold order, so sums match exactly.
+    """
+    e = io.load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at(F.col("embedding"), 1).cast("double"), 6).alias("first_dim"),
+        F.round(
+            F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x * x), 4
+        ).alias("sq_norm"),
+        F.round(
+            F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + F.abs(x)), 4
+        ).alias("l1_norm"),
+        F.round(
+            F.element_at(F.array_sort(F.slice(dbl, 1, 8)), 1), 6
+        ).alias("min_of_first8"),
+        F.size(F.filter(dbl, lambda x: x > 0)).alias("n_positive"),
+    )
+
+
+ARRAY_FUNCTIONS_SQL = """
+SELECT vec_id,
+       len(embedding) AS dim,
+       round(CAST(embedding[1] AS DOUBLE), 6) AS first_dim,
+       round(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS sq_norm,
+       round(list_sum(list_transform(embedding,
+             x -> abs(CAST(x AS DOUBLE)))), 4) AS l1_norm,
+       round(list_sort(list_transform(embedding[1:8],
+             x -> CAST(x AS DOUBLE)))[1], 6) AS min_of_first8,
+       len(list_filter(embedding, x -> x > 0)) AS n_positive
+FROM embeddings
+"""
+
+
+def json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_json_object + from_json(schema) over events.props."""
+    ev = io.load_table(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "k INT")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        parsed.getField("k").alias("k_int"),
+        (parsed.getField("k") % 10).alias("k_mod10"),
+        F.when(parsed.getField("k") > 50, "high").otherwise("low").alias("k_band"),
+    )
+
+
+JSON_FUNCTIONS_SQL = """
+SELECT event_id,
+       json_extract_string(props, '$.k') AS k_str,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod10,
+       CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+            THEN 'high' ELSE 'low' END AS k_band
+FROM events
+"""
+
+
+QUERIES = {
+    "fn_string": (string_functions, STRING_FUNCTIONS_SQL),
+    "fn_date": (date_functions, DATE_FUNCTIONS_SQL),
+    "fn_math": (math_functions, MATH_FUNCTIONS_SQL),
+    "fn_array_lambda": (array_functions, ARRAY_FUNCTIONS_SQL),
+    "fn_json": (json_functions, JSON_FUNCTIONS_SQL),
+}

@@ -1,0 +1,200 @@
+"""Real Structured Streaming jobs over the events table.
+
+The batch-equivalent forms live in ``streaming.windows`` (oracle-
+checkable); these run the *same logical plans* through
+readStream → writeStream with ``Trigger.AvailableNow`` so watermark
+advancement, append-mode emission, and Python stateful processing
+(``applyInPandasWithState``) are actually exercised. Tests assert
+stream output ≡ batch output (or the watermark-correct subset).
+
+Determinism: the stream source is the fixture parquet re-chunked into
+time-ordered files (chunk k = k-th quantile of event time), with
+``maxFilesPerTrigger=1`` — so watermark progression across batches is a
+pure function of the data, never of wall clock.
+
+Scale posture: state stores are keyed by (user, window); watermark
+delay bounds state size. ``applyInPandasWithState`` receives Arrow
+batches per key group — the only Python hop, amortized per group.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from .. import io
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def prepare_stream_source(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_chunks: int = 4
+) -> str:
+    """Materialize events as n time-ordered parquet chunks (µs ts, no
+    props) so a file-stream source replays them in event-time order."""
+    # Watermarks require TIMESTAMP (with local tz), not TIMESTAMP_NTZ —
+    # cast once at source-materialization time.
+    ev = io.load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    chunked = ev.withColumn(
+        "chunk", F.ntile(n_chunks).over(Window.orderBy("ts", "event_id"))
+    )
+    for k in range(1, n_chunks + 1):
+        (
+            chunked.filter(F.col("chunk") == k)
+            .drop("chunk")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"chunk_{k:02d}"))
+        )
+    # flatten: the file source watches one dir; name files so lexical
+    # order == event-time order (the source lists in discovery order).
+    import glob
+    import shutil
+
+    flat = os.path.join(out_dir, "stream")
+    os.makedirs(flat, exist_ok=True)
+    for k in range(1, n_chunks + 1):
+        src = glob.glob(os.path.join(out_dir, f"chunk_{k:02d}", "*.parquet"))[0]
+        shutil.copy(src, os.path.join(flat, f"{k:02d}.parquet"))
+    return flat
+
+
+def _read_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+
+def run_tumbling_complete(
+    spark: SparkSession, src_dir: str, checkpoint: str, name: str = "tumbling_mem"
+) -> DataFrame:
+    """Tumbling 1h window agg, complete mode → memory sink."""
+    stream = _read_stream(spark, src_dir)
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def run_watermark_append(
+    spark: SparkSession, src_dir: str, checkpoint: str, name: str = "wm_append"
+) -> DataFrame:
+    """Watermarked tumbling agg in append mode: a window row emits only
+    once the watermark (max event time − 10 min) passes its end."""
+    stream = _read_stream(spark, src_dir)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), F.col("w.end").alias("window_end"), "n_events")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def run_dedup_within_watermark(
+    spark: SparkSession, src_dir: str, checkpoint: str, name: str = "dedup_wm"
+) -> DataFrame:
+    """Streaming dedup on (user_id, event_type) within the watermark."""
+    stream = _read_stream(spark, src_dir)
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+    q = (
+        deduped.select("user_id", "event_type")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+_STATE_OUT = "user_id LONG, n_events LONG, total_value DOUBLE"
+
+
+def _count_per_user(key, pdfs, state: GroupState):
+    """Stateful per-user accumulator (count + value sum across batches)."""
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)]}
+    )
+
+
+def run_stateful_user_counter(
+    spark: SparkSession, src_dir: str, checkpoint: str, name: str = "stateful_counts"
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: running
+    per-user event count/value-sum, updated every micro-batch."""
+    stream = _read_stream(spark, src_dir)
+    counted = stream.groupBy("user_id").applyInPandasWithState(
+        _count_per_user,
+        outputStructType=_STATE_OUT,
+        stateStructType="n_events LONG, total_value DOUBLE",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        counted.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

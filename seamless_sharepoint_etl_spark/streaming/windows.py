@@ -1,3 +1,186 @@
-"""Placeholder — filled in a later milestone."""
+"""Event-time window operators over `events` (batch-equivalent forms).
 
-QUERIES: dict = {}
+Each operator here is the *batch* expression of a Structured Streaming
+computation (same code path Spark uses for `readStream`: F.window /
+F.session_window group keys), so the DuckDB oracle can check exact
+semantics. `streaming.jobs` runs the same logic through an actual
+readStream/writeStream with Trigger.AvailableNow and asserts it equals
+these batch results (tests), which is precisely how watermarked
+streaming jobs are validated deterministically.
+
+Scale posture: windowed aggregation shuffles on (key, window) — the
+state per task is bounded by watermark horizon × key cardinality; at
+100 TB the knobs are watermark delay (state size) and
+`spark.sql.shuffle.partitions` / AQE for the exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import io
+
+
+def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows per event_type: count + value stats."""
+    ev = io.load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "avg_value",
+        )
+    )
+
+
+TUMBLING_SQL = """
+SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value,
+       round(avg(value), 6) AS avg_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 15 min (each event lands in 4 windows)."""
+    ev = io.load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+# Oracle expands each event into its 4 candidate windows explicitly:
+# window_start = 15-min bucket − k·15min for k ∈ 0..3, keeping starts
+# within (ts − 1h, ts] — exactly Spark's window-assignment rule.
+SLIDING_SQL = """
+SELECT ws AS window_start, count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM (
+  SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+           - k * (INTERVAL '15 minutes') AS ws,
+         value, CAST(ts AS TIMESTAMP) AS tsc
+  FROM events
+  CROSS JOIN (SELECT unnest(range(4)) AS k)
+)
+WHERE ws > tsc - INTERVAL '1 hour' AND ws <= tsc
+GROUP BY ws
+"""
+
+
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessions with a 30-minute inactivity gap.
+
+    session = maximal run of a user's events where consecutive gaps are
+    < 30 min; window end = last event + gap (Spark session_window
+    semantics, mirrored by the oracle's lag-based island numbering).
+    """
+    ev = io.load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SESSION_SQL = """
+WITH ordered AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         CASE WHEN CAST(ts AS TIMESTAMP)
+                   - lag(CAST(ts AS TIMESTAMP)) OVER
+                     (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))
+                   >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+islands AS (
+  SELECT *, sum(new_session) OVER
+           (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM ordered
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL '30 minutes' AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM islands
+GROUP BY user_id, session_id
+"""
+
+
+def watermark_late_data_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark semantics, batch form: drop events older than
+    (global max ts − 7 days) — the late-data frontier — then count per
+    key. The frontier is an aggregate joined in broadcast, never a
+    collect (same shape as the ETL watermark, A2/A11)."""
+    ev = io.load_table(spark, sf_dir, "events")
+    frontier = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 7 DAYS")).alias("horizon")
+    )
+    return (
+        ev.join(F.broadcast(frontier), ev.ts >= F.col("horizon"), "left_semi")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_recent"))
+    )
+
+
+WATERMARK_SQL = """
+SELECT user_id, event_type, count(*) AS n_recent
+FROM events
+WHERE CAST(ts AS TIMESTAMP) >=
+      (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL '7 days' FROM events)
+GROUP BY user_id, event_type
+"""
+
+
+def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-dedup semantics (dropDuplicates on key columns), batch
+    form: first event per (user_id, event_type) by event time."""
+    ev = io.load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("first_seen"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+STREAM_DEDUP_SQL = """
+SELECT user_id, event_type,
+       min(CAST(ts AS TIMESTAMP)) AS first_seen,
+       count(*) AS n_total
+FROM events
+GROUP BY user_id, event_type
+"""
+
+
+QUERIES = {
+    "stream_tumbling_window": (tumbling_window_agg, TUMBLING_SQL),
+    "stream_sliding_window": (sliding_window_agg, SLIDING_SQL),
+    "stream_session_window": (session_window_agg, SESSION_SQL),
+    "stream_watermark_filter": (watermark_late_data_filter, WATERMARK_SQL),
+    "stream_dedup_first_per_key": (streaming_dedup_keys, STREAM_DEDUP_SQL),
+}
