@@ -1,0 +1,91 @@
+"""Benchmark harness (driver contract): headline queries at sf0.1.
+
+Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: {"metric": ..., "value": <total sec>, "unit": "sec",
+"queries": {name: sec}, "sf": <sf>}.
+
+Each query materializes fully through the JVM `noop` sink — every row
+and column is computed and serialized, but nothing crosses to the
+driver, so timings measure the engine, not result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: one representative per operator family (relational, agg,
+# join, window, sort, streaming-batch, dedup, similarity, text, flagship).
+HEADLINE = [
+    "flagship_incremental_load",
+    "rel_project_filter_predicates",
+    "agg_pricing_summary",
+    "agg_cube",
+    "join_shuffle_fact",
+    "join_broadcast_dim",
+    "join_asof_last_click",
+    "win_running_sum",
+    "sort_top_k_global",
+    "stream_session_window",
+    "stream_sliding_window",
+    "fn_json",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "sim_brute_force_topk",
+    "text_quality_score",
+    "mm_binary_metadata",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from seamless_sharepoint_etl_spark.session import get_spark
+    from seamless_sharepoint_etl_spark import registry
+
+    spark = get_spark("seamless-etl-bench")
+    queries = registry.queries()
+
+    # Warmup: JVM/codegen spin-up plus one narrow pass over every fixture
+    # table so file-index/footers are cached — timings then measure the
+    # engine, not first-touch filesystem costs.
+    from seamless_sharepoint_etl_spark import io as engine_io
+
+    spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    for t in engine_io.TABLES:
+        engine_io.load_table(spark, sf_dir, t).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -39,11 +39,22 @@ def incremental_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     numeric `>` (the reference's string-compare trap, SURVEY.md §7.3#1).
     """
     items = io.seamless_items(spark, sf_dir)
-    sink = io.sharepoint_rows(spark, sf_dir)
 
     # A2 as an explicit aggregate: 1-row DataFrame, broadcast into the
     # filter join (no .collect(); the frontier never touches the driver).
-    watermark = sink.agg(F.max("po_number").alias("wm"))
+    # Computed from a pure orders scan — max(po_number) of the sink view
+    # equals format(max orderkey ≤ the 60% frontier), and po_number is a
+    # function of o_orderkey alone, so the sink's customer join would be
+    # dead weight here (Catalyst can't prove it away because the right
+    # side isn't known unique). Scan 13 in .explain reads one column.
+    orders = io.load_table(spark, sf_dir, "orders")
+    frontier0 = orders.agg(
+        F.floor(F.max("o_orderkey") * F.lit(0.6)).cast("long").alias("k0")
+    )
+    watermark = (
+        orders.join(F.broadcast(frontier0), F.col("o_orderkey") <= F.col("k0"), "left_semi")
+        .agg(F.format_string(io.PO_FORMAT, F.max("o_orderkey")).alias("wm"))
+    )
 
     fresh = (
         items.join(F.broadcast(watermark), items.po_number > F.col("wm"), "left_semi")
