@@ -24,6 +24,7 @@ def _collect() -> dict[str, Entry]:
     from . import pipelines
     from .operators import aggregates, joins, relational, sorts_setops, windows
     from .functions import scalar
+    from .sources import formats, rest
     from .streaming import windows as stream_windows
     from .llm_ops import dedup, multimodal, similarity, text
 
@@ -41,6 +42,8 @@ def _collect() -> dict[str, Entry]:
         windows,
         sorts_setops,
         scalar,
+        formats,
+        rest,
         stream_windows,
         dedup,
         similarity,

@@ -31,6 +31,8 @@ DYNAMIC_CONF: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Let Python DataSources absorb Catalyst filters (sources/rest.py).
+    "spark.sql.python.filterPushdown.enabled": "true",
     # Deterministic wall-clock-free semantics for tests/oracles.
     "spark.sql.session.timeZone": "UTC",
 }

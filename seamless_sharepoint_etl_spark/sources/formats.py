@@ -1,0 +1,113 @@
+"""JSON and CSV format scans (SURVEY.md §2 Tier B, Scans row).
+
+The fixture universe is parquet-only, so each query materializes a
+deterministic JSON-lines / CSV copy of a table once per (sf_dir) into
+/tmp, then demonstrates the *scan*: explicit schema, header handling,
+type coercion, and a query over the scanned frame. The DuckDB oracle
+runs the same query against the original parquet — so the check proves
+the format round-trip is value-exact, not merely that the file parses.
+
+Scale posture: both writers go through ``df.write`` (distributed, one
+file per partition); the scans are ordinary FileSourceScanExec with
+column pruning. CSV/JSON scans can't push predicates into the decoder
+the way parquet does — the queries note this; at 100 TB these formats
+are ingest-only, converted to parquet in the first pass (exactly what
+these queries do in reverse).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import io
+
+
+def _stage_dir(sf_dir: str, what: str) -> str:
+    return f"/tmp/seamless_fmt-{os.path.basename(sf_dir.rstrip('/'))}-{what}"
+
+
+def json_scan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → JSON lines → read back with explicit schema → per-type
+    aggregate. Exercises: JSON scan, TIMESTAMP_NTZ round-trip through
+    ISO strings, nested ``props`` JSON kept as a string column."""
+    path = _stage_dir(sf_dir, "events-json")
+    marker = os.path.join(path, "_SUCCESS")
+    ev = io.load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    # default JSON timestamp format is millisecond-truncating; spell out
+    # microseconds so the round-trip is exact
+    ts_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+    if not os.path.exists(marker):
+        ev.write.mode("overwrite").option("timestampNTZFormat", ts_fmt).json(path)
+
+    schema = (
+        "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING"
+    )
+    scanned = spark.read.schema(schema).option("timestampNTZFormat", ts_fmt).json(path)
+    return (
+        scanned.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("sum_value"),
+            F.max("ts").alias("max_ts"),
+            F.countDistinct("user_id").alias("users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+JSON_SCAN_EVENTS_SQL = """
+SELECT event_type,
+       count(*) AS n,
+       sum(value) AS sum_value,
+       max(CAST(ts AS TIMESTAMP)) AS max_ts,
+       count(DISTINCT user_id) AS users
+FROM events
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+def csv_scan_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier → headered CSV → read back with explicit schema + header
+    → filter/project. acctbal travels as DECIMAL(12,2) text so the CSV
+    round-trip is exact by construction (no double→text ambiguity)."""
+    path = _stage_dir(sf_dir, "supplier-csv")
+    marker = os.path.join(path, "_SUCCESS")
+    s = io.load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_name",
+        "s_nationkey",
+        F.col("s_acctbal").cast("decimal(12,2)").alias("s_acctbal"),
+    )
+    if not os.path.exists(marker):
+        s.write.mode("overwrite").option("header", True).csv(path)
+
+    schema = "s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DECIMAL(12,2)"
+    scanned = spark.read.schema(schema).option("header", True).csv(path)
+    return scanned.filter(F.col("s_acctbal") > 0).select(
+        "s_suppkey",
+        F.upper("s_name").alias("name_upper"),
+        "s_nationkey",
+        "s_acctbal",
+    )
+
+
+CSV_SCAN_SUPPLIER_SQL = """
+SELECT s_suppkey,
+       upper(s_name) AS name_upper,
+       s_nationkey,
+       CAST(s_acctbal AS DECIMAL(12,2)) AS s_acctbal
+FROM supplier
+WHERE CAST(s_acctbal AS DECIMAL(12,2)) > 0
+"""
+
+
+QUERIES = {
+    "src_json_scan": (json_scan_events, JSON_SCAN_EVENTS_SQL),
+    "src_csv_scan": (csv_scan_supplier, CSV_SCAN_SUPPLIER_SQL),
+}
