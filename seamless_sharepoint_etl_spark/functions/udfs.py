@@ -1,0 +1,172 @@
+"""Arrow-vectorized Python UDF surface (SURVEY.md §2 Tier B, UDF row).
+
+Three flavors, each as an oracle-checked query so the Arrow round-trip
+itself is value-verified:
+
+* scalar ``pandas_udf`` — batch-vectorized column transform;
+* grouped-aggregate ``pandas_udf`` — one scalar per group, usable
+  inside a normal ``groupBy().agg()`` next to JVM aggregates;
+* ``applyInPandas`` — full group-map (UDTF-ish) with a changed schema.
+
+UDFs are the engine's slow path by policy (SURVEY.md §4.3): everything
+expressible with Catalyst built-ins lives in functions/scalar.py; this
+module exists to prove the escape hatch works and stays Arrow-batched
+(never row-at-a-time Python). Each docstring notes the 100 TB posture:
+Arrow batch size bounds Python memory; grouped flavors shuffle once on
+the group key, identical to a JVM aggregate's exchange.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from .. import io
+
+
+# --- scalar pandas_udf ------------------------------------------------------
+
+
+def _weighted_margin_udf():
+    # built lazily: pandas_udf parses its DDL return type against the
+    # active session, so module import must stay session-free
+    @pandas_udf("double")
+    def weighted_margin(
+        extended: pd.Series, discount: pd.Series, tax: pd.Series
+    ) -> pd.Series:
+        """Vectorized: revenue after discount and tax, pandas arithmetic."""
+        return extended * (1.0 - discount) * (1.0 + tax)
+
+    return weighted_margin
+
+
+def scalar_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row margin via a scalar pandas_udf over lineitem, aggregated
+    per return-flag so the oracle compares a small stable result.
+
+    100 TB: the UDF is a narrow map over Arrow batches (no shuffle);
+    the aggregate's exchange is on 3 keys — partial aggregation
+    map-side keeps it tiny.
+    """
+    li = io.load_table(spark, sf_dir, "lineitem")
+    margin = _weighted_margin_udf()
+    return (
+        li.withColumn(
+            "margin", margin("l_extendedprice", "l_discount", "l_tax")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum("margin").alias("sum_margin"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SCALAR_PANDAS_UDF_SQL = """
+SELECT l_returnflag,
+       sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)) AS sum_margin,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# --- grouped-aggregate pandas_udf ------------------------------------------
+
+
+def _iqr_udf():
+    @pandas_udf("double")
+    def interquartile_range(v: pd.Series) -> float:
+        """Grouped-agg: IQR of the group (quantile(.75)-quantile(.25),
+        linear interpolation — matches DuckDB's continuous quantile_cont)."""
+        return float(v.quantile(0.75) - v.quantile(0.25))
+
+    return interquartile_range
+
+
+def grouped_agg_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-price IQR per priority — a statistic Catalyst has no exact
+    built-in for (percentile_approx is approximate), mixed in the same
+    agg with JVM-side avg/count.
+
+    100 TB: one shuffle on the group key; each group's values stream to
+    Python as Arrow chunks. For heavy-tailed group sizes, pre-salting
+    or a two-level t-digest sketch replaces exact quantiles — noted,
+    not needed at fixture scale.
+    """
+    o = io.load_table(spark, sf_dir, "orders")
+    iqr = _iqr_udf()
+    # Catalyst forbids mixing grouped-agg pandas UDFs with JVM aggregates
+    # in one agg() — compute each and broadcast-join the 5-row results.
+    py_side = o.groupBy("o_orderpriority").agg(
+        iqr(F.col("o_totalprice")).alias("price_iqr")
+    )
+    jvm_side = o.groupBy("o_orderpriority").agg(
+        F.avg("o_totalprice").alias("price_avg"), F.count("*").alias("n")
+    )
+    return py_side.join(F.broadcast(jvm_side), "o_orderpriority").orderBy(
+        "o_orderpriority"
+    )
+
+
+GROUPED_AGG_PANDAS_UDF_SQL = """
+SELECT o_orderpriority,
+       quantile_cont(o_totalprice, 0.75) - quantile_cont(o_totalprice, 0.25)
+           AS price_iqr,
+       avg(o_totalprice) AS price_avg,
+       count(*) AS n
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# --- applyInPandas (group map) ---------------------------------------------
+
+
+def _zscore_frame(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Group map: z-score each supplier's account balance within its
+    nation; population stddev (ddof=0) to match the oracle's stddev_pop."""
+    mu = pdf["s_acctbal"].mean()
+    sd = pdf["s_acctbal"].std(ddof=0)
+    out = pdf[["s_suppkey", "s_nationkey", "s_acctbal"]].copy()
+    out["bal_z"] = 0.0 if sd == 0 else (pdf["s_acctbal"] - mu) / sd
+    return out
+
+
+def apply_in_pandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-nation z-score via ``applyInPandas`` — the group-map shape
+    (input rows → whole pandas frame per group → new schema out).
+
+    100 TB: shuffles once on s_nationkey; each group materializes in
+    one Python worker, so the group key must bound group size (here:
+    suppliers per nation). For unbounded groups, window functions
+    (see operators/windows.py) do this without materializing a group.
+    """
+    s = io.load_table(spark, sf_dir, "supplier")
+    return (
+        s.select("s_suppkey", "s_nationkey", "s_acctbal")
+        .groupBy("s_nationkey")
+        .applyInPandas(
+            _zscore_frame,
+            "s_suppkey bigint, s_nationkey int, s_acctbal double, bal_z double",
+        )
+    )
+
+
+APPLY_IN_PANDAS_ZSCORE_SQL = """
+SELECT s_suppkey, s_nationkey, s_acctbal,
+       CASE WHEN stddev_pop(s_acctbal) OVER w = 0 THEN 0.0
+            ELSE (s_acctbal - avg(s_acctbal) OVER w) / (stddev_pop(s_acctbal) OVER w)
+       END AS bal_z
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey)
+"""
+
+
+QUERIES = {
+    "udf_scalar_pandas": (scalar_pandas_udf, SCALAR_PANDAS_UDF_SQL),
+    "udf_grouped_agg_pandas": (grouped_agg_pandas_udf, GROUPED_AGG_PANDAS_UDF_SQL),
+    "udf_apply_in_pandas": (apply_in_pandas_zscore, APPLY_IN_PANDAS_ZSCORE_SQL),
+}

@@ -152,6 +152,40 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
+def grouping_sets_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS — the general form rollup/cube sugar over:
+    per-status, per-priority, and grand-total rows in one pass, with
+    ``grouping()`` markers disambiguating "NULL key" from "subtotal row".
+
+    Uses the engine's SQL surface (no DataFrame API exists for
+    non-hierarchical sets). Physical plan is a single Expand + one hash
+    aggregate — same shuffle count as a plain groupBy at any scale.
+    """
+    io.load_table(spark, sf_dir, "orders").createOrReplaceTempView("sse_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               grouping(o_orderstatus) AS g_status,
+               grouping(o_orderpriority) AS g_priority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM sse_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping(o_orderstatus) AS TINYINT) AS g_status,
+       CAST(grouping(o_orderpriority) AS TINYINT) AS g_priority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
 def global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-table (no-group) aggregate — partial agg per partition,
     single-row final exchange (the watermark-extraction shape, A2)."""
@@ -183,6 +217,7 @@ QUERIES = {
     "agg_approx_distinct": (approx_distinct, None),
     "agg_filtered": (filtered_agg, FILTERED_AGG_SQL),
     "agg_rollup": (rollup_status_priority, ROLLUP_SQL),
+    "agg_grouping_sets": (grouping_sets_status_priority, GROUPING_SETS_SQL),
     "agg_cube": (cube_status_priority, CUBE_SQL),
     "agg_global": (global_agg, GLOBAL_AGG_SQL),
 }

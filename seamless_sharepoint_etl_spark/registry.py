@@ -23,7 +23,7 @@ Entry = tuple[QueryFn, str | None]
 def _collect() -> dict[str, Entry]:
     from . import pipelines
     from .operators import aggregates, joins, relational, sorts_setops, windows
-    from .functions import scalar
+    from .functions import scalar, udfs
     from .sources import formats, rest
     from .streaming import windows as stream_windows
     from .llm_ops import dedup, multimodal, similarity, text
@@ -42,6 +42,7 @@ def _collect() -> dict[str, Entry]:
         windows,
         sorts_setops,
         scalar,
+        udfs,
         formats,
         rest,
         stream_windows,
