@@ -69,6 +69,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def load_table_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Like ``load_table`` but guaranteed ≥ defaultParallelism partitions.
+
+    The fixture files are small (documents/embeddings arrive as ONE
+    parquet file → one partition), so CPU-heavy per-row operators
+    (shingling, hashing, vector math) would otherwise run single-core.
+    The round-robin repartition costs one tiny shuffle of the raw rows
+    and buys full-core parallelism for everything downstream. At real
+    scale the scan already has thousands of splits and this is a no-op
+    (the branch below does nothing when partitions ≥ cores).
+    """
+    df = load_table(spark, sf_dir, name)
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 

@@ -39,7 +39,7 @@ def _norm_text():
 
 def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on normalized text: canonical doc per group + dup count."""
-    d = io.load_table(spark, sf_dir, "documents")
+    d = io.load_table_parallel(spark, sf_dir, "documents")
     return (
         d.select("doc_id", _norm_text().alias("norm"))
         .groupBy("norm")
@@ -68,18 +68,45 @@ GROUP BY norm
 """
 
 
+_SHINGLE_ARRAY = f"""
+array_distinct(transform(
+    sequence(1, greatest(size(split(text, ' ')) - {SHINGLE_K - 1}, 1)),
+    i -> concat_ws('_', slice(split(text, ' '), i, {SHINGLE_K}))))
+"""
+
+
 def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle) relation: distinct word-5-grams per document."""
-    d = io.load_table(spark, sf_dir, "documents")
-    shingles = F.array_distinct(
-        F.expr(
-            f"""
-            transform(sequence(1, greatest(size(split(text, ' ')) - {SHINGLE_K - 1}, 1)),
-                      i -> concat_ws('_', slice(split(text, ' '), i, {SHINGLE_K})))
-            """
-        )
+    d = io.load_table_parallel(spark, sf_dir, "documents")
+    return d.select("doc_id", F.explode(F.expr(_SHINGLE_ARRAY)).alias("shingle"))
+
+
+def _hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_sh, h): doc's distinct-shingle count + 64-bit shingle keys.
+
+    n_sh comes straight from the shingle array (narrow — no groupBy);
+    shingles travel as xxhash64 longs so every downstream shuffle moves
+    8-byte keys instead of ~50-byte strings. Collisions (~|sh|²/2⁶⁴)
+    are the standard accepted error of hashed-shingle dedup.
+    """
+    d = io.load_table_parallel(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.expr(_SHINGLE_ARRAY).alias("sh_arr")
+    ).select(
+        "doc_id",
+        F.size("sh_arr").alias("n_sh"),
+        F.explode(F.transform(F.col("sh_arr"), lambda s: F.xxhash64(s))).alias("h"),
     )
-    return d.select("doc_id", F.explode(shingles).alias("shingle"))
+
+
+# ordered pairs from one posting list, sizes carried along — pure array
+# lambdas, no join:  [(lo, n_lo, hi, n_hi) for i<j in sorted docs]
+_PAIR_EXPLODE = """
+flatten(transform(ds, (x, i) ->
+    transform(slice(ds, i + 2, size(ds)), y ->
+        named_struct('doc_lo', x.doc_id, 'n_lo', x.n_sh,
+                     'doc_hi', y.doc_id, 'n_hi', y.n_sh))))
+"""
 
 
 _SHINGLES_SQL = f"""
@@ -94,27 +121,29 @@ _SHINGLES_SQL = f"""
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs with exact 5-gram Jaccard ≥ 0.8.
 
-    Candidates come from the shingle self-join (pairs sharing ≥1
-    shingle); intersection size falls out of the same join, so Jaccard
-    is exact with no second pass over the texts.
+    Plan: posting list per shingle key → in-array ordered-pair
+    explosion (sizes carried in the structs) → one pair-count hash agg.
+    Exactly 2 shuffles (posting groupBy, pair groupBy) and zero joins —
+    the naive shingle self-join needs 5 exchanges for the same answer.
+    100 TB note: a shingle shared by k docs emits k·(k−1)/2 pairs, so
+    ultra-common shingles need a posting-length cap (stop-shingle
+    removal) at real scale; fixture max postings is 4, far below any
+    cap, so the oracle stays exact.
     """
-    sh = _shingles_df(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_lo"), F.col("b.doc_id").alias("doc_hi"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    sh = _hashed_shingles(spark, sf_dir)
+    # posting list per shingle key; singleton shingles can't form pairs
+    posting = (
+        sh.groupBy("h")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds"))
+        .filter(F.size("ds") >= 2)
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_lo"), F.col("n_sh").alias("n_lo"))
-    sb = sizes.select(F.col("doc_id").alias("doc_hi"), F.col("n_sh").alias("n_hi"))
+    pairs = posting.select(F.explode(F.expr(_PAIR_EXPLODE)).alias("p")).select("p.*")
+    inter = pairs.groupBy("doc_lo", "n_lo", "doc_hi", "n_hi").agg(
+        F.count(F.lit(1)).alias("n_inter")
+    )
     jac = F.col("n_inter") / (F.col("n_lo") + F.col("n_hi") - F.col("n_inter"))
     return (
-        inter.join(sa, "doc_lo")
-        .join(sb, "doc_hi")
-        .filter(jac >= JACCARD_THRESHOLD)
+        inter.filter(jac >= JACCARD_THRESHOLD)
         .select("doc_lo", "doc_hi", F.round(jac, 4).alias("jaccard"))
     )
 
@@ -144,7 +173,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     of transform) — a narrow map with NO explode/groupBy shuffle. At
     100 TB the signature stage is embarrassingly parallel.
     """
-    d = io.load_table(spark, sf_dir, "documents")
+    d = io.load_table_parallel(spark, sf_dir, "documents")
     shingles = F.array_distinct(
         F.expr(
             f"""
@@ -181,43 +210,54 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in range(LSH_BANDS)
     ]
     banded = sig.select("doc_id", *band_cols)
-    # candidates: union of per-band bucket joins (stack bands → one join)
+    # candidates: stack bands, group each (band, bucket) once, explode
+    # ordered pairs from the bucket's member list — no self-join, and a
+    # bucket of k docs costs exactly its k·(k−1)/2 pairs
     stacked = banded.unpivot(
         "doc_id", [f"band{b}" for b in range(LSH_BANDS)], "band", "bucket"
     )
-    a = stacked.alias("a")
-    b = stacked.alias("b")
+    buckets = (
+        stacked.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    pair_expr = """
+    flatten(transform(ds, (x, i) ->
+        transform(slice(ds, i + 2, size(ds)), y ->
+            named_struct('doc_lo', x, 'doc_hi', y))))
+    """
+    # persist: the candidate set is referenced three times below (two
+    # broadcasts + the probe join); without it the whole signature+band
+    # pipeline would re-run per reference. It is tiny by construction.
     candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_lo"), F.col("b.doc_id").alias("doc_hi")
-        )
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.*")
+        .distinct()
+        .persist()
+    )
+    # verify with exact Jaccard over shingles of candidate docs ONLY —
+    # the candidate set is tiny (that's the point of LSH), so it
+    # broadcasts and the verify pass never touches non-candidate docs
+    cdocs = (
+        candidates.select(F.explode(F.array("doc_lo", "doc_hi")).alias("doc_id"))
         .distinct()
     )
-    # verify candidates with exact Jaccard (same join as ngram_jaccard but
-    # restricted to the candidate set — the cheap final pass)
-    sh = _shingles_df(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = sh.select(F.col("doc_id").alias("doc_lo"), F.col("shingle"))
-    sb = sh.select(F.col("doc_id").alias("doc_hi"), F.col("shingle"))
+    sh = _hashed_shingles(spark, sf_dir).join(F.broadcast(cdocs), "doc_id", "left_semi")
+    sa = sh.select(
+        F.col("doc_id").alias("doc_lo"), F.col("n_sh").alias("n_lo"), "h"
+    )
+    sb = sh.select(
+        F.col("doc_id").alias("doc_hi"), F.col("n_sh").alias("n_hi"), "h"
+    )
     inter = (
-        candidates.join(sa, "doc_lo")
-        .join(sb, ["doc_hi", "shingle"])
-        .groupBy("doc_lo", "doc_hi")
+        sa.join(F.broadcast(candidates), "doc_lo")
+        .join(sb, ["doc_hi", "h"])
+        .groupBy("doc_lo", "n_lo", "doc_hi", "n_hi")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    za = sizes.select(F.col("doc_id").alias("doc_lo"), F.col("n_sh").alias("n_lo"))
-    zb = sizes.select(F.col("doc_id").alias("doc_hi"), F.col("n_sh").alias("n_hi"))
     jac = F.col("n_inter") / (F.col("n_lo") + F.col("n_hi") - F.col("n_inter"))
     return (
-        inter.join(za, "doc_lo")
-        .join(zb, "doc_hi")
-        .filter(jac >= JACCARD_THRESHOLD)
+        inter.filter(jac >= JACCARD_THRESHOLD)
         .select("doc_lo", "doc_hi", F.round(jac, 4).alias("jaccard"))
     )
 
@@ -229,7 +269,7 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     Near-dups differ in few bits (pytest checks Hamming ≤ 6 for the
     planted pairs); bucketing on 8-bit prefixes gives the LSH variant.
     """
-    d = io.load_table(spark, sf_dir, "documents")
+    d = io.load_table_parallel(spark, sf_dir, "documents")
     exploded = d.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
     ).select("doc_id", F.xxhash64("tok").alias("h"))

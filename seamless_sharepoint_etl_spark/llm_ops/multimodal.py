@@ -39,7 +39,7 @@ DECODED_SCHEMA = (
 
 def with_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents + an opaque binary `payload` column with typed metadata."""
-    d = io.load_table(spark, sf_dir, "documents")
+    d = io.load_table_parallel(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         "lang",

@@ -46,7 +46,7 @@ def _norm(a):
 
 def brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 neighbors for every query vector (vec_id % 50 == 0)."""
-    e = io.load_table(spark, sf_dir, "embeddings")
+    e = io.load_table_parallel(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("query_id"), _dbl("embedding").alias("qv")
     )
@@ -101,7 +101,7 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     and dedup.minhash_lsh_pairs for the candidate-generation pattern —
     here N² is fine because N = the embedding table, not the corpus).
     """
-    e = io.load_table(spark, sf_dir, "embeddings")
+    e = io.load_table_parallel(spark, sf_dir, "embeddings")
     v = e.select("vec_id", _dbl("embedding").alias("v"))
     a = v.select(F.col("vec_id").alias("id_lo"), F.col("v").alias("va"))
     b = v.select(F.col("vec_id").alias("id_hi"), F.col("v").alias("vb"))
@@ -195,7 +195,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings are near-uniform directions, where no ANN can beat the
     scan fraction on *arbitrary* neighbors).
     """
-    e = io.load_table(spark, sf_dir, "embeddings")
+    e = io.load_table_parallel(spark, sf_dir, "embeddings")
     v = e.select("vec_id", _dbl("embedding").alias("v"))
     buckets, cent_named = _kmeans_buckets(v, NLIST, KMEANS_ITERS)
     cent = cent_named.select("bucket", "cv")

@@ -39,7 +39,7 @@ def _tokens(col: str = "text"):
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token counts: whitespace tokens, distinct tokens,
     type-token ratio, mean token length, BPE-ish size estimate."""
-    d = io.load_table(spark, sf_dir, "documents")
+    d = io.load_table_parallel(spark, sf_dir, "documents")
     toks = _tokens()
     return d.select(
         "doc_id",
@@ -80,7 +80,7 @@ FROM documents
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality: repetition, type-token ratio, stopword ratio,
     length — the standard pretraining-corpus quality gates."""
-    d = io.load_table(spark, sf_dir, "documents")
+    d = io.load_table_parallel(spark, sf_dir, "documents")
     toks = _tokens()
     exploded = d.select("doc_id", F.explode(toks).alias("tok"))
     per_tok = exploded.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
@@ -163,7 +163,7 @@ def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Deterministic CASE cascade (first max wins in fixed lang order).
     """
-    d = io.load_table(spark, sf_dir, "documents")
+    d = io.load_table_parallel(spark, sf_dir, "documents")
     toks = _tokens()
 
     def marker_count(marker: str):
@@ -204,7 +204,7 @@ SELECT lang, pred_lang, count(*) AS n_docs FROM scored GROUP BY lang, pred_lang
 def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive document fingerprint: positional polynomial over
     tokens mod 2^31−1 (a rolling-hash analog in pure built-ins)."""
-    d = io.load_table(spark, sf_dir, "documents")
+    d = io.load_table_parallel(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         (
@@ -238,7 +238,7 @@ FROM documents
 
 def bigram_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide bigram term frequencies (n-gram TF table)."""
-    d = io.load_table(spark, sf_dir, "documents")
+    d = io.load_table_parallel(spark, sf_dir, "documents")
     bigrams = F.expr(
         """
         transform(sequence(1, size(split(text, ' ')) - 1),
