@@ -82,7 +82,10 @@ def load_table_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFram
     """
     df = load_table(spark, sf_dir, name)
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # file count as the split proxy — len(inputFiles()) is a pure file
+    # listing, while .rdd.getNumPartitions() would force a full physical
+    # plan compile per call
+    if len(df.inputFiles()) < target:
         df = df.repartition(target)
     return df
 
