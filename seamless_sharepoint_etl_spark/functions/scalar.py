@@ -200,10 +200,47 @@ FROM events
 """
 
 
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: build → lookup → transform → concat → introspect.
+
+    Outputs are plain scalars/arrays so the DuckDB oracle can state the
+    expected values without sharing Spark's map representation — the
+    check proves the map operators compute, not how they serialize.
+    """
+    li = io.load_table(spark, sf_dir, "lineitem")
+    m = F.map_from_arrays(
+        F.array(F.lit("qty"), F.lit("price")),
+        F.array(F.col("l_quantity"), F.col("l_extendedprice")),
+    )
+    doubled = F.transform_values(m, lambda _k, v: v * 2)
+    merged = F.map_concat(m, F.create_map(F.lit("disc"), F.col("l_discount")))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.element_at(m, "qty").alias("qty_lookup"),
+        F.element_at(doubled, "price").alias("price_doubled"),
+        F.map_keys(merged).alias("keys3"),
+        F.size(merged).alias("n_entries"),
+        F.element_at(F.map_values(merged), 3).alias("third_value"),
+    )
+
+
+MAP_FUNCTIONS_SQL = """
+SELECT l_orderkey, l_linenumber,
+       l_quantity AS qty_lookup,
+       l_extendedprice * 2 AS price_doubled,
+       ['qty', 'price', 'disc'] AS keys3,
+       3 AS n_entries,
+       l_discount AS third_value
+FROM lineitem
+"""
+
+
 QUERIES = {
     "fn_string": (string_functions, STRING_FUNCTIONS_SQL),
     "fn_date": (date_functions, DATE_FUNCTIONS_SQL),
     "fn_math": (math_functions, MATH_FUNCTIONS_SQL),
     "fn_array_lambda": (array_functions, ARRAY_FUNCTIONS_SQL),
     "fn_json": (json_functions, JSON_FUNCTIONS_SQL),
+    "fn_map": (map_functions, MAP_FUNCTIONS_SQL),
 }

@@ -186,6 +186,64 @@ GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 """
 
 
+def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: one column per order status, sum(totalprice) cells.
+
+    Pivot values are given explicitly — that keeps the plan a single
+    pass (no extra distinct-values job) and the output schema static,
+    which is also the right call at 100 TB (a runtime-discovered pivot
+    needs a full scan before planning).
+    """
+    o = io.load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+        .withColumnsRenamed({"O": "sum_open", "F": "sum_finished", "P": "sum_partial"})
+    )
+
+
+PIVOT_SQL = """
+SELECT o_orderpriority,
+       round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2) AS sum_open,
+       round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2) AS sum_finished,
+       round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 2) AS sum_partial
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile / median aggregates (linear interpolation —
+    matches DuckDB quantile_cont bit-for-bit on doubles at 1e-6).
+
+    100 TB note: exact percentiles sort each group's values; for
+    unbounded groups switch to approx_percentile (t-digest) — included
+    in the rows-only approx query family.
+    """
+    li = io.load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
+            F.percentile(
+                "l_extendedprice", F.array(F.lit(0.25), F.lit(0.75), F.lit(0.99))
+            ).alias("p_25_75_99"),
+            F.median("l_quantity").alias("qty_median"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+EXACT_PERCENTILES_SQL = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS p50,
+       quantile_cont(l_extendedprice, [0.25, 0.75, 0.99]) AS p_25_75_99,
+       quantile_cont(l_quantity, 0.5) AS qty_median
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-table (no-group) aggregate — partial agg per partition,
     single-row final exchange (the watermark-extraction shape, A2)."""
@@ -220,4 +278,6 @@ QUERIES = {
     "agg_grouping_sets": (grouping_sets_status_priority, GROUPING_SETS_SQL),
     "agg_cube": (cube_status_priority, CUBE_SQL),
     "agg_global": (global_agg, GLOBAL_AGG_SQL),
+    "agg_pivot": (pivot_status, PIVOT_SQL),
+    "agg_percentiles": (exact_percentiles, EXACT_PERCENTILES_SQL),
 }

@@ -310,6 +310,54 @@ FROM runn WHERE tag = 1
 """
 
 
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact⋈fact join via bucketing — the zero-shuffle join.
+
+    Both sides are written once as tables bucketed AND sorted by the
+    join key into the same bucket count; the join then runs as a
+    sort-merge with NO Exchange on either side (asserted in
+    tests/test_joins_bucketed.py). This is the 100 TB recipe for a
+    repeatedly-joined fact pair: pay the shuffle once at layout time,
+    never again per query.
+    """
+    tag = "sf" + sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    base = f"/tmp/sse_buckets-{tag}"
+    ot, lt = f"sse_orders_b_{tag}", f"sse_lineitem_b_{tag}"
+    if not spark.catalog.tableExists(ot):
+        io.load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderdate", "o_totalprice"
+        ).write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").option(
+            "path", f"{base}/{ot}"
+        ).mode("overwrite").saveAsTable(ot)
+    if not spark.catalog.tableExists(lt):
+        io.load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        ).write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").option(
+            "path", f"{base}/{lt}"
+        ).mode("overwrite").saveAsTable(lt)
+    o = spark.table(ot)
+    li = spark.table(lt)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+BUCKETED_JOIN_SQL = """
+SELECT year(o_orderdate) AS yr,
+       count(*) AS n_lines,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "join_broadcast_dim": (broadcast_dim_join, BROADCAST_DIM_SQL),
     "join_shuffle_fact": (shuffle_fact_join, SHUFFLE_FACT_SQL),
@@ -320,4 +368,5 @@ QUERIES = {
     "join_cross_small": (cross_join_small, CROSS_JOIN_SQL),
     "join_range_band": (range_band_join, RANGE_BAND_SQL),
     "join_asof_last_click": (asof_join_last_click, ASOF_JOIN_SQL),
+    "join_bucketed_colocated": (bucketed_colocated_join, BUCKETED_JOIN_SQL),
 }
