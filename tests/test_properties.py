@@ -1,0 +1,169 @@
+"""Property and edge-case tests (SURVEY.md §5.2 — own additions beyond
+the oracle harness): invariants that need no oracle, plus Spark↔DuckDB
+semantic-drift checks on adversarial tiny inputs (null group keys,
+duplicate join keys, empty relations)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+# --- invariants over fixture-scale data -------------------------------------
+
+
+def test_union_count_additive(spark):
+    from seamless_sharepoint_etl_spark import io
+
+    o = io.load_table(spark, SF, "orders")
+    a = o.filter("o_totalprice >= 100000")
+    b = o.filter("o_totalprice < 100000")
+    assert a.unionByName(b).count() == o.count()
+
+
+def test_watermark_frontier_strictness(spark):
+    """Every flagship output key is strictly beyond the sink watermark —
+    the reference's correctness core (A4/A11, strict-`>` idempotence)."""
+    from seamless_sharepoint_etl_spark import io, pipelines
+
+    wm = (
+        io.sharepoint_rows(spark, SF)
+        .agg(F.max("po_number").alias("wm"))
+        .collect()[0]["wm"]
+    )
+    out = pipelines.incremental_load(spark, SF)
+    assert out.filter(F.col("po_number") <= wm).count() == 0
+    # and flagship ∪ sink = all items (no gaps, no overlap)
+    n_items = io.seamless_items(spark, SF).count()
+    n_sink = io.sharepoint_rows(spark, SF).count()
+    assert out.count() + n_sink == n_items
+
+
+def test_incremental_load_idempotent_when_caught_up(spark, tmp_path):
+    """Re-running after a full catch-up moves zero rows (reference
+    at-least-once-with-idempotence argument, SURVEY.md §4.2)."""
+    from seamless_sharepoint_etl_spark import io, pipelines
+
+    items = io.seamless_items(spark, SF)
+    # simulate caught-up sink: wm == global max ⇒ empty increment
+    wm = items.agg(F.max("po_number")).collect()[0][0]
+    fresh = items.filter(F.col("po_number") > F.lit(wm))
+    assert fresh.count() == 0
+    assert fresh.columns == items.columns  # schema stable on empty
+
+
+def test_exact_dedup_partitions_docs(spark):
+    """Dedup groups partition the corpus: Σ n_copies = |documents|."""
+    from seamless_sharepoint_etl_spark import io
+    from seamless_sharepoint_etl_spark.llm_ops import dedup
+
+    total = io.load_table(spark, SF, "documents").count()
+    groups = dedup.exact_dedup(spark, SF)
+    assert groups.agg(F.sum("n_copies")).collect()[0][0] == total
+
+
+def test_lsh_is_subset_of_exact_jaccard(spark):
+    """LSH output ⊆ exact-Jaccard output (verify stage guarantees no
+    false positives; recall is checked in test_llm_ops)."""
+    from seamless_sharepoint_etl_spark.llm_ops import dedup
+
+    exact = {
+        (r["doc_lo"], r["doc_hi"])
+        for r in dedup.ngram_jaccard_pairs(spark, SF).collect()
+    }
+    lsh = {
+        (r["doc_lo"], r["doc_hi"])
+        for r in dedup.minhash_lsh_pairs(spark, SF).collect()
+    }
+    assert lsh <= exact
+
+
+# --- Spark ↔ DuckDB drift on adversarial tiny inputs ------------------------
+
+
+@pytest.fixture(scope="module")
+def drift_con():
+    con = duckdb.connect()
+    yield con
+    con.close()
+
+
+def _both(spark, con, pdf: pd.DataFrame, spark_df, sql: str):
+    """Run the same computation both ways over the same pandas data."""
+    con.register("t", pdf)
+    duck = con.sql(sql).fetchall()
+    con.unregister("t")
+    got = [tuple(r) for r in spark_df.collect()]
+    return sorted(got, key=repr), sorted([tuple(r) for r in duck], key=repr)
+
+
+def test_null_group_keys_form_one_group(spark, drift_con):
+    pdf = pd.DataFrame(
+        {"k": ["a", None, "a", None, "b"], "v": [1.0, 2.0, 3.0, 4.0, 5.0]}
+    )
+    sdf = (
+        spark.createDataFrame(pdf)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+    )
+    got, want = _both(
+        spark, drift_con, pdf, sdf,
+        "SELECT k, count(*) AS n, sum(v) AS s FROM t GROUP BY k",
+    )
+    assert got == want  # NULL keys group together in both engines
+
+
+def test_duplicate_join_keys_multiply(spark, drift_con):
+    pdf = pd.DataFrame({"k": [1, 1, 2], "v": ["x", "y", "z"]})
+    left = spark.createDataFrame(pdf)
+    right = spark.createDataFrame(pdf).withColumnRenamed("v", "w")
+    sdf = left.join(right, "k").select("k", "v", "w")
+    drift_con.register("t", pdf)
+    want = sorted(
+        [tuple(r) for r in drift_con.sql(
+            "SELECT a.k, a.v, b.v FROM t a JOIN t b USING (k)"
+        ).fetchall()],
+        key=repr,
+    )
+    drift_con.unregister("t")
+    got = sorted([tuple(r) for r in sdf.collect()], key=repr)
+    assert got == want  # 1-keyed rows produce 2×2 pairs in both
+
+
+def test_nulls_never_join(spark, drift_con):
+    pdf = pd.DataFrame({"k": [1.0, None, 2.0], "v": ["a", "b", "c"]})
+    left = spark.createDataFrame(pdf)
+    joined = left.alias("l").join(
+        left.alias("r"), F.col("l.k") == F.col("r.k")
+    )
+    assert joined.count() == 2  # null = null is not true in either engine
+
+
+def test_empty_relation_through_agg_and_join(spark):
+    from seamless_sharepoint_etl_spark import io
+
+    o = io.load_table(spark, SF, "orders").filter("o_orderkey < 0")
+    agg = o.groupBy("o_orderstatus").agg(F.sum("o_totalprice").alias("s"))
+    assert agg.count() == 0
+    # global agg over empty input: count=0, sum=NULL (SQL semantics)
+    row = o.agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("s")).collect()[0]
+    assert row["n"] == 0 and row["s"] is None
+    # join with empty side
+    c = io.load_table(spark, SF, "customer")
+    assert c.join(o, c.c_custkey == o.o_custkey).count() == 0
+    assert c.join(o, c.c_custkey == o.o_custkey, "left").count() == c.count()
+
+
+def test_sort_null_ordering_matches_declared(spark):
+    """Spark asc_nulls_last must put NULLs last (DuckDB default differs —
+    the oracle queries spell NULLS FIRST/LAST explicitly; this pins the
+    Spark side of that contract)."""
+    pdf = pd.DataFrame({"x": [2.0, None, 1.0]})
+    got = [r["x"] for r in spark.createDataFrame(pdf).orderBy(F.asc_nulls_last("x")).collect()]
+    assert got == [1.0, 2.0, None]
+    got_first = [r["x"] for r in spark.createDataFrame(pdf).orderBy(F.asc_nulls_first("x")).collect()]
+    assert got_first == [None, 1.0, 2.0]
