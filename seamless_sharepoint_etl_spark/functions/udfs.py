@@ -59,7 +59,7 @@ def scalar_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_returnflag")
         .agg(
-            F.sum("margin").alias("sum_margin"),
+            F.round(F.sum("margin"), 2).alias("sum_margin"),
             F.count("*").alias("n"),
         )
         .orderBy("l_returnflag")
@@ -68,7 +68,7 @@ def scalar_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SCALAR_PANDAS_UDF_SQL = """
 SELECT l_returnflag,
-       sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)) AS sum_margin,
+       round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_margin,
        count(*) AS n
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
@@ -102,10 +102,10 @@ def grouped_agg_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Catalyst forbids mixing grouped-agg pandas UDFs with JVM aggregates
     # in one agg() — compute each and broadcast-join the 5-row results.
     py_side = o.groupBy("o_orderpriority").agg(
-        iqr(F.col("o_totalprice")).alias("price_iqr")
+        F.round(iqr(F.col("o_totalprice")), 4).alias("price_iqr")
     )
     jvm_side = o.groupBy("o_orderpriority").agg(
-        F.avg("o_totalprice").alias("price_avg"), F.count("*").alias("n")
+        F.round(F.avg("o_totalprice"), 4).alias("price_avg"), F.count("*").alias("n")
     )
     return py_side.join(F.broadcast(jvm_side), "o_orderpriority").orderBy(
         "o_orderpriority"
@@ -114,9 +114,9 @@ def grouped_agg_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 GROUPED_AGG_PANDAS_UDF_SQL = """
 SELECT o_orderpriority,
-       quantile_cont(o_totalprice, 0.75) - quantile_cont(o_totalprice, 0.25)
+       round(quantile_cont(o_totalprice, 0.75) - quantile_cont(o_totalprice, 0.25), 4)
            AS price_iqr,
-       avg(o_totalprice) AS price_avg,
+       round(avg(o_totalprice), 4) AS price_avg,
        count(*) AS n
 FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
@@ -131,7 +131,8 @@ def _zscore_frame(pdf: pd.DataFrame) -> pd.DataFrame:
     mu = pdf["s_acctbal"].mean()
     sd = pdf["s_acctbal"].std(ddof=0)
     out = pdf[["s_suppkey", "s_nationkey", "s_acctbal"]].copy()
-    out["bal_z"] = 0.0 if sd == 0 else (pdf["s_acctbal"] - mu) / sd
+    z = 0.0 if sd == 0 else (pdf["s_acctbal"] - mu) / sd
+    out["bal_z"] = z if sd == 0 else z.round(6)
     return out
 
 
@@ -158,7 +159,8 @@ def apply_in_pandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 APPLY_IN_PANDAS_ZSCORE_SQL = """
 SELECT s_suppkey, s_nationkey, s_acctbal,
        CASE WHEN stddev_pop(s_acctbal) OVER w = 0 THEN 0.0
-            ELSE (s_acctbal - avg(s_acctbal) OVER w) / (stddev_pop(s_acctbal) OVER w)
+            ELSE round((s_acctbal - avg(s_acctbal) OVER w)
+                       / (stddev_pop(s_acctbal) OVER w), 6)
        END AS bal_z
 FROM supplier
 WINDOW w AS (PARTITION BY s_nationkey)

@@ -225,11 +225,14 @@ def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
-            F.percentile(
-                "l_extendedprice", F.array(F.lit(0.25), F.lit(0.75), F.lit(0.99))
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+            F.transform(
+                F.percentile(
+                    "l_extendedprice", F.array(F.lit(0.25), F.lit(0.75), F.lit(0.99))
+                ),
+                lambda x: F.round(x, 4),
             ).alias("p_25_75_99"),
-            F.median("l_quantity").alias("qty_median"),
+            F.round(F.median("l_quantity"), 4).alias("qty_median"),
         )
         .orderBy("l_returnflag")
     )
@@ -237,9 +240,10 @@ def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EXACT_PERCENTILES_SQL = """
 SELECT l_returnflag,
-       quantile_cont(l_extendedprice, 0.5) AS p50,
-       quantile_cont(l_extendedprice, [0.25, 0.75, 0.99]) AS p_25_75_99,
-       quantile_cont(l_quantity, 0.5) AS qty_median
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       list_transform(quantile_cont(l_extendedprice, [0.25, 0.75, 0.99]),
+                      x -> round(x, 4)) AS p_25_75_99,
+       round(quantile_cont(l_quantity, 0.5), 4) AS qty_median
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 

@@ -53,7 +53,7 @@ def json_scan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         scanned.groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum("value").alias("sum_value"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
             F.max("ts").alias("max_ts"),
             F.countDistinct("user_id").alias("users"),
         )
@@ -64,7 +64,7 @@ def json_scan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 JSON_SCAN_EVENTS_SQL = """
 SELECT event_type,
        count(*) AS n,
-       sum(value) AS sum_value,
+       round(sum(value), 2) AS sum_value,
        max(CAST(ts AS TIMESTAMP)) AS max_ts,
        count(DISTINCT user_id) AS users
 FROM events
