@@ -225,14 +225,26 @@ def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+            # one percentile state per column: the exact-percentile agg
+            # buffers the group's full value multiset, so asking for
+            # p50 separately would double that state — compute all four
+            # points in one pass and slice after
             F.transform(
                 F.percentile(
-                    "l_extendedprice", F.array(F.lit(0.25), F.lit(0.75), F.lit(0.99))
+                    "l_extendedprice",
+                    F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.99)),
                 ),
                 lambda x: F.round(x, 4),
-            ).alias("p_25_75_99"),
+            ).alias("pts"),
             F.round(F.median("l_quantity"), 4).alias("qty_median"),
+        )
+        .select(
+            "l_returnflag",
+            F.element_at("pts", 2).alias("p50"),
+            F.array(
+                F.element_at("pts", 1), F.element_at("pts", 3), F.element_at("pts", 4)
+            ).alias("p_25_75_99"),
+            "qty_median",
         )
         .orderBy("l_returnflag")
     )

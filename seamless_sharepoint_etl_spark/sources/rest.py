@@ -118,7 +118,7 @@ ITEMS_CATALOG = [
 
 
 def materialize_pages(
-    spark: SparkSession, sf_dir: str, endpoint: str, page_size: int = 200
+    spark: SparkSession, sf_dir: str, endpoint: str, page_size: int = 2000
 ) -> str:
     """Write the seamless_items view as a paged REST endpoint directory.
 
