@@ -285,6 +285,69 @@ FROM lineitem
 """
 
 
+def salted_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof aggregation: the salted two-phase pattern as a real
+    operator (SCALE.md §3 'Skew').
+
+    Phase 1 groups by (key, salt) — a hot key's rows spread over
+    N_SALT reducers instead of one; phase 2 merges the per-salt
+    partials by key. Result is identical to the direct groupBy (the
+    oracle proves it); only the shuffle distribution changes. avg is
+    re-derived from (sum, count) because avg-of-avgs would be wrong —
+    the classic two-phase decomposition rule.
+    """
+    n_salt = 8
+    li = io.load_table(spark, sf_dir, "lineitem")
+    phase1 = (
+        li.withColumn("salt", F.pmod(F.xxhash64("l_orderkey"), F.lit(n_salt)))
+        .groupBy("l_returnflag", "salt")
+        .agg(
+            F.sum("l_quantity").alias("p_qty"),
+            F.sum("l_extendedprice").alias("p_price"),
+            F.count(F.lit(1)).alias("p_n"),
+        )
+    )
+    return (
+        phase1.groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum("p_qty"), 2).alias("sum_qty"),
+            F.round(F.sum("p_price"), 2).alias("sum_price"),
+            F.sum("p_n").alias("n_rows"),
+            F.round(F.sum("p_price") / F.sum("p_n"), 4).alias("avg_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SALTED_TWO_PHASE_SQL = """
+SELECT l_returnflag,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       count(*) AS n_rows,
+       round(sum(l_extendedprice) / count(*), 4) AS avg_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def approx_percentile_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile — the 100 TB percentile path: bounded-memory
+    sketch state instead of the exact agg's full value multiset.
+
+    No oracle (different sketch than DuckDB); pytest gates the estimate
+    against the exact percentile within the declared accuracy.
+    """
+    li = io.load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_percentile(
+                "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), 10000
+            ).alias("approx_p25_50_75")
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 QUERIES = {
     "agg_pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
     "agg_multikey_distinct": (multikey_distinct, MULTIKEY_DISTINCT_SQL),
@@ -296,4 +359,6 @@ QUERIES = {
     "agg_global": (global_agg, GLOBAL_AGG_SQL),
     "agg_pivot": (pivot_status, PIVOT_SQL),
     "agg_percentiles": (exact_percentiles, EXACT_PERCENTILES_SQL),
+    "agg_salted_twophase": (salted_two_phase_agg, SALTED_TWO_PHASE_SQL),
+    "agg_approx_percentile": (approx_percentile_price, None),
 }

@@ -1,0 +1,57 @@
+"""Tests for the rows-only aggregate queries + idempotent append."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_approx_percentile_within_accuracy(spark):
+    from seamless_sharepoint_etl_spark.operators import aggregates
+
+    approx = {
+        r["l_returnflag"]: r["approx_p25_50_75"]
+        for r in aggregates.approx_percentile_price(spark, SF).collect()
+    }
+    exact = {
+        r["l_returnflag"]: [r["p_25_75_99"][0], r["p50"], r["p_25_75_99"][1]]
+        for r in aggregates.exact_percentiles(spark, SF).collect()
+    }
+    for flag, est in approx.items():
+        for e, x in zip(est, exact[flag]):
+            # 10000-accuracy sketch ⇒ rank error ≤ n/10000; translate to
+            # a loose relative value bound for the fixture distribution
+            assert abs(e - x) / max(abs(x), 1.0) < 0.05, (flag, est, exact[flag])
+
+
+def test_approx_distinct_within_rsd(spark):
+    from seamless_sharepoint_etl_spark.operators import aggregates
+    from seamless_sharepoint_etl_spark import io
+
+    est = {
+        r["l_returnflag"]: r["approx_orders"]
+        for r in aggregates.approx_distinct(spark, SF).collect()
+    }
+    li = io.load_table(spark, SF, "lineitem")
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    for flag, e in est.items():
+        assert abs(e - exact[flag]) / exact[flag] < 0.06  # 3× rsd=0.02
+
+
+def test_incremental_append_idempotent_rerun(spark, tmp_path):
+    """Same frontier re-run overwrites its own batch — no duplication
+    (the exactly-once-per-key-range posture, SURVEY.md §7.3#5)."""
+    from seamless_sharepoint_etl_spark import pipelines
+
+    out = str(tmp_path / "sink")
+    n1 = pipelines.run_incremental_append(spark, SF, out)
+    n2 = pipelines.run_incremental_append(spark, SF, out)
+    assert n1 == n2 > 0
+    total = spark.read.parquet(f"{out}/batch_from=*").count()
+    assert total == n1
