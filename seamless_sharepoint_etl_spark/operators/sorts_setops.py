@@ -113,6 +113,48 @@ SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
 """
 
 
+def except_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL / INTERSECT ALL (multiset semantics): per-customer
+    order-count difference survives — a customer with 3 orders of which
+    1 finished appears 2× in the EXCEPT ALL branch."""
+    o = io.load_table(spark, sf_dir, "orders")
+    all_ = o.select("o_custkey")
+    fin = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    diff = all_.exceptAll(fin).groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_unfinished")
+    )
+    both = all_.intersectAll(fin).groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_finished")
+    )
+    return diff.join(both, "o_custkey", "full").select(
+        "o_custkey",
+        F.coalesce("n_unfinished", F.lit(0)).alias("n_unfinished"),
+        F.coalesce("n_finished", F.lit(0)).alias("n_finished"),
+    )
+
+
+EXCEPT_ALL_SQL = """
+WITH diff AS (
+  SELECT o_custkey, count(*) AS n_unfinished FROM (
+    SELECT o_custkey FROM orders
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+  ) GROUP BY o_custkey
+),
+isect AS (
+  SELECT o_custkey, count(*) AS n_finished FROM (
+    SELECT o_custkey FROM orders
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+  ) GROUP BY o_custkey
+)
+SELECT o_custkey,
+       coalesce(n_unfinished, 0) AS n_unfinished,
+       coalesce(n_finished, 0) AS n_finished
+FROM diff FULL JOIN isect USING (o_custkey)
+"""
+
+
 def distinct_dropdup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dropDuplicates on a key subset (exact dedup, A12-adjacent)."""
     o = io.load_table(spark, sf_dir, "orders")
@@ -131,4 +173,5 @@ QUERIES = {
     "set_intersect": (intersect_keys, INTERSECT_SQL),
     "set_except": (except_keys, EXCEPT_SQL),
     "set_distinct": (distinct_dropdup, DISTINCT_SQL),
+    "set_except_intersect_all": (except_all_multiset, EXCEPT_ALL_SQL),
 }
