@@ -198,3 +198,43 @@ def run_stateful_user_counter(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def run_stream_to_rest_sink(
+    spark: SparkSession, src_dir: str, checkpoint: str, sink_dir: str
+) -> int:
+    """Stream → custom REST sink via foreachBatch (A10 + streaming).
+
+    Each micro-batch writes through the batched REST writer
+    (sources/rest.py) into a batch-id-named directory: Structured
+    Streaming replays a failed batch with the SAME batch id, and the
+    writer's overwrite of its own directory makes the replay idempotent
+    — the standard exactly-once recipe for non-transactional sinks.
+    Returns the number of committed micro-batches.
+    """
+    from ..sources import rest as rest_src
+
+    rest_src.register(spark)
+    stream = _read_stream(spark, src_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+    def post_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.coalesce(2)
+            .write.format("seamless_rest")
+            .option("sink_dir", os.path.join(sink_dir, f"batch={batch_id:05d}"))
+            .mode("append")
+            .save()
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(post_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return len(
+        [d for d in os.listdir(sink_dir) if d.startswith("batch=")]
+    )
