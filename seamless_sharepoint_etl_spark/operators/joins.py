@@ -358,6 +358,39 @@ GROUP BY 1
 """
 
 
+def lateral_topn_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join: top-2 orders per customer via a
+    per-row dependent subquery (the SQL-standard form of top-N-per-key;
+    win_topn_per_group is the window-function twin).
+
+    Catalyst decorrelates the lateral subquery into a ranked join — the
+    physical plan is one shuffle on the correlation key, not an
+    N-times-executed subquery, so the shape is 100 TB-safe.
+    """
+    io.load_table(spark, sf_dir, "customer").createOrReplaceTempView("sse_customer")
+    io.load_table(spark, sf_dir, "orders").createOrReplaceTempView("sse_orders_l")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, l.o_orderkey, round(l.o_totalprice, 2) AS price
+        FROM sse_customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM sse_orders_l
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2
+        ) l
+        """
+    )
+
+
+LATERAL_TOPN_SQL = """
+SELECT c.c_custkey, l.o_orderkey, round(l.o_totalprice, 2) AS price
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2
+) l
+"""
+
+
 QUERIES = {
     "join_broadcast_dim": (broadcast_dim_join, BROADCAST_DIM_SQL),
     "join_shuffle_fact": (shuffle_fact_join, SHUFFLE_FACT_SQL),
@@ -369,4 +402,5 @@ QUERIES = {
     "join_range_band": (range_band_join, RANGE_BAND_SQL),
     "join_asof_last_click": (asof_join_last_click, ASOF_JOIN_SQL),
     "join_bucketed_colocated": (bucketed_colocated_join, BUCKETED_JOIN_SQL),
+    "join_lateral_topn": (lateral_topn_per_customer, LATERAL_TOPN_SQL),
 }
