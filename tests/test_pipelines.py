@@ -54,3 +54,22 @@ def test_routed_write_single_pass(spark, tmp_path):
     assert set(r["route"] for r in written.select("route").distinct().collect()) == set(
         counts
     )
+
+
+def test_routed_write_partition_pruning(spark, tmp_path):
+    """The $1500 split written with partitionBy(route) prunes at read:
+    a route predicate becomes a PartitionFilter (directory skip), never
+    a data filter — the physical evidence that the A12 split scales."""
+    from seamless_sharepoint_etl_spark import pipelines
+
+    out = str(tmp_path / "routed")
+    counts = pipelines.write_routed(spark, SF_DIR, out)
+    assert set(counts) == {"over_1500", "under_1500"}
+
+    back = spark.read.parquet(out).filter("route = 'over_1500'")
+    assert back.count() == counts["over_1500"]
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(route" in plan, plan
+    # the route predicate must NOT appear as a pushed data filter —
+    # it's resolved at directory level
+    assert "PushedFilters: []" in plan, plan
