@@ -63,6 +63,9 @@ def get_spark(app_name: str = "seamless-sharepoint-etl-spark") -> SparkSession:
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # keep catalog data out of the repo cwd (bucketed-layout tables
+        # pass explicit external paths; this catches the default dir)
+        .config("spark.sql.warehouse.dir", "/tmp/sse-warehouse")
     )
     for k, v in DYNAMIC_CONF.items():
         builder = builder.config(k, v)
