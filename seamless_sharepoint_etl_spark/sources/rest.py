@@ -233,6 +233,7 @@ class SeamlessRestReader(DataSourceReader):
         name_to_id = {c["printable_name"]: c["column_id"] for c in self.catalog}
         out_ids = [name_to_id[f.name] for f in self.out_schema.fields]
         filt = [(name_to_id[c], op, v) for c, op, v in self.server_filters]
+        rows = []
         for item in body["items"]:
             row = item["application_data"]
             ok = True
@@ -253,7 +254,21 @@ class SeamlessRestReader(DataSourceReader):
                 if not ok:
                     break
             if ok:
-                yield tuple(row.get(cid) for cid in out_ids)
+                rows.append(row)
+        # hand Spark one Arrow RecordBatch per page — columnar transfer,
+        # no per-row pickling (the API accepts Iterator[RecordBatch])
+        import pyarrow as pa
+
+        pa_types = {"string": pa.string(), "double": pa.float64()}
+        cols = {c["column_id"]: pa_types[c["type"]] for c in self.catalog}
+        if rows:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([r.get(cid) for r in rows], type=cols[cid])
+                    for cid in out_ids
+                ],
+                names=[f.name for f in self.out_schema.fields],
+            )
 
 
 # ---------------------------------------------------------------------------
