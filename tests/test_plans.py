@@ -1,0 +1,76 @@
+"""Physical-plan property tests: pin the scale-critical plan shapes so
+a regression (lost pushdown, surprise shuffle, broadcast that stopped
+broadcasting) fails CI, not a cluster run. Complements SCALE.md §2."""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name):
+    from seamless_sharepoint_etl_spark import registry
+
+    df = registry.queries()[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_rel_project_pushes_filters_and_prunes_columns(spark):
+    plan = _plan(spark, "rel_project_filter_predicates")
+    assert "PushedFilters: [IsNotNull(l_quantity)" in plan
+    assert "GreaterThan(l_quantity,25.0" in plan  # list may be truncated
+    # pruned read schema: discount/shipdate are filter-only, tax/comment
+    # never referenced — comment must not be read
+    assert "l_comment" not in plan
+
+
+def test_dim_join_broadcasts_both_dims(spark):
+    plan = _plan(spark, "join_broadcast_dim")
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_global_topk_avoids_full_sort(spark):
+    plan = _plan(spark, "sort_top_k_global")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_pricing_summary_single_exchange(spark):
+    plan = _plan(spark, "agg_pricing_summary")
+    assert plan.count("Exchange") == 1  # partial agg map-side, one shuffle
+
+
+def test_flagship_never_shuffles_the_fact(spark):
+    """Both frontier applications are 1-row broadcasts; the only
+    exchange is the final orderBy's range partitioning."""
+    plan = _plan(spark, "flagship_incremental_load")
+    assert plan.count("BroadcastNestedLoopJoin") == 2
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_no_python_eval_in_relational_paths(spark):
+    """Python stays out of every non-UDF hot path (JVM-only plans)."""
+    for name in (
+        "rel_project_filter_predicates",
+        "agg_pricing_summary",
+        "join_shuffle_fact",
+        "win_running_sum",
+        "text_quality_score",
+        "dedup_ngram_jaccard",
+        "sim_brute_force_topk",
+    ):
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_udf_paths_are_arrow_not_pickle(spark):
+    for name, marker in (
+        ("udf_scalar_pandas", "ArrowEvalPython"),
+        ("udf_apply_in_pandas", "FlatMapGroupsInPandas"),
+        ("mm_decode_stub_features", "MapInPandas"),
+    ):
+        plan = _plan(spark, name)
+        assert marker in plan, (name, plan[:500])
+        assert "BatchEvalPython" not in plan, name  # no pickled row UDFs
