@@ -264,10 +264,70 @@ SELECT bigram, count(*) AS tf FROM (
 """
 
 
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF with the top-3 scoring terms per document.
+
+    tf = in-doc count; idf = ln(N / df) with exact document frequency.
+    Plan shape: one (doc, tok) agg → one (tok) agg for df (broadcast —
+    vocabulary ≪ corpus) → window top-3 per doc. At 100 TB the df table
+    is the only global structure and it is vocabulary-sized; the
+    (doc, tok) relation never re-shuffles after its first agg.
+    Basis-point integers (floor(x·10⁴+0.5)) avoid HALF_UP/HALF_EVEN
+    rounding drift, as in quality_score.
+    """
+    from pyspark.sql import Window
+
+    d = io.load_table_parallel(spark, sf_dir, "documents")
+    n_docs = d.select(F.count(F.lit(1)).alias("nd"))
+    tok = d.select("doc_id", F.explode(_tokens()).alias("tok"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf_bp",
+            F.floor(
+                F.col("tf") * F.log(F.col("nd") / F.col("df")) * 10000 + F.lit(0.5)
+            ).cast("long"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf_bp"), F.asc("tok")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "rnk", "tok", "tf", "df", "tfidf_bp")
+    )
+
+
+TFIDF_SQL = """
+WITH tf AS (
+  SELECT doc_id, tok, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY doc_id, tok
+),
+df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+nd AS (SELECT count(*) AS nd FROM documents),
+scored AS (
+  SELECT doc_id, tok, tf, df,
+         CAST(floor(tf * ln(nd::DOUBLE / df) * 10000 + 0.5) AS BIGINT) AS tfidf_bp
+  FROM tf JOIN df USING (tok) CROSS JOIN nd
+)
+SELECT doc_id, rnk, tok, tf, df, tfidf_bp FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf_bp DESC, tok ASC) AS rnk
+  FROM scored
+) WHERE rnk <= 3
+"""
+
+
 QUERIES = {
     "text_token_stats": (token_stats, TOKEN_STATS_SQL),
     "text_quality_score": (quality_score, QUALITY_SCORE_SQL),
     "text_langid_confusion": (langid_confusion, LANGID_SQL),
     "text_fingerprint": (fingerprint, FINGERPRINT_SQL),
     "text_bigram_tf": (bigram_tf, BIGRAM_TF_SQL),
+    "text_tfidf_top_terms": (tfidf_top_terms, TFIDF_SQL),
 }

@@ -177,10 +177,72 @@ GROUP BY user_id, event_type
 """
 
 
+def hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution time rollup (hypertable continuous-aggregate
+    pattern): raw → 15-minute → hourly → daily, where each coarser
+    level re-aggregates the level below it, NOT the raw events.
+
+    That is the 100 TB property: the hourly job reads 4 15-min rows per
+    bucket instead of every raw event, and the daily job reads 24
+    hourly rows — refresh cost is proportional to the coarse level's
+    cardinality. Decomposition rules: count/sum add up; min/max nest;
+    avg is re-derived from (sum, count) at the end (never avg-of-avgs).
+    The oracle aggregates raw directly per level, so the check PROVES
+    the re-aggregation is lossless.
+    """
+    ev = io.load_table(spark, sf_dir, "events")
+    m15 = (
+        ev.groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sv"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+        .select(F.col("w.start").alias("b15"), "event_type", "n", "sv", "mn", "mx")
+    )
+    hour = (
+        m15.groupBy(
+            F.date_trunc("hour", F.col("b15")).alias("bh"), "event_type"
+        )
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sv").alias("sv"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+        )
+    )
+    day = (
+        hour.groupBy(F.date_trunc("day", F.col("bh")).alias("bucket"), "event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.round(F.sum("sv"), 4).alias("sum_value"),
+            F.round(F.sum("sv") / F.sum("n"), 6).alias("avg_value"),
+            F.round(F.min("mn"), 4).alias("min_value"),
+            F.round(F.max("mx"), 4).alias("max_value"),
+        )
+    )
+    return day
+
+
+HIERARCHICAL_ROLLUP_SQL = """
+SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS bucket,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value,
+       round(sum(value) / count(*), 6) AS avg_value,
+       round(min(value), 4) AS min_value,
+       round(max(value), 4) AS max_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "stream_tumbling_window": (tumbling_window_agg, TUMBLING_SQL),
     "stream_sliding_window": (sliding_window_agg, SLIDING_SQL),
     "stream_session_window": (session_window_agg, SESSION_SQL),
     "stream_watermark_filter": (watermark_late_data_filter, WATERMARK_SQL),
     "stream_dedup_first_per_key": (streaming_dedup_keys, STREAM_DEDUP_SQL),
+    "stream_hierarchical_rollup": (hierarchical_rollup, HIERARCHICAL_ROLLUP_SQL),
 }
