@@ -217,7 +217,10 @@ def hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("n").alias("n_events"),
             F.round(F.sum("sv"), 4).alias("sum_value"),
-            F.round(F.sum("sv") / F.sum("n"), 6).alias("avg_value"),
+            # round the (association-order-dependent) sum BEFORE dividing:
+            # the rounded sums agree across engines, so the quotient does
+            # too — dividing first can flap the last rounded digit
+            F.round(F.round(F.sum("sv"), 4) / F.sum("n"), 6).alias("avg_value"),
             F.round(F.min("mn"), 4).alias("min_value"),
             F.round(F.max("mx"), 4).alias("max_value"),
         )
@@ -230,7 +233,7 @@ SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS bucket,
        event_type,
        count(*) AS n_events,
        round(sum(value), 4) AS sum_value,
-       round(sum(value) / count(*), 6) AS avg_value,
+       round(round(sum(value), 4) / count(*), 6) AS avg_value,
        round(min(value), 4) AS min_value,
        round(max(value), 4) AS max_value
 FROM events
