@@ -332,6 +332,9 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
             )
+            # truncate per-round lineage: labels is referenced twice next
+            # round, and without a persist the plan doubles per iteration
+            .persist()
         )
     return (
         labels.groupBy("label")
