@@ -235,8 +235,71 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k over int8-quantized embeddings — the memory/bandwidth scale
+    path (4× smaller vectors than float32, 8× vs double).
+
+    Symmetric linear quantization per vector: scale = max|x|/127,
+    q_i = round(x_i/scale). Dot products run on the int arrays and are
+    rescaled by the two scales — cosine error is O(1/127) per axis.
+    Deterministic; rows-only for the driver, pytest gates recall@10 vs
+    the exact brute force.
+    """
+    e = io.load_table_parallel(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", _dbl("embedding").alias("v"))
+    quant = (
+        v.select(
+            "vec_id",
+            (F.array_max(F.transform(F.col("v"), lambda x: F.abs(x))) / 127.0).alias(
+                "scale"
+            ),
+            "v",
+        )
+        .select(
+            "vec_id",
+            "scale",
+            F.transform(
+                F.col("v"), lambda x: F.round(x / F.col("scale")).cast("int")
+            ).alias("q"),
+            _norm(F.col("v")).alias("norm"),
+        )
+    )
+    q = quant.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("scale").alias("qs"),
+        F.col("q").alias("qq"),
+        F.col("norm").alias("qn"),
+    )
+    c = quant.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("scale").alias("cs"),
+        F.col("q").alias("cq"),
+        F.col("norm").alias("cn"),
+    )
+    int_dot = F.aggregate(
+        F.zip_with(F.col("qq"), F.col("cq"), lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    approx_cos = (int_dot.cast("double") * F.col("qs") * F.col("cs")) / (
+        F.col("qn") * F.col("cn")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.desc("acos"), F.asc("cand_id"))
+    return (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", approx_cos.alias("acos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "cand_id", F.round("acos", 6).alias("approx_cosine"))
+    )
+
+
 QUERIES = {
     "sim_brute_force_topk": (brute_force_topk, BRUTE_FORCE_SQL),
     "sim_embedding_neardup": (embedding_neardup, EMBEDDING_NEARDUP_SQL),
     "sim_ivf_topk": (ivf_topk, None),
+    "sim_quantized_topk": (quantized_topk, None),
 }

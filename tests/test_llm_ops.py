@@ -146,3 +146,26 @@ def test_neardup_clusters_partition_properties(spark):
     assert set(label_of) == paired_docs
     for lo, hi in pairs:
         assert label_of[lo] == label_of[hi]  # edges never cross clusters
+
+
+def test_quantized_topk_recall_vs_exact(spark):
+    """int8 quantization: recall@10 vs exact brute force ≥ 0.9 and the
+    approx cosine within 0.02 of exact for every returned pair."""
+    from seamless_sharepoint_etl_spark.llm_ops import similarity
+
+    exact = {}
+    for r in similarity.brute_force_topk(spark, SF_DIR).collect():
+        exact.setdefault(r["query_id"], {})[r["cand_id"]] = r["cosine"]
+    approx = {}
+    for r in similarity.quantized_topk(spark, SF_DIR).collect():
+        approx.setdefault(r["query_id"], {})[r["cand_id"]] = r["approx_cosine"]
+
+    assert set(approx) == set(exact)
+    recalls = []
+    for qid, cands in approx.items():
+        hit = len(set(cands) & set(exact[qid]))
+        recalls.append(hit / len(exact[qid]))
+        for cid, acos in cands.items():
+            if cid in exact[qid]:
+                assert abs(acos - exact[qid][cid]) < 0.02
+    assert sum(recalls) / len(recalls) >= 0.9
