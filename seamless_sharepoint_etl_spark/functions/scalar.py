@@ -236,6 +236,63 @@ FROM lineitem
 """
 
 
+def try_safe_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI error-safe arithmetic/casts: try_divide / try_cast /
+    nullif-guarded modulo — NULL instead of exceptions on bad input.
+    At 100 TB a single malformed row must never kill a 6-hour job; the
+    try_* family is the engine's posture for dirty data.
+    """
+    o = io.load_table(spark, sf_dir, "orders")
+    zero_when_f = F.when(F.col("o_orderstatus") == "F", 0).otherwise(
+        F.month("o_orderdate")
+    )
+    return o.select(
+        "o_orderkey",
+        # integer ten-thousandths, not round(,4): Spark rounds HALF_UP,
+        # DuckDB HALF_EVEN — exact .00005 boundaries would flap
+        F.floor(
+            F.try_divide(F.col("o_totalprice"), zero_when_f) * 10000 + F.lit(0.5)
+        ).cast("long").alias("price_per_month_e4"),
+        F.col("o_orderstatus").try_cast("int").alias("status_as_int"),
+        F.substring("o_orderpriority", 1, 1).try_cast("int").alias("prio_digit"),
+        F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status_or_null"),
+    )
+
+
+TRY_SAFE_SQL = """
+SELECT o_orderkey,
+       CAST(floor(CASE WHEN (CASE WHEN o_orderstatus = 'F' THEN 0
+                                  ELSE month(o_orderdate) END) = 0
+                       THEN NULL
+                       ELSE o_totalprice / (CASE WHEN o_orderstatus = 'F' THEN 0
+                                                 ELSE month(o_orderdate) END)
+                  END * 10000 + 0.5) AS BIGINT) AS price_per_month_e4,
+       TRY_CAST(o_orderstatus AS INTEGER) AS status_as_int,
+       TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS prio_digit,
+       nullif(o_orderstatus, 'P') AS status_or_null
+FROM orders
+"""
+
+
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: wide numeric columns → long (measure, value) rows —
+    the inverse of agg_pivot, a plan-level expansion with no shuffle."""
+    s = io.load_table(spark, sf_dir, "supplier")
+    wide = s.select(
+        "s_suppkey",
+        F.col("s_acctbal").cast("double").alias("acctbal"),
+        F.col("s_nationkey").cast("double").alias("nationkey"),
+    )
+    return wide.unpivot("s_suppkey", ["acctbal", "nationkey"], "measure", "value")
+
+
+UNPIVOT_SQL = """
+SELECT s_suppkey, 'acctbal' AS measure, CAST(s_acctbal AS DOUBLE) AS value FROM supplier
+UNION ALL
+SELECT s_suppkey, 'nationkey', CAST(s_nationkey AS DOUBLE) FROM supplier
+"""
+
+
 QUERIES = {
     "fn_string": (string_functions, STRING_FUNCTIONS_SQL),
     "fn_date": (date_functions, DATE_FUNCTIONS_SQL),
@@ -243,4 +300,6 @@ QUERIES = {
     "fn_array_lambda": (array_functions, ARRAY_FUNCTIONS_SQL),
     "fn_json": (json_functions, JSON_FUNCTIONS_SQL),
     "fn_map": (map_functions, MAP_FUNCTIONS_SQL),
+    "fn_try_safe": (try_safe_functions, TRY_SAFE_SQL),
+    "rel_unpivot_melt": (unpivot_melt, UNPIVOT_SQL),
 }
