@@ -30,7 +30,9 @@ def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 4).alias("sum_value"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            # round the order-dependent sum before dividing (cross-engine
+            # ulp flap — same policy as hierarchical_rollup)
+            F.round(F.round(F.sum("value"), 4) / F.count(F.lit(1)), 6).alias("avg_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -47,7 +49,7 @@ SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
        event_type,
        count(*) AS n_events,
        round(sum(value), 4) AS sum_value,
-       round(avg(value), 6) AS avg_value
+       round(round(sum(value), 4) / count(*), 6) AS avg_value
 FROM events
 GROUP BY 1, 2
 """
