@@ -105,7 +105,8 @@ def grouped_agg_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(iqr(F.col("o_totalprice")), 4).alias("price_iqr")
     )
     jvm_side = o.groupBy("o_orderpriority").agg(
-        F.round(F.avg("o_totalprice"), 4).alias("price_avg"), F.count("*").alias("n")
+        F.round(F.round(F.sum("o_totalprice"), 2) / F.count(F.lit(1)), 4).alias("price_avg"),
+        F.count("*").alias("n"),
     )
     return py_side.join(F.broadcast(jvm_side), "o_orderpriority").orderBy(
         "o_orderpriority"
@@ -116,7 +117,7 @@ GROUPED_AGG_PANDAS_UDF_SQL = """
 SELECT o_orderpriority,
        round(quantile_cont(o_totalprice, 0.75) - quantile_cont(o_totalprice, 0.25), 4)
            AS price_iqr,
-       round(avg(o_totalprice), 4) AS price_avg,
+       round(round(sum(o_totalprice), 2) / count(*), 4) AS price_avg,
        count(*) AS n
 FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """

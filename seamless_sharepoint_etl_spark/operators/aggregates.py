@@ -32,9 +32,12 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
             F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            # averages as round(sum)/count: engine avg() implementations
+            # accumulate differently (ulp flaps at the rounding quantum),
+            # while plain sums agree to ~1e-11 relative
+            F.round(F.round(F.sum("l_quantity"), 2) / F.count(F.lit(1)), 4).alias("avg_qty"),
+            F.round(F.round(F.sum("l_extendedprice"), 2) / F.count(F.lit(1)), 4).alias("avg_price"),
+            F.round(F.round(F.sum("l_discount"), 2) / F.count(F.lit(1)), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -46,9 +49,9 @@ SELECT l_returnflag, l_linestatus,
        round(sum(l_extendedprice), 2) AS sum_base_price,
        round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
        round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       round(avg(l_quantity), 4) AS avg_qty,
-       round(avg(l_extendedprice), 4) AS avg_price,
-       round(avg(l_discount), 4) AS avg_disc,
+       round(round(sum(l_quantity), 2) / count(*), 4) AS avg_qty,
+       round(round(sum(l_extendedprice), 2) / count(*), 4) AS avg_price,
+       round(round(sum(l_discount), 2) / count(*), 4) AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -139,14 +142,14 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = io.load_table(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        F.round(F.round(F.sum("o_totalprice"), 2) / F.count(F.lit(1)), 4).alias("avg_price"),
     )
 
 
 CUBE_SQL = """
 SELECT o_orderstatus, o_orderpriority,
        count(*) AS n_orders,
-       round(avg(o_totalprice), 4) AS avg_price
+       round(round(sum(o_totalprice), 2) / count(*), 4) AS avg_price
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
@@ -268,7 +271,7 @@ def global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("l_orderkey").alias("n_orders"),
         F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
-        F.round(F.avg("l_discount"), 6).alias("mean_discount"),
+        F.round(F.round(F.sum("l_discount"), 2) / F.count(F.lit(1)), 6).alias("mean_discount"),
         F.min("l_shipdate").alias("first_ship"),
         F.max("l_shipdate").alias("last_ship"),
     )
@@ -278,7 +281,7 @@ GLOBAL_AGG_SQL = """
 SELECT count(*) AS n_rows,
        count(DISTINCT l_orderkey) AS n_orders,
        round(sum(l_extendedprice), 2) AS total_price,
-       round(avg(l_discount), 6) AS mean_discount,
+       round(round(sum(l_discount), 2) / count(*), 6) AS mean_discount,
        min(l_shipdate) AS first_ship,
        max(l_shipdate) AS last_ship
 FROM lineitem
