@@ -167,3 +167,11 @@ def test_sort_null_ordering_matches_declared(spark):
     assert got == [1.0, 2.0, None]
     got_first = [r["x"] for r in spark.createDataFrame(pdf).orderBy(F.asc_nulls_first("x")).collect()]
     assert got_first == [None, 1.0, 2.0]
+
+
+def test_bench_headline_queries_exist():
+    """bench.py's headline set must stay a subset of the registry."""
+    import bench
+    from seamless_sharepoint_etl_spark import registry
+
+    assert set(bench.HEADLINE) <= set(registry.queries())
