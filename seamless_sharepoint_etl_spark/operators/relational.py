@@ -7,10 +7,30 @@ read schema. Nothing here shuffles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import io
+
+
+def validate(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """Data-quality expectations: annotate each row with its failed rules.
+
+    ``rules`` maps rule name → boolean Column (true = pass). Output adds
+    ``failed_rules array<string>`` (empty = clean row). Callers split
+    with ``filter(size(failed_rules) == 0)`` — one scan, two sinks, the
+    quarantine pattern every ingestion pipeline needs at scale. Pure
+    projection: no shuffle, pushdown-transparent.
+    """
+    failed = F.array_compact(
+        F.array(
+            *[
+                F.when(~rule, F.lit(name)).otherwise(F.lit(None))
+                for name, rule in rules.items()
+            ]
+        )
+    )
+    return df.withColumn("failed_rules", failed)
 
 
 def project_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -105,8 +125,67 @@ FROM orders
 """
 
 
+def validate_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectations over orders: three rules, per-rule failure counts +
+    clean/quarantine split sizes — the audit summary a DQ gate emits."""
+    o = io.load_table(spark, sf_dir, "orders")
+    checked = validate(
+        o,
+        {
+            "positive_price": F.col("o_totalprice") > 0,
+            "known_status": F.col("o_orderstatus").isin("O", "F", "P"),
+            "date_in_range": F.col("o_orderdate").between(
+                "1992-01-01", "1998-12-31"
+            ),
+            "priority_wellformed": F.col("o_orderpriority").rlike("^[1-5]-"),
+        },
+    )
+    return checked.select(
+        F.explode(
+            F.when(
+                F.size("failed_rules") == 0, F.array(F.lit("__clean__"))
+            ).otherwise(F.col("failed_rules"))
+        ).alias("rule")
+    ).groupBy("rule").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+VALIDATE_QUARANTINE_SQL = """
+WITH checked AS (
+  SELECT CASE WHEN NOT (o_totalprice > 0) THEN 'positive_price' END AS r1,
+         CASE WHEN NOT (o_orderstatus IN ('O','F','P')) THEN 'known_status' END AS r2,
+         CASE WHEN NOT (o_orderdate BETWEEN TIMESTAMP '1992-01-01'
+                                        AND TIMESTAMP '1998-12-31')
+              THEN 'date_in_range' END AS r3,
+         CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-')
+              THEN 'priority_wellformed' END AS r4
+  FROM orders
+)
+SELECT rule, count(*) AS n_rows FROM (
+  SELECT unnest(
+    CASE WHEN r1 IS NULL AND r2 IS NULL AND r3 IS NULL AND r4 IS NULL
+         THEN ['__clean__']
+         ELSE list_filter([r1, r2, r3, r4], x -> x IS NOT NULL) END
+  ) AS rule
+  FROM checked
+) GROUP BY rule
+"""
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling (sampleBy): per-status fractions with a fixed
+    seed. rows-only for the driver (sample membership depends on
+    partition layout, not SQL-expressible); pytest checks per-stratum
+    fractions land within tolerance and the draw is deterministic
+    within a session."""
+    o = io.load_table(spark, sf_dir, "orders")
+    s = o.sampleBy("o_orderstatus", {"O": 0.2, "F": 0.2, "P": 0.5}, seed=42)
+    return s.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
 QUERIES = {
     "rel_project_filter_predicates": (project_filter_predicates, PROJECT_FILTER_SQL),
     "rel_project_derived_like": (project_derived_like, PROJECT_DERIVED_SQL),
     "rel_case_null_handling": (case_null_handling, CASE_NULL_SQL),
+    "rel_validate_quarantine": (validate_quarantine, VALIDATE_QUARANTINE_SQL),
+    "rel_stratified_sample": (stratified_sample, None),
 }

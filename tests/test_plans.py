@@ -74,3 +74,18 @@ def test_udf_paths_are_arrow_not_pickle(spark):
         plan = _plan(spark, name)
         assert marker in plan, (name, plan[:500])
         assert "BatchEvalPython" not in plan, name  # no pickled row UDFs
+
+
+def test_join_strategy_hints_respected(spark):
+    """hint() steers the physical join strategy — the manual override
+    when AQE's choice is wrong for a known workload."""
+    from seamless_sharepoint_etl_spark import io
+
+    o = io.load_table(spark, SF, "orders")
+    li = io.load_table(spark, SF, "lineitem")
+    shj = o.hint("shuffle_hash").join(li, o.o_orderkey == li.l_orderkey)
+    plan = shj._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan, plan
+    smj = o.hint("merge").join(li, o.o_orderkey == li.l_orderkey)
+    plan2 = smj._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan2, plan2

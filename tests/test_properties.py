@@ -175,3 +175,29 @@ def test_bench_headline_queries_exist():
     from seamless_sharepoint_etl_spark import registry
 
     assert set(bench.HEADLINE) <= set(registry.queries())
+
+
+def test_stratified_sample_fractions_and_determinism(spark):
+    from seamless_sharepoint_etl_spark import io
+    from seamless_sharepoint_etl_spark.operators import relational
+
+    totals = {
+        r["o_orderstatus"]: r["n"]
+        for r in io.load_table(spark, SF, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    want_frac = {"O": 0.2, "F": 0.2, "P": 0.5}
+    draw1 = {
+        r["o_orderstatus"]: r["n_sampled"]
+        for r in relational.stratified_sample(spark, SF).collect()
+    }
+    draw2 = {
+        r["o_orderstatus"]: r["n_sampled"]
+        for r in relational.stratified_sample(spark, SF).collect()
+    }
+    assert draw1 == draw2  # fixed seed + same layout ⇒ same draw
+    for k, frac in want_frac.items():
+        got = draw1.get(k, 0) / totals[k]
+        assert abs(got - frac) < 0.1 + 2.0 / (totals[k] * frac) ** 0.5, (k, got)
