@@ -237,23 +237,25 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # verify with exact Jaccard over shingles of candidate docs ONLY —
     # the candidate set is tiny (that's the point of LSH), so it
-    # broadcasts and the verify pass never touches non-candidate docs
+    # broadcasts and the verify pass never touches non-candidate docs.
+    # Same posting-list plan as ngram_jaccard_pairs restricted to
+    # candidate docs (2 exchanges), then a broadcast semi-join keeps
+    # exactly the LSH-candidate pairs.
     cdocs = (
         candidates.select(F.explode(F.array("doc_lo", "doc_hi")).alias("doc_id"))
         .distinct()
     )
     sh = _hashed_shingles(spark, sf_dir).join(F.broadcast(cdocs), "doc_id", "left_semi")
-    sa = sh.select(
-        F.col("doc_id").alias("doc_lo"), F.col("n_sh").alias("n_lo"), "h"
+    posting = (
+        sh.groupBy("h")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds"))
+        .filter(F.size("ds") >= 2)
     )
-    sb = sh.select(
-        F.col("doc_id").alias("doc_hi"), F.col("n_sh").alias("n_hi"), "h"
-    )
+    pairs = posting.select(F.explode(F.expr(_PAIR_EXPLODE)).alias("p")).select("p.*")
     inter = (
-        sa.join(F.broadcast(candidates), "doc_lo")
-        .join(sb, ["doc_hi", "h"])
-        .groupBy("doc_lo", "n_lo", "doc_hi", "n_hi")
+        pairs.groupBy("doc_lo", "n_lo", "doc_hi", "n_hi")
         .agg(F.count(F.lit(1)).alias("n_inter"))
+        .join(F.broadcast(candidates), ["doc_lo", "doc_hi"], "left_semi")
     )
     jac = F.col("n_inter") / (F.col("n_lo") + F.col("n_hi") - F.col("n_inter"))
     return (
