@@ -264,6 +264,48 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def minhash_lsh_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs via MLlib (the built-in variant of
+    minhash_lsh_pairs, SURVEY.md §2 Tier B 'Dedup' row).
+
+    Pipeline: shingles → HashingTF sparse vectors (2^18 dims) →
+    ``MinHashLSH(numHashTables=16, seed=fixed)`` →
+    ``approxSimilarityJoin`` at Jaccard distance ≤ 0.2. Deterministic
+    (fixed seed); rows-only for the driver (MLlib's hash family is not
+    SQL-expressible); pytest gates recall against exact Jaccard.
+
+    Trade-off vs the hand-rolled version: approxSimilarityJoin's
+    candidate generation is an explode-join over hash values (same
+    asymptotics as our banding) but its distance is computed on the
+    HashingTF vectors, so TF collisions (2^18 buckets) add a little
+    noise — the reason the hand-rolled xxhash64 version is the engine
+    default and this one is the API-parity twin.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    d = io.load_table_parallel(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.expr(_SHINGLE_ARRAY).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
+    )
+    feat = tf.transform(sh)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=16, seed=97)
+    model = lsh.fit(feat)
+    joined = model.approxSimilarityJoin(
+        feat, feat, threshold=1.0 - JACCARD_THRESHOLD, distCol="jaccard_dist"
+    )
+    return (
+        joined.select(
+            F.col("datasetA.doc_id").alias("doc_lo"),
+            F.col("datasetB.doc_id").alias("doc_hi"),
+            F.round(1.0 - F.col("jaccard_dist"), 4).alias("jaccard"),
+        )
+        .filter(F.col("doc_lo") < F.col("doc_hi"))
+    )
+
+
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document (sign-aggregated token hashes).
 
@@ -358,4 +400,5 @@ QUERIES = {
     "dedup_minhash_lsh": (minhash_lsh_pairs, None),
     "dedup_simhash": (simhash_fingerprints, None),
     "dedup_neardup_clusters": (neardup_clusters, None),
+    "dedup_minhash_mllib": (minhash_lsh_mllib, None),
 }

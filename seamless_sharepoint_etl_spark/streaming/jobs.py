@@ -238,3 +238,40 @@ def run_stream_to_rest_sink(
     return len(
         [d for d in os.listdir(sink_dir) if d.startswith("batch=")]
     )
+
+
+def run_session_window_stream(
+    spark: SparkSession, src_dir: str, checkpoint: str, name: str = "session_stream"
+) -> DataFrame:
+    """Per-user 30-min-gap session windows through a real stream —
+    session merging is stateful (windows grow/merge as events arrive),
+    so this exercises the merging-state path that tumbling windows
+    don't. Watermark closes sessions; append mode emits only closed
+    sessions; AvailableNow advances the watermark past the final chunk.
+    """
+    stream = _read_stream(spark, src_dir)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

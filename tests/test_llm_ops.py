@@ -169,3 +169,22 @@ def test_quantized_topk_recall_vs_exact(spark):
             if cid in exact[qid]:
                 assert abs(acos - exact[qid][cid]) < 0.02
     assert sum(recalls) / len(recalls) >= 0.9
+
+
+def test_minhash_mllib_recall_vs_exact(spark):
+    """MLlib MinHashLSH variant: recall ≥ 0.8 vs exact Jaccard pairs
+    (slightly looser than the hand-rolled gate — HashingTF collisions
+    perturb the distance)."""
+    from seamless_sharepoint_etl_spark.llm_ops import dedup
+
+    exact = {
+        (r["doc_lo"], r["doc_hi"])
+        for r in dedup.ngram_jaccard_pairs(spark, SF_DIR).collect()
+    }
+    got = {
+        (r["doc_lo"], r["doc_hi"])
+        for r in dedup.minhash_lsh_mllib(spark, SF_DIR).collect()
+    }
+    assert exact, "fixture must contain planted near-dups"
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.8, (recall, len(got), len(exact))

@@ -122,3 +122,44 @@ def test_stream_to_rest_sink_roundtrip(spark, stream_src, tmp_path):
     ]
     assert cols == ["event_id", "user_id", "event_type", "value"]
     assert sorted(posted, key=repr) == sorted(truth, key=repr)
+
+
+def test_session_window_stream_equals_batch_closed_sessions(spark, stream_src, tmp_path):
+    """Streamed session windows ≡ batch session windows for every
+    session the watermark closed (append mode emits closed sessions;
+    sessions still open at end-of-stream are legitimately withheld)."""
+    from seamless_sharepoint_etl_spark.streaming import jobs, windows as sw
+
+    got = jobs.run_session_window_stream(spark, stream_src, str(tmp_path / "ck"))
+    got_rows = {
+        (r["user_id"], r["session_start"], r["session_end"]):
+        (r["n_events"], r["sum_value"])
+        for r in got.collect()
+    }
+    assert got_rows, "stream emitted no closed sessions"
+
+    ev = spark.read.parquet(stream_src)
+    batch = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    batch_rows = {
+        (r["user_id"], r["session_start"], r["session_end"]):
+        (r["n_events"], r["sum_value"])
+        for r in batch.collect()
+    }
+    # every emitted session must exactly match its batch twin
+    for key, val in got_rows.items():
+        assert batch_rows.get(key) == val, key
+    # and the stream must have closed the overwhelming majority
+    assert len(got_rows) >= 0.8 * len(batch_rows)
