@@ -351,6 +351,77 @@ def approx_percentile_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family: stddev/variance (sample + pop),
+    correlation, covariance, skewness.
+
+    Rounding margins: engine implementations accumulate moments
+    differently (~1e-8 relative drift), so every output rounds at a
+    quantum ≥50× the drift: 4dp for O(10) stddevs, 6dp for O(1)
+    correlations. Skewness uses the population formula on both sides
+    (DuckDB's skewness() is sample-corrected — the oracle re-derives
+    the population value from it).
+    """
+    li = io.load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 4).alias("qty_sd"),
+            F.round(F.var_pop("l_quantity"), 4).alias("qty_varp"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+                "qty_price_corr"
+            ),
+            F.round(F.covar_samp("l_discount", "l_tax"), 6).alias("disc_tax_cov"),
+            F.round(F.skewness("l_extendedprice"), 4).alias("price_skew_pop"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+STATS_MOMENTS_SQL = """
+SELECT l_returnflag,
+       round(stddev_samp(l_quantity), 4) AS qty_sd,
+       round(var_pop(l_quantity), 4) AS qty_varp,
+       round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+       round(covar_samp(l_discount, l_tax), 6) AS disc_tax_cov,
+       -- Spark skewness is population (g1); DuckDB's is sample-adjusted
+       -- (G1 = g1 * sqrt(n(n-1))/(n-2)) — invert the correction
+       round(skewness(l_extendedprice)
+             * (count(*) - 2) / sqrt(count(*) * (count(*) - 1.0)), 4)
+         AS price_skew_pop,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def collect_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered array aggregation: per-region sorted nation-name list +
+    a delimited digest — collect_list is unordered by contract, so the
+    canonical form is array_sort(collect_list(...)) (deterministic at
+    any parallelism)."""
+    n = io.load_table(spark, sf_dir, "nation")
+    return (
+        n.groupBy("n_regionkey")
+        .agg(
+            F.array_sort(F.collect_list("n_name")).alias("nations"),
+            F.array_join(F.array_sort(F.collect_list("n_name")), "|").alias(
+                "nations_joined"
+            ),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
+
+
+COLLECT_ORDERED_SQL = """
+SELECT n_regionkey,
+       list_sort(list(n_name)) AS nations,
+       array_to_string(list_sort(list(n_name)), '|') AS nations_joined,
+       count(*) AS n_nations
+FROM nation GROUP BY n_regionkey
+"""
+
+
 QUERIES = {
     "agg_pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
     "agg_multikey_distinct": (multikey_distinct, MULTIKEY_DISTINCT_SQL),
@@ -364,4 +435,6 @@ QUERIES = {
     "agg_percentiles": (exact_percentiles, EXACT_PERCENTILES_SQL),
     "agg_salted_twophase": (salted_two_phase_agg, SALTED_TWO_PHASE_SQL),
     "agg_approx_percentile": (approx_percentile_price, None),
+    "agg_stats_moments": (stats_moments, STATS_MOMENTS_SQL),
+    "agg_collect_ordered": (collect_ordered, COLLECT_ORDERED_SQL),
 }

@@ -153,10 +153,50 @@ WINDOW w AS (PARTITION BY o_custkey
 """
 
 
+def distribution_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist + first/last/nth_value over explicit
+    frames — the distribution-function window family.
+
+    percent_rank/cume_dist are integer-ratio doubles, so they are
+    emitted as integer basis points (HALF_UP/HALF_EVEN tie immunity);
+    last_value gets the full-partition frame (the default frame stops
+    at CURRENT ROW — the classic trap, made explicit here).
+    """
+    s = io.load_table(spark, sf_dir, "supplier")
+    order = [F.asc("s_acctbal"), F.asc("s_suppkey")]
+    w = Window.partitionBy("s_nationkey").orderBy(*order)
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    bp = lambda c: F.floor(c * 10000 + F.lit(0.5)).cast("long")  # noqa: E731
+    return s.select(
+        "s_nationkey",
+        "s_suppkey",
+        bp(F.percent_rank().over(w)).alias("pct_rank_bp"),
+        bp(F.cume_dist().over(w)).alias("cume_dist_bp"),
+        F.first("s_suppkey").over(w_full).alias("poorest_supp"),
+        F.last("s_suppkey").over(w_full).alias("richest_supp"),
+        F.nth_value("s_suppkey", 2).over(w_full).alias("second_poorest"),
+    )
+
+
+DISTRIBUTION_SQL = """
+SELECT s_nationkey, s_suppkey,
+       CAST(floor(percent_rank() OVER w * 10000 + 0.5) AS BIGINT) AS pct_rank_bp,
+       CAST(floor(cume_dist() OVER w * 10000 + 0.5) AS BIGINT) AS cume_dist_bp,
+       first_value(s_suppkey) OVER wf AS poorest_supp,
+       last_value(s_suppkey) OVER wf AS richest_supp,
+       nth_value(s_suppkey, 2) OVER wf AS second_poorest
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal ASC, s_suppkey ASC),
+       wf AS (PARTITION BY s_nationkey ORDER BY s_acctbal ASC, s_suppkey ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
 QUERIES = {
     "win_topn_per_group": (topn_per_group, TOPN_PER_GROUP_SQL),
     "win_rank_dense_ntile": (rank_dense_ntile, RANK_DENSE_NTILE_SQL),
     "win_lag_lead_deltas": (lag_lead_deltas, LAG_LEAD_SQL),
     "win_running_sum": (running_sum, RUNNING_SUM_SQL),
     "win_range_frame_30d": (range_frame_30d, RANGE_FRAME_SQL),
+    "win_distribution_first_last": (distribution_first_last, DISTRIBUTION_SQL),
 }
