@@ -133,7 +133,7 @@ def _zscore_frame(pdf: pd.DataFrame) -> pd.DataFrame:
     sd = pdf["s_acctbal"].std(ddof=0)
     out = pdf[["s_suppkey", "s_nationkey", "s_acctbal"]].copy()
     z = 0.0 if sd == 0 else (pdf["s_acctbal"] - mu) / sd
-    out["bal_z"] = z if sd == 0 else z.round(6)
+    out["bal_z"] = z if sd == 0 else z.round(6) + 0.0  # -0.0 → +0.0
     return out
 
 
@@ -161,7 +161,7 @@ APPLY_IN_PANDAS_ZSCORE_SQL = """
 SELECT s_suppkey, s_nationkey, s_acctbal,
        CASE WHEN stddev_pop(s_acctbal) OVER w = 0 THEN 0.0
             ELSE round((s_acctbal - avg(s_acctbal) OVER w)
-                       / (stddev_pop(s_acctbal) OVER w), 6)
+                       / (stddev_pop(s_acctbal) OVER w), 6) + 0.0
        END AS bal_z
 FROM supplier
 WINDOW w AS (PARTITION BY s_nationkey)

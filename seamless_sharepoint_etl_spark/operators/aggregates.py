@@ -366,13 +366,16 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.round(F.stddev_samp("l_quantity"), 4).alias("qty_sd"),
-            F.round(F.var_pop("l_quantity"), 4).alias("qty_varp"),
-            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            # `+ 0.0` canonicalizes IEEE negative zero (-0.0 → +0.0):
+            # near-zero moments round to ±0.0 depending on accumulation
+            # order, and a value-hash distinguishes the two
+            (F.round(F.stddev_samp("l_quantity"), 4) + 0.0).alias("qty_sd"),
+            (F.round(F.var_pop("l_quantity"), 4) + 0.0).alias("qty_varp"),
+            (F.round(F.corr("l_quantity", "l_extendedprice"), 6) + 0.0).alias(
                 "qty_price_corr"
             ),
-            F.round(F.covar_samp("l_discount", "l_tax"), 6).alias("disc_tax_cov"),
-            F.round(F.skewness("l_extendedprice"), 4).alias("price_skew_pop"),
+            (F.round(F.covar_samp("l_discount", "l_tax"), 6) + 0.0).alias("disc_tax_cov"),
+            (F.round(F.skewness("l_extendedprice"), 4) + 0.0).alias("price_skew_pop"),
             F.count(F.lit(1)).alias("n"),
         )
         .orderBy("l_returnflag")
@@ -381,14 +384,14 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 STATS_MOMENTS_SQL = """
 SELECT l_returnflag,
-       round(stddev_samp(l_quantity), 4) AS qty_sd,
-       round(var_pop(l_quantity), 4) AS qty_varp,
-       round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
-       round(covar_samp(l_discount, l_tax), 6) AS disc_tax_cov,
+       round(stddev_samp(l_quantity), 4) + 0.0 AS qty_sd,
+       round(var_pop(l_quantity), 4) + 0.0 AS qty_varp,
+       round(corr(l_quantity, l_extendedprice), 6) + 0.0 AS qty_price_corr,
+       round(covar_samp(l_discount, l_tax), 6) + 0.0 AS disc_tax_cov,
        -- Spark skewness is population (g1); DuckDB's is sample-adjusted
        -- (G1 = g1 * sqrt(n(n-1))/(n-2)) — invert the correction
        round(skewness(l_extendedprice)
-             * (count(*) - 2) / sqrt(count(*) * (count(*) - 1.0)), 4)
+             * (count(*) - 2) / sqrt(count(*) * (count(*) - 1.0)), 4) + 0.0
          AS price_skew_pop,
        count(*) AS n
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
