@@ -71,7 +71,9 @@ def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofmonth("o_orderdate").alias("dom"),
         F.dayofweek("o_orderdate").alias("dow"),
         F.quarter("o_orderdate").alias("qtr"),
-        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        # NTZ cast: date_trunc returns session-tz TIMESTAMP (collects
+        # as process-local naive values under a non-UTC driver)
+        F.date_trunc("month", F.col("o_orderdate")).cast("timestamp_ntz").alias("month_start"),
         F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
             "days_since_epoch95"
         ),

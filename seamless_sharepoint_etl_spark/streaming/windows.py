@@ -205,7 +205,10 @@ def hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hour = (
         m15.groupBy(
-            F.date_trunc("hour", F.col("b15")).alias("bh"), "event_type"
+            # cast back to NTZ: date_trunc returns session-tz TIMESTAMP,
+            # which py-collects as process-local naive datetimes
+            F.date_trunc("hour", F.col("b15")).cast("timestamp_ntz").alias("bh"),
+            "event_type",
         )
         .agg(
             F.sum("n").alias("n"),
@@ -215,7 +218,10 @@ def hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     day = (
-        hour.groupBy(F.date_trunc("day", F.col("bh")).alias("bucket"), "event_type")
+        hour.groupBy(
+            F.date_trunc("day", F.col("bh")).cast("timestamp_ntz").alias("bucket"),
+            "event_type",
+        )
         .agg(
             F.sum("n").alias("n_events"),
             F.round(F.sum("sv"), 4).alias("sum_value"),
