@@ -81,7 +81,12 @@ def prepare_stream_source(
     os.makedirs(flat, exist_ok=True)
     for k in range(1, n_chunks + 1):
         src = glob.glob(os.path.join(out_dir, f"chunk_{k:02d}", "*.parquet"))[0]
-        shutil.copy(src, os.path.join(flat, f"{k:02d}.parquet"))
+        dst = os.path.join(flat, f"{k:02d}.parquet")
+        shutil.copy(src, dst)
+        # the file stream source orders by modification time — pin
+        # strictly increasing mtimes (1s apart) so chunk order is the
+        # processing order even when copies land in the same millisecond
+        os.utime(dst, (1_700_000_000 + k, 1_700_000_000 + k))
     return flat
 
 
