@@ -106,7 +106,14 @@ def run_tumbling_complete(
     agg = (
         stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
-        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+        .select(
+            # NTZ output cast: session tz is UTC, but ltz values collect
+            # as process-local naive datetimes under a non-UTC driver
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
     )
     q = (
         agg.writeStream.format("memory")
@@ -130,7 +137,11 @@ def run_watermark_append(
         stream.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(F.col("w.start").alias("window_start"), F.col("w.end").alias("window_end"), "n_events")
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("window_end"),
+            "n_events",
+        )
     )
     q = (
         agg.writeStream.format("memory")
@@ -264,8 +275,8 @@ def run_session_window_stream(
         )
         .select(
             "user_id",
-            F.col("w.start").alias("session_start"),
-            F.col("w.end").alias("session_end"),
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
             "n_events",
             "sum_value",
         )

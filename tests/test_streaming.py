@@ -49,7 +49,10 @@ def test_watermark_append_emits_closed_windows(spark, stream_src, tmp_path):
     batch = (
         ev.groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(F.col("w.start").alias("window_start"), F.col("n_events"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("n_events"),
+        )
     )
     truth = {r["window_start"]: r["n_events"] for r in batch.collect()}
     for r in rows:
@@ -147,8 +150,8 @@ def test_session_window_stream_equals_batch_closed_sessions(spark, stream_src, t
         )
         .select(
             "user_id",
-            F.col("w.start").alias("session_start"),
-            F.col("w.end").alias("session_end"),
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
             "n_events",
             "sum_value",
         )
