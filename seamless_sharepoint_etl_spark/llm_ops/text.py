@@ -158,12 +158,9 @@ FROM per_doc
 """
 
 
-def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-token language-ID heuristic → confusion matrix vs the label.
-
-    Deterministic CASE cascade (first max wins in fixed lang order).
-    """
-    d = io.load_table_parallel(spark, sf_dir, "documents")
+def _pred_lang_col():
+    """Marker-token language prediction column (deterministic CASE
+    cascade, first max wins in fixed lang order)."""
     toks = _tokens()
 
     def marker_count(marker: str):
@@ -176,8 +173,14 @@ def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred = F.when(counts["en"] == mx, "en")
     for lang in ("de", "es", "fr", "zh"):
         pred = pred.when(counts[lang] == mx, lang)
+    return pred
+
+
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language-ID heuristic → confusion matrix vs the label."""
+    d = io.load_table_parallel(spark, sf_dir, "documents")
     return (
-        d.select("doc_id", "lang", pred.alias("pred_lang"))
+        d.select("doc_id", "lang", _pred_lang_col().alias("pred_lang"))
         .groupBy("lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
@@ -323,6 +326,68 @@ SELECT doc_id, rnk, tok, tf, df, tfidf_bp FROM (
 """
 
 
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation — the composition every pretraining
+    pipeline runs: exact dedup (keep the canonical copy) → quality gate
+    → language ID → per-(pred_lang, quality_band) corpus statistics.
+
+    Single lazy DAG over one documents scan branch set; dedup's
+    canonical set semi-joins the scored frame (broadcast at fixture
+    scale, shuffle-semi at 100 TB). Every stage is individually
+    oracle-checked elsewhere; this query proves the composition.
+    """
+    from .dedup import exact_dedup
+
+    d = io.load_table_parallel(spark, sf_dir, "documents")
+    canon = exact_dedup(spark, sf_dir).select(
+        F.col("canonical_doc_id").alias("doc_id")
+    )
+    scored = quality_score(spark, sf_dir).select("doc_id", "quality_band")
+    pred = d.select(
+        "doc_id", F.length("text").alias("n_chars"), _pred_lang_col().alias("pred_lang")
+    )
+    return (
+        pred.join(canon, "doc_id", "left_semi")
+        .join(scored, "doc_id")
+        .groupBy("pred_lang", "quality_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+    )
+
+
+CORPUS_CURATION_SQL = f"""
+WITH canon AS (
+  SELECT min(doc_id) AS doc_id
+  FROM (SELECT doc_id,
+               regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm
+        FROM documents)
+  GROUP BY norm
+),
+scored AS (
+  SELECT doc_id, quality_band FROM ({QUALITY_SCORE_SQL})
+),
+pred AS (
+  SELECT doc_id, length(text) AS n_chars,
+         CASE WHEN {_COUNTS['en']} = {_MX} THEN 'en'
+              WHEN {_COUNTS['de']} = {_MX} THEN 'de'
+              WHEN {_COUNTS['es']} = {_MX} THEN 'es'
+              WHEN {_COUNTS['fr']} = {_MX} THEN 'fr'
+              WHEN {_COUNTS['zh']} = {_MX} THEN 'zh'
+         END AS pred_lang
+  FROM documents
+)
+SELECT pred_lang, quality_band,
+       count(*) AS n_docs,
+       sum(n_chars) AS n_chars
+FROM pred
+JOIN canon USING (doc_id)
+JOIN scored USING (doc_id)
+GROUP BY pred_lang, quality_band
+"""
+
+
 QUERIES = {
     "text_token_stats": (token_stats, TOKEN_STATS_SQL),
     "text_quality_score": (quality_score, QUALITY_SCORE_SQL),
@@ -330,4 +395,5 @@ QUERIES = {
     "text_fingerprint": (fingerprint, FINGERPRINT_SQL),
     "text_bigram_tf": (bigram_tf, BIGRAM_TF_SQL),
     "text_tfidf_top_terms": (tfidf_top_terms, TFIDF_SQL),
+    "text_corpus_curation": (corpus_curation, CORPUS_CURATION_SQL),
 }
