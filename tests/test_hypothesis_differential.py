@@ -113,3 +113,67 @@ def test_distinct_matches(spark, ks, vs):
     )
     want = _duck(pdf, "SELECT DISTINCT k, v FROM t")
     assert got == want
+
+
+@given(keys, vals)
+@SETTINGS
+def test_window_rank_with_ties_matches(spark, ks, vs):
+    """rank/dense_rank over duplicate order keys — tie semantics must
+    agree; row_number needs the unique tie-break the engine's
+    determinism policy mandates (so it is keyed by (v, k) here)."""
+    pdf = _pdf(ks, vs).fillna({"k": "zz"})
+    from pyspark.sql import Window
+    import pyspark.sql.functions as F
+
+    w = Window.orderBy("v", "k")
+    sdf = spark.createDataFrame(pdf).select(
+        "k",
+        "v",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.row_number().over(w).alias("rn"),
+    )
+    got = sorted([tuple(r) for r in sdf.collect()], key=repr)
+    want = _duck(
+        pdf,
+        """
+        SELECT k, v,
+               rank() OVER (ORDER BY v, k) AS rnk,
+               dense_rank() OVER (ORDER BY v, k) AS drnk,
+               row_number() OVER (ORDER BY v, k) AS rn
+        FROM t
+        """,
+    )
+    assert got == want
+
+
+unicode_strings = st.lists(
+    st.text(
+        alphabet=st.sampled_from(list("aA àé九🎉 \t-_") ),
+        min_size=0,
+        max_size=8,
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(unicode_strings)
+@SETTINGS
+def test_string_functions_unicode_matches(spark, texts):
+    """upper/length/trim/reverse on unicode (codepoints, not bytes)."""
+    pdf = pd.DataFrame({"s": texts})
+    import pyspark.sql.functions as F
+
+    sdf = spark.createDataFrame(pdf).select(
+        F.length("s").alias("n"),
+        F.upper("s").alias("up"),
+        F.trim(F.col("s")).alias("tr"),
+        F.reverse(F.col("s")).alias("rv"),
+    )
+    got = sorted([tuple(r) for r in sdf.collect()], key=repr)
+    want = _duck(
+        pdf,
+        "SELECT length(s) AS n, upper(s) AS up, trim(s) AS tr, reverse(s) AS rv FROM t",
+    )
+    assert got == want
