@@ -37,7 +37,11 @@ HEADLINE = [
     "udf_apply_in_pandas",
     "src_rest_paged_scan",
     "join_bucketed_colocated",
+    "join_lateral_topn",
     "agg_percentiles",
+    "agg_stats_moments",
+    "stream_hierarchical_rollup",
+    "text_corpus_curation",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "sim_brute_force_topk",
