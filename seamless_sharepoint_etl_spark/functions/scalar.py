@@ -1,5 +1,8 @@
 """Scalar function surface: string / date / math / array / JSON.
 
+Provenance: SURVEY.md §2 Tier B, Scalar-fns rows (the reference has no
+expression language — SURVEY.md §2 "Notably absent").
+
 All JVM-side Catalyst built-ins inside whole-stage codegen — no Python
 in these paths. Cross-engine parity traps handled explicitly in the
 oracles (documented per query): 0- vs 1-based array indexing, dayofweek

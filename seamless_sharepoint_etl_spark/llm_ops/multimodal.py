@@ -1,5 +1,8 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
+Provenance: SURVEY.md §2 Tier B, Multimodal row — north-star
+requirement (BASELINE.json), no reference counterpart.
+
 The fixtures carry no real image/audio bytes (TESTDATA.md), so the
 *payload* is the document's UTF-8 bytes treated as an opaque BLOB —
 which exercises exactly the Spark surface a real multimodal pipeline

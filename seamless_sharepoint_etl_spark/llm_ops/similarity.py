@@ -1,5 +1,8 @@
 """Similarity search over `embeddings` (north-star tier).
 
+Provenance: SURVEY.md §2 Tier B, Similarity-search row — north-star
+requirement (BASELINE.json), no reference counterpart.
+
 Three operators:
   brute-force top-k — exact cosine for a query subset. The O(Q×N)
       baseline; fine when Q is small, and the correctness oracle for

@@ -1,5 +1,8 @@
 """Text-analysis operators over `documents` (north-star tier).
 
+Provenance: SURVEY.md §2 Tier B, Text-analysis row — north-star
+requirement (BASELINE.json), no reference counterpart.
+
 Everything is JVM-side built-ins (split/explode/regexp/aggregate
 lambdas) — no Python in these paths. Per-token work explodes to a
 (doc, token) relation, aggregates with map-side partial agg, and never

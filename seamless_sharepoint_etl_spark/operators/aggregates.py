@@ -1,5 +1,8 @@
 """Aggregation operators: hash agg, distinct, rollup/cube/grouping sets.
 
+Provenance: SURVEY.md §2 Tier B, Aggregation row (the reference has
+no group-by of any kind — SURVEY.md §2 "Notably absent").
+
 Scale posture: every groupBy here is a Catalyst hash aggregate with
 map-side partial aggregation, so the shuffle carries one row per
 (partition × group), not per input row. Group-key cardinality is low

@@ -1,5 +1,8 @@
 """Join operators: broadcast, shuffle, semi/anti, outer, cross, range, as-of.
 
+Provenance: SURVEY.md §2 Tier B, Joins row (the reference performs no
+joins — SURVEY.md §2 "Notably absent").
+
 Scale posture per join:
   * dim joins (region/nation/customer enrich) — explicit ``F.broadcast``:
     zero shuffle of the fact side at any scale.

@@ -1,5 +1,9 @@
 """Sort / limit / top-k and set operators.
 
+Provenance: SURVEY.md §2 Tier B, Sort/Set rows; the reference's only
+sort is the source-pushed ORDER BY (A5, bin/copy-seamless-to-
+sharepoint.rb:85-86), generalized here.
+
 Scale posture: global top-k is ``orderBy().limit(k)`` — Spark plans
 TakeOrderedAndProject (per-partition heap + driver merge of k rows),
 NOT a full global sort; this is the 100 TB-safe global-rank shape.

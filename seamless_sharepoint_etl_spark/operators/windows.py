@@ -1,5 +1,8 @@
 """Window-function operators: rank/top-N, lag/lead, running & framed aggs.
 
+Provenance: SURVEY.md §2 Tier B, Window-functions row (explicitly
+absent from the reference — SURVEY.md §2 "Notably absent").
+
 Scale posture: every window here partitions by a real key (priority,
 customer, user) — state per partition is bounded and the single shuffle
 is on the partition key. No global (unpartitioned) windows: those

@@ -1,5 +1,9 @@
 """Real Structured Streaming jobs over the events table.
 
+Provenance: SURVEY.md §2 Tier B, Streaming row (no reference
+counterpart); the cron-tick batch pattern of the reference (A17,
+README.md:7) maps to Trigger.AvailableNow here.
+
 The batch-equivalent forms live in ``streaming.windows`` (oracle-
 checkable); these run the *same logical plans* through
 readStream → writeStream with ``Trigger.AvailableNow`` so watermark

@@ -1,5 +1,9 @@
 """Event-time window operators over `events` (batch-equivalent forms).
 
+Provenance: SURVEY.md §2 Tier B, Streaming row — no reference
+counterpart (the reference is a batch cron job); required by the
+driver contract / north star.
+
 Each operator here is the *batch* expression of a Structured Streaming
 computation (same code path Spark uses for `readStream`: F.window /
 F.session_window group keys), so the DuckDB oracle can check exact
