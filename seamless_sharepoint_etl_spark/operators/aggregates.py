@@ -401,6 +401,35 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def boolean_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate family: bool_and / bool_or / count_if — the
+    predicate-summary shape (any bad row? all rows conforming?) that
+    DQ dashboards aggregate at scale (single pass, 1-bit partials)."""
+    o = io.load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.bool_and(F.col("o_totalprice") > 900).alias("all_over_900"),
+            F.bool_or(F.col("o_orderstatus") == "P").alias("any_pending"),
+            F.count_if(F.col("o_totalprice") > 200000).alias("n_large"),
+            F.bool_and(F.col("o_orderdate") >= F.lit("1992-01-01")).alias(
+                "all_dates_valid"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+BOOLEAN_AGGS_SQL = """
+SELECT o_orderpriority,
+       bool_and(o_totalprice > 900) AS all_over_900,
+       bool_or(o_orderstatus = 'P') AS any_pending,
+       count(*) FILTER (WHERE o_totalprice > 200000) AS n_large,
+       bool_and(o_orderdate >= TIMESTAMP '1992-01-01') AS all_dates_valid
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 def collect_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered array aggregation: per-region sorted nation-name list +
     a delimited digest — collect_list is unordered by contract, so the
@@ -443,4 +472,5 @@ QUERIES = {
     "agg_approx_percentile": (approx_percentile_price, None),
     "agg_stats_moments": (stats_moments, STATS_MOMENTS_SQL),
     "agg_collect_ordered": (collect_ordered, COLLECT_ORDERED_SQL),
+    "agg_boolean": (boolean_aggs, BOOLEAN_AGGS_SQL),
 }
