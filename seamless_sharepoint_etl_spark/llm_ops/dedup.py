@@ -167,30 +167,21 @@ WHERE n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) >= {JACCARD_THRESHOLD}
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N_MINHASH-wide MinHash signature per doc from the seeded xxhash64
-    family (hash_i(s) = xxhash64(s, seed=i)) — fully deterministic.
+    family (hash_i(s) = xxhash64(xxhash64(s), seed=i)) — deterministic.
 
-    Computed as array lambdas over the per-doc shingle array (array_min
-    of transform) — a narrow map with NO explode/groupBy shuffle. At
-    100 TB the signature stage is embarrassingly parallel.
+    Derived from the same ``_hashed_shingles`` relation the verify pass
+    uses: one codegen unit for shingle construction across the whole
+    LSH pipeline (a deep per-seed higher-order-function expression
+    doubled cold JIT time for no warm benefit), and min-aggregation is
+    a codegen hash agg with map-side partials — the shuffle carries one
+    16-long row per (partition × doc).
     """
-    d = io.load_table_parallel(spark, sf_dir, "documents")
-    shingles = F.array_distinct(
-        F.expr(
-            f"""
-            transform(sequence(1, greatest(size(split(text, ' ')) - {SHINGLE_K - 1}, 1)),
-                      i -> concat_ws('_', slice(split(text, ' '), i, {SHINGLE_K})))
-            """
-        )
-    )
-    def mh(i: int):
-        # closure, not a 2-arg lambda (Spark reads those as (elem, idx))
-        return F.array_min(
-            F.transform(F.col("sh"), lambda s: F.xxhash64(s, F.lit(i)))
-        ).alias(f"mh{i}")
-
-    return d.select("doc_id", shingles.alias("sh")).select(
-        "doc_id", *[mh(i) for i in range(N_MINHASH)]
-    )
+    sh = _hashed_shingles(spark, sf_dir)
+    mins = [
+        F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"mh{i}")
+        for i in range(N_MINHASH)
+    ]
+    return sh.groupBy("doc_id").agg(*mins)
 
 
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
