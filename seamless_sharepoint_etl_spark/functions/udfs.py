@@ -173,3 +173,44 @@ QUERIES = {
     "udf_grouped_agg_pandas": (grouped_agg_pandas_udf, GROUPED_AGG_PANDAS_UDF_SQL),
     "udf_apply_in_pandas": (apply_in_pandas_zscore, APPLY_IN_PANDAS_ZSCORE_SQL),
 }
+
+
+# --- Python UDTF (table function) ------------------------------------------
+
+
+def python_udtf_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-evaluated Python UDTF, LATERAL-joined per input row: each
+    order explodes into one row per price bucket it clears — the
+    table-function shape (0..n output rows per input, new schema) that
+    scalar UDFs can't express.
+
+    100 TB: UDTFs stream Arrow batches like pandas_udfs; the lateral
+    correlation is a per-row generate, no shuffle.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="bucket STRING, floor_v INT")
+    class PriceBuckets:
+        def eval(self, price: float):
+            for name, lo in (("small", 0), ("mid", 100000), ("large", 200000)):
+                if price is not None and price >= lo:
+                    yield name, lo
+
+    spark.udtf.register("sse_price_buckets", PriceBuckets)
+    io.load_table(spark, sf_dir, "orders").createOrReplaceTempView("sse_orders_u")
+    return spark.sql(
+        """
+        SELECT o_orderkey, b.bucket, b.floor_v
+        FROM sse_orders_u, LATERAL sse_price_buckets(o_totalprice) AS b
+        """
+    )
+
+
+PYTHON_UDTF_SQL = """
+SELECT o_orderkey, b.bucket, b.floor_v
+FROM orders
+JOIN (VALUES ('small', 0), ('mid', 100000), ('large', 200000)) AS b(bucket, floor_v)
+  ON o_totalprice >= b.floor_v
+"""
+
+QUERIES["udf_python_udtf"] = (python_udtf_buckets, PYTHON_UDTF_SQL)
