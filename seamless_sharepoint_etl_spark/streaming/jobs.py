@@ -295,3 +295,34 @@ def run_session_window_stream(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def run_sliding_window_stream(
+    spark: SparkSession, src_dir: str, checkpoint: str, name: str = "sliding_stream"
+) -> DataFrame:
+    """1-hour windows sliding every 15 minutes through a real stream —
+    each event updates 4 overlapping window states; complete mode emits
+    the final counts for every window."""
+    stream = _read_stream(spark, src_dir)
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

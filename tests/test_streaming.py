@@ -166,3 +166,26 @@ def test_session_window_stream_equals_batch_closed_sessions(spark, stream_src, t
         assert batch_rows.get(key) == val, key
     # and the stream must have closed the overwhelming majority
     assert len(got_rows) >= 0.8 * len(batch_rows)
+
+
+def test_sliding_window_stream_equals_batch(spark, stream_src, tmp_path):
+    """Streamed sliding windows (complete mode) ≡ batch sliding windows."""
+    from seamless_sharepoint_etl_spark.streaming import jobs
+
+    got = jobs.run_sliding_window_stream(spark, stream_src, str(tmp_path / "ck"))
+    ev = spark.read.parquet(stream_src)
+    want = (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    g = {tuple(r) for r in got.collect()}
+    w = {tuple(r) for r in want.collect()}
+    assert g == w
