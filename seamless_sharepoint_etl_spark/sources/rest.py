@@ -134,6 +134,12 @@ def materialize_pages(
             if json.load(fh) == {"sf_dir": sf_dir, "page_size": page_size}:
                 return endpoint
     os.makedirs(endpoint, exist_ok=True)
+    # re-materializing (changed page size / interrupted run): remove
+    # stale pages first — leftovers with higher page numbers would be
+    # listed by the reader and double-count rows
+    for stale in os.listdir(endpoint):
+        if stale.startswith(("page-", ".page-")):
+            os.remove(os.path.join(endpoint, stale))
 
     items = io.seamless_items(spark, sf_dir)
     from pyspark.sql import Window

@@ -137,3 +137,24 @@ def test_signature_verified_by_transport(spark, tmp_path):
     except Exception as e:  # noqa: BLE001 — Py4J wraps the ValueError
         raised = "signature rejected" in str(e)
     assert raised
+
+
+def test_materialize_pages_cleans_stale_pages(spark, tmp_path):
+    """Re-materializing after a page-size change must not leave stale
+    pages behind (they would be double-read by the scan)."""
+    import json as _json
+
+    ep = str(tmp_path / "ep")
+    rest.materialize_pages(spark, SF, ep, page_size=100)
+    n_small = len([p for p in os.listdir(ep) if p.startswith("page-")])
+    rest.materialize_pages(spark, SF, ep, page_size=1000)
+    n_big = len([p for p in os.listdir(ep) if p.startswith("page-")])
+    assert n_big < n_small
+    # row count through the reader equals the source exactly
+    rest.register(spark)
+    df = (
+        spark.read.format("seamless_rest")
+        .option("endpoint", ep)
+        .load()
+    )
+    assert df.count() == rest.io.seamless_items(spark, SF).count()
