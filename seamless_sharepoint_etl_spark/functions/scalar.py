@@ -224,7 +224,8 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         F.element_at(m, "qty").alias("qty_lookup"),
         F.element_at(doubled, "price").alias("price_doubled"),
-        F.map_keys(merged).alias("keys3"),
+        # joined digest, not the raw array (driver canonicalizer hazard)
+        F.array_join(F.map_keys(merged), ",").alias("keys3"),
         F.size(merged).alias("n_entries"),
         F.element_at(F.map_values(merged), 3).alias("third_value"),
     )
@@ -234,7 +235,7 @@ MAP_FUNCTIONS_SQL = """
 SELECT l_orderkey, l_linenumber,
        l_quantity AS qty_lookup,
        l_extendedprice * 2 AS price_doubled,
-       ['qty', 'price', 'disc'] AS keys3,
+       'qty,price,disc' AS keys3,
        3 AS n_entries,
        l_discount AS third_value
 FROM lineitem

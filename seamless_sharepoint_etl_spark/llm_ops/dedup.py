@@ -31,6 +31,12 @@ JACCARD_THRESHOLD = 0.8
 SHINGLE_K = 5
 N_MINHASH = 16
 LSH_BANDS = 8  # × 2 rows/band = 16 hashes
+# Stop-shingle cap: a shingle shared by k docs explodes into k(k-1)/2
+# pairs, so one boilerplate 5-gram shared by 10⁶ docs would emit 5·10¹¹
+# pairs from a single posting list. Postings longer than this are
+# dropped (the shingle is effectively a stopword and carries no dedup
+# signal); the dropped count is surfaced as an `observe` metric.
+MAX_POSTING = 1000
 
 
 def _norm_text():
@@ -125,10 +131,11 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     explosion (sizes carried in the structs) → one pair-count hash agg.
     Exactly 2 shuffles (posting groupBy, pair groupBy) and zero joins —
     the naive shingle self-join needs 5 exchanges for the same answer.
-    100 TB note: a shingle shared by k docs emits k·(k−1)/2 pairs, so
-    ultra-common shingles need a posting-length cap (stop-shingle
-    removal) at real scale; fixture max postings is 4, far below any
-    cap, so the oracle stays exact.
+    100 TB note: postings longer than MAX_POSTING are stop-shingles and
+    are dropped before the pair explode (k·(k−1)/2 growth otherwise);
+    the `ngram_posting_cap` observation reports how many were dropped.
+    Fixture max posting is 4, far below the cap, so the oracle stays
+    exact.
     """
     sh = _hashed_shingles(spark, sf_dir)
     # posting list per shingle key; singleton shingles can't form pairs
@@ -136,6 +143,11 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh.groupBy("h")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds"))
         .filter(F.size("ds") >= 2)
+        .observe(
+            "ngram_posting_cap",
+            F.count_if(F.size("ds") > MAX_POSTING).alias("dropped_shingles"),
+        )
+        .filter(F.size("ds") <= MAX_POSTING)
     )
     pairs = posting.select(F.explode(F.expr(_PAIR_EXPLODE)).alias("p")).select("p.*")
     inter = pairs.groupBy("doc_lo", "n_lo", "doc_hi", "n_hi").agg(
@@ -326,18 +338,25 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def neardup_clusters(
+    spark: SparkSession, sf_dir: str, max_rounds: int = 50
+) -> DataFrame:
     """Connected components over near-dup pairs → canonical doc per
     cluster (the decision step of dedup: which copies to drop).
 
     Iterative label propagation (min-label spread along edges) until
     fixpoint — the standard large-scale CC algorithm expressed in pure
     DataFrame ops. Each round: label(v) ← min(label(v), min over
-    neighbors). Diameter of near-dup clusters is tiny (dup groups are
-    cliques or near-cliques), so rounds = O(log d) ≈ 2-3; each round is
-    one shuffle join + one aggregate. Genuinely iterative ⇒ no SQL
-    oracle (driver records rows-only); pytest checks the partition
-    properties: every pair co-clustered, canonical = min doc_id.
+    neighbors), and the loop exits when a round changes zero labels
+    (checked with a per-round count — one cheap extra job on the
+    already-persisted label relation). Convergence needs O(diameter)
+    rounds: dup groups are usually cliques (1 round), but chain-shaped
+    clusters (A~B~C~... with no A~C edge) genuinely need more, so a
+    fixed round count silently splits long chains. ``max_rounds`` is a
+    runaway backstop only; hitting it raises rather than returning a
+    wrong (split) clustering. Genuinely iterative ⇒ no SQL oracle
+    (driver records rows-only); pytest checks the partition properties:
+    every pair co-clustered, canonical = min doc_id, chains converge.
     """
     pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_lo", "doc_hi")
     # undirected edge list both ways + self-loops (isolated-pair safety)
@@ -353,16 +372,17 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("label", F.col("doc_id"))
     )
-    for _ in range(3):  # fixture dup groups are cliques: converges in 1
+    for round_no in range(max_rounds):
         neigh = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
-        labels = (
+        new_labels = (
             labels.join(neigh, labels.doc_id == neigh.src, "left")
             .select(
                 "doc_id",
+                F.col("label").alias("old_label"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
@@ -371,16 +391,30 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             # round, and without a persist the plan doubles per iteration
             .persist()
         )
+        changed = new_labels.filter(F.col("label") != F.col("old_label")).count()
+        labels.unpersist()
+        labels = new_labels.drop("old_label")
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"neardup_clusters did not converge in {max_rounds} rounds — "
+            "cluster diameter exceeds the backstop; raise max_rounds"
+        )
     return (
         labels.groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("cluster_size"),
-            F.array_sort(F.collect_list("doc_id")).alias("members"),
+            # delimited digest, not the raw array: array cells break the
+            # driver canonicalizer's pandas sort
+            F.array_join(F.array_sort(F.collect_list("doc_id")), "|").alias(
+                "members_joined"
+            ),
         )
         .select(
             F.col("label").alias("canonical_doc_id"),
             "cluster_size",
-            "members",
+            "members_joined",
         )
     )
 

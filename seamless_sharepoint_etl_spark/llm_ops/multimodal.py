@@ -134,13 +134,17 @@ def frame_sample_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JVM-side twin of the stub's 'frame sampling': sum of every 16th
     byte — proves byte-level ops need no Python (and oracles the stub)."""
     p = with_payload(spark, sf_dir)
+    # guarded: sequence(1, 0, 16) errors on an empty/NULL payload — an
+    # empty asset must check out as 0, not kill the job
     return p.select(
         "doc_id",
         F.expr(
             """
             aggregate(
-              transform(sequence(1, length(payload), 16),
-                        i -> CAST(ascii(CAST(substring(payload, i, 1) AS STRING)) AS BIGINT)),
+              CASE WHEN length(payload) >= 1 THEN
+                transform(sequence(1, length(payload), 16),
+                          i -> CAST(ascii(CAST(substring(payload, i, 1) AS STRING)) AS BIGINT))
+              ELSE CAST(array() AS ARRAY<BIGINT>) END,
               CAST(0 AS BIGINT), (acc, x) -> acc + x)
             """
         ).alias("byte_checksum"),

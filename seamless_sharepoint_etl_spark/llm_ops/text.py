@@ -245,11 +245,16 @@ FROM documents
 def bigram_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide bigram term frequencies (n-gram TF table)."""
     d = io.load_table_parallel(spark, sf_dir, "documents")
+    # guarded: sequence(1, size-1) DESCENDS ([1, 0]) when the doc has a
+    # single token, and split(text,' ')[i] then throws out-of-bounds —
+    # a 1-token/empty doc must yield zero bigrams, not kill the job
     bigrams = F.expr(
         """
-        transform(sequence(1, size(split(text, ' ')) - 1),
-                  i -> concat_ws('_', split(text, ' ')[i - 1],
-                                      split(text, ' ')[i]))
+        CASE WHEN size(split(text, ' ')) >= 2 THEN
+          transform(sequence(1, size(split(text, ' ')) - 1),
+                    i -> concat_ws('_', split(text, ' ')[i - 1],
+                                        split(text, ' ')[i]))
+        ELSE CAST(array() AS ARRAY<STRING>) END
         """
     )
     return (

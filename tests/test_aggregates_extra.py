@@ -11,11 +11,11 @@ def test_approx_percentile_within_accuracy(spark):
     from seamless_sharepoint_etl_spark.operators import aggregates
 
     approx = {
-        r["l_returnflag"]: r["approx_p25_50_75"]
+        r["l_returnflag"]: [r["approx_p25"], r["approx_p50"], r["approx_p75"]]
         for r in aggregates.approx_percentile_price(spark, SF).collect()
     }
     exact = {
-        r["l_returnflag"]: [r["p_25_75_99"][0], r["p50"], r["p_25_75_99"][1]]
+        r["l_returnflag"]: [r["p25"], r["p50"], r["p75"]]
         for r in aggregates.exact_percentiles(spark, SF).collect()
     }
     for flag, est in approx.items():

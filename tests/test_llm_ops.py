@@ -137,9 +137,10 @@ def test_neardup_clusters_partition_properties(spark):
     clusters = dedup.neardup_clusters(spark, SF_DIR).collect()
     label_of = {}
     for c in clusters:
-        assert c["canonical_doc_id"] == min(c["members"])
-        assert c["cluster_size"] == len(c["members"])
-        for m in c["members"]:
+        members = [int(m) for m in c["members_joined"].split("|")]
+        assert c["canonical_doc_id"] == min(members)
+        assert c["cluster_size"] == len(members)
+        for m in members:
             assert m not in label_of  # clusters are disjoint
             label_of[m] = c["canonical_doc_id"]
     paired_docs = {d for p in pairs for d in p}
@@ -188,3 +189,44 @@ def test_minhash_mllib_recall_vs_exact(spark):
     assert exact, "fixture must contain planted near-dups"
     recall = len(got & exact) / len(exact)
     assert recall >= 0.8, (recall, len(got), len(exact))
+
+
+def test_text_ops_survive_degenerate_docs(spark, tmp_path):
+    """1-token, empty, and NULL text must not kill the job: the round-1
+    bigram/frame-sample expressions built sequence(1, size-1), which
+    DESCENDS for size=1 and then indexes out of bounds. Real corpora
+    always contain such rows even when fixtures don't."""
+    import os
+
+    import pandas as pd
+
+    from seamless_sharepoint_etl_spark.llm_ops import multimodal, text
+
+    d = str(tmp_path / "degenerate")
+    os.makedirs(d)
+    pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": ["solo", "", None, "two tokens"],
+            "lang": ["en", "en", "en", "en"],
+            "source": ["src0"] * 4,
+            "n_chars": [4, 0, 0, 10],
+        }
+    ).to_parquet(os.path.join(d, "documents.parquet"))
+
+    bigrams = {r["bigram"]: r["tf"] for r in text.bigram_tf(spark, d).collect()}
+    assert bigrams == {"two_tokens": 1}
+
+    checksums = {
+        r["doc_id"]: r["byte_checksum"]
+        for r in multimodal.frame_sample_checksum(spark, d).collect()
+    }
+    assert checksums[0] == ord("s")  # every-16th byte over 4 bytes = byte 1 only
+    assert checksums[1] == 0  # empty payload -> 0, not an error
+    assert checksums[2] == 0  # NULL payload -> 0
+    assert checksums[3] == ord("t")  # 10 bytes -> byte 1 only
+
+    # the rest of the text family also runs clean over the same rows
+    text.fingerprint(spark, d).collect()
+    text.token_stats(spark, d).collect()
+    text.quality_score(spark, d).collect()
