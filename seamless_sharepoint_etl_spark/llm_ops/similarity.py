@@ -96,24 +96,58 @@ FROM (
 """
 
 
-def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (all pairs ≥ NEARDUP_COS).
+N_BLOCKS = 8  # blocked all-pairs grid; ~sqrt(2 × target task count) at scale
 
-    The exact all-pairs form is the correctness baseline; at 100 TB the
-    same verify step runs only on LSH/IVF candidate pairs (see ivf_topk
-    and dedup.minhash_lsh_pairs for the candidate-generation pattern —
-    here N² is fine because N = the embedding table, not the corpus).
+
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (all pairs ≥ NEARDUP_COS),
+    computed as a *blocked* all-pairs join (block-matrix decomposition).
+
+    Why not LSH candidates here: NEARDUP_COS = 0.42 ⇒ pair angle ≈ 65°,
+    which is *below* the regime where sign-random-projection banding
+    prunes — at p = 1−θ/π ≈ 0.64 per hyperplane, any band scheme with
+    recall ≈ 1 (required: this query is oracle-checked exactly) also
+    admits nearly every random pair (p₀ = 0.5), i.e. zero pruning. The
+    banded-candidate path is the right tool for genuinely-near
+    thresholds (≥0.9 — see dedup.minhash_lsh_pairs); an exact low-
+    threshold all-pairs is irreducibly O(N²) *compute*, so the scale
+    problem to solve is the *execution shape*, not the pair count.
+
+    Execution shape: vectors hash into N_BLOCKS groups; side A carries
+    each vector to every block-pair (g, g′≥g) it belongs to, side B
+    symmetrically, and the join is a pure EQUI-join on the block-pair
+    key — no BroadcastNestedLoop, no full-table broadcast (round-1 plan
+    pinned the BNLJ as a scale-killer). Each task holds ~N/N_BLOCKS
+    rows of one side (tunable), shuffle volume is (N_BLOCKS+1)/2 × N
+    rows per side, and the N² pair stream is evenly spread over the
+    block grid — the standard distributed all-pairs layout.
     """
     e = io.load_table_parallel(spark, sf_dir, "embeddings")
-    v = e.select("vec_id", _dbl("embedding").alias("v"))
-    a = v.select(F.col("vec_id").alias("id_lo"), F.col("v").alias("va"))
-    b = v.select(F.col("vec_id").alias("id_hi"), F.col("v").alias("vb"))
+    v = e.select(
+        "vec_id",
+        _dbl("embedding").alias("v"),
+        F.pmod(F.xxhash64("vec_id"), F.lit(N_BLOCKS)).cast("int").alias("g"),
+    )
+    a = v.select(
+        F.col("vec_id").alias("ida"), F.col("v").alias("va"), F.col("g").alias("ga")
+    ).withColumn("gb", F.explode(F.sequence(F.col("ga"), F.lit(N_BLOCKS - 1))))
+    b = v.select(
+        F.col("vec_id").alias("idb"), F.col("v").alias("vb"), F.col("g").alias("gb")
+    ).withColumn("ga", F.explode(F.sequence(F.lit(0), F.col("gb"))))
     cos = _dot(F.col("va"), F.col("vb")) / (
         _norm(F.col("va")) * _norm(F.col("vb"))
     )
     return (
-        a.join(b, F.col("id_lo") < F.col("id_hi"))
-        .select("id_lo", "id_hi", cos.alias("cos"))
+        a.join(b, ["ga", "gb"])
+        # cross-block pairs arrive exactly once (side = block order);
+        # same-block pairs arrive in both orientations — keep one
+        .filter((F.col("ga") < F.col("gb")) | (F.col("ida") < F.col("idb")))
+        .filter(F.col("ida") != F.col("idb"))
+        .select(
+            F.least("ida", "idb").alias("id_lo"),
+            F.greatest("ida", "idb").alias("id_hi"),
+            cos.alias("cos"),
+        )
         .filter(F.col("cos") >= NEARDUP_COS)
         .select("id_lo", "id_hi", F.round("cos", 6).alias("cosine"))
     )
@@ -188,15 +222,18 @@ def _kmeans_buckets(v: DataFrame, k: int, iters: int) -> DataFrame:
     return assign.select("vec_id", "bucket"), cent
 
 
-def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: deterministic k-means coarse quantizer (NLIST
-    buckets), probe top-NPROBE buckets per query, exact cosine inside
-    probed buckets only — each query scans ~NPROBE/NLIST of the data.
+def _ivf_probes_and_candidates(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared IVF router: deterministic k-means coarse quantizer (NLIST
+    buckets) + top-NPROBE probe assignment per query.
 
-    rows-only check; pytest gates recall vs brute_force_topk on the
-    high-cosine subset (the retrievable structure — the fixture
-    embeddings are near-uniform directions, where no ANN can beat the
-    scan fraction on *arbitrary* neighbors).
+    Returns ``(probes, cand)``: probes = (query_id, qv, bucket) with one
+    row per probed bucket; cand = (bucket, cand_id, cv) — the bucketed
+    base table. Joining them on `bucket` restricts any downstream
+    scoring (float or quantized) to ~NPROBE/NLIST of the data. The
+    centroid table is NLIST rows → broadcast; the bucket assignment of
+    the base table is one equi-join on vec_id.
     """
     e = io.load_table_parallel(spark, sf_dir, "embeddings")
     v = e.select("vec_id", _dbl("embedding").alias("v"))
@@ -220,10 +257,23 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = qc.withColumn("pr", F.row_number().over(wq)).filter(
         F.col("pr") <= NPROBE
     ).select("query_id", "qv", F.col("bucket"))
-    # exact search inside probed buckets
     cand = v.join(buckets, "vec_id").select(
         "bucket", F.col("vec_id").alias("cand_id"), F.col("v").alias("cv")
     )
+    return probes, cand
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: probe top-NPROBE buckets per query, exact cosine
+    inside probed buckets only — each query scans ~NPROBE/NLIST of the
+    data.
+
+    rows-only check; pytest gates recall vs brute_force_topk on the
+    high-cosine subset (the retrievable structure — the fixture
+    embeddings are near-uniform directions, where no ANN can beat the
+    scan fraction on *arbitrary* neighbors).
+    """
+    probes, cand = _ivf_probes_and_candidates(spark, sf_dir)
     cos = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
     scored = (
         probes.join(cand, "bucket")
@@ -238,46 +288,51 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-k over int8-quantized embeddings — the memory/bandwidth scale
-    path (4× smaller vectors than float32, 8× vs double).
+def _quantize(vec_col, scale_col):
+    return F.transform(vec_col, lambda x: F.round(x / scale_col).cast("int"))
 
-    Symmetric linear quantization per vector: scale = max|x|/127,
-    q_i = round(x_i/scale). Dot products run on the int arrays and are
-    rescaled by the two scales — cosine error is O(1/127) per axis.
-    Deterministic; rows-only for the driver, pytest gates recall@10 vs
-    the exact brute force.
+
+def quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k over int8-quantized embeddings *inside IVF-probed buckets*
+    — the full memory/bandwidth scale path: the coarse quantizer cuts
+    candidate count to ~NPROBE/NLIST of the data, and int8 symmetric
+    linear quantization (scale = max|x|/127, q_i = round(x_i/scale))
+    cuts per-candidate bytes 4× vs float32 / 8× vs double. Round 1
+    quantized over a full crossJoin — bandwidth saved but candidates
+    not pruned; composing with the IVF router fixes that.
+
+    Dot products run on the int arrays and are rescaled by the two
+    scales — cosine error is O(1/127) per axis. Deterministic;
+    rows-only for the driver, pytest gates agreement vs the float IVF
+    path (same probes, quantization the only difference) and cosine
+    error vs exact.
     """
-    e = io.load_table_parallel(spark, sf_dir, "embeddings")
-    v = e.select("vec_id", _dbl("embedding").alias("v"))
-    quant = (
-        v.select(
-            "vec_id",
-            (F.array_max(F.transform(F.col("v"), lambda x: F.abs(x))) / 127.0).alias(
-                "scale"
-            ),
-            "v",
-        )
-        .select(
-            "vec_id",
-            "scale",
-            F.transform(
-                F.col("v"), lambda x: F.round(x / F.col("scale")).cast("int")
-            ).alias("q"),
-            _norm(F.col("v")).alias("norm"),
-        )
+    probes, cand = _ivf_probes_and_candidates(spark, sf_dir)
+    qside = probes.select(
+        "query_id",
+        "bucket",
+        (F.array_max(F.transform(F.col("qv"), F.abs)) / 127.0).alias("qs"),
+        _norm(F.col("qv")).alias("qn"),
+        "qv",
+    ).select(
+        "query_id",
+        "bucket",
+        "qs",
+        "qn",
+        _quantize(F.col("qv"), F.col("qs")).alias("qq"),
     )
-    q = quant.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("scale").alias("qs"),
-        F.col("q").alias("qq"),
-        F.col("norm").alias("qn"),
-    )
-    c = quant.select(
-        F.col("vec_id").alias("cand_id"),
-        F.col("scale").alias("cs"),
-        F.col("q").alias("cq"),
-        F.col("norm").alias("cn"),
+    cside = cand.select(
+        "bucket",
+        "cand_id",
+        (F.array_max(F.transform(F.col("cv"), F.abs)) / 127.0).alias("cs"),
+        _norm(F.col("cv")).alias("cn"),
+        "cv",
+    ).select(
+        "bucket",
+        "cand_id",
+        "cs",
+        "cn",
+        _quantize(F.col("cv"), F.col("cs")).alias("cq"),
     )
     int_dot = F.aggregate(
         F.zip_with(F.col("qq"), F.col("cq"), lambda a, b: (a * b).cast("long")),
@@ -287,11 +342,9 @@ def quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx_cos = (int_dot.cast("double") * F.col("qs") * F.col("cs")) / (
         F.col("qn") * F.col("cn")
     )
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy("query_id").orderBy(F.desc("acos"), F.asc("cand_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("acos"), F.asc("cand_id"))
     return (
-        q.crossJoin(c)
+        qside.join(cside, "bucket")
         .filter(F.col("query_id") != F.col("cand_id"))
         .select("query_id", "cand_id", approx_cos.alias("acos"))
         .withColumn("rank", F.row_number().over(w))

@@ -84,6 +84,7 @@ _GRADE_FIRST = [
     "src_csv_scan",
     "src_rest_paged_scan",
     "src_rest_sink_roundtrip",
+    "src_rest_topn_pushdown",
     # vectorized UDF surface
     "udf_scalar_pandas",
     "udf_grouped_agg_pandas",

@@ -122,16 +122,24 @@ def materialize_pages(
 ) -> str:
     """Write the seamless_items view as a paged REST endpoint directory.
 
-    Distributed: page ids are assigned by a row_number window over
-    po_number, rows are hash-repartitioned by page id, and each task
-    writes the pages it owns — no driver-side collect of data rows.
-    Idempotent per (sf_dir, page_size): skipped when the manifest of an
-    earlier materialization matches.
+    Distributed: global row positions come from partition-offset
+    arithmetic — range-repartition by po_number, count rows per range
+    partition (a tiny P-row collect), cumulative offsets, then a
+    row_number window PARTITIONED by the range id (parallel, one task
+    per range — round 1 used an unpartitioned global window, which
+    collapsed page assignment to a single task). Rows are then
+    hash-repartitioned by page id and each task writes the pages it
+    owns — no driver-side collect of data rows. Idempotent per
+    (sf_dir, page_size): skipped when the manifest of an earlier
+    materialization matches.
     """
     marker = os.path.join(endpoint, "_done.json")
+    # version bump forces re-materialization of endpoints written before
+    # the pages.json pagination index existed
+    marker_body = {"sf_dir": sf_dir, "page_size": page_size, "version": 2}
     if os.path.exists(marker):
         with open(marker) as fh:
-            if json.load(fh) == {"sf_dir": sf_dir, "page_size": page_size}:
+            if json.load(fh) == marker_body:
                 return endpoint
     os.makedirs(endpoint, exist_ok=True)
     # re-materializing (changed page size / interrupted run): remove
@@ -144,9 +152,34 @@ def materialize_pages(
     items = io.seamless_items(spark, sf_dir)
     from pyspark.sql import Window
 
-    w = Window.orderBy("po_number")
-    paged = items.withColumn(
-        "__page", ((F.row_number().over(w) - F.lit(1)) / F.lit(page_size)).cast("long")
+    n_ranges = 16
+    ranged = (
+        items.repartitionByRange(n_ranges, "po_number")
+        .withColumn("__pid", F.spark_partition_id())
+        # persist: the per-partition counts job and the write job must
+        # see the identical range partitioning
+        .persist()
+    )
+    counts = sorted(
+        (r["__pid"], r["cnt"])
+        for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, cnt in counts:  # range partition ids follow po_number order
+        offsets[pid] = acc
+        acc += cnt
+    off_col = F.element_at(
+        F.create_map(
+            *[F.lit(x) for pid, off in offsets.items() for x in (pid, off)]
+        ),
+        F.col("__pid"),
+    )
+    w = Window.partitionBy("__pid").orderBy("po_number")
+    paged = ranged.withColumn(
+        "__page",
+        ((off_col + F.row_number().over(w) - F.lit(1)) / F.lit(page_size)).cast(
+            "long"
+        ),
     )
     catalog = list(ITEMS_CATALOG)
     name_to_id = {c["printable_name"]: c["column_id"] for c in catalog}
@@ -166,10 +199,28 @@ def materialize_pages(
         return iter(())
 
     paged.repartition(8, "__page").foreachPartition(lambda it: list(write_pages(it)))
+    ranged.unpersist()
     with open(os.path.join(endpoint, "catalog.json"), "w") as fh:
         json.dump({"columns": catalog}, fh)
+    # pagination index — the server-side metadata that makes ORDER
+    # BY/LIMIT pushdown exact: per-page row counts in po_number order
+    n_rows = acc
+    pages_meta = []
+    for page in range((n_rows + page_size - 1) // page_size):
+        pages_meta.append(
+            {
+                "file": f"page-{page:05d}.json",
+                "rows": min(page_size, n_rows - page * page_size),
+            }
+        )
+    with open(os.path.join(endpoint, "pages.json"), "w") as fh:
+        json.dump(
+            {"order_by": "po_number", "order": "asc", "n_rows": n_rows,
+             "page_size": page_size, "pages": pages_meta},
+            fh,
+        )
     with open(marker, "w") as fh:
-        json.dump({"sf_dir": sf_dir, "page_size": page_size}, fh)
+        json.dump(marker_body, fh)
     return endpoint
 
 
@@ -183,6 +234,7 @@ _PUSHABLE = (GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, EqualTo
 @dataclass
 class PagePartition(InputPartition):
     path: str
+    take: int | None = None  # pushed-TopN prefix: rows to emit from this page
 
 
 class SeamlessRestReader(DataSourceReader):
@@ -212,12 +264,55 @@ class SeamlessRestReader(DataSourceReader):
 
     def partitions(self) -> list[PagePartition]:
         endpoint = self.options["endpoint"]
+        limit = self.options.get("limit")
+        order_by = self.options.get("order_by")
+        if limit is not None and order_by is not None:
+            return self._topn_partitions(endpoint, order_by, int(limit))
         pages = sorted(
             os.path.join(endpoint, p)
             for p in os.listdir(endpoint)
             if p.startswith("page-") and p.endswith(".json")
         )
         return [PagePartition(p) for p in pages]
+
+    def _topn_partitions(
+        self, endpoint: str, order_by: str, limit: int
+    ) -> list[PagePartition]:
+        """ORDER BY + LIMIT pushdown — the reference pushes sort/limit
+        server-side (bin/copy-seamless-to-sharepoint.rb:85-86) rather
+        than paging the full table and sorting client-side.
+
+        The endpoint serves pages pre-sorted (pages.json declares the
+        served order), so a TopN *in that order* is a page-PREFIX read:
+        only ceil(limit/page_size) pages are listed as partitions, and
+        the last one carries an exact `take` count. Scan cost is
+        proportional to the limit, not the table. Any other sort order
+        the server can't provide raises — the caller then sorts in
+        Spark (never silently wrong). With pushed filters the prefix
+        arithmetic no longer holds (filters drop rows), so that
+        combination also raises rather than under-returning.
+        """
+        with open(os.path.join(endpoint, "pages.json")) as fh:
+            index = json.load(fh)
+        if order_by != index["order_by"] or self.options.get("order", "asc") != index["order"]:
+            raise ValueError(
+                f"endpoint serves order ({index['order_by']} {index['order']}); "
+                f"requested ({order_by} {self.options.get('order', 'asc')}) must "
+                "be sorted Spark-side"
+            )
+        if self.server_filters:
+            raise ValueError("pushed limit cannot compose with pushed filters")
+        parts: list[PagePartition] = []
+        remaining = limit
+        for page in index["pages"]:
+            if remaining <= 0:
+                break
+            take = min(remaining, page["rows"])
+            parts.append(
+                PagePartition(os.path.join(endpoint, page["file"]), take=take)
+            )
+            remaining -= take
+        return parts
 
     def read(self, partition: PagePartition) -> Iterator[tuple]:
         # Per-request signing, reference layout (:33-39,:72-74). The
@@ -261,6 +356,8 @@ class SeamlessRestReader(DataSourceReader):
                     break
             if ok:
                 rows.append(row)
+            if partition.take is not None and len(rows) >= partition.take:
+                break  # pushed-TopN prefix satisfied — stop parsing
         # hand Spark one Arrow RecordBatch per page — columnar transfer,
         # no per-row pickling (the API accepts Iterator[RecordBatch])
         import pyarrow as pa
@@ -474,7 +571,41 @@ FROM items WHERE po_number > (SELECT wm FROM frontier)
 """
 
 
+TOPN_LIMIT = 2500  # > 1 page at page_size 2000 → exercises a partial take
+
+
+def rest_topn_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TopN THROUGH the REST source: ORDER BY po_number LIMIT n pushed
+    server-side (reference bin/copy-seamless-to-sharepoint.rb:85-86
+    pushes sort=...&sortOrder=... as query params).
+
+    The source reads only the first ceil(n/page_size) pages and trims
+    the last one to an exact row count — no Spark-side sort, no
+    TakeOrderedAndProject, scan cost ∝ n (plan-pinned in
+    tests/test_plans.py). po_number is unique (one per o_orderkey), so
+    the TopN set is deterministic and oracle-exact.
+    """
+    register(spark)
+    endpoint = materialize_pages(spark, sf_dir, _endpoint_for(sf_dir))
+    return (
+        spark.read.format("seamless_rest")
+        .option("endpoint", endpoint)
+        .option("order_by", "po_number")
+        .option("limit", str(TOPN_LIMIT))
+        .option("form_id", "CO16100000012041")
+        .option("request_ts", "1700000000")
+        .load()
+    )
+
+
+REST_TOPN_SQL = f"""
+WITH items AS ({io.SEAMLESS_ITEMS_SQL})
+SELECT * FROM items ORDER BY po_number LIMIT {TOPN_LIMIT}
+"""
+
+
 QUERIES = {
     "src_rest_paged_scan": (rest_paged_scan, REST_PAGED_SCAN_SQL),
     "src_rest_sink_roundtrip": (rest_sink_roundtrip, REST_SINK_ROUNDTRIP_SQL),
+    "src_rest_topn_pushdown": (rest_topn_scan, REST_TOPN_SQL),
 }

@@ -149,27 +149,33 @@ def test_neardup_clusters_partition_properties(spark):
         assert label_of[lo] == label_of[hi]  # edges never cross clusters
 
 
-def test_quantized_topk_recall_vs_exact(spark):
-    """int8 quantization: recall@10 vs exact brute force ≥ 0.9 and the
-    approx cosine within 0.02 of exact for every returned pair."""
+def test_quantized_topk_agrees_with_float_ivf(spark):
+    """IVF-routed int8 scoring: probes are shared with the float IVF
+    path, so quantization is the only difference — per-query top-10
+    overlap >= 0.9. Approx cosine stays within 0.02 of the exact value
+    for every pair the exact brute force also ranks."""
     from seamless_sharepoint_etl_spark.llm_ops import similarity
+
+    ivf = {}
+    for r in similarity.ivf_topk(spark, SF_DIR).collect():
+        ivf.setdefault(r["query_id"], set()).add(r["cand_id"])
+    quant = {}
+    for r in similarity.quantized_topk(spark, SF_DIR).collect():
+        quant.setdefault(r["query_id"], {})[r["cand_id"]] = r["approx_cosine"]
+
+    assert set(quant) == set(ivf)
+    overlaps = [
+        len(set(cands) & ivf[qid]) / len(ivf[qid]) for qid, cands in quant.items()
+    ]
+    assert sum(overlaps) / len(overlaps) >= 0.9, sorted(overlaps)[:5]
 
     exact = {}
     for r in similarity.brute_force_topk(spark, SF_DIR).collect():
         exact.setdefault(r["query_id"], {})[r["cand_id"]] = r["cosine"]
-    approx = {}
-    for r in similarity.quantized_topk(spark, SF_DIR).collect():
-        approx.setdefault(r["query_id"], {})[r["cand_id"]] = r["approx_cosine"]
-
-    assert set(approx) == set(exact)
-    recalls = []
-    for qid, cands in approx.items():
-        hit = len(set(cands) & set(exact[qid]))
-        recalls.append(hit / len(exact[qid]))
+    for qid, cands in quant.items():
         for cid, acos in cands.items():
-            if cid in exact[qid]:
-                assert abs(acos - exact[qid][cid]) < 0.02
-    assert sum(recalls) / len(recalls) >= 0.9
+            if cid in exact.get(qid, {}):
+                assert abs(acos - exact[qid][cid]) < 0.02, (qid, cid)
 
 
 def test_minhash_mllib_recall_vs_exact(spark):
@@ -230,3 +236,65 @@ def test_text_ops_survive_degenerate_docs(spark, tmp_path):
     text.fingerprint(spark, d).collect()
     text.token_stats(spark, d).collect()
     text.quality_score(spark, d).collect()
+
+
+def _chain_docs_dir(tmp_path):
+    """5 docs whose near-dup graph is a CHAIN 0-1-2-3-4: 64 unique base
+    tokens (60 distinct 5-gram shingles), doc_i replaces the first i of
+    5 positions spaced 10 apart. d = |i-j| replaced positions differ ->
+    J = (60-5d)/(60+5d): d=1 -> 0.846 (edge), d=2 -> 0.714 (no edge)."""
+    import os
+
+    import pandas as pd
+
+    base = [f"tok{t}" for t in range(64)]
+    positions = [5, 15, 25, 35, 45]
+    texts = []
+    for i in range(5):
+        toks = list(base)
+        for k in range(i):
+            toks[positions[k]] = f"alt{k}"
+        texts.append(" ".join(toks))
+    d = str(tmp_path / "chain")
+    os.makedirs(d)
+    pd.DataFrame(
+        {
+            "doc_id": list(range(5)),
+            "text": texts,
+            "lang": ["en"] * 5,
+            "source": ["src0"] * 5,
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(os.path.join(d, "documents.parquet"))
+    return d
+
+
+def test_neardup_chain_converges_to_one_cluster(spark, tmp_path):
+    """Chain-shaped cluster of diameter 4: a fixed 3-round label
+    propagation splits it (the round-1 bug); the fixpoint loop must
+    return ONE cluster with canonical id 0."""
+    from seamless_sharepoint_etl_spark.llm_ops import dedup
+
+    d = _chain_docs_dir(tmp_path)
+    pairs = {
+        (r["doc_lo"], r["doc_hi"])
+        for r in dedup.ngram_jaccard_pairs(spark, d).collect()
+    }
+    assert pairs == {(0, 1), (1, 2), (2, 3), (3, 4)}
+    clusters = dedup.neardup_clusters(spark, d).collect()
+    assert len(clusters) == 1
+    assert clusters[0]["canonical_doc_id"] == 0
+    assert clusters[0]["cluster_size"] == 5
+    assert clusters[0]["members_joined"] == "0|1|2|3|4"
+
+
+def test_posting_cap_drops_stop_shingles(spark, tmp_path, monkeypatch):
+    """With MAX_POSTING below the fixture's posting sizes every shared
+    shingle is a stop-shingle -> zero candidate pairs; the default cap
+    leaves the exact result intact (covered by the oracle test)."""
+    from seamless_sharepoint_etl_spark.llm_ops import dedup
+
+    d = _chain_docs_dir(tmp_path)
+    assert dedup.ngram_jaccard_pairs(spark, d).count() == 4
+    monkeypatch.setattr(dedup, "MAX_POSTING", 1)
+    assert dedup.ngram_jaccard_pairs(spark, d).count() == 0

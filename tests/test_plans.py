@@ -89,3 +89,41 @@ def test_join_strategy_hints_respected(spark):
     smj = o.hint("merge").join(li, o.o_orderkey == li.l_orderkey)
     plan2 = smj._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in plan2, plan2
+
+
+def test_embedding_neardup_is_blocked_equijoin(spark):
+    """The exact all-pairs near-dup runs as a blocked EQUI-join on the
+    block-grid key — never a BroadcastNestedLoop/cartesian over the
+    full table (the round-1 scale-killer)."""
+    plan = _plan(spark, "sim_embedding_neardup")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quantized_topk_routes_through_ivf(spark):
+    """int8 scoring runs only inside probed IVF buckets: the plan shows
+    the broadcast centroid join of the router, and the final scoring
+    join is an equi-join on the bucket key (no all-pairs crossJoin of
+    query × base as in round 1)."""
+    plan = _plan(spark, "sim_quantized_topk")
+    assert "BroadcastExchange" in plan  # centroid routing table
+    # the q×cand scoring join is keyed on bucket, not a cartesian
+    assert "CartesianProduct" not in plan
+
+
+def test_ngram_posting_cap_is_in_the_plan(spark):
+    """The stop-shingle cap must be a real filter in the physical plan,
+    not documentation."""
+    plan = _plan(spark, "dedup_ngram_jaccard")
+    from seamless_sharepoint_etl_spark.llm_ops.dedup import MAX_POSTING
+
+    assert f"size(ds#" in plan or str(MAX_POSTING) in plan
+
+
+def test_rest_topn_pushdown_no_spark_sort(spark):
+    """ORDER BY + LIMIT are absorbed by the REST source (page-prefix
+    read): the plan must contain neither a Spark sort nor a
+    TakeOrderedAndProject over the source."""
+    plan = _plan(spark, "src_rest_topn_pushdown")
+    assert "TakeOrderedAndProject" not in plan
+    assert "Sort " not in plan and "GlobalLimit" not in plan

@@ -158,3 +158,49 @@ def test_materialize_pages_cleans_stale_pages(spark, tmp_path):
         .load()
     )
     assert df.count() == rest.io.seamless_items(spark, SF).count()
+
+
+def test_rest_topn_matches_spark_side_sort(spark):
+    """Pushed TopN returns exactly the rows a Spark-side orderBy+limit
+    over the full source would, and reads only the page prefix."""
+    rest.register(spark)
+    endpoint = rest.materialize_pages(spark, SF, rest._endpoint_for(SF))
+    base = (
+        spark.read.format("seamless_rest")
+        .option("endpoint", endpoint)
+        .option("request_ts", "1700000000")
+        .load()
+    )
+    n_rows = base.count()
+    truth = base.orderBy("po_number").limit(rest.TOPN_LIMIT).collect()
+    got = rest.rest_topn_scan(spark, SF).collect()
+    assert len(got) == min(rest.TOPN_LIMIT, n_rows)
+    assert {r["po_number"] for r in got} == {r["po_number"] for r in truth}
+    # page-prefix read: partitions cover ceil(limit/page_size) pages max
+    reader = rest.SeamlessRestReader(
+        {"endpoint": endpoint, "order_by": "po_number", "limit": str(rest.TOPN_LIMIT)},
+        base.schema,
+        rest.SeamlessRestDataSource({"endpoint": endpoint})._catalog(),
+    )
+    parts = reader.partitions()
+    assert len(parts) <= (rest.TOPN_LIMIT + 1999) // 2000
+    assert sum(p.take for p in parts) == min(rest.TOPN_LIMIT, n_rows)
+
+
+def test_rest_topn_rejects_unservable_order(spark):
+    """A sort the server can't provide must raise, not silently return
+    the wrong order."""
+    import pytest
+
+    from pyspark.sql.types import StructType
+
+    rest.register(spark)
+    endpoint = rest.materialize_pages(spark, SF, rest._endpoint_for(SF))
+    cat = rest.SeamlessRestDataSource({"endpoint": endpoint})._catalog()
+    reader = rest.SeamlessRestReader(
+        {"endpoint": endpoint, "order_by": "amount", "limit": "10"},
+        StructType([]),
+        cat,
+    )
+    with pytest.raises(ValueError, match="sorted Spark-side"):
+        reader.partitions()
