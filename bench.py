@@ -47,6 +47,10 @@ HEADLINE = [
     "sim_brute_force_topk",
     "text_quality_score",
     "mm_binary_metadata",
+    # round-2 additions: the re-shaped scale paths + pushed TopN
+    "sim_embedding_neardup",
+    "sim_quantized_topk",
+    "src_rest_topn_pushdown",
 ]
 
 

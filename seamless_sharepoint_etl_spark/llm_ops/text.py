@@ -396,6 +396,113 @@ GROUP BY pred_lang, quality_band
 """
 
 
+def clean_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text cleaning — the normalization pass run before dedup/training:
+    strip URLs and e-mail addresses, drop control characters, collapse
+    whitespace, lowercase. All regexes are shared RE2/Java syntax so
+    the oracle applies the identical pipeline. Output is the cleaned
+    text's length + digest (compact, value-exact), not the text itself.
+
+    Pure JVM expression chain (regexp_replace stack) — one narrow pass,
+    no shuffle; at 100 TB this fuses into the scan's codegen stage.
+    """
+    d = io.load_table_parallel(spark, sf_dir, "documents")
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.lower(F.col("text")), r"https?://[^\s]+", " "
+                    ),
+                    r"[a-z0-9._%+-]+@[a-z0-9.-]+",
+                    " ",
+                ),
+                r"[\x00-\x1f]",
+                " ",
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.length(cleaned).alias("clean_len"),
+        F.substring(F.sha2(cleaned.cast("binary"), 256), 1, 16).alias("clean_digest"),
+    )
+
+
+CLEAN_NORMALIZE_SQL = """
+SELECT doc_id,
+       length(cleaned) AS clean_len,
+       lower(sha256(cleaned))[:16] AS clean_digest
+FROM (
+  SELECT doc_id,
+         trim(regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(lower(text), 'https?://[^\\s]+', ' ', 'g'),
+               '[a-z0-9._%+-]+@[a-z0-9.-]+', ' ', 'g'),
+             '[\\x00-\\x1f]', ' ', 'g'),
+           '\\s+', ' ', 'g')) AS cleaned
+  FROM documents
+)
+"""
+
+
+# Target sampling rates per language, percent. The mixture a pretraining
+# run wants rarely matches the crawl's distribution; deterministic
+# hash-gated sampling reweights without a shuffle or RNG state.
+MIXTURE_RATES = {"en": 100, "zh": 50, "es": 25}
+MIXTURE_DEFAULT_RATE = 10
+# Knuth multiplicative hash, mod-reduced BEFORE the multiply so the
+# product stays < 2^63 for any doc_id (overflow-safe at any scale).
+_MIX_HASH = "((doc_id % 4294967296) * 2654435761) % 4294967296 % 100"
+
+
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified mixture sampling — keep a per-language
+    fraction of documents using an arithmetic hash gate (no RNG, no
+    sampleBy seed dependence: the same doc survives on every run, on
+    any cluster, in any partition order — what makes a 100 TB sampling
+    job resumable and its output reproducible).
+
+    The survivor set rides with its mixture weight (1/rate) so
+    downstream token counts can be unbiased-estimated. Narrow (filter
+    only, no shuffle); the rate table is a literal CASE, not a join.
+    """
+    d = io.load_table_parallel(spark, sf_dir, "documents")
+    rate = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(pct))
+            for lang, pct in MIXTURE_RATES.items()
+        ],
+        F.lit(MIXTURE_DEFAULT_RATE),
+    )
+    return (
+        d.withColumn("rate_pct", rate)
+        .filter(F.expr(_MIX_HASH) < F.col("rate_pct"))
+        .select(
+            "doc_id",
+            "lang",
+            "rate_pct",
+            F.round(F.lit(100.0) / F.col("rate_pct"), 4).alias("mixture_weight"),
+        )
+    )
+
+
+MIXTURE_SAMPLE_SQL = f"""
+SELECT doc_id, lang, rate_pct,
+       round(100.0 / rate_pct, 4) AS mixture_weight
+FROM (
+  SELECT doc_id, lang,
+         CASE {' '.join(f"WHEN lang = '{lang}' THEN {pct}" for lang, pct in MIXTURE_RATES.items())}
+              ELSE {MIXTURE_DEFAULT_RATE} END AS rate_pct
+  FROM documents
+)
+WHERE {_MIX_HASH} < rate_pct
+"""
+
+
 QUERIES = {
     "text_token_stats": (token_stats, TOKEN_STATS_SQL),
     "text_quality_score": (quality_score, QUALITY_SCORE_SQL),
@@ -404,4 +511,6 @@ QUERIES = {
     "text_bigram_tf": (bigram_tf, BIGRAM_TF_SQL),
     "text_tfidf_top_terms": (tfidf_top_terms, TFIDF_SQL),
     "text_corpus_curation": (corpus_curation, CORPUS_CURATION_SQL),
+    "text_clean_normalize": (clean_normalize, CLEAN_NORMALIZE_SQL),
+    "text_mixture_sample": (mixture_sample, MIXTURE_SAMPLE_SQL),
 }

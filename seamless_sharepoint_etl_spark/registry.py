@@ -82,6 +82,8 @@ _GRADE_FIRST = [
     # sources (round-1 positions 51+, never graded)
     "src_json_scan",
     "src_csv_scan",
+    "src_orc_scan",
+    "src_binaryfile_scan",
     "src_rest_paged_scan",
     "src_rest_sink_roundtrip",
     "src_rest_topn_pushdown",
@@ -117,6 +119,8 @@ _GRADE_FIRST = [
     "text_bigram_tf",
     "text_tfidf_top_terms",
     "text_corpus_curation",
+    "text_clean_normalize",
+    "text_mixture_sample",
     # multimodal
     "mm_binary_metadata",
     "mm_decode_stub_features",

@@ -107,7 +107,104 @@ WHERE CAST(s_acctbal AS DECIMAL(12,2)) > 0
 """
 
 
+def orc_scan_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part → ORC → read back → filtered aggregate. ORC is the other
+    columnar format a Spark shop meets (Hive-lineage warehouses); like
+    parquet it supports column pruning and predicate pushdown, so —
+    unlike CSV/JSON — it IS a first-class 100 TB format, not
+    ingest-only. The filter below reaches the ORC scan as a pushed
+    predicate (PushedFilters in the plan)."""
+    path = _stage_dir(sf_dir, "part-orc")
+    marker = os.path.join(path, "_SUCCESS")
+    p = io.load_table(spark, sf_dir, "part")
+    if not os.path.exists(marker):
+        p.write.mode("overwrite").orc(path)
+
+    scanned = spark.read.orc(path)
+    return (
+        scanned.filter(F.col("p_retailprice") > 950)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("p_retailprice"), 2).alias("sum_price"),
+            F.round(F.avg("p_size"), 4).alias("avg_size"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+ORC_SCAN_PART_SQL = """
+SELECT p_brand,
+       count(*) AS n,
+       round(sum(p_retailprice), 2) AS sum_price,
+       round(avg(p_size), 4) AS avg_size
+FROM part
+WHERE p_retailprice > 950
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+N_BINARY_DOCS = 200  # files materialized for the binaryFile scan
+
+
+def binaryfile_scan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal asset ingestion: one opaque binary file per document
+    (UTF-8 payload, named doc-<id>.bin), scanned with Spark's
+    ``binaryFile`` source → (path, length, content) → doc id parsed
+    from the filename, byte length + SHA-256 digest computed JVM-side.
+
+    This is the front door of a multimodal pipeline at 100 TB: assets
+    land as files (images/audio/video), `binaryFile` lists them as a
+    distributed scan (one task per file group), and the first pass
+    computes metadata without decoding. The materialization writes
+    files from executors via foreachPartition — no driver collect.
+    The oracle recomputes length/digest from the source table, proving
+    the bytes survived the file round-trip exactly.
+    """
+    path = _stage_dir(sf_dir, "docs-bin")
+    marker = os.path.join(path, "_done")
+    if not os.path.exists(marker):
+        os.makedirs(path, exist_ok=True)
+        docs = (
+            io.load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < N_BINARY_DOCS)
+            .select("doc_id", "text")
+        )
+
+        def write_files(rows) -> None:
+            for r in rows:
+                tmp = os.path.join(path, f".doc-{r['doc_id']:06d}.tmp")
+                with open(tmp, "wb") as fh:
+                    fh.write((r["text"] or "").encode("utf-8"))
+                os.replace(tmp, os.path.join(path, f"doc-{r['doc_id']:06d}.bin"))
+
+        docs.repartition(8).foreachPartition(write_files)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+
+    scanned = (
+        spark.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(path)
+    )
+    return scanned.select(
+        F.regexp_extract(F.col("path"), r"doc-(\d+)\.bin$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.sha2(F.col("content"), 256).alias("digest"),
+    )
+
+
+BINARYFILE_SCAN_SQL = f"""
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       lower(sha256(text)) AS digest
+FROM documents WHERE doc_id < {N_BINARY_DOCS}
+"""
+
+
 QUERIES = {
     "src_json_scan": (json_scan_events, JSON_SCAN_EVENTS_SQL),
     "src_csv_scan": (csv_scan_supplier, CSV_SCAN_SUPPLIER_SQL),
+    "src_orc_scan": (orc_scan_part, ORC_SCAN_PART_SQL),
+    "src_binaryfile_scan": (binaryfile_scan_docs, BINARYFILE_SCAN_SQL),
 }

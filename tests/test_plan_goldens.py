@@ -1,0 +1,118 @@
+"""Golden physical-plan signatures for the scale-critical queries.
+
+A plan *signature* is the ordered list of operator names (plus the
+partitioning kind for every Exchange) extracted from the executed-plan
+tree — expression ids, codegen stage numbers, and plan ids are noise
+and are stripped. This pins exactly the properties the ad-hoc plan
+tests assert (join strategy, exchange count/kind, scan type, no
+surprise cartesians) for a much wider query set, as cheap regression
+armor: an optimizer-visible code change that flips a broadcast to a
+sort-merge join or adds a shuffle fails here first.
+
+Regenerate after an INTENDED plan change with:
+
+    SPARK_GRAFT_UPDATE_GOLDENS=1 python -m pytest tests/test_plan_goldens.py
+
+and review the golden diff like any code diff.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens", "plans")
+
+# Scale-critical set: every query whose plan shape round 1/2 argued
+# about, one per family at minimum.
+GOLDEN_QUERIES = [
+    "flagship_incremental_load",
+    "routing_1500_split",
+    "rel_project_filter_predicates",
+    "agg_pricing_summary",
+    "agg_percentiles",
+    "join_broadcast_dim",
+    "join_shuffle_fact",
+    "join_asof_last_click",
+    "win_running_sum",
+    "sort_top_k_global",
+    "dedup_exact_normalized",
+    "dedup_ngram_jaccard",
+    "sim_embedding_neardup",
+    "sim_quantized_topk",
+    "src_rest_paged_scan",
+    "src_rest_topn_pushdown",
+    "text_tfidf_top_terms",
+    "stream_sliding_window",
+]
+
+_EXCHANGE_KIND = re.compile(
+    r"(hashpartitioning|rangepartitioning|SinglePartition|RoundRobinPartitioning)"
+)
+
+# Runtime artifacts of an *executed* adaptive plan (they appear inside
+# InMemoryRelation once a cached relation has been materialized, which
+# depends on test order) — signature-noise, not plan shape.
+_RUNTIME_WRAPPERS = {
+    "ResultQueryStage",
+    "ShuffleQueryStage",
+    "BroadcastQueryStage",
+    "TableCacheQueryStage",
+    "AQEShuffleRead",
+    "ColumnarToRow",
+    "ReusedExchange",
+    "InputAdapter",
+}
+
+
+def _signature(plan: str) -> str:
+    out = []
+    for raw in plan.splitlines():
+        # an executed inner AQE plan prints "== Final Plan ==" followed
+        # by a duplicate "== Initial Plan ==" section — stop there
+        if "== Initial Plan ==" in raw:
+            break
+        # strip tree decoration and whole-stage-codegen stage markers
+        line = re.sub(r"^[\s+:*\-]*", "", raw)
+        line = re.sub(r"^\(\d+\)\s*", "", line)
+        if not line or line.startswith("=="):
+            continue
+        op = re.split(r"[ (]", line, 1)[0]
+        if not op or not op[0].isupper() or op in _RUNTIME_WRAPPERS:
+            continue
+        if op == "Exchange":
+            kind = _EXCHANGE_KIND.search(line)
+            out.append(f"Exchange {kind.group(1) if kind else '?'}")
+        elif op == "FileScan":
+            fmt = line.split(" ", 2)[1] if " " in line else "?"
+            out.append(f"FileScan {fmt}")
+        else:
+            out.append(op)
+    return "\n".join(out) + "\n"
+
+
+@pytest.mark.parametrize("name", GOLDEN_QUERIES)
+def test_plan_signature_matches_golden(spark, name):
+    from seamless_sharepoint_etl_spark import registry
+
+    df = registry.queries()[name](spark, SF)
+    sig = _signature(df._jdf.queryExecution().executedPlan().toString())
+    path = os.path.join(GOLDEN_DIR, f"{name}.txt")
+    if os.environ.get("SPARK_GRAFT_UPDATE_GOLDENS"):
+        os.makedirs(GOLDEN_DIR, exist_ok=True)
+        with open(path, "w") as fh:
+            fh.write(sig)
+        return
+    assert os.path.exists(path), (
+        f"no golden for {name}; run SPARK_GRAFT_UPDATE_GOLDENS=1 pytest "
+        "tests/test_plan_goldens.py"
+    )
+    with open(path) as fh:
+        golden = fh.read()
+    assert sig == golden, (
+        f"plan signature drift for {name} — if intended, regenerate goldens\n"
+        f"--- golden ---\n{golden}\n--- current ---\n{sig}"
+    )
