@@ -471,6 +471,71 @@ FROM nation GROUP BY n_regionkey
 """
 
 
+def hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level HLL sketch rollup — THE 100 TB distinct-count pattern:
+    build per-fine-grain sketches once (here per (returnflag,
+    linestatus)), then merge them upward with a union aggregate instead
+    of re-scanning the fact table per grain. At scale the fine sketches
+    are a materialized cube edge a few KB per cell; every coarser
+    rollup is sketch-merge only. Binary sketches stay internal — the
+    driver sees the estimates (scalar).
+
+    No oracle (DuckDB's HLL differs); pytest gates both levels against
+    exact distinct counts within the sketch's error bound.
+    """
+    li = io.load_table(spark, sf_dir, "lineitem")
+    fine = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.hll_sketch_agg("l_orderkey", 14).alias("sk")
+    )
+    return (
+        fine.groupBy("l_returnflag")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_orders"),
+            F.count(F.lit(1)).alias("n_cells_merged"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def mode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE (most frequent value, smallest-value
+    tiebreak) per group. Built-in ``mode()`` is tie-nondeterministic in
+    both engines, so the operator pins the tiebreak explicitly:
+    count per (group, value) → row_number ordered by (count DESC,
+    value ASC) → rank 1. Two exchanges; the second moves one row per
+    (group, value) pair — vocabulary-sized, not data-sized.
+    """
+    from pyspark.sql import Window
+
+    o = io.load_table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("n"), F.asc("o_orderstatus")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderpriority",
+            F.col("o_orderstatus").alias("mode_status"),
+            F.col("n").alias("mode_count"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+MODE_AGG_SQL = """
+SELECT o_orderpriority, mode_status, mode_count FROM (
+  SELECT o_orderpriority, o_orderstatus AS mode_status, count(*) AS mode_count,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY count(*) DESC, o_orderstatus ASC) AS rn
+  FROM orders GROUP BY o_orderpriority, o_orderstatus
+) WHERE rn = 1 ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
     "agg_pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
     "agg_multikey_distinct": (multikey_distinct, MULTIKEY_DISTINCT_SQL),
@@ -487,4 +552,6 @@ QUERIES = {
     "agg_stats_moments": (stats_moments, STATS_MOMENTS_SQL),
     "agg_collect_ordered": (collect_ordered, COLLECT_ORDERED_SQL),
     "agg_boolean": (boolean_aggs, BOOLEAN_AGGS_SQL),
+    "agg_hll_partial_merge": (hll_partial_merge, None),
+    "agg_mode": (mode_agg, MODE_AGG_SQL),
 }

@@ -195,6 +195,47 @@ WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal ASC, s_suppkey ASC),
 """
 
 
+def gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive ACTIVE DAYS per
+    user (sessionization at day grain — retention/streak analytics).
+
+    The classic trick: within each user, date − row_number(date) is
+    constant exactly along a consecutive run, so the anchor date is the
+    island id; one partitioned window + one grouped agg, both keyed by
+    user_id — a single shuffle of the distinct (user, day) relation,
+    which is orders of magnitude smaller than the raw events.
+    """
+    ev = io.load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = days.withColumn("anchor", F.date_sub(F.col("d"), F.row_number().over(w)))
+    return (
+        grp.groupBy("user_id", "anchor")
+        .agg(
+            F.min("d").alias("island_start"),
+            F.max("d").alias("island_end"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .select("user_id", "island_start", "island_end", "n_days")
+    )
+
+
+GAPS_ISLANDS_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events
+),
+g AS (
+  SELECT user_id, d,
+         d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS INTEGER)
+           AS anchor
+  FROM days
+)
+SELECT user_id, min(d) AS island_start, max(d) AS island_end,
+       count(*) AS n_days
+FROM g GROUP BY user_id, anchor
+"""
+
+
 QUERIES = {
     "win_topn_per_group": (topn_per_group, TOPN_PER_GROUP_SQL),
     "win_rank_dense_ntile": (rank_dense_ntile, RANK_DENSE_NTILE_SQL),
@@ -202,4 +243,5 @@ QUERIES = {
     "win_running_sum": (running_sum, RUNNING_SUM_SQL),
     "win_range_frame_30d": (range_frame_30d, RANGE_FRAME_SQL),
     "win_distribution_first_last": (distribution_first_last, DISTRIBUTION_SQL),
+    "win_gaps_islands": (gaps_islands, GAPS_ISLANDS_SQL),
 }

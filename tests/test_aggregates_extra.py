@@ -55,3 +55,32 @@ def test_incremental_append_idempotent_rerun(spark, tmp_path):
     assert n1 == n2 > 0
     total = spark.read.parquet(f"{out}/batch_from=*").count()
     assert total == n1
+
+
+def test_hll_partial_merge_matches_exact(spark):
+    """Two-level sketch rollup: merged estimates within HLL error of
+    the exact distinct counts, and estimates must agree with a direct
+    single-level sketch (merge loses nothing)."""
+    from seamless_sharepoint_etl_spark import io
+    from seamless_sharepoint_etl_spark.operators import aggregates
+
+    est = {
+        r["l_returnflag"]: r["approx_orders"]
+        for r in aggregates.hll_partial_merge(spark, SF).collect()
+    }
+    li = io.load_table(spark, SF, "lineitem")
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    direct = {
+        r["l_returnflag"]: r["e"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("l_orderkey", 14)).alias("e"))
+        .collect()
+    }
+    for flag, e in est.items():
+        assert abs(e - exact[flag]) / exact[flag] < 0.05, (flag, e, exact[flag])
+        assert e == direct[flag], "union-merge must equal single-level sketch"
