@@ -394,6 +394,60 @@ FROM customer c, LATERAL (
 """
 
 
+N_JOIN_SALT = 8
+
+
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof equi-join — the manual salting recipe as a REAL join
+    (complement of agg_salted_twophase, which salts an aggregation).
+
+    A hot join key sends its entire row set to one reducer in a plain
+    shuffle join. Salting spreads it: the BIG side (lineitem) gets a
+    random-but-deterministic salt in [0, k); the SMALL side (orders) is
+    exploded k× — one replica per salt value — and the join runs on
+    (key, salt), splitting each hot key across k reducers. Result is
+    IDENTICAL to the unsalted join (the oracle is the plain join); only
+    the shuffle distribution changes. Cost: small side ×k in the
+    shuffle — the standard trade. AQE's skew-join split handles
+    *detected* runtime skew; explicit salting is for KNOWN-pathological
+    keys where you want the split guaranteed at plan time.
+    """
+    li = io.load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    o = io.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    big = li.withColumn(
+        "salt", F.pmod(F.xxhash64("l_linenumber", "l_partkey"), F.lit(N_JOIN_SALT))
+    )
+    small = o.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(N_JOIN_SALT - 1)).cast("array<bigint>"))
+    )
+    joined = big.join(
+        small,
+        (big.l_orderkey == small.o_orderkey) & (big.salt == small.salt),
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_order_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SALTED_SKEW_JOIN_SQL = """
+SELECT o_orderpriority,
+       count(*) AS n_lines,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       round(max(o_totalprice), 2) AS max_order_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_quantity > 45
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
     "join_broadcast_dim": (broadcast_dim_join, BROADCAST_DIM_SQL),
     "join_shuffle_fact": (shuffle_fact_join, SHUFFLE_FACT_SQL),
@@ -406,4 +460,5 @@ QUERIES = {
     "join_asof_last_click": (asof_join_last_click, ASOF_JOIN_SQL),
     "join_bucketed_colocated": (bucketed_colocated_join, BUCKETED_JOIN_SQL),
     "join_lateral_topn": (lateral_topn_per_customer, LATERAL_TOPN_SQL),
+    "join_salted_skew": (salted_skew_join, SALTED_SKEW_JOIN_SQL),
 }

@@ -99,6 +99,7 @@ _GRADE_FIRST = [
     "stream_watermark_filter",
     "stream_dedup_first_per_key",
     "stream_hierarchical_rollup",
+    "stream_stream_join",
     # LLM-pipeline tier: dedup
     "dedup_exact_normalized",
     "dedup_ngram_jaccard",

@@ -159,6 +159,70 @@ def run_watermark_append(
     return spark.table(name)
 
 
+def run_stream_stream_join(
+    spark: SparkSession, src_dir: str, checkpoint: str, name: str = "ss_join"
+) -> DataFrame:
+    """Watermarked stream-stream inner join (purchase → view
+    attribution, the twin of ``windows.stream_stream_join_attrib``).
+
+    Both sides carry a watermark and the join condition carries the
+    time band — together they bound BOTH state stores: a buffered view
+    older than (watermark − band) is evicted because no future purchase
+    can reach back to it. Without the band the view state would grow
+    forever; this is the canonical stream-stream join contract.
+    """
+    views = (
+        _read_stream(spark, src_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("view_ts", "10 minutes")
+    )
+    buys = (
+        _read_stream(spark, src_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").alias("buy_ts"),
+            F.col("event_id").alias("buy_id"),
+            "value",
+        )
+        .withWatermark("buy_ts", "10 minutes")
+    )
+    joined = buys.join(
+        views,
+        F.expr(
+            """
+            user_id = v_user_id AND
+            view_ts <= buy_ts AND
+            view_ts >= buy_ts - INTERVAL 30 MINUTES
+            """
+        ),
+    )
+    q = (
+        joined.select(
+            "user_id",
+            "buy_id",
+            "view_id",
+            F.round("value", 4).alias("purchase_value"),
+            (
+                F.col("buy_ts").cast("long") - F.col("view_ts").cast("long")
+            ).alias("lag_seconds"),
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def run_dedup_within_watermark(
     spark: SparkSession, src_dir: str, checkpoint: str, name: str = "dedup_wm"
 ) -> DataFrame:

@@ -253,6 +253,67 @@ GROUP BY 1, 2
 """
 
 
+def stream_stream_join_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, batch-equivalent form: purchase →
+    view attribution — every (purchase, view) pair for the same user
+    where the view happened in the 30 minutes before the purchase.
+
+    The streaming twin (`jobs.run_stream_stream_join`) runs the same
+    plan as a watermarked stream-stream inner join; the time-band
+    condition is what lets Spark bound both join states (a view older
+    than watermark + 30 min can never match again and is evicted).
+    Scale: state per key is (events within the band) — the band width
+    is THE knob; shuffle is on user_id for both sides.
+    """
+    ev = io.load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("buy_ts"),
+        F.col("event_id").alias("buy_id"),
+        "value",
+    )
+    return (
+        buys.join(views, "user_id")
+        .filter(
+            (F.col("view_ts") <= F.col("buy_ts"))
+            & (F.col("view_ts") >= F.col("buy_ts") - F.expr("INTERVAL 30 MINUTES"))
+        )
+        .select(
+            "user_id",
+            "buy_id",
+            "view_id",
+            F.round("value", 4).alias("purchase_value"),
+            (
+                F.col("buy_ts").cast("timestamp").cast("long")
+                - F.col("view_ts").cast("timestamp").cast("long")
+            ).alias("lag_seconds"),
+        )
+    )
+
+
+STREAM_STREAM_JOIN_SQL = """
+WITH v AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS view_ts, event_id AS view_id
+  FROM events WHERE event_type = 'view'
+),
+b AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS buy_ts, event_id AS buy_id, value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT b.user_id, buy_id, view_id,
+       round(value, 4) AS purchase_value,
+       date_diff('second', view_ts, buy_ts) AS lag_seconds
+FROM b JOIN v ON b.user_id = v.user_id
+ AND view_ts <= buy_ts
+ AND view_ts >= buy_ts - INTERVAL '30 minutes'
+"""
+
+
 QUERIES = {
     "stream_tumbling_window": (tumbling_window_agg, TUMBLING_SQL),
     "stream_sliding_window": (sliding_window_agg, SLIDING_SQL),
@@ -260,4 +321,5 @@ QUERIES = {
     "stream_watermark_filter": (watermark_late_data_filter, WATERMARK_SQL),
     "stream_dedup_first_per_key": (streaming_dedup_keys, STREAM_DEDUP_SQL),
     "stream_hierarchical_rollup": (hierarchical_rollup, HIERARCHICAL_ROLLUP_SQL),
+    "stream_stream_join": (stream_stream_join_attrib, STREAM_STREAM_JOIN_SQL),
 }

@@ -189,3 +189,22 @@ def test_sliding_window_stream_equals_batch(spark, stream_src, tmp_path):
     g = {tuple(r) for r in got.collect()}
     w = {tuple(r) for r in want.collect()}
     assert g == w
+
+
+def test_stream_stream_join_equals_batch(spark, stream_src, tmp_path):
+    """Watermarked stream-stream interval join emits exactly the batch
+    attribution pairs (inner join: every band-matching pair, once)."""
+    from seamless_sharepoint_etl_spark.streaming import jobs, windows
+
+    got = jobs.run_stream_stream_join(spark, stream_src, str(tmp_path / "ck"))
+    want = windows.stream_stream_join_attrib(spark, SF_DIR)
+    g = {
+        (r["user_id"], r["buy_id"], r["view_id"], r["lag_seconds"])
+        for r in got.collect()
+    }
+    w = {
+        (r["user_id"], r["buy_id"], r["view_id"], r["lag_seconds"])
+        for r in want.collect()
+    }
+    assert w, "fixture must contain attributable purchases"
+    assert g == w
