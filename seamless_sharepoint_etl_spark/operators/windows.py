@@ -236,6 +236,90 @@ FROM g GROUP BY user_id, anchor
 """
 
 
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel detection (MATCH_RECOGNIZE-lite): how far does
+    each user get through view → click → purchase, where each stage
+    must happen strictly AFTER the previous one?
+
+    Expressed as three chained windowed conditional-mins over one
+    user-partitioned window: first view; first click after that view;
+    first purchase after that click. All three Window operators share
+    the same partitioning, so the whole funnel costs ONE shuffle on
+    user_id regardless of stage count — the scalable form of what
+    event-analytics engines do with sequence pattern matching.
+    """
+    ev = io.load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "fv", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "fc",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("fv")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "fp",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") > F.col("fc")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.select("user_id", "fv", "fc", "fp").distinct()
+    stage = (
+        F.when(F.col("fp").isNotNull(), 3)
+        .when(F.col("fc").isNotNull(), 2)
+        .when(F.col("fv").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        per_user.select("user_id", stage.alias("funnel_stage"))
+        .groupBy("funnel_stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("funnel_stage")
+    )
+
+
+FUNNEL_SQL = """
+WITH staged AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN tsc END)
+           OVER (PARTITION BY user_id) AS fv
+       , tsc, event_type
+  FROM (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS tsc FROM events)
+),
+staged2 AS (
+  SELECT user_id, fv,
+         min(CASE WHEN event_type = 'click' AND tsc > fv THEN tsc END)
+           OVER (PARTITION BY user_id) AS fc
+       , tsc, event_type
+  FROM staged
+),
+staged3 AS (
+  SELECT user_id, fv, fc,
+         min(CASE WHEN event_type = 'purchase' AND tsc > fc THEN tsc END)
+           OVER (PARTITION BY user_id) AS fp
+  FROM staged2
+),
+per_user AS (SELECT DISTINCT user_id, fv, fc, fp FROM staged3)
+SELECT CASE WHEN fp IS NOT NULL THEN 3
+            WHEN fc IS NOT NULL THEN 2
+            WHEN fv IS NOT NULL THEN 1
+            ELSE 0 END AS funnel_stage,
+       count(*) AS n_users
+FROM per_user
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "win_topn_per_group": (topn_per_group, TOPN_PER_GROUP_SQL),
     "win_rank_dense_ntile": (rank_dense_ntile, RANK_DENSE_NTILE_SQL),
@@ -244,4 +328,5 @@ QUERIES = {
     "win_range_frame_30d": (range_frame_30d, RANGE_FRAME_SQL),
     "win_distribution_first_last": (distribution_first_last, DISTRIBUTION_SQL),
     "win_gaps_islands": (gaps_islands, GAPS_ISLANDS_SQL),
+    "win_funnel_conversion": (funnel_conversion, FUNNEL_SQL),
 }
