@@ -161,8 +161,55 @@ FROM documents
 """
 
 
+N_HIST_BINS = 16  # byte high-nibble histogram
+
+
+def byte_histogram_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL (non-stub) feature extraction over binary payloads: a
+    16-bin byte histogram (high nibble) per asset, computed with numpy
+    over Arrow batches in ``mapInPandas`` — the exact shape an
+    image/audio featurizer has (bytes in → fixed-width numeric vector
+    out), but with arithmetic this container can actually run.
+
+    Per batch: one ``np.frombuffer`` + ``np.bincount`` per row, zero
+    Python-per-byte work; the Arrow batch amortizes the Python hop.
+    Output is 16 scalar columns (driver canonicalizer takes no
+    arrays). The DuckDB oracle recomputes every bin from the source
+    text, so the Python path is value-proven, not just smoke-tested.
+    """
+    p = with_payload(spark, sf_dir).select("doc_id", "payload")
+    cols = ["doc_id"] + [f"bin_{i:02d}" for i in range(N_HIST_BINS)]
+    schema = "doc_id BIGINT, " + ", ".join(
+        f"bin_{i:02d} BIGINT" for i in range(N_HIST_BINS)
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(payload or b"", dtype=np.uint8)
+                hist = np.bincount(arr >> 4, minlength=N_HIST_BINS)
+                rows.append([doc_id, *hist.tolist()])
+            yield pd.DataFrame(rows, columns=cols)
+
+    return p.mapInPandas(extract, schema)
+
+
+# ASCII fixture text ⇒ characters == bytes, so the oracle can count
+# high nibbles via ascii() per character position.
+BYTE_HISTOGRAM_SQL = "SELECT doc_id, " + ", ".join(
+    f"""coalesce(list_sum(list_transform(range(1, length(text) + 1),
+        i -> CASE WHEN ascii(substring(text, i, 1)) // 16 = {b}
+             THEN 1 ELSE 0 END)), 0) AS bin_{b:02d}"""
+    for b in range(N_HIST_BINS)
+) + " FROM documents"
+
+
 QUERIES = {
     "mm_binary_metadata": (binary_metadata, BINARY_METADATA_SQL),
     "mm_decode_stub_features": (decode_stub_features, None),
     "mm_frame_sample_checksum": (frame_sample_checksum, FRAME_SAMPLE_SQL),
+    "mm_byte_histogram": (byte_histogram_features, BYTE_HISTOGRAM_SQL),
 }

@@ -126,6 +126,7 @@ _GRADE_FIRST = [
     "mm_binary_metadata",
     "mm_decode_stub_features",
     "mm_frame_sample_checksum",
+    "mm_byte_histogram",
     # scalar-fn stragglers (round-1 positions 51-54)
     "fn_json",
     "fn_map",
