@@ -18,7 +18,7 @@ corpora the marker lists would come from per-language frequency tables.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import io
@@ -503,6 +503,113 @@ WHERE {_MIX_HASH} < rate_pct
 """
 
 
+# Per-language shares of the GLOBAL token count that the training run
+# budgets for each language. Chosen so every cutoff actually binds on
+# the fixture corpus (each lang holds ~20% of tokens, all shares < 0.2).
+TOKEN_BUDGET_SHARES = {"en": 0.10, "zh": 0.08, "es": 0.05}
+TOKEN_BUDGET_DEFAULT_SHARE = 0.03
+# Priority hash: same multiplicative scheme as _MIX_HASH but kept to a
+# full 32-bit range (priority order, not a percent gate). The inner
+# mod keeps the product < 2^63 for any doc_id.
+_ALLOC_HASH = "((doc_id % 1000000) * 2654435761) % 4294967296"
+_ALLOC_BUCKETS = 64
+_ALLOC_BUCKET_WIDTH = 4294967296 // _ALLOC_BUCKETS
+
+
+def token_budget_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-budget allocator: fill each language's share
+    of a global token budget by admitting documents in deterministic
+    hash-priority order until the language's budget is exhausted — how
+    a pretraining mixture turns target weights into an actual document
+    manifest.
+
+    Scale shape — the naive form is a running sum over ONE window per
+    language, which serializes each language through a single task (a
+    100 TB corpus is mostly one language). Instead the prefix sum is
+    two-phase: bucket docs by priority-hash range (bucket order ==
+    priority order), aggregate per-bucket token sums (parallel, tiny
+    result: langs × 64 rows), window over THAT to get each bucket's
+    starting offset, broadcast the offsets back, and run the exact
+    per-doc running sum partitioned by (lang, bucket) — 64-way
+    parallel per language, same selection as the global scan.
+    """
+    d = io.load_table_parallel(spark, sf_dir, "documents")
+    # persist the narrow (id, lang, tokens, pr, bkt) relation: it feeds
+    # both the bucket-sum agg and the final scan, and without it each
+    # reference re-reads the wide `text` column from parquet — at
+    # corpus scale that doubles the dominant IO for no reason. ~32
+    # bytes/row, orders of magnitude smaller than the corpus.
+    from pyspark import StorageLevel
+
+    docs = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.size(_tokens()).alias("tokens"),
+            F.expr(_ALLOC_HASH).alias("pr"),
+        )
+        .withColumn("bkt", F.expr(f"pr div {_ALLOC_BUCKET_WIDTH}"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    total = docs.agg(F.sum("tokens").alias("g_total"))
+    share = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(s))
+            for lang, s in TOKEN_BUDGET_SHARES.items()
+        ],
+        F.lit(TOKEN_BUDGET_DEFAULT_SHARE),
+    )
+    bucket_sums = docs.groupBy("lang", "bkt").agg(
+        F.sum("tokens").alias("bkt_tokens")
+    )
+    wb = (
+        Window.partitionBy("lang")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    starts = bucket_sums.select(
+        "lang",
+        "bkt",
+        F.coalesce(F.sum("bkt_tokens").over(wb), F.lit(0)).alias("bkt_start"),
+    )
+    wd = Window.partitionBy("lang", "bkt").orderBy("pr", "doc_id")
+    return (
+        docs.join(F.broadcast(starts), ["lang", "bkt"])
+        .crossJoin(F.broadcast(total))
+        .withColumn("cum_tokens", F.col("bkt_start") + F.sum("tokens").over(wd))
+        .withColumn("lang_budget", F.floor(F.col("g_total") * share))
+        .filter(F.col("cum_tokens") <= F.col("lang_budget"))
+        .select("doc_id", "lang", "tokens", "cum_tokens", "lang_budget")
+    )
+
+
+# Oracle: the naive single-window global form — value-identical to the
+# bucketed plan because bucket order is consistent with (pr, doc_id)
+# order. Shares are CAST AS DOUBLE so both engines run the same IEEE
+# multiply before floor.
+TOKEN_BUDGET_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS tokens,
+         {_ALLOC_HASH} AS pr
+  FROM documents
+),
+g AS (SELECT sum(tokens) AS g_total FROM t),
+c AS (
+  SELECT doc_id, lang, tokens,
+         sum(tokens) OVER (PARTITION BY lang ORDER BY pr, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, lang, tokens, cum_tokens,
+       CAST(floor(g_total * CASE
+         {' '.join(f"WHEN lang = '{lang}' THEN CAST({s} AS DOUBLE)" for lang, s in TOKEN_BUDGET_SHARES.items())}
+         ELSE CAST({TOKEN_BUDGET_DEFAULT_SHARE} AS DOUBLE) END) AS BIGINT)
+         AS lang_budget
+FROM c, g
+WHERE cum_tokens <= lang_budget
+"""
+
+
 QUERIES = {
     "text_token_stats": (token_stats, TOKEN_STATS_SQL),
     "text_quality_score": (quality_score, QUALITY_SCORE_SQL),
@@ -513,4 +620,5 @@ QUERIES = {
     "text_corpus_curation": (corpus_curation, CORPUS_CURATION_SQL),
     "text_clean_normalize": (clean_normalize, CLEAN_NORMALIZE_SQL),
     "text_mixture_sample": (mixture_sample, MIXTURE_SAMPLE_SQL),
+    "text_token_budget_alloc": (token_budget_alloc, TOKEN_BUDGET_SQL),
 }

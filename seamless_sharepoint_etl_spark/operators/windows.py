@@ -320,6 +320,45 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort-retention matrix: users grouped by first-active WEEK
+    (the cohort), counted in every week-offset they return — the
+    standard product-analytics retention triangle, at week grain
+    because the fixture event stream spans one month.
+
+    Shape: distinct (user, week) first — the raw events collapse to a
+    relation bounded by users × weeks before anything heavy runs.
+    Then ONE shuffle on user_id (windowed min = cohort assignment) and
+    a second agg over the tiny (cohort, offset) key space. Weeks are
+    integer epoch-day DIV 7 on the NTZ timestamp — no session-timezone
+    dependence, no date-interval semantics to disagree on across
+    engines.
+    """
+    ev = io.load_table(spark, sf_dir, "events")
+    week = F.expr("datediff(to_date(ts), DATE '1970-01-01') div 7")
+    weeks = ev.select("user_id", week.alias("wk")).distinct()
+    w = Window.partitionBy("user_id")
+    assigned = weeks.withColumn("cohort_wk", F.min("wk").over(w))
+    return assigned.groupBy(
+        "cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("offset_weeks")
+    ).agg(F.count(F.lit(1)).alias("active_users"))
+
+
+COHORT_RETENTION_SQL = """
+WITH weeks AS (
+  SELECT DISTINCT user_id,
+         (CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01') // 7 AS wk
+  FROM events
+),
+assigned AS (
+  SELECT user_id, wk, min(wk) OVER (PARTITION BY user_id) AS cohort_wk
+  FROM weeks
+)
+SELECT cohort_wk, wk - cohort_wk AS offset_weeks, count(*) AS active_users
+FROM assigned GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "win_topn_per_group": (topn_per_group, TOPN_PER_GROUP_SQL),
     "win_rank_dense_ntile": (rank_dense_ntile, RANK_DENSE_NTILE_SQL),
@@ -329,4 +368,5 @@ QUERIES = {
     "win_distribution_first_last": (distribution_first_last, DISTRIBUTION_SQL),
     "win_gaps_islands": (gaps_islands, GAPS_ISLANDS_SQL),
     "win_funnel_conversion": (funnel_conversion, FUNNEL_SQL),
+    "win_cohort_retention": (cohort_retention, COHORT_RETENTION_SQL),
 }
