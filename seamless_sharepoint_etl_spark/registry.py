@@ -22,7 +22,14 @@ Entry = tuple[QueryFn, str | None]
 
 def _collect() -> dict[str, Entry]:
     from . import pipelines
-    from .operators import aggregates, joins, relational, sorts_setops, windows
+    from .operators import (
+        aggregates,
+        joins,
+        relational,
+        sorts_setops,
+        timeseries,
+        windows,
+    )
     from .functions import scalar, udfs
     from .sources import formats, rest
     from .streaming import windows as stream_windows
@@ -40,6 +47,7 @@ def _collect() -> dict[str, Entry]:
         aggregates,
         joins,
         windows,
+        timeseries,
         sorts_setops,
         scalar,
         udfs,
