@@ -439,6 +439,126 @@ def neardup_clusters(
     )
 
 
+# --------------------------------------------------------------------------
+# Content-defined chunking (FastCDC-style gear hash) — storage-grade
+# dedup: byte-range chunks whose boundaries depend only on LOCAL
+# content, so an insertion early in a document shifts at most a few
+# chunks before the cut points resynchronize (the property that makes
+# chunk-level dedup survive edits, unlike fixed-size blocks).
+# --------------------------------------------------------------------------
+
+CDC_MASK = 0x1F  # 5 zero bits → ~32-byte average chunks on fixture docs
+CDC_MIN = 16
+CDC_MAX = 128
+_CDC_WINDOW = 16  # gear-hash lookback, bytes
+
+
+def _gear_table():
+    """Deterministic 256-entry gear table — derived from blake2b, no
+    RNG state, so chunk boundaries are identical on every run/engine."""
+    import hashlib
+
+    import numpy as np
+
+    return np.array(
+        [
+            int.from_bytes(
+                hashlib.blake2b(bytes([i]), digest_size=8).digest(), "big"
+            )
+            for i in range(256)
+        ],
+        dtype=np.uint64,
+    )
+
+
+def cdc_chunks(data: bytes) -> list[tuple[int, int, str]]:
+    """Chunk one byte string → [(offset, length, hash16hex)].
+
+    Gear hash as a true sliding window: h_i = Σ_{k<W} gear[b_{i-k}]<<k
+    (vectorized as W shifted adds — no per-byte Python). A cut lands
+    after position i when the low CDC_MASK bits are zero, subject to
+    CDC_MIN/CDC_MAX chunk-size clamps (FastCDC's normalization).
+    """
+    import hashlib
+
+    import numpy as np
+
+    g = _gear_table()
+    b = np.frombuffer(data, dtype=np.uint8)
+    n = len(b)
+    if n == 0:
+        return []
+    h = np.zeros(n, dtype=np.uint64)
+    for k in range(min(_CDC_WINDOW, n)):
+        np.add(h[k:], g[b[: n - k]] << np.uint64(k), out=h[k:])
+    cands = np.flatnonzero((h & np.uint64(CDC_MASK)) == 0) + 1  # cut AFTER i
+    chunks = []
+    start = 0
+    while start < n:
+        limit = min(start + CDC_MAX, n)
+        i = int(np.searchsorted(cands, start + CDC_MIN))
+        cut = limit
+        if i < len(cands) and cands[i] <= limit:
+            cut = int(cands[i])
+        chunk = data[start:cut]
+        chunks.append(
+            (start, cut - start, hashlib.blake2b(chunk, digest_size=8).hexdigest())
+        )
+        start = cut
+    return chunks
+
+
+def cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document chunk-dedup stats: how many of a doc's CDC chunks
+    (and bytes) also appear in other documents.
+
+    Plan: mapInPandas emits the (doc_id, chunk_hash, chunk_len)
+    relation (Arrow-batched, numpy gear hash — no per-byte Python);
+    chunk frequencies are ONE groupBy on the 8-byte chunk hash; the
+    join back is hash-partitioned on the same key, so AQE can reuse
+    the partitioning. Chunk hashes are uniform — no skew — and every
+    shuffle row is (8-byte hash, int), independent of chunk size:
+    exactly how storage dedup scales to petabytes.
+
+    rows-only for the driver (boundaries are gear-hash state, not
+    SQL-expressible); pytest gates reassembly, determinism, and the
+    edit-resynchronization property on constructed inputs.
+    """
+    import pandas as pd
+
+    d = io.load_table_parallel(spark, sf_dir, "documents")
+    schema = "doc_id BIGINT, chunk_hash STRING, chunk_len INT"
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                for _off, length, hx in cdc_chunks((text or "").encode("utf-8")):
+                    out.append((doc_id, hx, length))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "chunk_hash", "chunk_len"]
+            )
+
+    chunks = d.select("doc_id", "text").mapInPandas(gen, schema)
+    freq = chunks.groupBy("chunk_hash").agg(
+        F.count_distinct("doc_id").alias("ndocs")
+    )
+    return (
+        chunks.join(freq, "chunk_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("chunk_len").alias("total_bytes"),
+            F.sum(F.when(F.col("ndocs") > 1, 1).otherwise(0)).alias(
+                "n_shared_chunks"
+            ),
+            F.coalesce(
+                F.sum(F.when(F.col("ndocs") > 1, F.col("chunk_len"))), F.lit(0)
+            ).alias("shared_bytes"),
+        )
+    )
+
+
 QUERIES = {
     "dedup_exact_normalized": (exact_dedup, EXACT_DEDUP_SQL),
     "dedup_ngram_jaccard": (ngram_jaccard_pairs, NGRAM_JACCARD_SQL),
@@ -446,4 +566,5 @@ QUERIES = {
     "dedup_simhash": (simhash_fingerprints, None),
     "dedup_neardup_clusters": (neardup_clusters, None),
     "dedup_minhash_mllib": (minhash_lsh_mllib, None),
+    "dedup_cdc_chunking": (cdc_chunk_stats, None),
 }

@@ -298,3 +298,68 @@ def test_posting_cap_drops_stop_shingles(spark, tmp_path, monkeypatch):
     assert dedup.ngram_jaccard_pairs(spark, d).count() == 4
     monkeypatch.setattr(dedup, "MAX_POSTING", 1)
     assert dedup.ngram_jaccard_pairs(spark, d).count() == 0
+
+
+def test_cdc_chunker_reassembles_and_clamps():
+    """Chunks must tile the input exactly and respect min/max sizes;
+    same input twice -> identical chunk list (no RNG state)."""
+    from seamless_sharepoint_etl_spark.llm_ops import dedup
+
+    data = ("the quick brown fox jumps over the lazy dog " * 40).encode()
+    chunks = dedup.cdc_chunks(data)
+    assert chunks == dedup.cdc_chunks(data)
+    assert sum(ln for _o, ln, _h in chunks) == len(data)
+    pos = 0
+    for off, ln, _h in chunks:
+        assert off == pos
+        pos += ln
+    for _off, ln, _h in chunks[:-1]:  # last chunk may be short
+        assert dedup.CDC_MIN <= ln <= dedup.CDC_MAX
+    assert dedup.cdc_chunks(b"") == []
+
+
+def test_cdc_chunker_resynchronizes_after_edit():
+    """The CDC property: an insertion near the start must leave the
+    tail of the chunk sequence identical (fixed-size blocks would shift
+    every boundary)."""
+    from seamless_sharepoint_etl_spark.llm_ops import dedup
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel " * 30).encode()
+    edited = base[:10] + b"INSERTED BYTES " + base[10:]
+    h_base = [h for _o, _l, h in dedup.cdc_chunks(base)]
+    h_edit = [h for _o, _l, h in dedup.cdc_chunks(edited)]
+    # tails must re-align; require at least half the base chunks shared
+    k = 0
+    while k < min(len(h_base), len(h_edit)) and h_base[-1 - k] == h_edit[-1 - k]:
+        k += 1
+    assert k >= len(h_base) // 2, (k, len(h_base))
+
+
+def test_cdc_chunk_stats_detects_shared_chunks(spark, tmp_path):
+    """Two docs sharing a long identical middle must report shared
+    chunks/bytes; a unique doc must report zero."""
+    import pyspark.sql.types as T
+
+    from seamless_sharepoint_etl_spark.llm_ops import dedup
+
+    shared = "common payload segment " * 20
+    rows = [
+        (0, "head A " + shared + "tail A", "en", "s", 1),
+        (1, "head B " + shared + "tail B", "en", "s", 1),
+        (2, "entirely unrelated content " * 12, "en", "s", 1),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(rows, schema).write.parquet(d + "/documents.parquet")
+    out = {r["doc_id"]: r for r in dedup.cdc_chunk_stats(spark, d).collect()}
+    assert out[0]["n_shared_chunks"] > 0
+    assert out[1]["shared_bytes"] > 0
+    assert out[2]["n_shared_chunks"] == 0 and out[2]["shared_bytes"] == 0
