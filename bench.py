@@ -51,6 +51,13 @@ HEADLINE = [
     "sim_embedding_neardup",
     "sim_quantized_topk",
     "src_rest_topn_pushdown",
+    # round-2 late additions: time series, budget allocator, CDC dedup,
+    # retention. Totals are NOT comparable across rounds as the set
+    # grows — compare per-query timings.
+    "ts_resample_ffill",
+    "text_token_budget_alloc",
+    "dedup_cdc_chunking",
+    "win_cohort_retention",
 ]
 
 

@@ -610,6 +610,114 @@ WHERE cum_tokens <= lang_budget
 """
 
 
+# Count-Min sketch geometry. Small width on purpose: the fixture
+# vocabulary is ~10² tokens, and W=64 forces real collisions so the
+# min-over-rows estimate actually does work (est ≥ truth, visible in
+# the output). P is prime; (a·h+b) % P % W are 4 pairwise-independent
+# rows from one base hash.
+CMS_P = 1_000_000_007
+CMS_W = 64
+CMS_SEEDS = [(1, 0), (31, 7), (977, 103), (65_537, 911)]
+CMS_TOP = 20
+# Portable token hash: polynomial-31 fold over code points — the SAME
+# integer arithmetic exists in both engines, so the sketch is
+# bit-reproducible and the oracle recomputes it exactly.
+_CMS_HASH_SPARK = (
+    "aggregate(transform(split(token, ''), c -> ascii(c)), 0L,"
+    f" (acc, x) -> (acc * 31 + x) % {CMS_P})"
+)
+_CMS_HASH_DUCK = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+    " list_transform(string_split(token, ''), c -> CAST(ascii(c) AS BIGINT))),"
+    f" (acc, x) -> (acc * 31 + x) % {CMS_P})"
+)
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters via a Count-Min sketch built as a native
+    DataFrame aggregate — the mergeable-sketch pattern for vocabulary
+    stats at 100 TB.
+
+    The sketch IS a (seed, bucket) → count relation (4×64 rows): built
+    with ONE map-side-combining groupBy, mergeable across partitions /
+    days / shards by plain counter addition (unlike an opaque binary
+    blob, the merge is just `sum`). Estimates are min-over-rows via a
+    broadcast join of the tiny sketch back to the vocabulary; the
+    output carries the exact count next to the estimate so the CMS
+    one-sided guarantee (estimate ≥ truth) is visible — and, because
+    every hash is deterministic integer arithmetic, the whole thing is
+    exactly SQL-oracled, not just bound-gated.
+    """
+    d = io.load_table_parallel(spark, sf_dir, "documents")
+    toks = (
+        d.select(F.explode(_tokens()).alias("token"))
+        .filter(F.col("token").rlike("^[ -~]+$"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .withColumn("h", F.expr(_CMS_HASH_SPARK))
+    )
+    seeds = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("s"),
+                (((F.col("h") * a + b) % CMS_P) % CMS_W).alias("bucket"),
+            )
+            for s, (a, b) in enumerate(CMS_SEEDS)
+        ]
+    )
+    placed = toks.select(
+        "token", "true_count", F.explode(seeds).alias("sb")
+    ).select("token", "true_count", "sb.s", "sb.bucket")
+    sketch = placed.groupBy("s", "bucket").agg(
+        F.sum("true_count").alias("cell")
+    )
+    est = (
+        placed.join(F.broadcast(sketch), ["s", "bucket"])
+        .groupBy("token", "true_count")
+        .agg(F.min("cell").alias("cms_estimate"))
+    )
+    return (
+        est.select(
+            "token",
+            "true_count",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("true_count")).alias("overcount"),
+        )
+        .orderBy(F.desc("cms_estimate"), F.asc("token"))
+        .limit(CMS_TOP)
+    )
+
+
+CMS_HEAVY_HITTERS_SQL = f"""
+WITH toks AS (
+  SELECT token, count(*) AS true_count,
+         {_CMS_HASH_DUCK} AS h
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+  WHERE regexp_matches(token, '^[ -~]+$')
+  GROUP BY token
+),
+placed AS (
+  SELECT token, true_count, seeds.s,
+         ((h * seeds.a + seeds.b) % {CMS_P}) % {CMS_W} AS bucket
+  FROM toks CROSS JOIN (VALUES
+    {', '.join(f'({s}, {a}, {b})' for s, (a, b) in enumerate(CMS_SEEDS))}
+  ) AS seeds(s, a, b)
+),
+sketch AS (
+  SELECT s, bucket, sum(true_count) AS cell FROM placed GROUP BY s, bucket
+),
+est AS (
+  SELECT p.token, p.true_count, min(sk.cell) AS cms_estimate
+  FROM placed p JOIN sketch sk ON sk.s = p.s AND sk.bucket = p.bucket
+  GROUP BY p.token, p.true_count
+)
+SELECT token, true_count, CAST(cms_estimate AS BIGINT) AS cms_estimate,
+       CAST(cms_estimate - true_count AS BIGINT) AS overcount
+FROM est
+ORDER BY cms_estimate DESC, token ASC LIMIT {CMS_TOP}
+"""
+
+
 QUERIES = {
     "text_token_stats": (token_stats, TOKEN_STATS_SQL),
     "text_quality_score": (quality_score, QUALITY_SCORE_SQL),
@@ -621,4 +729,5 @@ QUERIES = {
     "text_clean_normalize": (clean_normalize, CLEAN_NORMALIZE_SQL),
     "text_mixture_sample": (mixture_sample, MIXTURE_SAMPLE_SQL),
     "text_token_budget_alloc": (token_budget_alloc, TOKEN_BUDGET_SQL),
+    "text_cms_heavy_hitters": (cms_heavy_hitters, CMS_HEAVY_HITTERS_SQL),
 }
