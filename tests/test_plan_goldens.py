@@ -47,6 +47,12 @@ GOLDEN_QUERIES = [
     "src_rest_topn_pushdown",
     "text_tfidf_top_terms",
     "stream_sliding_window",
+    # round-2 late additions: two-phase prefix-sum / carry shapes and
+    # the CMS broadcast join — pin that no single-task window sneaks in
+    "text_token_budget_alloc",
+    "ts_resample_ffill",
+    "text_cms_heavy_hitters",
+    "win_cohort_retention",
 ]
 
 _EXCHANGE_KIND = re.compile(
