@@ -89,6 +89,15 @@ def _signature(plan: str) -> str:
         op = re.split(r"[ (]", line, 1)[0]
         if not op or not op[0].isupper() or op in _RUNTIME_WRAPPERS:
             continue
+        if op == "InMemoryRelation":
+            # a cached relation prints its STORED plan here — initial
+            # vs executed-adaptive depending on whether some earlier
+            # query materialized the cache (test-order dependent). The
+            # relation is a leaf as far as plan shape is concerned;
+            # everything under it is cache-state noise, and tree
+            # decoration is already stripped, so stop the signature.
+            out.append(op)
+            break
         if op == "Exchange":
             kind = _EXCHANGE_KIND.search(line)
             out.append(f"Exchange {kind.group(1) if kind else '?'}")
