@@ -177,3 +177,126 @@ def test_string_functions_unicode_matches(spark, texts):
         "SELECT length(s) AS n, upper(s) AS up, trim(s) AS tr, reverse(s) AS rv FROM t",
     )
     assert got == want
+
+
+# --- two-phase sequential-scan operators vs their naive oracles -----------
+#
+# token_budget_alloc and resample_ffill replace a per-key global window
+# with a bucketed prefix-sum / boundary-carry plan. The fixtures are
+# dense; random sparse inputs (whole-day gaps, empty docs, single rows)
+# exercise the carry logic where it can actually break.
+
+def _norm6(v):
+    import math
+
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else round(v, 6)
+    return v
+
+
+def _run_vs_oracle(spark, d, table, fn, sql):
+    import os
+
+    sdf = fn(spark, d)
+    scols = sorted(sdf.columns)
+    got = sorted(
+        (tuple(_norm6(r[c]) for c in scols) for r in sdf.collect()), key=repr
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW {table} AS SELECT * FROM "
+        f"'{os.path.join(d, table + '.parquet')}'"
+    )
+    odf = con.sql(sql)
+    order = sorted(range(len(odf.columns)), key=lambda i: odf.columns[i])
+    assert [odf.columns[i] for i in order] == scols
+    want = sorted(
+        (tuple(_norm6(r[i]) for i in order) for r in odf.fetchall()), key=repr
+    )
+    con.close()
+    assert got == want
+
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=4),  # day
+        st.integers(min_value=0, max_value=23),  # hour
+        st.integers(min_value=0, max_value=59),  # minute
+        st.sampled_from(["view", "click"]),
+        st.integers(min_value=-50, max_value=50),  # value
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+
+@given(events_strategy)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_resample_ffill_matches_naive_on_sparse_events(spark, evs):
+    import os
+    import tempfile
+
+    from seamless_sharepoint_etl_spark.operators import timeseries
+
+    d = tempfile.mkdtemp()
+    pd.DataFrame(
+        {
+            "event_id": range(len(evs)),
+            "ts": pd.to_datetime(
+                [f"2024-01-{dy:02d} {h:02d}:{m:02d}:00" for dy, h, m, _t, _v in evs]
+            ),
+            "user_id": [1] * len(evs),
+            "event_type": [t for _d, _h, _m, t, _v in evs],
+            "value": [float(v) for *_rest, v in evs],
+            "props": ["{}"] * len(evs),
+        }
+    ).to_parquet(os.path.join(d, "events.parquet"))
+    _run_vs_oracle(
+        spark,
+        d,
+        "events",
+        timeseries.resample_ffill,
+        timeseries.RESAMPLE_FFILL_SQL,
+    )
+
+
+docs_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["en", "zh", "es", "de"]),
+        st.integers(min_value=0, max_value=8),  # token count
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+
+@given(docs_strategy)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_token_budget_alloc_matches_naive(spark, docs):
+    import os
+    import tempfile
+
+    from seamless_sharepoint_etl_spark.llm_ops import text
+
+    d = tempfile.mkdtemp()
+    texts = [" ".join(f"w{i}" for i in range(n)) for _lang, n in docs]
+    pd.DataFrame(
+        {
+            "doc_id": range(len(docs)),
+            "text": texts,
+            "lang": [lang for lang, _n in docs],
+            "source": ["s"] * len(docs),
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(os.path.join(d, "documents.parquet"))
+    _run_vs_oracle(
+        spark, d, "documents", text.token_budget_alloc, text.TOKEN_BUDGET_SQL
+    )
