@@ -353,9 +353,70 @@ def quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BRP-LSH geometry: unit vectors live on the sphere, so euclidean
+# distance encodes cosine (d² = 2 − 2cos). The fixture's 10th-neighbor
+# cosines sit in [0.24, 0.29] → d ≤ 1.24; threshold 1.25 admits every
+# true top-10 edge while excluding most random pairs (cos < 0.22).
+BRP_THRESHOLD = 1.25
+BRP_BUCKET_LEN = 1.0
+BRP_TABLES = 6
+
+
+def brp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate cosine top-k via MLlib BucketedRandomProjectionLSH —
+    the `approxSimilarityJoin` API named in SURVEY.md §2's similarity
+    row, as the API-parity twin of the engine-default IVF router.
+
+    Vectors are L2-normalized first so the euclidean LSH family
+    answers a cosine question (cos = 1 − d²/2). Candidate generation
+    is a bucket-equi-join across `numHashTables` random projections
+    (OR-amplified), distances are computed only inside matching
+    buckets, then an exact per-query top-k ranks survivors. rows-only
+    for the driver (random projections aren't SQL-reproducible);
+    pytest gates recall ≥ 0.8 against the brute-force oracle.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
+    from pyspark.ml.functions import array_to_vector
+
+    e = io.load_table_parallel(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id", array_to_vector(_dbl("embedding")).alias("raw_vec")
+    )
+    unit = Normalizer(inputCol="raw_vec", outputCol="nv", p=2.0).transform(vecs)
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="nv",
+        outputCol="hashes",
+        bucketLength=BRP_BUCKET_LEN,
+        numHashTables=BRP_TABLES,
+        seed=431,
+    )
+    model = lsh.fit(unit)
+    q = unit.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+    joined = model.approxSimilarityJoin(
+        q, unit, threshold=BRP_THRESHOLD, distCol="dist"
+    ).select(
+        F.col("datasetA.vec_id").alias("query_id"),
+        F.col("datasetB.vec_id").alias("cand_id"),
+        F.col("dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("cand_id"))
+    return (
+        joined.filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "rank",
+            "cand_id",
+            F.round(1.0 - F.col("dist") * F.col("dist") / 2.0, 6).alias("cosine"),
+        )
+    )
+
+
 QUERIES = {
     "sim_brute_force_topk": (brute_force_topk, BRUTE_FORCE_SQL),
     "sim_embedding_neardup": (embedding_neardup, EMBEDDING_NEARDUP_SQL),
     "sim_ivf_topk": (ivf_topk, None),
     "sim_quantized_topk": (quantized_topk, None),
+    "sim_brp_lsh_topk": (brp_lsh_topk, None),
 }

@@ -363,3 +363,23 @@ def test_cdc_chunk_stats_detects_shared_chunks(spark, tmp_path):
     assert out[0]["n_shared_chunks"] > 0
     assert out[1]["shared_bytes"] > 0
     assert out[2]["n_shared_chunks"] == 0 and out[2]["shared_bytes"] == 0
+
+
+def test_brp_lsh_recall_vs_brute_force(spark):
+    """BucketedRandomProjectionLSH twin (SURVEY §2's named API): on
+    unit vectors the euclidean threshold 1.25 covers every true top-10
+    edge (10th-neighbor cos ≥ 0.24 → d ≤ 1.24), so recall should be
+    near-exact; gate at 0.8 to absorb bucket-boundary effects."""
+    from seamless_sharepoint_etl_spark.llm_ops import similarity
+
+    truth = {
+        (r["query_id"], r["cand_id"])
+        for r in similarity.brute_force_topk(spark, SF_DIR).collect()
+    }
+    approx = {
+        (r["query_id"], r["cand_id"])
+        for r in similarity.brp_lsh_topk(spark, SF_DIR).collect()
+    }
+    assert truth
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.8, f"BRP-LSH recall {recall:.3f} < 0.8"
