@@ -186,7 +186,83 @@ FROM rows_
 """
 
 
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join: pairs of users whose active islands
+    (gaps-and-islands runs) overlap in time, with total overlap days.
+
+    Scale shape — the naive form is a non-equi theta join
+    (a.start ≤ b.end AND b.start ≤ a.end), which Spark executes as a
+    nested-loop cartesian. Instead each island explodes into its
+    covered days and the pairing is an EQUI-join on the day bucket:
+    cost is Σ_day k_day² (active-per-day, bounded) instead of N², and
+    it shuffles on a uniform key. Exact overlap is then recomputed
+    from the carried island bounds — the bucket join only *generates*
+    candidates, the arithmetic stays exact. This is the standard
+    bucketized interval-join strategy (cf. range-join binning).
+    """
+    from .windows import gaps_islands
+
+    islands = gaps_islands(spark, sf_dir)
+    days = islands.select(
+        "user_id",
+        "island_start",
+        "island_end",
+        F.explode(
+            F.sequence("island_start", "island_end", F.expr("INTERVAL 1 DAY"))
+        ).alias("d"),
+    )
+    a = days.select(
+        F.col("user_id").alias("user_lo"),
+        F.col("island_start").alias("s_lo"),
+        F.col("island_end").alias("e_lo"),
+        "d",
+    )
+    b = days.select(
+        F.col("user_id").alias("user_hi"),
+        F.col("island_start").alias("s_hi"),
+        F.col("island_end").alias("e_hi"),
+        "d",
+    )
+    pairs = (
+        a.join(b, ["d"])
+        .filter(F.col("user_lo") < F.col("user_hi"))
+        .select("user_lo", "s_lo", "e_lo", "user_hi", "s_hi", "e_hi")
+        .distinct()
+    )
+    overlap = (
+        F.datediff(
+            F.least("e_lo", "e_hi"), F.greatest("s_lo", "s_hi")
+        )
+        + 1
+    )
+    return pairs.groupBy("user_lo", "user_hi").agg(
+        F.sum(overlap).alias("overlap_days"),
+        F.count(F.lit(1)).alias("n_island_pairs"),
+    )
+
+
+# Oracle: the naive theta join over the SAME island derivation (the
+# windows module's gaps-islands SQL embedded as a CTE, so the two
+# definitions can't drift).
+def _interval_overlap_sql() -> str:
+    from .windows import GAPS_ISLANDS_SQL
+
+    return f"""
+WITH islands AS ({GAPS_ISLANDS_SQL})
+SELECT a.user_id AS user_lo, b.user_id AS user_hi,
+       sum(least(a.island_end, b.island_end)
+           - greatest(a.island_start, b.island_start) + 1) AS overlap_days,
+       count(*) AS n_island_pairs
+FROM islands a JOIN islands b
+  ON a.user_id < b.user_id
+ AND a.island_start <= b.island_end
+ AND b.island_start <= a.island_end
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "ts_resample_ffill": (resample_ffill, RESAMPLE_FFILL_SQL),
     "ts_scd2_intervals": (scd2_intervals, SCD2_SQL),
+    "ts_interval_overlap_join": (interval_overlap_join, _interval_overlap_sql()),
 }
