@@ -28,9 +28,13 @@ def resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly resample of mean event value per type, dense grid from
     each key's first to last active hour, gaps forward-filled.
 
-    Rounding: round(round(sum,2)/count,4) — never round(avg(..)), the
-    engines' avg implementations drift ~1e-8 (NOTES.md trap 1), and the
-    filled value must propagate bit-identically.
+    Rounding: the hourly mean goes to integer basis points,
+    floor(x·10⁴ + 0.5), never round(x, 4) — round() is HALF_UP in
+    Spark but effectively HALF_EVEN in DuckDB, and at sf0.1 one hour
+    landed exactly on the .00005 boundary (47.25375 → 47.2538 vs
+    47.2537). The floor form is the same IEEE ops in both engines on
+    bit-identical inputs (NOTES.md trap 1); the filled value then
+    propagates as an exact integer.
     """
     ev = io.load_table(spark, sf_dir, "events")
     agg = (
@@ -39,7 +43,12 @@ def resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_trunc("hour", "ts").alias("h"),
         )
         .agg(
-            F.round(F.round(F.sum("value"), 2) / F.count(F.lit(1)), 4).alias("v")
+            F.floor(
+                (F.round(F.sum("value"), 2) / F.count(F.lit(1))) * 10000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("v")
         )
     )
     bounds = agg.groupBy("k").agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
@@ -86,7 +95,7 @@ def resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("k").alias("event_type"),
             F.col("h").alias("hour_ts"),
-            F.coalesce("in_day", "carry_in").alias("value_ffill"),
+            F.coalesce("in_day", "carry_in").alias("value_ffill_bp"),
             F.when(F.col("v").isNull(), 1).otherwise(0).alias("was_gap"),
         )
     )
@@ -95,7 +104,8 @@ def resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 RESAMPLE_FFILL_SQL = """
 WITH agg AS (
   SELECT event_type AS k, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
-         round(round(sum(value), 2) / count(*), 4) AS v
+         CAST(floor((round(sum(value), 2) / count(*)) * 10000 + 0.5) AS BIGINT)
+           AS v
   FROM events GROUP BY 1, 2
 ),
 bounds AS (SELECT k, min(h) AS h0, max(h) AS h1 FROM agg GROUP BY 1),
@@ -106,7 +116,7 @@ j AS (SELECT g.k, g.h, a.v FROM grid g
 SELECT k AS event_type, h AS hour_ts,
        last_value(v IGNORE NULLS) OVER (
          PARTITION BY k ORDER BY h
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill,
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill_bp,
        CASE WHEN v IS NULL THEN 1 ELSE 0 END AS was_gap
 FROM j
 """
