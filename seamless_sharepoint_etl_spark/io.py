@@ -4,14 +4,18 @@ Every operator loads its inputs through ``load_table`` so the whole
 engine shares one canonical schema per table. Tables and physical
 schemas are fixed by TESTDATA.md / FIXTURES.md §A.
 
-``events`` needs special handling: its parquet ``ts`` column is
-TIMESTAMP(NANOS), which Spark 4 cannot map to a Catalyst type. We read
-it via ``spark.sql.legacy.parquet.nanosAsLong`` (long nanoseconds) and
-rebuild a ``TIMESTAMP_NTZ`` at microsecond precision, *without* any
-session-timezone dependency (epoch-NTZ + exact interval arithmetic; the
-``div`` keeps everything in integer space — a double round-trip would
-lose precision above 2^53 ns). The DuckDB oracle sees the same value via
-``CAST(ts AS TIMESTAMP)`` (ns→µs truncation on both sides).
+``events`` needs special handling: driver fixture generations have
+shipped its parquet ``ts`` column as either TIMESTAMP(NANOS) (which
+Spark 4 cannot map to a Catalyst type — read via
+``spark.sql.legacy.parquet.nanosAsLong`` as long nanoseconds) or plain
+TIMESTAMP(MICROS, isAdjustedToUTC=false) (reads directly as
+TIMESTAMP_NTZ). ``load_table`` sniffs the loaded schema and normalizes
+both to the same engine shape: ``ts`` TIMESTAMP_NTZ at microsecond
+precision plus ``ts_ns`` long nanoseconds, *without* any
+session-timezone dependency (epoch-NTZ + exact integer interval
+arithmetic; a double round-trip would lose precision above 2^53 ns).
+The DuckDB oracle sees the same value via ``CAST(ts AS TIMESTAMP)``
+(ns→µs truncation when the file is nanos; no-op when micros).
 
 Scale note (100 TB): these are plain parquet scans, so Catalyst handles
 column pruning + predicate/partition pushdown. Keep all filtering
@@ -25,6 +29,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLES = (
     "region",
@@ -55,12 +60,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
+        # Harmless when the file is micros; required when it is nanos.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(path)
+        if isinstance(raw.schema["ts"].dataType, T.LongType):
+            # TIMESTAMP(NANOS) fixture → long ns under nanosAsLong.
+            ts_expr = F.expr(_TS_NS_TO_NTZ)
+            ns_expr = F.col("ts")
+        else:
+            # TIMESTAMP(MICROS) fixture → already a timestamp; NTZ-cast is
+            # tz-free, and ts_ns is rebuilt by exact NTZ epoch-diff.
+            ts_expr = F.col("ts").cast("timestamp_ntz")
+            ns_expr = F.expr(
+                "timestampdiff(MICROSECOND,"
+                " TIMESTAMP_NTZ'1970-01-01 00:00:00',"
+                " CAST(ts AS TIMESTAMP_NTZ)) * CAST(1000 AS BIGINT)"
+            )
         return raw.select(
             "event_id",
-            F.expr(_TS_NS_TO_NTZ).alias("ts"),
-            F.col("ts").alias("ts_ns"),  # original long nanos, kept for fingerprints
+            ts_expr.alias("ts"),
+            ns_expr.alias("ts_ns"),  # long nanos, kept for fingerprints
             "user_id",
             "event_type",
             "value",
