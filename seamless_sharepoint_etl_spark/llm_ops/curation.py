@@ -1,0 +1,396 @@
+"""Corpus-curation operators for training-data pipelines (north-star tier).
+
+Provenance: SURVEY.md §2 Tier B north-star requirement (BASELINE.json
+``north_star``: LLM-data-pipeline operators at 100 TB scale); no
+reference counterpart (the reference's dataflow surface is the 125-line
+ETL script, bin/copy-seamless-to-sharepoint.rb).
+
+Five operators a pretraining-data pipeline runs between raw crawl and
+tokenizer, each expressed as JVM-side DataFrame plans:
+
+- ``text_contamination_overlap`` — benchmark decontamination: which
+  training documents share word-5-grams with a held-out eval split.
+- ``text_unigram_logprob`` — corpus-trained unigram language model
+  scoring (the cheap stand-in for a KenLM-style perplexity filter).
+- ``text_sequence_packing`` — concat-and-split packing manifest: which
+  context-window bin each document lands in, via a two-phase
+  distributed prefix sum (never a single-task global window).
+- ``text_gopher_quality_rules`` — repetition-based quality heuristics
+  (duplicate-word / duplicate-trigram / top-word-run fractions) as
+  pure per-row array folds.
+- ``text_stratified_reservoir`` — deterministic per-language k-sample
+  via two-phase per-group top-k (sub-bucket top-k then merge).
+
+Float discipline (NOTES.md trap 1): every fractional output is an
+integer basis-point column computed with ``floor(x·10⁴ + 0.5)`` or pure
+integer division — no cross-engine round() flaps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import io
+from .dedup import _SHINGLES_SQL, _hashed_shingles
+from .text import _token_relation
+
+# ---------------------------------------------------------------------------
+# 1. Benchmark-contamination check (eval-split n-gram overlap)
+# ---------------------------------------------------------------------------
+
+# Deterministic held-out split: ~1% of doc_ids play the eval set.
+EVAL_MOD = 97
+
+
+def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training docs that share ≥1 word-5-gram with the eval split.
+
+    The standard decontamination pass before a pretraining run: shingle
+    both splits, join on the shingle key, report per (train, eval) pair
+    how many distinct shingles leak and what fraction of the training
+    doc they cover.
+
+    Scale shape: reuses the session-cached hashed-shingle relation the
+    dedup family builds (shingle once, feed every candidate generator).
+    The eval side is a tiny fraction of the corpus by construction, so
+    the join broadcasts it — the 100-TB training side is never
+    shuffled; the only exchange is the final (train, eval) pair agg.
+    Shingles travel as xxhash64 longs; collisions (~|sh|²/2⁶⁴) are the
+    standard accepted error, same as the dedup family.
+    """
+    sh = _hashed_shingles(spark, sf_dir)  # (doc_id, n_sh, h), distinct per doc
+    ev = sh.filter(F.col("doc_id") % EVAL_MOD == 0).select(
+        F.col("doc_id").alias("eval_doc"), "h"
+    )
+    tr = sh.filter(F.col("doc_id") % EVAL_MOD != 0).select(
+        F.col("doc_id").alias("train_doc"), "n_sh", "h"
+    )
+    return (
+        tr.join(F.broadcast(ev), "h")
+        .groupBy("train_doc", "eval_doc", "n_sh")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .select(
+            "train_doc",
+            "eval_doc",
+            "n_shared",
+            F.expr("CAST((n_shared * 10000) div n_sh AS BIGINT)").alias(
+                "overlap_bp"
+            ),
+        )
+    )
+
+
+CONTAMINATION_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+ev AS (SELECT doc_id AS eval_doc, shingle FROM sh WHERE doc_id % {EVAL_MOD} = 0),
+tr AS (SELECT doc_id AS train_doc, shingle FROM sh WHERE doc_id % {EVAL_MOD} <> 0)
+SELECT train_doc, eval_doc, count(*) AS n_shared,
+       (count(*) * 10000) // s.n_sh AS overlap_bp
+FROM tr JOIN ev USING (shingle) JOIN sizes s ON s.doc_id = tr.train_doc
+GROUP BY train_doc, eval_doc, s.n_sh
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. Unigram-LM log-probability scoring (perplexity-filter stand-in)
+# ---------------------------------------------------------------------------
+
+
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average negative log-likelihood under the corpus's
+    own unigram model — the cheap, fully-distributed analog of the
+    KenLM perplexity filters used to score crawl quality.
+
+    Scale shape: the vocabulary aggregate is a classic map-side-partial
+    hash agg (vocab ≪ corpus); the trained model (token → ln p) is
+    broadcast back, so scoring is a broadcast join + one doc_id agg —
+    the corpus-sized relation shuffles once, on doc_id. The narrow
+    (doc_id, token) relation is the session-cached ``_token_relation``
+    shared with TF-IDF: both the vocab agg and the scoring pass consume
+    it, and re-deriving it would double-read the wide ``text`` column
+    at 100 TB.
+    """
+    toks = _token_relation(spark, sf_dir)
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("g_total"))
+    lm = vocab.crossJoin(F.broadcast(total)).select(
+        "token", F.log(F.col("cnt") / F.col("g_total")).alias("lnp")
+    )
+    return (
+        toks.join(F.broadcast(lm), "token")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("lnp").alias("s"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor((-F.col("s") / F.col("n_tokens")) * 10000 + F.lit(0.5))
+            .cast("long")
+            .alias("nll_bp"),
+        )
+    )
+
+
+UNIGRAM_LOGPROB_SQL = """
+WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+v AS (SELECT token, count(*) AS cnt FROM t GROUP BY token),
+g AS (SELECT sum(cnt) AS g_total FROM v),
+lm AS (SELECT token, ln(CAST(cnt AS DOUBLE) / g_total) AS lnp FROM v, g)
+SELECT doc_id, count(*) AS n_tokens,
+       CAST(floor((-sum(lnp) / count(*)) * 10000 + 0.5) AS BIGINT) AS nll_bp
+FROM t JOIN lm USING (token)
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. Sequence-packing manifest (context-window binning)
+# ---------------------------------------------------------------------------
+
+CTX_TOKENS = 512
+_PACK_BUCKETS = 64
+
+
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split packing manifest: documents are concatenated in
+    deterministic doc_id order and split into fixed CTX_TOKENS windows;
+    each doc reports its global token offset, the window it starts in,
+    and how many windows it spans — what a training-data loader needs
+    to build packed sequences without materializing them.
+
+    Scale shape: the global running sum is two-phase — bucket docs by
+    doc_id range (bucket order == concat order), aggregate per-bucket
+    token sums (parallel; result is ``_PACK_BUCKETS`` rows), window
+    over that tiny relation for bucket start offsets, broadcast them
+    back, and run the exact per-doc prefix sum partitioned by bucket.
+    The naive single ``Window.orderBy(doc_id)`` would serialize the
+    whole corpus through one task.
+    """
+    from pyspark import StorageLevel
+
+    d = io.load_table_parallel(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # bucket width from the id range; one tiny agg, broadcast everywhere
+    width = docs.agg(
+        (F.floor(F.max("doc_id") / _PACK_BUCKETS) + 1).alias("bw")
+    )
+    b = docs.crossJoin(F.broadcast(width)).withColumn(
+        "bkt", F.expr("doc_id div bw")
+    )
+    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    starts = (
+        b.groupBy("bkt")
+        .agg(F.sum("n_tokens").alias("bt"))
+        .select(
+            "bkt",
+            F.coalesce(F.sum("bt").over(wb), F.lit(0)).alias("bkt_start"),
+        )
+    )
+    wd = Window.partitionBy("bkt").orderBy("doc_id")
+    return (
+        b.join(F.broadcast(starts), "bkt")
+        .withColumn("end_off", F.col("bkt_start") + F.sum("n_tokens").over(wd))
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("end_off") - F.col("n_tokens")).alias("offset"),
+            F.expr(f"(end_off - n_tokens) div {CTX_TOKENS}").alias("bin_id"),
+            F.expr(
+                f"((end_off - 1) div {CTX_TOKENS})"
+                f" - ((end_off - n_tokens) div {CTX_TOKENS}) + 1"
+            ).alias("bins_spanned"),
+        )
+    )
+
+
+SEQUENCE_PACKING_SQL = f"""
+WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+c AS (SELECT doc_id, n_tokens,
+        sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS end_off
+      FROM t)
+SELECT doc_id, n_tokens, end_off - n_tokens AS offset,
+       (end_off - n_tokens) // {CTX_TOKENS} AS bin_id,
+       ((end_off - 1) // {CTX_TOKENS})
+         - ((end_off - n_tokens) // {CTX_TOKENS}) + 1 AS bins_spanned
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# 4. Repetition-based quality rules (Gopher/C4-style)
+# ---------------------------------------------------------------------------
+
+# Thresholds are fixture-calibrated so both outcomes occur; on a real
+# corpus they come from the curation spec (Gopher rules table).
+DUP_TRI_MAX_BP = 4000
+TOP_WORD_MAX_BP = 1600
+DUP_WORD_MAX_BP = 9000
+
+# max same-word run length in the sorted token array — a single O(n log n)
+# per-row fold, no shuffle (vs the explode→groupBy→max alternative, which
+# shuffles the whole token relation twice).
+_TOP_RUN = """
+aggregate(
+  array_sort(split(text, ' ')),
+  named_struct('prev', '', 'run', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT)),
+  (acc, x) -> named_struct(
+      'prev', x,
+      'run', IF(x = acc.prev, acc.run + 1, CAST(1 AS BIGINT)),
+      'best', greatest(acc.best, IF(x = acc.prev, acc.run + 1, CAST(1 AS BIGINT)))),
+  acc -> acc.best)
+"""
+
+_TRI_DISTINCT = """
+CASE WHEN size(split(text, ' ')) >= 3 THEN
+  CAST(size(array_distinct(transform(
+    sequence(1, size(split(text, ' ')) - 2),
+    i -> concat_ws('_', slice(split(text, ' '), i, 3))))) AS BIGINT)
+ELSE CAST(0 AS BIGINT) END
+"""
+
+
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality gates: duplicate-word fraction,
+    duplicate-trigram fraction, longest same-word run — the heuristics
+    pretraining curation uses to drop boilerplate and degenerate pages.
+
+    Scale shape: every metric is a per-row array expression (split /
+    distinct / fold) — embarrassingly parallel, zero shuffles, stays in
+    whole-stage codegen. All fractions are integer basis points
+    (``(a·10⁴) div b``), bit-identical across engines.
+    """
+    d = io.load_table_parallel(spark, sf_dir, "documents")
+    out = (
+        d.select(
+            "doc_id",
+            F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("n_words"),
+            F.expr(
+                "CAST(size(array_distinct(split(text, ' '))) AS BIGINT)"
+            ).alias("n_distinct"),
+            F.expr(f"CAST({_TOP_RUN} AS BIGINT)").alias("top_run"),
+            F.expr(_TRI_DISTINCT).alias("tri_distinct"),
+            F.expr(
+                "CAST(greatest(size(split(text, ' ')) - 2, 0) AS BIGINT)"
+            ).alias("tri_total"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            F.expr("((n_words - n_distinct) * 10000) div n_words").alias(
+                "dup_word_bp"
+            ),
+            F.expr(
+                "CASE WHEN tri_total > 0 THEN"
+                " ((tri_total - tri_distinct) * 10000) div tri_total"
+                " ELSE CAST(0 AS BIGINT) END"
+            ).alias("dup_tri_bp"),
+            F.expr("(top_run * 10000) div n_words").alias("top_run_bp"),
+        )
+        .withColumn(
+            "keep",
+            (F.col("dup_tri_bp") < DUP_TRI_MAX_BP)
+            & (F.col("top_run_bp") < TOP_WORD_MAX_BP)
+            & (F.col("dup_word_bp") < DUP_WORD_MAX_BP),
+        )
+    )
+    return out
+
+
+GOPHER_RULES_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+         CAST(greatest(len(string_split(text, ' ')) - 2, 0) AS BIGINT) AS tri_total,
+         CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+           CAST(len(list_distinct(list_transform(
+             range(1, len(string_split(text, ' ')) - 1),
+             i -> array_to_string(string_split(text, ' ')[i:i+2], '_')))) AS BIGINT)
+         ELSE CAST(0 AS BIGINT) END AS tri_distinct
+  FROM documents
+),
+runs AS (
+  -- max count per (doc, word) == longest same-word run in sorted order
+  SELECT doc_id, CAST(max(c) AS BIGINT) AS top_run
+  FROM (SELECT doc_id, w, count(*) AS c
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY doc_id, w)
+  GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_words,
+       ((b.n_words - b.n_distinct) * 10000) // b.n_words AS dup_word_bp,
+       CASE WHEN b.tri_total > 0 THEN
+         ((b.tri_total - b.tri_distinct) * 10000) // b.tri_total
+       ELSE CAST(0 AS BIGINT) END AS dup_tri_bp,
+       (r.top_run * 10000) // b.n_words AS top_run_bp,
+       (CASE WHEN b.tri_total > 0 THEN
+          ((b.tri_total - b.tri_distinct) * 10000) // b.tri_total
+        ELSE CAST(0 AS BIGINT) END) < {DUP_TRI_MAX_BP}
+         AND (r.top_run * 10000) // b.n_words < {TOP_WORD_MAX_BP}
+         AND ((b.n_words - b.n_distinct) * 10000) // b.n_words < {DUP_WORD_MAX_BP}
+         AS keep
+FROM base b JOIN runs r USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# 5. Deterministic stratified reservoir (per-language k-sample)
+# ---------------------------------------------------------------------------
+
+RESERVOIR_K = 8
+_RESERVOIR_SUB = 32
+# Same multiplicative-hash family as the mixture sampler (text.py) —
+# identical integer arithmetic in both engines.
+_RESERVOIR_PR = "((doc_id % 1000000) * 2654435761) % 4294967296"
+
+
+def stratified_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language k-sample: the k docs with the
+    smallest priority hash per language — a reproducible reservoir
+    sample for eval-set carving and spot-check audits.
+
+    Scale shape: two-phase per-group top-k. Phase 1 takes the k
+    smallest within each (lang, sub-bucket) — parallel across
+    ``_RESERVOIR_SUB`` buckets per language, so no single task ever
+    sorts a whole language. Phase 2 re-ranks the ≤ sub·k survivors per
+    language (tiny). The k-smallest overall are always a subset of the
+    union of per-bucket k-smallest, so the result is identical to the
+    naive single window.
+    """
+    d = io.load_table_parallel(spark, sf_dir, "documents")
+    t = d.select("doc_id", "lang", F.expr(_RESERVOIR_PR).alias("pr")).withColumn(
+        "sub", F.expr(f"pr % {_RESERVOIR_SUB}")
+    )
+    w1 = Window.partitionBy("lang", "sub").orderBy("pr", "doc_id")
+    cand = (
+        t.withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= RESERVOIR_K)
+        .drop("rn1", "sub")
+    )
+    w2 = Window.partitionBy("lang").orderBy("pr", "doc_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= RESERVOIR_K)
+        .select("lang", "rn", "doc_id", F.col("pr").alias("sample_pr"))
+    )
+
+
+STRATIFIED_RESERVOIR_SQL = f"""
+WITH t AS (SELECT doc_id, lang, {_RESERVOIR_PR} AS pr FROM documents)
+SELECT lang, row_number() OVER (PARTITION BY lang ORDER BY pr, doc_id) AS rn,
+       doc_id, pr AS sample_pr
+FROM t
+QUALIFY rn <= {RESERVOIR_K}
+"""
+
+
+QUERIES = {
+    "text_contamination_overlap": (contamination_overlap, CONTAMINATION_SQL),
+    "text_unigram_logprob": (unigram_logprob, UNIGRAM_LOGPROB_SQL),
+    "text_sequence_packing": (sequence_packing, SEQUENCE_PACKING_SQL),
+    "text_gopher_quality_rules": (gopher_quality_rules, GOPHER_RULES_SQL),
+    "text_stratified_reservoir": (stratified_reservoir, STRATIFIED_RESERVOIR_SQL),
+}

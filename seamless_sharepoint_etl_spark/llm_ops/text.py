@@ -39,6 +39,31 @@ def _tokens(col: str = "text"):
     return F.split(F.col(col), " ")
 
 
+# Session-scoped cache of the exploded (doc_id, token) relation —
+# tokenize the corpus ONCE and feed every per-token consumer (TF-IDF,
+# unigram LM, contamination …), the same shape as dedup._SHINGLE_CACHE.
+# At 100 TB re-deriving this relation means re-reading the wide `text`
+# column per query; persisted, it is the narrow spine of the whole
+# token-level family.
+_TOKEN_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _token_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, token): whitespace-exploded tokens, persisted per session."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _TOKEN_CACHE.get(key)
+    if cached is not None:
+        return cached
+    from pyspark import StorageLevel
+
+    d = io.load_table_parallel(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.explode(_tokens()).alias("token")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    _TOKEN_CACHE[key] = t
+    return t
+
+
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token counts: whitespace tokens, distinct tokens,
     type-token ratio, mean token length, BPE-ish size estimate."""
@@ -290,7 +315,9 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = io.load_table_parallel(spark, sf_dir, "documents")
     n_docs = d.select(F.count(F.lit(1)).alias("nd"))
-    tok = d.select("doc_id", F.explode(_tokens()).alias("tok"))
+    tok = _token_relation(spark, sf_dir).select(
+        "doc_id", F.col("token").alias("tok")
+    )
     tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     scored = (

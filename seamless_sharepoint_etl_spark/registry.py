@@ -33,7 +33,7 @@ def _collect() -> dict[str, Entry]:
     from .functions import scalar, udfs
     from .sources import formats, rest
     from .streaming import windows as stream_windows
-    from .llm_ops import dedup, multimodal, similarity, text
+    from .llm_ops import curation, dedup, multimodal, similarity, text
 
     registry: dict[str, Entry] = {
         "flagship_incremental_load": (
@@ -57,6 +57,7 @@ def _collect() -> dict[str, Entry]:
         dedup,
         similarity,
         text,
+        curation,
         multimodal,
     ):
         overlap = registry.keys() & mod.QUERIES.keys()

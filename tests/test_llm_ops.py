@@ -383,3 +383,39 @@ def test_brp_lsh_recall_vs_brute_force(spark):
     assert truth
     recall = len(truth & approx) / len(truth)
     assert recall >= 0.8, f"BRP-LSH recall {recall:.3f} < 0.8"
+
+
+def test_curation_ops_survive_degenerate_docs(spark, tmp_path):
+    """The curation family must tolerate 1-token, empty, and NULL text
+    (the round-1 bigram trap: unguarded sequence(1, size-2) descends
+    and indexes out of bounds on short docs)."""
+    import os
+
+    import pandas as pd
+
+    from seamless_sharepoint_etl_spark.llm_ops import curation
+
+    d = str(tmp_path / "degenerate")
+    os.makedirs(d)
+    pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": ["solo", "", None, "two tokens"],
+            "lang": ["en", "en", "en", "en"],
+            "source": ["src0"] * 4,
+            "n_chars": [4, 0, 0, 10],
+        }
+    ).to_parquet(os.path.join(d, "documents.parquet"))
+
+    gq = {r["doc_id"]: r for r in curation.gopher_quality_rules(spark, d).collect()}
+    # 1-token doc: no trigrams (guarded to 0), run of 1 == whole doc
+    assert gq[0]["dup_tri_bp"] == 0 and gq[0]["top_run_bp"] == 10000
+    assert gq[3]["dup_word_bp"] == 0 and gq[3]["keep"] is False  # top_run 1/2
+
+    pk = {r["doc_id"]: r for r in curation.sequence_packing(spark, d).collect()}
+    assert pk[0]["offset"] == 0 and pk[0]["bins_spanned"] == 1
+
+    # these must simply run clean over the same rows
+    curation.unigram_logprob(spark, d).collect()
+    curation.stratified_reservoir(spark, d).collect()
+    curation.contamination_overlap(spark, d).collect()
