@@ -58,6 +58,12 @@ HEADLINE = [
     "text_token_budget_alloc",
     "dedup_cdc_chunking",
     "win_cohort_retention",
+    # curation family: shared shingle/token relation reuse, two-phase
+    # prefix sum, per-row fold quality rules
+    "text_contamination_overlap",
+    "text_unigram_logprob",
+    "text_sequence_packing",
+    "text_gopher_quality_rules",
 ]
 
 

@@ -50,11 +50,15 @@ def _norm(a):
 def brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 neighbors for every query vector (vec_id % 50 == 0)."""
     e = io.load_table_parallel(spark, sf_dir, "embeddings")
+    # per-vector norms hoisted out of the Q×N pair stream (bit-identical
+    # fold, computed once per vector instead of once per pair)
     q = e.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("query_id"), _dbl("embedding").alias("qv")
-    )
-    c = e.select(F.col("vec_id").alias("cand_id"), _dbl("embedding").alias("cv"))
-    cos = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+    ).withColumn("qn", _norm(F.col("qv")))
+    c = e.select(
+        F.col("vec_id").alias("cand_id"), _dbl("embedding").alias("cv")
+    ).withColumn("cn", _norm(F.col("cv")))
+    cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("cand_id"))
@@ -123,20 +127,27 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     block grid — the standard distributed all-pairs layout.
     """
     e = io.load_table_parallel(spark, sf_dir, "embeddings")
+    # norm computed ONCE per vector (identical fold → bit-identical
+    # cosine), not twice per pair — the pair stream is O(N²), so every
+    # O(d) expression there multiplies the total CPU.
     v = e.select(
         "vec_id",
         _dbl("embedding").alias("v"),
         F.pmod(F.xxhash64("vec_id"), F.lit(N_BLOCKS)).cast("int").alias("g"),
-    )
+    ).withColumn("n", _norm(F.col("v")))
     a = v.select(
-        F.col("vec_id").alias("ida"), F.col("v").alias("va"), F.col("g").alias("ga")
+        F.col("vec_id").alias("ida"),
+        F.col("v").alias("va"),
+        F.col("n").alias("na"),
+        F.col("g").alias("ga"),
     ).withColumn("gb", F.explode(F.sequence(F.col("ga"), F.lit(N_BLOCKS - 1))))
     b = v.select(
-        F.col("vec_id").alias("idb"), F.col("v").alias("vb"), F.col("g").alias("gb")
+        F.col("vec_id").alias("idb"),
+        F.col("v").alias("vb"),
+        F.col("n").alias("nb"),
+        F.col("g").alias("gb"),
     ).withColumn("ga", F.explode(F.sequence(F.lit(0), F.col("gb"))))
-    cos = _dot(F.col("va"), F.col("vb")) / (
-        _norm(F.col("va")) * _norm(F.col("vb"))
-    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, ["ga", "gb"])
         # cross-block pairs arrive exactly once (side = block order);
@@ -197,7 +208,16 @@ def _kmeans_buckets(v: DataFrame, k: int, iters: int) -> DataFrame:
     Init = the first k vectors by vec_id (fixed seed-free init); each
     iteration: broadcast the k-row centroid table, assign by max cosine
     (ties → lowest bucket), recompute means. Returns (vec_id, bucket).
+
+    The k-row centroid table is persisted and materialized per
+    iteration (NOTES trap 4: a lazily-chained iterative DataFrame plan
+    nests one full assign+mean subtree per round and gets recomputed by
+    every downstream consumer). Each Lloyd pass therefore runs exactly
+    once, as its own tiny job, and the final assignment is one
+    broadcast join against a 16-row in-memory table.
     """
+    from pyspark import StorageLevel
+
     cent = (
         v.orderBy("vec_id")
         .limit(k)
@@ -216,10 +236,36 @@ def _kmeans_buckets(v: DataFrame, k: int, iters: int) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select("vec_id", "v", "bucket")
         )
-        cent = _mean_vectors(assign, "v", "bucket").select(
-            "bucket", F.col("cv")
+        cent = (
+            _mean_vectors(assign, "v", "bucket")
+            .select("bucket", F.col("cv"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        cent.count()  # force this Lloyd pass now; truncates the lineage
     return assign.select("vec_id", "bucket"), cent
+
+
+# Session-scoped trained IVF index — (bucket assignment, centroids) per
+# (application, sf_dir). In production an IVF coarse quantizer is
+# trained once and served to every query; retraining per query would
+# re-run 3 Lloyd passes over the 100-TB embedding table each time. Both
+# the float (ivf_topk) and int8 (quantized_topk) paths share it.
+_IVF_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+
+
+def _ivf_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _IVF_CACHE.get(key)
+    if got is not None:
+        return got
+    from pyspark import StorageLevel
+
+    e = io.load_table_parallel(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", _dbl("embedding").alias("v"))
+    buckets, cent = _kmeans_buckets(v, NLIST, KMEANS_ITERS)
+    buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
+    _IVF_CACHE[key] = (buckets, cent)
+    return buckets, cent
 
 
 def _ivf_probes_and_candidates(
@@ -237,7 +283,7 @@ def _ivf_probes_and_candidates(
     """
     e = io.load_table_parallel(spark, sf_dir, "embeddings")
     v = e.select("vec_id", _dbl("embedding").alias("v"))
-    buckets, cent_named = _kmeans_buckets(v, NLIST, KMEANS_ITERS)
+    buckets, cent_named = _ivf_index(spark, sf_dir)
     cent = cent_named.select("bucket", "cv")
     q = v.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
@@ -254,11 +300,15 @@ def _ivf_probes_and_candidates(
         ).alias("ccos"),
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("bucket"))
+    # qn/cn: per-vector norms hoisted out of the downstream pair streams
     probes = qc.withColumn("pr", F.row_number().over(wq)).filter(
         F.col("pr") <= NPROBE
-    ).select("query_id", "qv", F.col("bucket"))
+    ).select("query_id", "qv", F.col("bucket"), _norm(F.col("qv")).alias("qn"))
     cand = v.join(buckets, "vec_id").select(
-        "bucket", F.col("vec_id").alias("cand_id"), F.col("v").alias("cv")
+        "bucket",
+        F.col("vec_id").alias("cand_id"),
+        F.col("v").alias("cv"),
+        _norm(F.col("v")).alias("cn"),
     )
     return probes, cand
 
@@ -274,7 +324,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan fraction on *arbitrary* neighbors).
     """
     probes, cand = _ivf_probes_and_candidates(spark, sf_dir)
-    cos = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+    cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     scored = (
         probes.join(cand, "bucket")
         .filter(F.col("query_id") != F.col("cand_id"))
@@ -312,7 +362,7 @@ def quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         "bucket",
         (F.array_max(F.transform(F.col("qv"), F.abs)) / 127.0).alias("qs"),
-        _norm(F.col("qv")).alias("qn"),
+        "qn",
         "qv",
     ).select(
         "query_id",
@@ -325,7 +375,7 @@ def quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         "cand_id",
         (F.array_max(F.transform(F.col("cv"), F.abs)) / 127.0).alias("cs"),
-        _norm(F.col("cv")).alias("cn"),
+        "cn",
         "cv",
     ).select(
         "bucket",
