@@ -387,10 +387,107 @@ QUALIFY rn <= {RESERVOIR_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# 6. Per-source reputation (C4-style blocklist candidates)
+# ---------------------------------------------------------------------------
+
+# Fixture-calibrated so both verdicts occur (per-source aggregate TTR
+# straddles 4200 bp at sf0.001/0.01/0.1); on a real corpus these come
+# from the curation spec.
+SRC_DUP_MAX_BP = 1500
+SRC_TTR_MIN_BP = 4200
+
+
+def source_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus-quality ledger: document count, corpus-wide
+    exact-duplicate rate, aggregate type-token ratio, mean document
+    length — the statistics a C4-style source blocklist is cut from
+    (a source whose docs are mostly corpus duplicates or degenerate
+    boilerplate gets dropped wholesale).
+
+    Scale shape: per-doc metrics are per-row array expressions (no
+    explode); duplicate detection groups on the 64-bit normalized-text
+    hash — three narrow shuffles total (norm-hash × source count,
+    norm-hash window for corpus totals, final source agg whose
+    cardinality is the source dimension, i.e. tiny). All fractions are
+    integer basis points.
+    """
+    d = io.load_table_parallel(spark, sf_dir, "documents")
+    base = d.select(
+        "source",
+        F.xxhash64(
+            F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+        ).alias("h"),
+        F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("n_tokens"),
+        F.expr("CAST(size(array_distinct(split(text, ' '))) AS BIGINT)").alias(
+            "n_distinct"
+        ),
+    )
+    per_hs = base.groupBy("h", "source").agg(
+        F.count(F.lit(1)).alias("c_hs"),
+        F.sum("n_tokens").alias("t"),
+        F.sum("n_distinct").alias("td"),
+    )
+    w = Window.partitionBy("h")
+    flagged = per_hs.withColumn("c_h", F.sum("c_hs").over(w))
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.sum("c_hs").alias("n_docs"),
+            F.sum(F.when(F.col("c_h") > 1, F.col("c_hs")).otherwise(0)).alias(
+                "n_dup"
+            ),
+            F.sum("t").alias("sum_tokens"),
+            F.sum("td").alias("sum_distinct"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.expr("(n_dup * 10000) div n_docs").alias("dup_bp"),
+            F.expr("(sum_distinct * 10000) div sum_tokens").alias("ttr_bp"),
+            F.expr("sum_tokens div n_docs").alias("avg_tokens"),
+        )
+        .withColumn(
+            "keep",
+            (F.col("dup_bp") <= SRC_DUP_MAX_BP) & (F.col("ttr_bp") >= SRC_TTR_MIN_BP),
+        )
+    )
+
+
+SOURCE_REPUTATION_SQL = f"""
+WITH base AS (
+  SELECT source,
+         regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+  FROM documents
+),
+per_hs AS (
+  SELECT norm, source, count(*) AS c_hs,
+         sum(n_tokens) AS t, sum(n_distinct) AS td
+  FROM base GROUP BY norm, source
+),
+flagged AS (
+  SELECT *, sum(c_hs) OVER (PARTITION BY norm) AS c_h FROM per_hs
+)
+SELECT source,
+       sum(c_hs) AS n_docs,
+       (sum(CASE WHEN c_h > 1 THEN c_hs ELSE 0 END) * 10000) // sum(c_hs) AS dup_bp,
+       (sum(td) * 10000) // sum(t) AS ttr_bp,
+       sum(t) // sum(c_hs) AS avg_tokens,
+       (sum(CASE WHEN c_h > 1 THEN c_hs ELSE 0 END) * 10000) // sum(c_hs)
+         <= {SRC_DUP_MAX_BP}
+         AND (sum(td) * 10000) // sum(t) >= {SRC_TTR_MIN_BP} AS keep
+FROM flagged
+GROUP BY source
+"""
+
+
 QUERIES = {
     "text_contamination_overlap": (contamination_overlap, CONTAMINATION_SQL),
     "text_unigram_logprob": (unigram_logprob, UNIGRAM_LOGPROB_SQL),
     "text_sequence_packing": (sequence_packing, SEQUENCE_PACKING_SQL),
     "text_gopher_quality_rules": (gopher_quality_rules, GOPHER_RULES_SQL),
     "text_stratified_reservoir": (stratified_reservoir, STRATIFIED_RESERVOIR_SQL),
+    "text_source_reputation": (source_reputation, SOURCE_REPUTATION_SQL),
 }

@@ -463,10 +463,121 @@ def brp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic pruning: within each IVF cluster, drop
+    every vector that has a lower-id clustermate above NEARDUP_COS; the
+    lowest id of each semantic group survives as the representative.
+
+    This is the standard embedding-dedup recipe for pretraining
+    corpora (cluster first, compare only within clusters): the coarse
+    quantizer — shared, session-cached, trained once — cuts the pair
+    stream from O(N²) to Σ|bucket|², and each bucket's pairs land in
+    one shuffle partition, so the layout scales with the largest
+    cluster, not the corpus. Deterministic (k-means init is seed-free);
+    rows-only for the driver, pytest gates prune⊆exact-neardup and
+    representative validity.
+    """
+    buckets, _cent = _ivf_index(spark, sf_dir)
+    e = io.load_table_parallel(spark, sf_dir, "embeddings")
+    v = (
+        e.select("vec_id", _dbl("embedding").alias("v"))
+        .join(buckets, "vec_id")
+        .withColumn("n", _norm(F.col("v")))
+    )
+    a = v.select(
+        "bucket",
+        F.col("vec_id").alias("ida"),
+        F.col("v").alias("va"),
+        F.col("n").alias("na"),
+    )
+    b = v.select(
+        "bucket",
+        F.col("vec_id").alias("idb"),
+        F.col("v").alias("vb"),
+        F.col("n").alias("nb"),
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    # for each vector: the smallest lower-id clustermate above threshold
+    reps = (
+        a.join(b, "bucket")
+        .filter(F.col("idb") < F.col("ida"))
+        .filter(cos >= NEARDUP_COS)
+        .groupBy(F.col("ida").alias("vec_id"))
+        .agg(F.min("idb").alias("rep_id"))
+    )
+    return (
+        v.select("vec_id", "bucket")
+        .join(reps, "vec_id", "left")
+        .select(
+            "vec_id",
+            "bucket",
+            F.col("rep_id").isNull().alias("kept"),
+            F.coalesce("rep_id", "vec_id").alias("rep_id"),
+        )
+    )
+
+
+def label_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label-consistency probe: for every query vector, the
+    fraction (basis points) of its exact cosine top-10 neighbors that
+    share its label — the standard cheap eval of embedding quality
+    (does the space cluster by label?) run before committing a 100-TB
+    embedding table to curation decisions.
+
+    Plan: the brute-force top-k relation (declared oracle baseline) +
+    two broadcast joins against the tiny (vec_id, label) projection +
+    one query_id agg. Fully oracle-checked.
+    """
+    e = io.load_table_parallel(spark, sf_dir, "embeddings")
+    labels = e.select("vec_id", "label")
+    topk = brute_force_topk(spark, sf_dir)
+    return (
+        topk.join(
+            F.broadcast(labels.withColumnRenamed("vec_id", "query_id")), "query_id"
+        )
+        .join(
+            F.broadcast(
+                labels.select(
+                    F.col("vec_id").alias("cand_id"),
+                    F.col("label").alias("cand_label"),
+                )
+            ),
+            "cand_id",
+        )
+        .groupBy("query_id", "label")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(
+                F.when(F.col("cand_label") == F.col("label"), 1).otherwise(0)
+            ).alias("n_match"),
+        )
+        .select(
+            "query_id",
+            "label",
+            F.expr("CAST((n_match * 10000) div k AS BIGINT)").alias("knn_match_bp"),
+        )
+    )
+
+
+LABEL_KNN_SQL = f"""
+WITH topk AS ({BRUTE_FORCE_SQL}),
+l AS (SELECT vec_id, label FROM embeddings)
+SELECT t.query_id, ql.label,
+       (sum(CASE WHEN cl.label = ql.label THEN 1 ELSE 0 END) * 10000)
+         // count(*) AS knn_match_bp
+FROM topk t
+JOIN l ql ON ql.vec_id = t.query_id
+JOIN l cl ON cl.vec_id = t.cand_id
+GROUP BY t.query_id, ql.label
+"""
+
+
 QUERIES = {
     "sim_brute_force_topk": (brute_force_topk, BRUTE_FORCE_SQL),
     "sim_embedding_neardup": (embedding_neardup, EMBEDDING_NEARDUP_SQL),
     "sim_ivf_topk": (ivf_topk, None),
     "sim_quantized_topk": (quantized_topk, None),
     "sim_brp_lsh_topk": (brp_lsh_topk, None),
+    "sim_semantic_dedup": (semantic_dedup, None),
+    "emb_label_knn_accuracy": (label_knn_accuracy, LABEL_KNN_SQL),
 }

@@ -419,3 +419,30 @@ def test_curation_ops_survive_degenerate_docs(spark, tmp_path):
     curation.unigram_logprob(spark, d).collect()
     curation.stratified_reservoir(spark, d).collect()
     curation.contamination_overlap(spark, d).collect()
+
+
+def test_semantic_dedup_prunes_only_true_neardups(spark):
+    """SemDeDup gate: (a) every pruned vector has an exact-cosine
+    near-dup partner (prune ⊆ truth — the IVF blocking must never
+    invent a duplicate); (b) the representative is a lower id in the
+    same cluster; (c) kept+pruned partitions the table."""
+    from seamless_sharepoint_etl_spark.llm_ops import similarity
+
+    truth_pairs = {
+        (r["id_lo"], r["id_hi"])
+        for r in similarity.embedding_neardup(spark, SF_DIR).collect()
+    }
+    rows = similarity.semantic_dedup(spark, SF_DIR).collect()
+    by_id = {r["vec_id"]: r for r in rows}
+    pruned = [r for r in rows if not r["kept"]]
+    assert len(rows) == len(by_id)  # one row per vector
+    for r in pruned:
+        assert r["rep_id"] < r["vec_id"]
+        assert (r["rep_id"], r["vec_id"]) in truth_pairs, (
+            f"pruned {r['vec_id']} against {r['rep_id']} but exact cosine "
+            "is below threshold"
+        )
+        assert by_id[r["rep_id"]]["bucket"] == r["bucket"]
+    for r in rows:
+        if r["kept"]:
+            assert r["rep_id"] == r["vec_id"]
