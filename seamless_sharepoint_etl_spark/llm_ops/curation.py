@@ -483,6 +483,69 @@ GROUP BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# 7. PII scrubbing (regex count + redaction)
+# ---------------------------------------------------------------------------
+
+# Conservative patterns that parse identically under Java regex (Spark)
+# and RE2 (DuckDB): no lookaround, no backreferences.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b\d{3}[- .]\d{3}[- .]\d{4}\b"
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction ledger: per document, the count of
+    email / IPv4 / phone matches and the text length after replacing
+    each class with a fixed placeholder — the pass every public-crawl
+    pipeline runs before training.
+
+    The fixture corpus is synthetic token text, so counts are zero
+    there — the oracle run proves the *plumbing* (both engines execute
+    the same patterns); semantics are proven by the pytest fixture that
+    injects real PII strings. Per-row regexes, embarrassingly parallel,
+    zero shuffles.
+    """
+    d = io.load_table_parallel(spark, sf_dir, "documents")
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"),
+            PII_IPV4,
+            "<IP>",
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(PII_EMAIL), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(PII_IPV4), F.lit(0)))
+        .cast("long")
+        .alias("n_ips"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(PII_PHONE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.length(red).cast("long").alias("redacted_len"),
+    )
+
+
+PII_SCRUB_SQL = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{PII_IPV4}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(text, '{PII_PHONE}')) AS BIGINT) AS n_phones,
+       CAST(length(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+             '{PII_IPV4}', '<IP>', 'g'),
+           '{PII_PHONE}', '<PHONE>', 'g')) AS BIGINT) AS redacted_len
+FROM documents
+"""
+
+
 QUERIES = {
     "text_contamination_overlap": (contamination_overlap, CONTAMINATION_SQL),
     "text_unigram_logprob": (unigram_logprob, UNIGRAM_LOGPROB_SQL),
@@ -490,4 +553,5 @@ QUERIES = {
     "text_gopher_quality_rules": (gopher_quality_rules, GOPHER_RULES_SQL),
     "text_stratified_reservoir": (stratified_reservoir, STRATIFIED_RESERVOIR_SQL),
     "text_source_reputation": (source_reputation, SOURCE_REPUTATION_SQL),
+    "text_pii_scrub": (pii_scrub, PII_SCRUB_SQL),
 }

@@ -572,6 +572,40 @@ GROUP BY t.query_id, ql.label
 """
 
 
+def centroid_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-IVF-cluster label purity: cluster size, majority label, and
+    the majority fraction in basis points — the quick clustering-quality
+    diagnostic run before trusting cluster-level curation decisions
+    (SemDeDup pruning, stratified sampling) on a new embedding space.
+
+    Reuses the session-cached coarse quantizer; one narrow join to the
+    (vec_id, label) projection and two tiny aggs (cardinality ≤ NLIST ×
+    labels). Deterministic (ties → lowest label); rows-only for the
+    driver — k-means is not SQL-expressible — pytest gates partition
+    totals and purity bounds.
+    """
+    buckets, _cent = _ivf_index(spark, sf_dir)
+    e = io.load_table_parallel(spark, sf_dir, "embeddings")
+    bl = (
+        e.select("vec_id", "label")
+        .join(buckets, "vec_id")
+        .groupBy("bucket", "label")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("bucket").orderBy(F.desc("c"), F.asc("label"))
+    return (
+        bl.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_vecs", F.sum("c").over(Window.partitionBy("bucket")))
+        .filter(F.col("rn") == 1)
+        .select(
+            "bucket",
+            "n_vecs",
+            F.col("label").alias("majority_label"),
+            F.expr("(c * 10000) div n_vecs").alias("purity_bp"),
+        )
+    )
+
+
 QUERIES = {
     "sim_brute_force_topk": (brute_force_topk, BRUTE_FORCE_SQL),
     "sim_embedding_neardup": (embedding_neardup, EMBEDDING_NEARDUP_SQL),
@@ -580,4 +614,5 @@ QUERIES = {
     "sim_brp_lsh_topk": (brp_lsh_topk, None),
     "sim_semantic_dedup": (semantic_dedup, None),
     "emb_label_knn_accuracy": (label_knn_accuracy, LABEL_KNN_SQL),
+    "emb_centroid_purity": (centroid_purity, None),
 }

@@ -446,3 +446,59 @@ def test_semantic_dedup_prunes_only_true_neardups(spark):
     for r in rows:
         if r["kept"]:
             assert r["rep_id"] == r["vec_id"]
+
+
+def test_pii_scrub_redacts_injected_pii(spark, tmp_path):
+    """Fixture text carries no PII, so the oracle row only proves
+    plumbing; semantics are proven here on injected strings."""
+    import os
+
+    import pandas as pd
+
+    from seamless_sharepoint_etl_spark.llm_ops import curation
+
+    texts = [
+        "contact bob.smith+spam@example.co.uk for details",
+        "server at 192.168.1.254 answered",
+        "call 555-867-5309 or 555 867 5309 today",
+        "clean document with no identifiers at all",
+    ]
+    d = str(tmp_path / "pii")
+    os.makedirs(d)
+    pd.DataFrame(
+        {
+            "doc_id": list(range(4)),
+            "text": texts,
+            "lang": ["en"] * 4,
+            "source": ["src0"] * 4,
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(os.path.join(d, "documents.parquet"))
+
+    out = {r["doc_id"]: r for r in curation.pii_scrub(spark, d).collect()}
+    assert out[0]["n_emails"] == 1
+    assert out[0]["redacted_len"] == len("contact <EMAIL> for details")
+    assert out[1]["n_ips"] == 1
+    assert out[1]["redacted_len"] == len("server at <IP> answered")
+    assert out[2]["n_phones"] == 2
+    assert out[2]["redacted_len"] == len("call <PHONE> or <PHONE> today")
+    assert out[3]["n_emails"] == out[3]["n_ips"] == out[3]["n_phones"] == 0
+    assert out[3]["redacted_len"] == len(texts[3])
+
+
+def test_centroid_purity_partitions_and_bounds(spark):
+    """Purity rows partition the embedding table (sizes sum to N), the
+    majority fraction is a valid basis-point value, and repeated runs
+    are identical (seed-free k-means)."""
+    from seamless_sharepoint_etl_spark.llm_ops import similarity
+
+    rows = similarity.centroid_purity(spark, SF_DIR).collect()
+    n_total = (
+        similarity.io.load_table(spark, SF_DIR, "embeddings").count()
+    )
+    assert sum(r["n_vecs"] for r in rows) == n_total
+    for r in rows:
+        # majority fraction of a non-empty cluster: (1/n, 1] in bp
+        assert 0 < r["purity_bp"] <= 10000
+    again = similarity.centroid_purity(spark, SF_DIR).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
