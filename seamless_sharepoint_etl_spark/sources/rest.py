@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     EqualTo,
     Filter,
@@ -315,63 +316,131 @@ class SeamlessRestReader(DataSourceReader):
         return parts
 
     def read(self, partition: PagePartition) -> Iterator[tuple]:
-        # Per-request signing, reference layout (:33-39,:72-74). The
-        # timestamp is an option so runs are deterministic.
-        secret = self.options.get("secret_key", "")
-        ts = self.options.get("request_ts", "0")
-        page_name = os.path.basename(partition.path)
-        sig = seamless_api_signature(
-            f"/api/form/{self.options.get('form_id', 'f0')}/pipeline/{page_name}",
-            "GET",
-            ts,
-            secret,
+        yield from _read_page_arrow(
+            self.options,
+            self.catalog,
+            self.out_schema,
+            partition,
+            self.server_filters,
         )
-        with open(partition.path) as fh:
-            body = json.load(fh)
-        if secret and body.get("signature_required") and sig != body.get("signature"):
-            raise ValueError("request signature rejected by transport")
 
-        name_to_id = {c["printable_name"]: c["column_id"] for c in self.catalog}
-        out_ids = [name_to_id[f.name] for f in self.out_schema.fields]
-        filt = [(name_to_id[c], op, v) for c, op, v in self.server_filters]
-        rows = []
-        for item in body["items"]:
-            row = item["application_data"]
-            ok = True
-            for cid, op, v in filt:
-                x = row.get(cid)
-                if x is None:
-                    ok = False
-                elif op == ">" and not x > v:
-                    ok = False
-                elif op == ">=" and not x >= v:
-                    ok = False
-                elif op == "<" and not x < v:
-                    ok = False
-                elif op == "<=" and not x <= v:
-                    ok = False
-                elif op == "=" and not x == v:
-                    ok = False
-                if not ok:
-                    break
-            if ok:
-                rows.append(row)
-            if partition.take is not None and len(rows) >= partition.take:
-                break  # pushed-TopN prefix satisfied — stop parsing
-        # hand Spark one Arrow RecordBatch per page — columnar transfer,
-        # no per-row pickling (the API accepts Iterator[RecordBatch])
-        import pyarrow as pa
 
-        pa_types = {"string": pa.string(), "double": pa.float64()}
-        cols = {c["column_id"]: pa_types[c["type"]] for c in self.catalog}
-        if rows:
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array([r.get(cid) for r in rows], type=cols[cid])
-                    for cid in out_ids
-                ],
-                names=[f.name for f in self.out_schema.fields],
-            )
+def _read_page_arrow(
+    options: dict,
+    catalog: list[dict],
+    out_schema: StructType,
+    partition: PagePartition,
+    server_filters: list[tuple[str, str, object]],
+) -> Iterator:
+    """Parse one endpoint page into an Arrow RecordBatch (shared by the
+    batch and streaming readers — same transport, same signing, same
+    server-side filter evaluation)."""
+    # Per-request signing, reference layout (:33-39,:72-74). The
+    # timestamp is an option so runs are deterministic.
+    secret = options.get("secret_key", "")
+    ts = options.get("request_ts", "0")
+    page_name = os.path.basename(partition.path)
+    sig = seamless_api_signature(
+        f"/api/form/{options.get('form_id', 'f0')}/pipeline/{page_name}",
+        "GET",
+        ts,
+        secret,
+    )
+    with open(partition.path) as fh:
+        body = json.load(fh)
+    if secret and body.get("signature_required") and sig != body.get("signature"):
+        raise ValueError("request signature rejected by transport")
+
+    name_to_id = {c["printable_name"]: c["column_id"] for c in catalog}
+    out_ids = [name_to_id[f.name] for f in out_schema.fields]
+    filt = [(name_to_id[c], op, v) for c, op, v in server_filters]
+    rows = []
+    for item in body["items"]:
+        row = item["application_data"]
+        ok = True
+        for cid, op, v in filt:
+            x = row.get(cid)
+            if x is None:
+                ok = False
+            elif op == ">" and not x > v:
+                ok = False
+            elif op == ">=" and not x >= v:
+                ok = False
+            elif op == "<" and not x < v:
+                ok = False
+            elif op == "<=" and not x <= v:
+                ok = False
+            elif op == "=" and not x == v:
+                ok = False
+            if not ok:
+                break
+        if ok:
+            rows.append(row)
+        if partition.take is not None and len(rows) >= partition.take:
+            break  # pushed-TopN prefix satisfied — stop parsing
+    # hand Spark one Arrow RecordBatch per page — columnar transfer,
+    # no per-row pickling (the API accepts Iterator[RecordBatch])
+    import pyarrow as pa
+
+    pa_types = {"string": pa.string(), "double": pa.float64()}
+    cols = {c["column_id"]: pa_types[c["type"]] for c in catalog}
+    if rows:
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([r.get(cid) for r in rows], type=cols[cid]) for cid in out_ids],
+            names=[f.name for f in out_schema.fields],
+        )
+
+
+# ---------------------------------------------------------------------------
+# Streaming reader (incremental page CDC)
+# ---------------------------------------------------------------------------
+
+
+class SeamlessRestStreamReader(DataSourceStreamReader):
+    """readStream over the paged endpoint — the reference's cron-driven
+    incremental copy (bin/copy-seamless-to-sharepoint.rb:18-24, A11)
+    re-expressed as a real Structured Streaming source.
+
+    Offset model: the endpoint is append-only in page order, so an
+    offset is simply ``{"page": n}`` = pages consumed so far. Each
+    microbatch plans one InputPartition per NEW page (parallel across
+    executors, same as the batch reader), and checkpoint recovery
+    replays exactly the [start, end) page range — exactly-once into any
+    transactional sink. At 100 TB scale the page index is the only
+    driver-side state (one integer), and `Trigger.AvailableNow` gives
+    the reference's batch-cron semantics with streaming bookkeeping.
+    """
+
+    def __init__(self, options: dict, schema: StructType, catalog: list[dict]):
+        self.options = options
+        self.out_schema = schema
+        self.catalog = catalog
+
+    def _page_files(self) -> list[str]:
+        endpoint = self.options["endpoint"]
+        return sorted(
+            os.path.join(endpoint, p)
+            for p in os.listdir(endpoint)
+            if p.startswith("page-") and p.endswith(".json")
+        )
+
+    def initialOffset(self) -> dict:  # noqa: N802 (API name)
+        return {"page": 0}
+
+    def latestOffset(self) -> dict:  # noqa: N802 (API name)
+        return {"page": len(self._page_files())}
+
+    def partitions(self, start: dict, end: dict) -> list[PagePartition]:
+        pages = self._page_files()[start["page"] : end["page"]]
+        return [PagePartition(p) for p in pages]
+
+    def read(self, partition: PagePartition) -> Iterator:
+        yield from _read_page_arrow(
+            self.options, self.catalog, self.out_schema, partition, []
+        )
+
+    def commit(self, end: dict) -> None:
+        pass  # endpoint pages are immutable; nothing to vacuum
 
 
 # ---------------------------------------------------------------------------
@@ -475,6 +544,9 @@ class SeamlessRestDataSource(DataSource):
 
     def reader(self, schema: StructType) -> SeamlessRestReader:
         return SeamlessRestReader(dict(self.options), schema, self._catalog())
+
+    def streamReader(self, schema: StructType) -> SeamlessRestStreamReader:  # noqa: N802
+        return SeamlessRestStreamReader(dict(self.options), schema, self._catalog())
 
     def writer(self, schema: StructType, overwrite: bool) -> SharePointRestWriter:
         return SharePointRestWriter(dict(self.options), schema)
@@ -604,8 +676,50 @@ SELECT * FROM items ORDER BY po_number LIMIT {TOPN_LIMIT}
 """
 
 
+def rest_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The endpoint consumed as a REAL readStream (Trigger.AvailableNow
+    → parquet sink), returning the landed rows — the reference's
+    incremental cron copy with streaming offset bookkeeping. The
+    streamed result must equal the batch paged scan (pytest pins the
+    equality; here the driver gets the landed table itself).
+
+    Oracle: same relation as the full paged scan — the stream is a
+    different *execution* of the same logical content.
+    """
+    import tempfile
+
+    register(spark)
+    endpoint = materialize_pages(spark, sf_dir, _endpoint_for(sf_dir))
+    work = tempfile.mkdtemp(prefix="seamless_rest_stream-")
+    out, ckpt = os.path.join(work, "out"), os.path.join(work, "ckpt")
+    stream = (
+        spark.readStream.format("seamless_rest")
+        .option("endpoint", endpoint)
+        .option("columns", "po_number,vendor,description,picker,charge_code,amount")
+        .option("form_id", "CO16100000012041")
+        .option("request_ts", "1700000000")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)
+
+
+REST_STREAM_SCAN_SQL = f"""
+WITH items AS ({io.SEAMLESS_ITEMS_SQL})
+SELECT * FROM items
+"""
+
+
 QUERIES = {
     "src_rest_paged_scan": (rest_paged_scan, REST_PAGED_SCAN_SQL),
     "src_rest_sink_roundtrip": (rest_sink_roundtrip, REST_SINK_ROUNDTRIP_SQL),
     "src_rest_topn_pushdown": (rest_topn_scan, REST_TOPN_SQL),
+    "src_rest_stream_scan": (rest_stream_scan, REST_STREAM_SCAN_SQL),
 }

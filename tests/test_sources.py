@@ -204,3 +204,89 @@ def test_rest_topn_rejects_unservable_order(spark):
     )
     with pytest.raises(ValueError, match="sorted Spark-side"):
         reader.partitions()
+
+
+def _mini_endpoint(tmp_path, n_pages=2, rows_per_page=3):
+    """Hand-built paged endpoint (catalog + page files) small enough to
+    reason about exactly."""
+    d = str(tmp_path / "endpoint")
+    os.makedirs(d)
+    with open(os.path.join(d, "catalog.json"), "w") as fh:
+        json.dump({"columns": rest.ITEMS_CATALOG}, fh)
+    counter = 0
+    for page in range(n_pages):
+        items = []
+        for _ in range(rows_per_page):
+            items.append(
+                {
+                    "application_data": {
+                        "fld_k7q2": f"U{counter:08d}D",
+                        "fld_x91a": f"vendor{counter % 3}",
+                        "fld_m3om": f"desc {counter}",
+                        "fld_erk0": f"picker{counter % 2}",
+                        "fld_qfp5": f"cc{counter % 4}",
+                        "fld_amt9": float(counter) * 10.0,
+                    }
+                }
+            )
+            counter += 1
+        with open(os.path.join(d, f"page-{page:05d}.json"), "w") as fh:
+            json.dump({"items": items}, fh)
+    return d, counter
+
+
+def _run_stream(spark, endpoint, out, ckpt):
+    rest.register(spark)
+    stream = (
+        spark.readStream.format("seamless_rest")
+        .option("endpoint", endpoint)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)
+
+
+def test_stream_reader_incremental_offsets(spark, tmp_path):
+    """The streaming REST source must (1) land exactly the batch-scan
+    relation, and (2) on resume consume ONLY pages that appeared after
+    the checkpointed offset — the reference's incremental cron copy
+    with real offset bookkeeping."""
+    endpoint, n_rows = _mini_endpoint(tmp_path, n_pages=2, rows_per_page=3)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    landed = _run_stream(spark, endpoint, out, ckpt)
+    batch = spark.read.format("seamless_rest").option("endpoint", endpoint).load()
+    assert sorted(map(tuple, landed.collect())) == sorted(map(tuple, batch.collect()))
+    assert landed.count() == n_rows
+
+    # a new page arrives; the resumed stream must append just its rows
+    with open(os.path.join(endpoint, "page-00002.json"), "w") as fh:
+        json.dump(
+            {
+                "items": [
+                    {
+                        "application_data": {
+                            "fld_k7q2": "U99999999D",
+                            "fld_x91a": "vendorX",
+                            "fld_m3om": "late page",
+                            "fld_erk0": "pickerX",
+                            "fld_qfp5": "ccX",
+                            "fld_amt9": 777.0,
+                        }
+                    }
+                ]
+            },
+            fh,
+        )
+    landed2 = _run_stream(spark, endpoint, out, ckpt)
+    assert landed2.count() == n_rows + 1
+    assert (
+        landed2.filter(F.col("po_number") == "U99999999D").count() == 1
+    )  # exactly once, not re-read
