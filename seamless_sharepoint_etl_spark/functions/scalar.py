@@ -299,6 +299,59 @@ SELECT s_suppkey, 'nationkey', CAST(s_nationkey AS DOUBLE) FROM supplier
 """
 
 
+def table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed per-group digest of the supplier table: each
+    row hashes to md5(canonical '|'-joined string form), the first 15
+    hex chars parse to a 60-bit integer, and the group digest is the
+    ORDER-INDEPENDENT sum of row hashes mod 2³² — the cheap
+    cross-engine/cross-cluster equality check a 100-TB migration runs
+    instead of shipping both copies to one place (this is the same
+    trick the round driver's value-hash gate uses).
+
+    One narrow shuffle on the group key; everything else is per-row
+    JVM expression. The oracle recomputes the digest in DuckDB — a
+    hash-match proves byte-level content agreement.
+    """
+    s = io.load_table(spark, sf_dir, "supplier")
+    canon = F.concat_ws(
+        "|",
+        F.col("s_suppkey").cast("string"),
+        F.col("s_name"),
+        F.col("s_nationkey").cast("string"),
+        # integer cents, not formatted decimals: float→string formatting
+        # rounds HALF_EVEN vs HALF_UP differently across engines (trap 1)
+        F.floor(F.col("s_acctbal") * 100 + F.lit(0.5)).cast("long").cast("string"),
+    )
+    row_h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+    return (
+        s.select(F.col("s_nationkey").alias("nationkey"), (row_h % 4294967296).alias("h"))
+        .groupBy("nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("h").alias("digest"),
+        )
+    )
+
+
+TABLE_FINGERPRINT_SQL = """
+WITH rows_h AS (
+  SELECT s_nationkey AS nationkey,
+         list_reduce(
+           list_transform(
+             string_split_regex(substr(md5(
+               concat_ws('|', CAST(s_suppkey AS VARCHAR), s_name,
+                         CAST(s_nationkey AS VARCHAR),
+                         CAST(CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS VARCHAR))), 1, 15), ''),
+             c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+           (a, b) -> a * 16 + b) % 4294967296 AS h
+  FROM supplier
+)
+SELECT nationkey, count(*) AS n_rows, sum(h) AS digest
+FROM rows_h
+GROUP BY nationkey
+"""
+
+
 QUERIES = {
     "fn_string": (string_functions, STRING_FUNCTIONS_SQL),
     "fn_date": (date_functions, DATE_FUNCTIONS_SQL),
@@ -308,4 +361,5 @@ QUERIES = {
     "fn_map": (map_functions, MAP_FUNCTIONS_SQL),
     "fn_try_safe": (try_safe_functions, TRY_SAFE_SQL),
     "rel_unpivot_melt": (unpivot_melt, UNPIVOT_SQL),
+    "fn_table_fingerprint": (table_fingerprint, TABLE_FINGERPRINT_SQL),
 }

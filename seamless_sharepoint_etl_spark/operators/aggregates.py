@@ -536,6 +536,70 @@ SELECT o_orderpriority, mode_status, mode_count FROM (
 """
 
 
+# Incremental maintenance frontier: orders strictly before this date are
+# the "stored" base state; the rest is the CDC delta.
+MV_FRONTIER = "1997-01-01"
+
+
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance: the per-priority revenue rollup is
+    kept as MERGEABLE partial state (sum/count/min/max), and a CDC
+    delta is folded in by re-aggregating the partials — the full fact
+    table is never rescanned.
+
+    This is the 100-TB shape for every standing rollup: partial state
+    is O(groups), the delta is O(new data), and the merge is an agg
+    over |groups|·2 rows. avg is DERIVED from (sum, count) at read time
+    — storing avg would make the state non-mergeable (NOTES trap 1:
+    round(sum)/count, never round(avg)). The oracle recomputes from
+    scratch; matching it proves merge ≡ recompute.
+    """
+    o = io.load_table(spark, sf_dir, "orders")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.sum("o_totalprice").alias("s"),
+            F.count(F.lit(1)).alias("c"),
+            F.min("o_totalprice").alias("mn"),
+            F.max("o_totalprice").alias("mx"),
+        )
+
+    base = partials(o.filter(F.col("o_orderdate") < MV_FRONTIER))
+    delta = partials(o.filter(F.col("o_orderdate") >= MV_FRONTIER))
+    return (
+        base.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("s").alias("s"),
+            F.sum("c").alias("n_orders"),
+            F.min("mn").alias("min_price"),
+            F.max("mx").alias("max_price"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            F.round("s", 2).alias("revenue"),
+            F.round(F.round(F.col("s"), 2) / F.col("n_orders"), 2).alias(
+                "avg_price"
+            ),
+            "min_price",
+            "max_price",
+        )
+    )
+
+
+INCREMENTAL_AGG_MERGE_SQL = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue,
+       round(round(sum(o_totalprice), 2) / count(*), 2) AS avg_price,
+       min(o_totalprice) AS min_price,
+       max(o_totalprice) AS max_price
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "agg_pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
     "agg_multikey_distinct": (multikey_distinct, MULTIKEY_DISTINCT_SQL),
@@ -554,4 +618,5 @@ QUERIES = {
     "agg_boolean": (boolean_aggs, BOOLEAN_AGGS_SQL),
     "agg_hll_partial_merge": (hll_partial_merge, None),
     "agg_mode": (mode_agg, MODE_AGG_SQL),
+    "agg_incremental_merge": (incremental_agg_merge, INCREMENTAL_AGG_MERGE_SQL),
 }

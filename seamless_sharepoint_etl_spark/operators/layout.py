@@ -1,0 +1,131 @@
+"""Data-layout operators: space-filling-curve clustering statistics.
+
+Provenance: SURVEY.md §2 Tier B scale posture (no reference counterpart
+— the reference copies rows in arrival order). At 100 TB the dominant
+scan cost is files touched, and multi-dimensional data skipping needs
+rows co-located along EVERY filtered dimension at once. Z-ordering
+(interleaving the bits of the dimension keys, then range-partitioning
+by the interleaved value) is the standard answer — what Delta's
+OPTIMIZE ZORDER BY and Iceberg's sort-order rewrite do before writing
+files.
+
+``layout_zorder_stats`` computes the 32-bit Morton code of
+(customer, order-day), buckets rows by its high bits — one bucket ≈ one
+file — and reports each bucket's min/max per dimension: exactly the
+footer statistics a reader would prune against. Tight per-bucket spans
+on BOTH dimensions are the proof the layout works; a single-dimension
+sort gives tight spans on one and full-range spans on the other.
+
+Everything is integer bit arithmetic — embarrassingly parallel, one
+shuffle on the bucket key, bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import io
+
+ZORDER_EPOCH = "1992-01-01"  # fixture o_orderdate range starts here
+ZBITS = 16  # bits kept per dimension
+ZBUCKET_SHIFT = 24  # z >> 24 → 256 buckets over the 32-bit curve (≈ files)
+
+
+def _morton(x, y):
+    """Interleave the low ZBITS bits of two non-negative longs
+    (y takes even bit positions, x odd)."""
+    terms = []
+    for i in range(ZBITS):
+        terms.append(
+            F.shiftright(x, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i + 1))
+        )
+        terms.append(
+            F.shiftright(y, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i))
+        )
+    return reduce(lambda a, b: a + b, terms).cast("long")
+
+
+def zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-z-bucket row counts and per-dimension min/max spans for the
+    (o_custkey, order-day) Morton layout of `orders` — the file-footer
+    statistics a z-ordered write would produce, and the evidence any
+    layout job is judged on: bounded spans in BOTH dimensions.
+
+    Dimensions are scaled to fill the ZBITS space from a 1-row bounds
+    aggregate (broadcast — same shape as the flagship's watermark
+    frontier), so the curve is dense at every data scale; raw keys
+    would leave the high bits zero and collapse the bucket count.
+    """
+    o = io.load_table(spark, sf_dir, "orders")
+    raw = o.select(
+        F.col("o_custkey").cast("long").alias("ck"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.to_date(F.lit(ZORDER_EPOCH))
+        )
+        .cast("long")
+        .alias("day"),
+    )
+    bounds = raw.agg(
+        F.max("ck").alias("ck_max"), F.max("day").alias("day_max")
+    )
+    scaled = raw.crossJoin(F.broadcast(bounds)).select(
+        "ck",
+        "day",
+        F.expr(f"(ck * {(1 << ZBITS) - 1}) div greatest(ck_max, 1)").alias("sx"),
+        F.expr(f"(day * {(1 << ZBITS) - 1}) div greatest(day_max, 1)").alias("sy"),
+    )
+    z = _morton(F.col("sx"), F.col("sy"))
+    return (
+        scaled.select(
+            "ck", "day", F.shiftright(z, ZBUCKET_SHIFT).alias("zbucket")
+        )
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("ck").alias("min_ck"),
+            F.max("ck").alias("max_ck"),
+            F.min("day").alias("min_day"),
+            F.max("day").alias("max_day"),
+        )
+    )
+
+
+def _morton_sql(x: str, y: str) -> str:
+    terms = []
+    for i in range(ZBITS):
+        terms.append(f"((({x}) >> {i}) & 1) * {1 << (2 * i + 1)}")
+        terms.append(f"((({y}) >> {i}) & 1) * {1 << (2 * i)}")
+    return " + ".join(terms)
+
+
+ZORDER_STATS_SQL = f"""
+WITH raw AS (
+  SELECT CAST(o_custkey AS BIGINT) AS ck,
+         CAST(datediff('day', DATE '{ZORDER_EPOCH}', CAST(o_orderdate AS DATE)) AS BIGINT) AS day
+  FROM orders
+),
+bounds AS (SELECT max(ck) AS ck_max, max(day) AS day_max FROM raw),
+scaled AS (
+  SELECT ck, day,
+         (ck * {(1 << ZBITS) - 1}) // greatest(ck_max, 1) AS sx,
+         (day * {(1 << ZBITS) - 1}) // greatest(day_max, 1) AS sy
+  FROM raw, bounds
+),
+m AS (
+  SELECT ck, day, ({_morton_sql("sx", "sy")}) >> {ZBUCKET_SHIFT} AS zbucket
+  FROM scaled
+)
+SELECT zbucket, count(*) AS n_rows,
+       min(ck) AS min_ck, max(ck) AS max_ck,
+       min(day) AS min_day, max(day) AS max_day
+FROM m
+GROUP BY zbucket
+"""
+
+
+QUERIES = {
+    "layout_zorder_stats": (zorder_stats, ZORDER_STATS_SQL),
+}

@@ -25,6 +25,7 @@ def _collect() -> dict[str, Entry]:
     from .operators import (
         aggregates,
         joins,
+        layout,
         relational,
         sorts_setops,
         timeseries,
@@ -48,6 +49,7 @@ def _collect() -> dict[str, Entry]:
         joins,
         windows,
         timeseries,
+        layout,
         sorts_setops,
         scalar,
         udfs,

@@ -201,3 +201,20 @@ def test_stratified_sample_fractions_and_determinism(spark):
     for k, frac in want_frac.items():
         got = draw1.get(k, 0) / totals[k]
         assert abs(got - frac) < 0.1 + 2.0 / (totals[k] * frac) ** 0.5, (k, got)
+
+
+def test_zorder_buckets_bound_both_dimensions(spark):
+    """The point of a Morton layout: per-bucket key spans must be small
+    on BOTH dimensions simultaneously (a 1-D sort bounds one dimension
+    and leaves the other at full range)."""
+    from seamless_sharepoint_etl_spark.operators import layout
+
+    rows = layout.zorder_stats(spark, "/root/testdata/sf0.001").collect()
+    multi = [r for r in rows if r["n_rows"] > 1]
+    assert multi, "expected multi-row z-buckets"
+    g_day = max(r["max_day"] for r in rows) - min(r["min_day"] for r in rows)
+    g_ck = max(r["max_ck"] for r in rows) - min(r["min_ck"] for r in rows)
+    day_spans = sorted(r["max_day"] - r["min_day"] for r in multi)
+    ck_spans = sorted(r["max_ck"] - r["min_ck"] for r in multi)
+    assert day_spans[len(day_spans) // 2] <= g_day / 4
+    assert ck_spans[len(ck_spans) // 2] <= g_ck / 4
