@@ -182,10 +182,159 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n_sampled"))
 
 
+# Snapshot frontier: customers with any order before this date form the
+# "current" dimension snapshot; later orders drive the CDC delta.
+SNAP_FRONTIER = "1996-01-01"
+
+
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (SCD1 upsert) as a pure DataFrame plan:
+    target = per-customer order stats before the frontier, source = the
+    same stats after it. WHEN MATCHED → update (merge the stats), WHEN
+    NOT MATCHED → insert. The action column reports what MERGE would
+    have done to each key.
+
+    Spark-first shape: MERGE without a transactional table is ONE
+    full-outer join on the key — never a row-at-a-time lookup. Both
+    sides are pre-aggregated (map-side partial), so the join keys are
+    unique and the shuffle is O(distinct keys). At 100 TB this is
+    exactly how Delta/Iceberg execute MERGE under the hood (join +
+    rewrite); the oracle proves action assignment and merged values.
+    """
+    o = io.load_table(spark, sf_dir, "orders")
+
+    def stats(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("spend"),
+        )
+
+    target = stats(o.filter(F.col("o_orderdate") < SNAP_FRONTIER))
+    source = stats(o.filter(F.col("o_orderdate") >= SNAP_FRONTIER))
+    t = target.select(
+        "o_custkey", F.col("n").alias("t_n"), F.col("spend").alias("t_spend")
+    )
+    s = source.select(
+        "o_custkey", F.col("n").alias("s_n"), F.col("spend").alias("s_spend")
+    )
+    joined = t.join(s, "o_custkey", "full_outer")
+    return joined.select(
+        "o_custkey",
+        F.when(F.col("s_n").isNull(), F.lit("keep"))
+        .when(F.col("t_n").isNull(), F.lit("insert"))
+        .otherwise(F.lit("update"))
+        .alias("action"),
+        (F.coalesce("t_n", F.lit(0)) + F.coalesce("s_n", F.lit(0))).alias(
+            "n_orders"
+        ),
+        F.round(
+            F.coalesce("t_spend", F.lit(0.0)) + F.coalesce("s_spend", F.lit(0.0)),
+            2,
+        ).alias("total_spend"),
+    )
+
+
+MERGE_UPSERT_SQL = f"""
+WITH t AS (
+  SELECT o_custkey, count(*) AS t_n, round(sum(o_totalprice), 2) AS t_spend
+  FROM orders WHERE o_orderdate < TIMESTAMP '{SNAP_FRONTIER} 00:00:00'
+  GROUP BY o_custkey
+),
+s AS (
+  SELECT o_custkey, count(*) AS s_n, round(sum(o_totalprice), 2) AS s_spend
+  FROM orders WHERE o_orderdate >= TIMESTAMP '{SNAP_FRONTIER} 00:00:00'
+  GROUP BY o_custkey
+)
+SELECT coalesce(t.o_custkey, s.o_custkey) AS o_custkey,
+       CASE WHEN s.s_n IS NULL THEN 'keep'
+            WHEN t.t_n IS NULL THEN 'insert'
+            ELSE 'update' END AS action,
+       coalesce(t.t_n, 0) + coalesce(s.s_n, 0) AS n_orders,
+       round(coalesce(t.t_spend, 0.0) + coalesce(s.s_spend, 0.0), 2) AS total_spend
+FROM t FULL OUTER JOIN s USING (o_custkey)
+"""
+
+
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed generation: diff two snapshots of a per-customer
+    state relation into (insert | delete | update_pre | update_post)
+    rows — what a CDC producer emits when the upstream system only
+    provides full snapshots.
+
+    One full-outer join on the key + a change-type case split; rows
+    identical in both snapshots are dropped (the no-op majority at
+    100 TB never leaves the join stage). Content equality is compared
+    on integer cents, never formatted floats.
+    """
+    o = io.load_table(spark, sf_dir, "orders")
+
+    def snap(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("spend_cents")
+        )
+
+    old = snap(o.filter(F.col("o_orderdate") < SNAP_FRONTIER)).select(
+        "o_custkey", F.col("spend_cents").alias("old_cents")
+    )
+    new = snap(o).select("o_custkey", F.col("spend_cents").alias("new_cents"))
+    j = old.join(new, "o_custkey", "full_outer").filter(
+        ~(F.col("old_cents").eqNullSafe(F.col("new_cents")))
+    )
+    pre = j.filter(F.col("old_cents").isNotNull()).select(
+        "o_custkey",
+        F.when(F.col("new_cents").isNull(), F.lit("delete"))
+        .otherwise(F.lit("update_pre"))
+        .alias("change"),
+        F.col("old_cents").alias("spend_cents"),
+    )
+    post = j.filter(F.col("new_cents").isNotNull()).select(
+        "o_custkey",
+        F.when(F.col("old_cents").isNull(), F.lit("insert"))
+        .otherwise(F.lit("update_post"))
+        .alias("change"),
+        F.col("new_cents").alias("spend_cents"),
+    )
+    return pre.unionByName(post)
+
+
+SNAPSHOT_DIFF_SQL = f"""
+WITH old AS (
+  SELECT o_custkey,
+         CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS old_cents
+  FROM orders WHERE o_orderdate < TIMESTAMP '{SNAP_FRONTIER} 00:00:00'
+  GROUP BY o_custkey
+),
+new AS (
+  SELECT o_custkey,
+         CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS new_cents
+  FROM orders GROUP BY o_custkey
+),
+j AS (
+  SELECT coalesce(old.o_custkey, new.o_custkey) AS o_custkey,
+         old_cents, new_cents
+  FROM old FULL OUTER JOIN new USING (o_custkey)
+  WHERE old_cents IS DISTINCT FROM new_cents
+)
+SELECT o_custkey,
+       CASE WHEN new_cents IS NULL THEN 'delete' ELSE 'update_pre' END AS change,
+       old_cents AS spend_cents
+FROM j WHERE old_cents IS NOT NULL
+UNION ALL
+SELECT o_custkey,
+       CASE WHEN old_cents IS NULL THEN 'insert' ELSE 'update_post' END AS change,
+       new_cents AS spend_cents
+FROM j WHERE new_cents IS NOT NULL
+"""
+
+
 QUERIES = {
     "rel_project_filter_predicates": (project_filter_predicates, PROJECT_FILTER_SQL),
     "rel_project_derived_like": (project_derived_like, PROJECT_DERIVED_SQL),
     "rel_case_null_handling": (case_null_handling, CASE_NULL_SQL),
     "rel_validate_quarantine": (validate_quarantine, VALIDATE_QUARANTINE_SQL),
     "rel_stratified_sample": (stratified_sample, None),
+    "rel_merge_upsert": (merge_upsert, MERGE_UPSERT_SQL),
+    "rel_snapshot_diff": (snapshot_diff, SNAPSHOT_DIFF_SQL),
 }
