@@ -53,6 +53,14 @@ GOLDEN_QUERIES = [
     "ts_resample_ffill",
     "text_cms_heavy_hitters",
     "win_cohort_retention",
+    # round-2 wave 2: two-phase packing prefix sum, MERGE join shape,
+    # z-order bucket agg, source-reputation window+agg, semantic dedup
+    # over the cached IVF index
+    "text_sequence_packing",
+    "rel_merge_upsert",
+    "layout_zorder_stats",
+    "text_source_reputation",
+    "sim_semantic_dedup",
 ]
 
 _EXCHANGE_KIND = re.compile(
