@@ -559,6 +559,71 @@ def cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPAN_W = 20  # span length in tokens
+SPAN_S = 10  # stride — 50% overlap so no repeat longer than W is missed
+
+_SPAN_STARTS = f"sequence(1, greatest(size(split(text, ' ')) - {SPAN_W - 1}, 1), {SPAN_S})"
+
+
+def repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level repetition ledger — the scalable stand-in for exact
+    substring dedup (the Lee et al. suffix-array pass): fixed
+    {SPAN_W}-token windows at stride {SPAN_S} are hashed corpus-wide,
+    and each document reports how many of its spans occur anywhere
+    else (cross-document OR elsewhere in the same document).
+
+    A suffix array finds arbitrary-length repeats but needs a global
+    sorted structure; strided fixed windows find every repeat ≥ W+S−1
+    tokens with plain hash aggregation — 3 narrow shuffles (span
+    count, doc join, doc agg), each over 8-byte keys. The chosen
+    window/stride are the standard 50%-overlap configuration.
+    """
+    d = io.load_table_parallel(spark, sf_dir, "documents")
+    spans = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform({_SPAN_STARTS},"
+                f" i -> xxhash64(concat_ws('_', slice(split(text, ' '), i, {SPAN_W}))))"
+            )
+        ).alias("h"),
+    )
+    mult = spans.groupBy("h").agg(F.count(F.lit(1)).alias("m"))
+    return (
+        spans.join(mult, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("m") > 1, 1).otherwise(0)).alias("n_repeated"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_repeated",
+            F.expr("(n_repeated * 10000) div n_spans").alias("repeated_bp"),
+        )
+    )
+
+
+REPEATED_SPANS_SQL = f"""
+WITH spans AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, greatest(len(string_split(text, ' ')) - {SPAN_W - 1}, 1) + 1, {SPAN_S}),
+           i -> array_to_string(string_split(text, ' ')[i:i+{SPAN_W - 1}], '_')
+         )) AS span
+  FROM documents
+),
+mult AS (SELECT span, count(*) AS m FROM spans GROUP BY span)
+SELECT doc_id,
+       count(*) AS n_spans,
+       sum(CASE WHEN m > 1 THEN 1 ELSE 0 END) AS n_repeated,
+       (sum(CASE WHEN m > 1 THEN 1 ELSE 0 END) * 10000) // count(*) AS repeated_bp
+FROM spans JOIN mult USING (span)
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact_normalized": (exact_dedup, EXACT_DEDUP_SQL),
     "dedup_ngram_jaccard": (ngram_jaccard_pairs, NGRAM_JACCARD_SQL),
@@ -567,4 +632,5 @@ QUERIES = {
     "dedup_neardup_clusters": (neardup_clusters, None),
     "dedup_minhash_mllib": (minhash_lsh_mllib, None),
     "dedup_cdc_chunking": (cdc_chunk_stats, None),
+    "dedup_repeated_spans": (repeated_spans, REPEATED_SPANS_SQL),
 }

@@ -264,6 +264,11 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     v = e.select("vec_id", _dbl("embedding").alias("v"))
     buckets, cent = _kmeans_buckets(v, NLIST, KMEANS_ITERS)
     buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
+    # build eagerly: an index is constructed once, not on first query —
+    # and consumer plans must not depend on whether some earlier query
+    # happened to materialize the cache (AQE reads cached-relation
+    # stats, so a lazy cache makes join strategies cache-state-dependent)
+    buckets.count()
     _IVF_CACHE[key] = (buckets, cent)
     return buckets, cent
 

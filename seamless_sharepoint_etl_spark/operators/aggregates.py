@@ -536,6 +536,51 @@ SELECT o_orderpriority, mode_status, mode_count FROM (
 """
 
 
+N_HIST_BINS = 16
+
+
+def equiwidth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order value per order status — the
+    distribution profile an optimizer or data-quality monitor keeps per
+    column. Bounds come from one tiny broadcast aggregate; binning is
+    pure integer arithmetic on cents (no float rounding at bin edges),
+    and the histogram itself is a single hash agg whose cardinality is
+    |statuses| × N_HIST_BINS.
+    """
+    o = io.load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    c = o.select("o_orderstatus", cents.alias("cents"))
+    bounds = c.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    return (
+        c.crossJoin(F.broadcast(bounds))
+        .select(
+            "o_orderstatus",
+            F.expr(
+                f"least(((cents - lo) * {N_HIST_BINS})"
+                f" div greatest(hi - lo + 1, 1), {N_HIST_BINS - 1})"
+            ).alias("bin"),
+        )
+        .groupBy("o_orderstatus", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+EQUIWIDTH_HISTOGRAM_SQL = f"""
+WITH c AS (
+  SELECT o_orderstatus,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+b AS (SELECT min(cents) AS lo, max(cents) AS hi FROM c)
+SELECT o_orderstatus,
+       least(((cents - lo) * {N_HIST_BINS}) // greatest(hi - lo + 1, 1),
+             {N_HIST_BINS - 1}) AS bin,
+       count(*) AS n
+FROM c, b
+GROUP BY 1, 2
+"""
+
+
 # Incremental maintenance frontier: orders strictly before this date are
 # the "stored" base state; the rest is the CDC delta.
 MV_FRONTIER = "1997-01-01"
@@ -619,4 +664,5 @@ QUERIES = {
     "agg_hll_partial_merge": (hll_partial_merge, None),
     "agg_mode": (mode_agg, MODE_AGG_SQL),
     "agg_incremental_merge": (incremental_agg_merge, INCREMENTAL_AGG_MERGE_SQL),
+    "agg_equiwidth_histogram": (equiwidth_histogram, EQUIWIDTH_HISTOGRAM_SQL),
 }

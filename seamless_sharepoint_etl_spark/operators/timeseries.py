@@ -271,8 +271,62 @@ GROUP BY 1, 2
 """
 
 
+EWMA_ALPHA = 0.25
+
+
+def ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of event values
+    in time order — the sequential smoother every monitoring/feature
+    pipeline needs, which windowed SQL cannot express (each step
+    depends on the previous RESULT, not the previous rows).
+
+    Shape: ONE shuffle (groupBy user) collecting each user's ordered
+    (ts, value) list, then a per-row left fold — sequential per key,
+    parallel across keys, which is the only available parallelism for
+    a recurrence. Per-user event counts are bounded (session-scale),
+    so the collected arrays are too; an unbounded key would call for
+    the chunked two-phase carry used by ts_resample_ffill. The fold
+    order is pinned by (ts_ns, event_id), so the double arithmetic is
+    bit-identical across engines; output in integer cents.
+    """
+    e = io.load_table(spark, sf_dir, "events")
+    # order on MICROsecond ts (ts_ns div 1000): the oracle's ts column
+    # is micro-resolution, so a nanosecond-resolution sort key could
+    # break ties differently across engines and reorder the fold
+    vals = F.expr(
+        "transform(array_sort(collect_list("
+        "struct(ts_ns div 1000 AS ts_us, event_id, value))), s -> s.value)"
+    )
+    ewma = F.expr(
+        f"""aggregate(
+              slice(vals, 2, greatest(size(vals) - 1, 0)),
+              CAST(vals[1] AS DOUBLE),
+              (acc, x) -> {EWMA_ALPHA} * x + {1 - EWMA_ALPHA} * acc)"""
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), vals.alias("vals"))
+        .select(
+            "user_id",
+            "n_events",
+            F.floor(ewma * 100 + F.lit(0.5)).cast("long").alias("ewma_cents"),
+        )
+    )
+
+
+EWMA_SQL = f"""
+SELECT user_id, count(*) AS n_events,
+       CAST(floor(list_reduce(list(value ORDER BY ts, event_id),
+                              (acc, x) -> {EWMA_ALPHA} * x + {1 - EWMA_ALPHA} * acc)
+                  * 100 + 0.5) AS BIGINT) AS ewma_cents
+FROM events
+GROUP BY user_id
+"""
+
+
 QUERIES = {
     "ts_resample_ffill": (resample_ffill, RESAMPLE_FFILL_SQL),
     "ts_scd2_intervals": (scd2_intervals, SCD2_SQL),
     "ts_interval_overlap_join": (interval_overlap_join, _interval_overlap_sql()),
+    "ts_ewma": (ewma_per_user, EWMA_SQL),
 }
