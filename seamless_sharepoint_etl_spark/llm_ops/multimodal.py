@@ -207,9 +207,76 @@ BYTE_HISTOGRAM_SQL = "SELECT doc_id, " + ", ".join(
 ) + " FROM documents"
 
 
+# Magic headers for the routing fixture: injected by doc_id % 3, then
+# SNIFFED back from the bytes (the router never looks at doc_id).
+_MAGIC = {
+    0: ("89504E470D0A1A0A", "image/png"),
+    1: ("FFD8FFE0", "image/jpeg"),
+    2: ("52494646", "audio/wav"),
+}
+
+
+def modality_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-modality routing: payloads carry REAL magic headers
+    (PNG/JPEG/RIFF), and the router classifies each blob by sniffing
+    its leading bytes — never by trusting metadata — then reports the
+    per-modality shard profile (doc count, total body bytes) that a
+    downstream per-modality decode fleet would be provisioned from.
+
+    Per-row byte ops + one tiny agg (|modalities| rows). The header
+    injection is the fixture; the sniff path is the operator. The
+    oracle derives the same shard profile from the injection rule, so
+    a sniff that misroutes ANY payload breaks the hash match.
+    """
+    d = io.load_table_parallel(spark, sf_dir, "documents")
+    hdr = (
+        F.when(F.col("doc_id") % 3 == 0, F.unhex(F.lit(_MAGIC[0][0])))
+        .when(F.col("doc_id") % 3 == 1, F.unhex(F.lit(_MAGIC[1][0])))
+        .otherwise(F.unhex(F.lit(_MAGIC[2][0])))
+    )
+    blobs = d.select(
+        "doc_id", F.concat(hdr, F.encode("text", "utf-8")).alias("payload")
+    )
+    lead = F.hex(F.expr("substring(payload, 1, 8)"))
+    sniffed = (
+        F.when(lead.startswith(_MAGIC[0][0]), F.lit(_MAGIC[0][1]))
+        .when(lead.startswith(_MAGIC[1][0]), F.lit(_MAGIC[1][1]))
+        .when(lead.startswith(_MAGIC[2][0]), F.lit(_MAGIC[2][1]))
+        .otherwise(F.lit("application/octet-stream"))
+    )
+    hdr_len = (
+        F.when(sniffed == _MAGIC[0][1], F.lit(8))
+        .when(sniffed == _MAGIC[1][1], F.lit(4))
+        .otherwise(F.lit(4))
+    )
+    return (
+        blobs.select(
+            sniffed.alias("modality"),
+            (F.length("payload") - hdr_len).cast("long").alias("body_bytes"),
+        )
+        .groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("body_bytes").alias("total_body_bytes"),
+        )
+    )
+
+
+MODALITY_ROUTING_SQL = """
+SELECT CASE doc_id % 3 WHEN 0 THEN 'image/png'
+                       WHEN 1 THEN 'image/jpeg'
+                       ELSE 'audio/wav' END AS modality,
+       count(*) AS n_docs,
+       sum(octet_length(CAST(text AS BLOB))) AS total_body_bytes
+FROM documents
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "mm_binary_metadata": (binary_metadata, BINARY_METADATA_SQL),
     "mm_decode_stub_features": (decode_stub_features, None),
     "mm_frame_sample_checksum": (frame_sample_checksum, FRAME_SAMPLE_SQL),
     "mm_byte_histogram": (byte_histogram_features, BYTE_HISTOGRAM_SQL),
+    "mm_modality_routing": (modality_routing, MODALITY_ROUTING_SQL),
 }
