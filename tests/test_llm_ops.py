@@ -502,3 +502,20 @@ def test_centroid_purity_partitions_and_bounds(spark):
         assert 0 < r["purity_bp"] <= 10000
     again = similarity.centroid_purity(spark, SF_DIR).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_pagerank_mass_determinism_and_chain_shape(spark, tmp_path):
+    """PageRank gates: (a) rank mass is conserved (sum ≈ N × 10000 bp);
+    (b) reruns are identical; (c) on the chain 0-1-2-3-4 the interior
+    nodes out-rank the endpoints (more corroborating neighbors)."""
+    from seamless_sharepoint_etl_spark.llm_ops import dedup
+
+    d = _chain_docs_dir(tmp_path)
+    rows = {r["doc_id"]: r["rank_bp"] for r in dedup.neardup_pagerank(spark, d).collect()}
+    assert set(rows) == {0, 1, 2, 3, 4}
+    assert abs(sum(rows.values()) - 5 * 10000) <= 5  # ±1bp/node rounding
+    again = {r["doc_id"]: r["rank_bp"] for r in dedup.neardup_pagerank(spark, d).collect()}
+    assert rows == again
+    # chain: endpoints have 1 neighbor, interior 2 → strictly lower rank
+    assert rows[0] < rows[1] and rows[4] < rows[3]
+    assert rows[0] == rows[4] and rows[1] == rows[3]  # symmetry
