@@ -289,6 +289,82 @@ def bigram_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 20
+
+
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} collocations by pointwise mutual information — the
+    statistical phrase detector (word2vec-style phrase merging, tokenizer
+    vocabulary induction) over the corpus bigram/unigram tables.
+
+    pmi = ln(p(x,y) / (p(x)p(y))) computed as ONE double expression
+    with a fixed operation order on integer counts, so both engines
+    produce bit-identical values (trap 1). Plan: the two count tables
+    are vocabulary-sized → both broadcast into the bigram relation;
+    the global top-k is TakeOrderedAndProject with a full (pmi, bigram)
+    tie-break. Min-support {m} keeps noise bigrams out.
+    """
+    toks = _token_relation(spark, sf_dir)
+    uni = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    totals = uni.agg(
+        F.sum("c").alias("tu")
+    )
+    bi = bigram_tf(spark, sf_dir).filter(F.col("tf") >= PMI_MIN_COUNT)
+    t_bi = bigram_tf(spark, sf_dir).agg(F.sum("tf").alias("tb"))
+    ux = uni.select(F.col("token").alias("x"), F.col("c").alias("cx"))
+    uy = uni.select(F.col("token").alias("y"), F.col("c").alias("cy"))
+    pmi = F.log(
+        F.col("tf").cast("double")
+        * F.col("tu")
+        * F.col("tu")
+        / F.col("cx")
+        / F.col("cy")
+        / F.col("tb")
+    )
+    return (
+        bi.withColumn("x", F.split("bigram", "_")[0])
+        .withColumn("y", F.split("bigram", "_")[1])
+        .join(F.broadcast(ux), "x")
+        .join(F.broadcast(uy), "y")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(t_bi))
+        .select(
+            "bigram",
+            F.col("tf").alias("c_xy"),
+            F.floor(pmi * 10000 + F.lit(0.5)).cast("long").alias("pmi_bp"),
+        )
+        .orderBy(F.desc("pmi_bp"), F.asc("bigram"))
+        .limit(PMI_TOP_K)
+    )
+
+
+PMI_COLLOCATIONS_SQL = f"""
+WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+uni AS (SELECT token, count(*) AS c FROM t GROUP BY token),
+tot AS (SELECT sum(c) AS tu FROM uni),
+bi AS (
+  SELECT bigram, count(*) AS tf FROM (
+    SELECT unnest(list_transform(
+             range(1, len(string_split(text, ' '))),
+             i -> string_split(text, ' ')[i] || '_' || string_split(text, ' ')[i + 1]
+           )) AS bigram
+    FROM documents
+  ) GROUP BY bigram
+),
+tb AS (SELECT sum(tf) AS tb FROM bi)
+SELECT bigram, tf AS c_xy,
+       CAST(floor(ln(CAST(tf AS DOUBLE) * tu * tu / ux.c / uy.c / tb.tb)
+                  * 10000 + 0.5) AS BIGINT) AS pmi_bp
+FROM bi, tot, tb
+JOIN uni ux ON ux.token = string_split(bigram, '_')[1]
+JOIN uni uy ON uy.token = string_split(bigram, '_')[2]
+WHERE tf >= {PMI_MIN_COUNT}
+ORDER BY pmi_bp DESC, bigram ASC
+LIMIT {PMI_TOP_K}
+"""
+
+
 BIGRAM_TF_SQL = """
 SELECT bigram, count(*) AS tf FROM (
   SELECT unnest(list_transform(
@@ -757,4 +833,5 @@ QUERIES = {
     "text_mixture_sample": (mixture_sample, MIXTURE_SAMPLE_SQL),
     "text_token_budget_alloc": (token_budget_alloc, TOKEN_BUDGET_SQL),
     "text_cms_heavy_hitters": (cms_heavy_hitters, CMS_HEAVY_HITTERS_SQL),
+    "text_pmi_collocations": (pmi_collocations, PMI_COLLOCATIONS_SQL),
 }
