@@ -126,6 +126,46 @@ GROUP BY zbucket
 """
 
 
+SKEW_TOP_K = 10
+
+
+def join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile for lineitem⋈orders: the heaviest
+    SKEW_TOP_K keys with their row share in basis points — the
+    diagnostic run before choosing a skew mitigation (salting, AQE
+    skew-join, broadcast). A key above ~a few percent of a 100-TB fact
+    table is the one that stalls a shuffle join's straggler task.
+
+    One map-side-partial count per key, one broadcast of the 1-row
+    total, and a TakeOrdered top-k — the profile costs a fraction of
+    the join it protects.
+    """
+    li = io.load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").alias("t"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "l_orderkey",
+            F.col("c").alias("n_rows"),
+            F.expr("(c * 10000) div t").alias("share_bp"),
+        )
+        .orderBy(F.desc("n_rows"), F.asc("l_orderkey"))
+        .limit(SKEW_TOP_K)
+    )
+
+
+JOIN_KEY_SKEW_SQL = f"""
+WITH counts AS (SELECT l_orderkey, count(*) AS c FROM lineitem GROUP BY l_orderkey),
+t AS (SELECT sum(c) AS t FROM counts)
+SELECT l_orderkey, c AS n_rows, (c * 10000) // t.t AS share_bp
+FROM counts, t
+ORDER BY n_rows DESC, l_orderkey ASC
+LIMIT {SKEW_TOP_K}
+"""
+
+
 QUERIES = {
     "layout_zorder_stats": (zorder_stats, ZORDER_STATS_SQL),
+    "diag_join_key_skew": (join_key_skew, JOIN_KEY_SKEW_SQL),
 }
