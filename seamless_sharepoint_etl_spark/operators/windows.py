@@ -359,6 +359,90 @@ FROM assigned GROUP BY 1, 2
 """
 
 
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min, in microseconds
+
+
+def sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via window functions: a new session
+    starts when the gap to the previous event exceeds 30 minutes; the
+    session id is the running count of session starts — the batch
+    sessionizer behind every funnel/engagement metric (the streaming
+    twin is `F.session_window` in streaming/jobs.py).
+
+    All arithmetic runs on MICROsecond integers (ts_ns div 1000) so
+    gap comparisons and orderings are bit-identical to the oracle's
+    micro-resolution timestamps. One shuffle on user_id; both window
+    passes and the final session agg share that partitioning.
+    """
+    e = io.load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    evs = (
+        e.select(
+            "user_id",
+            "event_id",
+            F.expr("ts_ns div 1000").alias("ts_us"),
+            "value",
+        )
+        .withColumn("prev_us", F.lag("ts_us").over(w))
+        .withColumn(
+            "is_new",
+            (
+                F.col("prev_us").isNull()
+                | (F.col("ts_us") - F.col("prev_us") > SESSION_GAP_US)
+            ).cast("long"),
+        )
+        .withColumn(
+            "session_idx",
+            F.sum("is_new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return (
+        evs.groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr("(max(ts_us) - min(ts_us)) div 1000000").alias(
+                "duration_secs"
+            ),
+            F.floor(F.sum("value") * 100 + F.lit(0.5)).cast("long").alias(
+                "value_cents"
+            ),
+        )
+    )
+
+
+SESSIONIZE_GAP_SQL = f"""
+WITH evs AS (
+  SELECT user_id, event_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+         value,
+         lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+           (PARTITION BY user_id
+            ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS prev_us
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_us IS NULL
+                   OR ts_us - prev_us > {SESSION_GAP_US}
+            THEN 1 ELSE 0 END AS is_new
+  FROM evs
+),
+sess AS (
+  SELECT *, sum(is_new) OVER
+      (PARTITION BY user_id ORDER BY ts_us, event_id
+       ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx,
+       count(*) AS n_events,
+       (max(ts_us) - min(ts_us)) // 1000000 AS duration_secs,
+       CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS value_cents
+FROM sess
+GROUP BY user_id, session_idx
+"""
+
+
 QUERIES = {
     "win_topn_per_group": (topn_per_group, TOPN_PER_GROUP_SQL),
     "win_rank_dense_ntile": (rank_dense_ntile, RANK_DENSE_NTILE_SQL),
@@ -369,4 +453,5 @@ QUERIES = {
     "win_gaps_islands": (gaps_islands, GAPS_ISLANDS_SQL),
     "win_funnel_conversion": (funnel_conversion, FUNNEL_SQL),
     "win_cohort_retention": (cohort_retention, COHORT_RETENTION_SQL),
+    "win_sessionize_gap": (sessionize_gap, SESSIONIZE_GAP_SQL),
 }
