@@ -64,6 +64,13 @@ HEADLINE = [
     "text_unigram_logprob",
     "text_sequence_packing",
     "text_gopher_quality_rules",
+    # round-2 wave 3: span dedup, sessionization, PMI, z-order layout,
+    # modality routing
+    "dedup_repeated_spans",
+    "win_sessionize_gap",
+    "text_pmi_collocations",
+    "layout_zorder_stats",
+    "mm_modality_routing",
 ]
 
 
