@@ -202,9 +202,55 @@ FROM documents WHERE doc_id < {N_BINARY_DOCS}
 """
 
 
+def xml_scan_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer → XML → read back → per-segment aggregate. Spark 4
+    ships the XML source natively (spark-xml was upstreamed), and XML
+    is still the interchange format of ERP/B2B feeds — the reference's
+    SharePoint world speaks it. Ingest-only at scale (row-tag parsing
+    can't prune columns or push predicates), so the pattern is XML →
+    parquet at the edge, exactly what this round-trip exercises; the
+    XML text itself is written from executors, never the driver.
+
+    The oracle recomputes the aggregate from the source table, proving
+    the XML round-trip loses nothing (escaping, types, nulls).
+    """
+    path = _stage_dir(sf_dir, "customer-xml")
+    marker = os.path.join(path, "_SUCCESS")
+    c = io.load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal", "c_nationkey"
+    )
+    if not os.path.exists(marker):
+        c.write.mode("overwrite").format("xml").option("rootTag", "customers").option(
+            "rowTag", "customer"
+        ).save(path)
+    scanned = spark.read.format("xml").option("rowTag", "customer").load(path)
+    return (
+        scanned.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")).alias(
+                "acctbal_cents"
+            ),
+            F.count(F.when(F.col("c_acctbal") < 0, 1)).alias("n_negative"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+XML_SCAN_CUSTOMER_SQL = """
+SELECT c_mktsegment,
+       count(*) AS n,
+       sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS acctbal_cents,
+       count(CASE WHEN c_acctbal < 0 THEN 1 END) AS n_negative
+FROM customer
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 QUERIES = {
     "src_json_scan": (json_scan_events, JSON_SCAN_EVENTS_SQL),
     "src_csv_scan": (csv_scan_supplier, CSV_SCAN_SUPPLIER_SQL),
     "src_orc_scan": (orc_scan_part, ORC_SCAN_PART_SQL),
     "src_binaryfile_scan": (binaryfile_scan_docs, BINARYFILE_SCAN_SQL),
+    "src_xml_scan": (xml_scan_customer, XML_SCAN_CUSTOMER_SQL),
 }
