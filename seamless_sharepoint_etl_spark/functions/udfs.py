@@ -18,6 +18,8 @@ the group key, identical to a JVM aggregate's exchange.
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -214,3 +216,68 @@ JOIN (VALUES ('small', 0), ('mid', 100000), ('large', 200000)) AS b(bucket, floo
 """
 
 QUERIES["udf_python_udtf"] = (python_udtf_buckets, PYTHON_UDTF_SQL)
+
+
+# --- iterator-of-series pandas_udf -----------------------------------------
+
+
+def _zscore_iter_udf(mean: float, std: float):
+    @pandas_udf("double")
+    def zscore(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        """SCALAR_ITER form: per-worker setup runs ONCE per partition
+        (here trivially binding the broadcast stats; in production this
+        is where a model/tokenizer loads), then every Arrow batch
+        streams through the same state — the 4th vectorized-UDF surface
+        next to scalar / grouped-agg / applyInPandas."""
+        for batch in batches:
+            yield (batch - mean) / std
+
+    return zscore
+
+
+def scalar_iter_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Account-balance z-scores via an iterator pandas_udf: the scalar
+    stats come from one tiny JVM aggregate (collected as the one
+    legitimate scalar frontier), are closed over by the UDF, and every
+    batch reuses them without re-binding per row or per batch.
+
+    100 TB: narrow Arrow map, no shuffle; the final agg exchanges
+    |nations| rows. Population stddev is computed from sum/count (the
+    mergeable form) to match the oracle bit-for-bit.
+    """
+    c = io.load_table(spark, sf_dir, "customer")
+    stats = c.agg(
+        F.sum("c_acctbal").alias("s"),
+        F.sum(F.col("c_acctbal") * F.col("c_acctbal")).alias("s2"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    mean = stats["s"] / stats["n"]
+    var = stats["s2"] / stats["n"] - mean * mean
+    std = var**0.5
+    z = _zscore_iter_udf(mean, std)
+    return (
+        c.withColumn("z", z("c_acctbal"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.when(F.abs(F.col("z")) > 1.5, 1)).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+SCALAR_ITER_SQL = """
+WITH stats AS (
+  SELECT sum(c_acctbal) / count(*) AS mean,
+         sqrt(sum(c_acctbal * c_acctbal) / count(*)
+              - (sum(c_acctbal) / count(*)) * (sum(c_acctbal) / count(*))) AS std
+  FROM customer
+)
+SELECT c_nationkey,
+       count(CASE WHEN abs((c_acctbal - mean) / std) > 1.5 THEN 1 END) AS n_outliers,
+       count(*) AS n
+FROM customer, stats
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+QUERIES["udf_scalar_iter_pandas"] = (scalar_iter_pandas_udf, SCALAR_ITER_SQL)

@@ -536,6 +536,36 @@ SELECT o_orderpriority, mode_status, mode_count FROM (
 """
 
 
+def approx_topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaviest event types via Spark 4's native approx_top_k sketch —
+    the third frequency sketch next to the hand-rolled Count-Min
+    (text_cms_heavy_hitters) and exact mode. The sketch tracks far more
+    slots than this column's cardinality, so its counts are EXACT here
+    and the plain GROUP BY oracle must hash-match — the correctness
+    regime every sketch query in this repo uses (exact at fixture
+    scale, bounded-error by construction at 100 TB).
+
+    One partial-merged sketch per partition, one 1-row final merge —
+    no key shuffle at all, vs the hash agg's full exchange.
+    """
+    e = io.load_table(spark, sf_dir, "events")
+    return (
+        e.agg(F.expr("approx_top_k(event_type, 100)").alias("tk"))
+        .select(F.explode("tk").alias("s"))
+        .select(
+            F.col("s.item").alias("event_type"),
+            F.col("s.count").alias("n_events"),
+        )
+    )
+
+
+APPROX_TOPK_SQL = """
+SELECT event_type, count(*) AS n_events
+FROM events
+GROUP BY event_type
+"""
+
+
 N_HIST_BINS = 16
 
 
@@ -665,4 +695,5 @@ QUERIES = {
     "agg_mode": (mode_agg, MODE_AGG_SQL),
     "agg_incremental_merge": (incremental_agg_merge, INCREMENTAL_AGG_MERGE_SQL),
     "agg_equiwidth_histogram": (equiwidth_histogram, EQUIWIDTH_HISTOGRAM_SQL),
+    "agg_approx_topk": (approx_topk_event_types, APPROX_TOPK_SQL),
 }
