@@ -566,6 +566,43 @@ GROUP BY event_type
 """
 
 
+def bitmap_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct customers per order priority via bitmap
+    aggregation (Spark 4 bitmap_* family) — the high-performance exact
+    alternative to count(distinct): values become set bits in per-32k
+    buckets, partial states are fixed-size bitmaps that OR together,
+    and no value list ever expands through the shuffle.
+
+    Two-level shape: (priority, bucket) bitmap agg → per-priority sum
+    of bucket popcounts. Shuffle rows = |priorities| × |buckets| with
+    constant-size payloads, vs count(distinct)'s expand of every
+    (priority, custkey) pair. The GROUP BY oracle must match exactly —
+    bitmaps are exact, unlike the HLL twin (agg_approx_distinct).
+    """
+    o = io.load_table(spark, sf_dir, "orders")
+    per_bucket = (
+        o.select(
+            "o_orderpriority",
+            F.expr("bitmap_bucket_number(o_custkey)").alias("bkt"),
+            F.expr("bitmap_bit_position(o_custkey)").alias("pos"),
+        )
+        .groupBy("o_orderpriority", "bkt")
+        .agg(F.expr("bitmap_count(bitmap_construct_agg(pos))").alias("cnt"))
+    )
+    return (
+        per_bucket.groupBy("o_orderpriority")
+        .agg(F.sum("cnt").alias("n_distinct_customers"))
+        .orderBy("o_orderpriority")
+    )
+
+
+BITMAP_DISTINCT_SQL = """
+SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_distinct_customers
+FROM orders
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 N_HIST_BINS = 16
 
 
@@ -696,4 +733,5 @@ QUERIES = {
     "agg_incremental_merge": (incremental_agg_merge, INCREMENTAL_AGG_MERGE_SQL),
     "agg_equiwidth_histogram": (equiwidth_histogram, EQUIWIDTH_HISTOGRAM_SQL),
     "agg_approx_topk": (approx_topk_event_types, APPROX_TOPK_SQL),
+    "agg_bitmap_distinct": (bitmap_distinct_customers, BITMAP_DISTINCT_SQL),
 }
