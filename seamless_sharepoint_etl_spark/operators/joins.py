@@ -448,6 +448,52 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+FUZZY_MAX_DIST = 2
+
+
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution primitive: supplier-name pairs within
+    levenshtein distance FUZZY_MAX_DIST — the fuzzy vendor matcher a
+    master-data pipeline runs before deduplicating entities.
+
+    Blocked, never all-pairs: candidates come from an EQUI-join on
+    s_nationkey (the blocking key), so the quadratic edit-distance
+    verify runs only inside blocks — the same candidate-generation
+    discipline as the near-dup family. At 100 TB the blocking key
+    would be a phonetic/prefix code; the structure is identical.
+    Levenshtein is exactly specified, so DuckDB hash-matches it.
+    """
+    s = io.load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    a = s.select(
+        F.col("s_nationkey").alias("nk"),
+        F.col("s_suppkey").alias("key_a"),
+        F.col("s_name").alias("name_a"),
+    )
+    b = s.select(
+        F.col("s_nationkey").alias("nk"),
+        F.col("s_suppkey").alias("key_b"),
+        F.col("s_name").alias("name_b"),
+    )
+    return (
+        a.join(b, "nk")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= FUZZY_MAX_DIST)
+        .select("key_a", "key_b", "dist")
+    )
+
+
+FUZZY_NAME_MATCH_SQL = f"""
+SELECT a.s_suppkey AS key_a, b.s_suppkey AS key_b,
+       levenshtein(a.s_name, b.s_name) AS dist
+FROM supplier a JOIN supplier b
+  ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+WHERE levenshtein(a.s_name, b.s_name) <= {FUZZY_MAX_DIST}
+"""
+
+
 QUERIES = {
     "join_broadcast_dim": (broadcast_dim_join, BROADCAST_DIM_SQL),
     "join_shuffle_fact": (shuffle_fact_join, SHUFFLE_FACT_SQL),
@@ -461,4 +507,5 @@ QUERIES = {
     "join_bucketed_colocated": (bucketed_colocated_join, BUCKETED_JOIN_SQL),
     "join_lateral_topn": (lateral_topn_per_customer, LATERAL_TOPN_SQL),
     "join_salted_skew": (salted_skew_join, SALTED_SKEW_JOIN_SQL),
+    "join_fuzzy_name_match": (fuzzy_name_match, FUZZY_NAME_MATCH_SQL),
 }
