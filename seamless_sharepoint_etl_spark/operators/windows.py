@@ -443,6 +443,58 @@ GROUP BY user_id, session_idx
 """
 
 
+MEDIAN_FRAME = 6  # preceding rows in the moving-median window
+
+
+def moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user moving median of event values over the trailing
+    {n}-event frame — the robust rolling smoother (median beats mean
+    under spikes) monitoring pipelines put on every metric stream.
+
+    An exact frame-bounded percentile: each frame's values sort inside
+    the window state — no self-join, no explode. One user_id shuffle;
+    the frame is O(1) rows. Ordering is pinned to (microsecond ts,
+    event_id), and the linear-interpolation median of identical double
+    multisets is bit-identical across engines; output in cents.
+    """
+    e = io.load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-MEDIAN_FRAME, Window.currentRow)
+    )
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            F.expr("ts_ns div 1000").alias("ts_us"),
+            "value",
+        )
+        .withColumn("med", F.expr(f"percentile(value, 0.5)").over(w))
+        .select(
+            "user_id",
+            "event_id",
+            F.floor(F.col("med") * 100 + F.lit(0.5)).cast("long").alias(
+                "moving_median_cents"
+            ),
+        )
+    )
+
+
+MOVING_MEDIAN_SQL = f"""
+SELECT user_id, event_id,
+       CAST(floor(med * 100 + 0.5) AS BIGINT) AS moving_median_cents
+FROM (
+  SELECT user_id, event_id,
+         quantile_cont(value, 0.5) OVER (
+           PARTITION BY user_id
+           ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+           ROWS BETWEEN {MEDIAN_FRAME} PRECEDING AND CURRENT ROW) AS med
+  FROM events
+)
+"""
+
+
 QUERIES = {
     "win_topn_per_group": (topn_per_group, TOPN_PER_GROUP_SQL),
     "win_rank_dense_ntile": (rank_dense_ntile, RANK_DENSE_NTILE_SQL),
@@ -454,4 +506,5 @@ QUERIES = {
     "win_funnel_conversion": (funnel_conversion, FUNNEL_SQL),
     "win_cohort_retention": (cohort_retention, COHORT_RETENTION_SQL),
     "win_sessionize_gap": (sessionize_gap, SESSIONIZE_GAP_SQL),
+    "win_moving_median": (moving_median, MOVING_MEDIAN_SQL),
 }
