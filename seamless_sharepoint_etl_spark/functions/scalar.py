@@ -182,15 +182,27 @@ FROM embeddings
 
 
 def json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """get_json_object + from_json(schema) over events.props."""
+    """get_json_object + from_json(schema) over events.props.
+
+    The parse is hoisted into its own projection so ``from_json`` runs
+    ONCE per row: inlining it into the three consumers left three
+    copies in the final Project (CollapseProject duplicates cheap exprs
+    only — but the single-Project form was already triplicated at
+    source). Hoisting also lets the consumer Project stay in
+    whole-stage codegen; measured ~20% faster warm at sf0.1.
+    """
     ev = io.load_table(spark, sf_dir, "events")
-    parsed = F.from_json(F.col("props"), "k INT")
-    return ev.select(
+    p = ev.select(
+        "event_id",
+        "props",
+        F.from_json(F.col("props"), "k INT").getField("k").alias("k"),
+    )
+    return p.select(
         "event_id",
         F.get_json_object("props", "$.k").alias("k_str"),
-        parsed.getField("k").alias("k_int"),
-        (parsed.getField("k") % 10).alias("k_mod10"),
-        F.when(parsed.getField("k") > 50, "high").otherwise("low").alias("k_band"),
+        F.col("k").alias("k_int"),
+        (F.col("k") % 10).alias("k_mod10"),
+        F.when(F.col("k") > 50, "high").otherwise("low").alias("k_band"),
     )
 
 
@@ -346,7 +358,7 @@ WITH rows_h AS (
            (a, b) -> a * 16 + b) % 4294967296 AS h
   FROM supplier
 )
-SELECT nationkey, count(*) AS n_rows, sum(h) AS digest
+SELECT nationkey, count(*) AS n_rows, CAST(sum(h) AS BIGINT) AS digest
 FROM rows_h
 GROUP BY nationkey
 """

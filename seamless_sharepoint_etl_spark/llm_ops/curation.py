@@ -180,7 +180,14 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = docs.crossJoin(F.broadcast(width)).withColumn(
         "bkt", F.expr("doc_id div bw")
     )
-    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    # constant partition key: the bucket relation is _PACK_BUCKETS rows
+    # at ANY corpus size, so one partition is correct — the explicit
+    # key just keeps WindowExec's single-partition warning out of logs
+    wb = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     starts = (
         b.groupBy("bkt")
         .agg(F.sum("n_tokens").alias("bt"))
@@ -209,7 +216,8 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEQUENCE_PACKING_SQL = f"""
 WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
 c AS (SELECT doc_id, n_tokens,
-        sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS end_off
+        CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+             AS BIGINT) AS end_off
       FROM t)
 SELECT doc_id, n_tokens, end_off - n_tokens AS offset,
        (end_off - n_tokens) // {CTX_TOKENS} AS bin_id,
@@ -332,8 +340,13 @@ SELECT b.doc_id, b.n_words,
          AND (r.top_run * 10000) // b.n_words < {TOP_WORD_MAX_BP}
          AND ((b.n_words - b.n_distinct) * 10000) // b.n_words < {DUP_WORD_MAX_BP}
          AS keep
-FROM base b JOIN runs r USING (doc_id)
+FROM base b LEFT JOIN runs r USING (doc_id)
 """
+# LEFT JOIN, not JOIN: for a NULL-text doc, unnest(string_split(NULL))
+# yields no rows, so `runs` has no entry and an inner join would drop
+# the doc from the oracle while the Spark per-row plan still emits it
+# (with NULL metrics). LEFT JOIN keeps both engines' row sets equal —
+# the doc surfaces with NULL top_run/keep on both sides.
 
 
 # ---------------------------------------------------------------------------
@@ -471,10 +484,11 @@ flagged AS (
   SELECT *, sum(c_hs) OVER (PARTITION BY norm) AS c_h FROM per_hs
 )
 SELECT source,
-       sum(c_hs) AS n_docs,
-       (sum(CASE WHEN c_h > 1 THEN c_hs ELSE 0 END) * 10000) // sum(c_hs) AS dup_bp,
-       (sum(td) * 10000) // sum(t) AS ttr_bp,
-       sum(t) // sum(c_hs) AS avg_tokens,
+       CAST(sum(c_hs) AS BIGINT) AS n_docs,
+       CAST((sum(CASE WHEN c_h > 1 THEN c_hs ELSE 0 END) * 10000) // sum(c_hs)
+            AS BIGINT) AS dup_bp,
+       CAST((sum(td) * 10000) // sum(t) AS BIGINT) AS ttr_bp,
+       CAST(sum(t) // sum(c_hs) AS BIGINT) AS avg_tokens,
        (sum(CASE WHEN c_h > 1 THEN c_hs ELSE 0 END) * 10000) // sum(c_hs)
          <= {SRC_DUP_MAX_BP}
          AND (sum(td) * 10000) // sum(t) >= {SRC_TTR_MIN_BP} AS keep

@@ -700,8 +700,9 @@ WITH spans AS (
 mult AS (SELECT span, count(*) AS m FROM spans GROUP BY span)
 SELECT doc_id,
        count(*) AS n_spans,
-       sum(CASE WHEN m > 1 THEN 1 ELSE 0 END) AS n_repeated,
-       (sum(CASE WHEN m > 1 THEN 1 ELSE 0 END) * 10000) // count(*) AS repeated_bp
+       CAST(sum(CASE WHEN m > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated,
+       CAST((sum(CASE WHEN m > 1 THEN 1 ELSE 0 END) * 10000) // count(*)
+            AS BIGINT) AS repeated_bp
 FROM spans JOIN mult USING (span)
 GROUP BY doc_id
 """

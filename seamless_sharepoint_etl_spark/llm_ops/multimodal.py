@@ -153,10 +153,10 @@ def frame_sample_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 FRAME_SAMPLE_SQL = """
 SELECT doc_id,
-       list_sum(list_transform(
+       CAST(coalesce(list_sum(list_transform(
          range(1, length(text) + 1, 16),
          i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)
-       )) AS byte_checksum
+       )), 0) AS BIGINT) AS byte_checksum
 FROM documents
 """
 
@@ -200,9 +200,9 @@ def byte_histogram_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ASCII fixture text ⇒ characters == bytes, so the oracle can count
 # high nibbles via ascii() per character position.
 BYTE_HISTOGRAM_SQL = "SELECT doc_id, " + ", ".join(
-    f"""coalesce(list_sum(list_transform(range(1, length(text) + 1),
+    f"""CAST(coalesce(list_sum(list_transform(range(1, length(text) + 1),
         i -> CASE WHEN ascii(substring(text, i, 1)) // 16 = {b}
-             THEN 1 ELSE 0 END)), 0) AS bin_{b:02d}"""
+             THEN 1 ELSE 0 END)), 0) AS BIGINT) AS bin_{b:02d}"""
     for b in range(N_HIST_BINS)
 ) + " FROM documents"
 
@@ -234,8 +234,15 @@ def modality_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("doc_id") % 3 == 1, F.unhex(F.lit(_MAGIC[1][0])))
         .otherwise(F.unhex(F.lit(_MAGIC[2][0])))
     )
+    # coalesce NULL text to '' so the payload keeps its magic header:
+    # concat(hdr, NULL) would NULL the whole payload and the sniff
+    # would fall through to octet-stream while the oracle (which
+    # routes by the injection rule) still classifies the doc.
     blobs = d.select(
-        "doc_id", F.concat(hdr, F.encode("text", "utf-8")).alias("payload")
+        "doc_id",
+        F.concat(hdr, F.encode(F.coalesce("text", F.lit("")), "utf-8")).alias(
+            "payload"
+        ),
     )
     lead = F.hex(F.expr("substring(payload, 1, 8)"))
     sniffed = (
@@ -267,7 +274,8 @@ SELECT CASE doc_id % 3 WHEN 0 THEN 'image/png'
                        WHEN 1 THEN 'image/jpeg'
                        ELSE 'audio/wav' END AS modality,
        count(*) AS n_docs,
-       sum(octet_length(CAST(text AS BLOB))) AS total_body_bytes
+       CAST(sum(octet_length(CAST(coalesce(text, '') AS BLOB))) AS BIGINT)
+         AS total_body_bytes
 FROM documents
 GROUP BY 1
 """

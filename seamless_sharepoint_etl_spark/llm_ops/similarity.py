@@ -470,8 +470,14 @@ def brp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic pruning: within each IVF cluster, drop
-    every vector that has a lower-id clustermate above NEARDUP_COS; the
-    lowest id of each semantic group survives as the representative.
+    every vector that has a lower-id clustermate above NEARDUP_COS.
+    ``rep_id`` is the pruned vector's lowest-id near-dup WITNESS (proof
+    of why it was dropped), not necessarily a surviving canonical — in
+    a transitive chain A~B, B~C, A≁C the witness B is itself pruned
+    while C still (correctly) drops. A vector is ``kept`` iff it has
+    NO lower-id near-dup; chasing witnesses to kept canonicals is the
+    CC labeler's job (``dedup.neardup_clusters``) when group structure
+    is needed.
 
     This is the standard embedding-dedup recipe for pretraining
     corpora (cluster first, compare only within clusters): the coarse
@@ -568,8 +574,8 @@ LABEL_KNN_SQL = f"""
 WITH topk AS ({BRUTE_FORCE_SQL}),
 l AS (SELECT vec_id, label FROM embeddings)
 SELECT t.query_id, ql.label,
-       (sum(CASE WHEN cl.label = ql.label THEN 1 ELSE 0 END) * 10000)
-         // count(*) AS knn_match_bp
+       CAST((sum(CASE WHEN cl.label = ql.label THEN 1 ELSE 0 END) * 10000)
+            // count(*) AS BIGINT) AS knn_match_bp
 FROM topk t
 JOIN l ql ON ql.vec_id = t.query_id
 JOIN l cl ON cl.vec_id = t.cand_id

@@ -257,12 +257,12 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 FINGERPRINT_SQL = """
 SELECT doc_id,
-       list_sum(list_transform(
+       CAST(list_sum(list_transform(
          range(1, len(string_split(text, ' ')) + 1),
          i -> CAST(i AS BIGINT)
               * (CAST(ascii(substring(string_split(text, ' ')[i], 1, 1)) AS BIGINT) * 31
                  + CAST(length(string_split(text, ' ')[i]) AS BIGINT))
-       )) % 2147483647 AS fingerprint
+       )) % 2147483647 AS BIGINT) AS fingerprint
 FROM documents
 """
 
@@ -300,9 +300,13 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pmi = ln(p(x,y) / (p(x)p(y))) computed as ONE double expression
     with a fixed operation order on integer counts, so both engines
-    produce bit-identical values (trap 1). Plan: the two count tables
-    are vocabulary-sized → both broadcast into the bigram relation;
-    the global top-k is TakeOrderedAndProject with a full (pmi, bigram)
+    produce bit-identical values (trap 1). Plan: the unigram joins are
+    NOT broadcast-hinted — at fixture scale AQE converts them to
+    broadcast joins from runtime shuffle stats, while at 100 TB (where
+    a web-scale unigram vocabulary exceeds any broadcast limit) the
+    same plan degrades gracefully to a shuffle hash join instead of
+    OOMing the driver; only the two 1-row totals are forced broadcast.
+    The global top-k is TakeOrderedAndProject with a full (pmi, bigram)
     tie-break. Min-support {m} keeps noise bigrams out.
     """
     toks = _token_relation(spark, sf_dir)
@@ -325,8 +329,8 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         bi.withColumn("x", F.split("bigram", "_")[0])
         .withColumn("y", F.split("bigram", "_")[1])
-        .join(F.broadcast(ux), "x")
-        .join(F.broadcast(uy), "y")
+        .join(ux, "x")
+        .join(uy, "y")
         .crossJoin(F.broadcast(totals))
         .crossJoin(F.broadcast(t_bi))
         .select(
@@ -491,7 +495,7 @@ pred AS (
 )
 SELECT pred_lang, quality_band,
        count(*) AS n_docs,
-       sum(n_chars) AS n_chars
+       CAST(sum(n_chars) AS BIGINT) AS n_chars
 FROM pred
 JOIN canon USING (doc_id)
 JOIN scored USING (doc_id)
@@ -699,8 +703,9 @@ WITH t AS (
 g AS (SELECT sum(tokens) AS g_total FROM t),
 c AS (
   SELECT doc_id, lang, tokens,
-         sum(tokens) OVER (PARTITION BY lang ORDER BY pr, doc_id
-                           ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         CAST(sum(tokens) OVER (PARTITION BY lang ORDER BY pr, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_tokens
   FROM t
 )
 SELECT doc_id, lang, tokens, cum_tokens,

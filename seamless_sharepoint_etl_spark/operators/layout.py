@@ -158,7 +158,7 @@ def join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 JOIN_KEY_SKEW_SQL = f"""
 WITH counts AS (SELECT l_orderkey, count(*) AS c FROM lineitem GROUP BY l_orderkey),
 t AS (SELECT sum(c) AS t FROM counts)
-SELECT l_orderkey, c AS n_rows, (c * 10000) // t.t AS share_bp
+SELECT l_orderkey, c AS n_rows, CAST((c * 10000) // t.t AS BIGINT) AS share_bp
 FROM counts, t
 ORDER BY n_rows DESC, l_orderkey ASC
 LIMIT {SKEW_TOP_K}

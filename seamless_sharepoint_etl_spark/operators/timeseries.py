@@ -260,8 +260,9 @@ def _interval_overlap_sql() -> str:
     return f"""
 WITH islands AS ({GAPS_ISLANDS_SQL})
 SELECT a.user_id AS user_lo, b.user_id AS user_hi,
-       sum(least(a.island_end, b.island_end)
-           - greatest(a.island_start, b.island_start) + 1) AS overlap_days,
+       CAST(sum(least(a.island_end, b.island_end)
+                - greatest(a.island_start, b.island_start) + 1) AS BIGINT)
+         AS overlap_days,
        count(*) AS n_island_pairs
 FROM islands a JOIN islands b
   ON a.user_id < b.user_id

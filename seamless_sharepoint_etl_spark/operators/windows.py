@@ -429,9 +429,9 @@ flagged AS (
   FROM evs
 ),
 sess AS (
-  SELECT *, sum(is_new) OVER
+  SELECT *, CAST(sum(is_new) OVER
       (PARTITION BY user_id ORDER BY ts_us, event_id
-       ROWS UNBOUNDED PRECEDING) AS session_idx
+       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
   FROM flagged
 )
 SELECT user_id, session_idx,

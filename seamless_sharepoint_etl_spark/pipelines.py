@@ -125,18 +125,23 @@ def write_routed(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, in
 def run_incremental_append(
     spark: SparkSession, sf_dir: str, out_dir: str
 ) -> int:
-    """Flagship load → idempotent append (A10/A11).
+    """Flagship load → TRANSACTIONAL exactly-once append (A10/A11).
 
-    Exactly-once-ish posture (SURVEY.md §7.3#5): the write lands in a
-    key-range directory named by the batch's frontier, so a re-run of
-    the same frontier overwrites its own output instead of duplicating
-    it (idempotent by key range, mirroring the reference's strict-`>`
-    safety argument but making the batch atomic per directory).
+    SURVEY.md §7.3#5 closed: the batch lands through the manifest-
+    commit sink (``sinks.commit_append``) keyed by the batch frontier
+    as the transaction id. A crash between the data write and the
+    manifest flip leaves the sink logically unchanged (readers resolve
+    files through the committed manifest only), and a re-run of the
+    same frontier is a no-op instead of a duplicate — strictly stronger
+    than round 2's key-range overwrite, which was idempotent but not
+    atomic against concurrent readers.
     """
+    from . import sinks
+
     fresh = incremental_load(spark, sf_dir)
     lo = fresh.agg(F.min("po_number").alias("lo")).first()["lo"]
     if lo is None:
         return 0
-    batch_dir = f"{out_dir}/batch_from={lo}"
-    fresh.write.mode("overwrite").parquet(batch_dir)
-    return spark.read.parquet(batch_dir).count()
+    sinks.commit_append(fresh, out_dir, txn_id=f"batch_from_{lo}")
+    snap = sinks.read_snapshot(spark, out_dir)
+    return snap.count() if snap is not None else 0

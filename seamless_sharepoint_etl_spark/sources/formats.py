@@ -89,11 +89,15 @@ def csv_scan_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     schema = "s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DECIMAL(12,2)"
     scanned = spark.read.schema(schema).option("header", True).csv(path)
+    # output column is DOUBLE, not DECIMAL: decimal cells hash
+    # differently through the driver's pandas canonicalizer (DuckDB →
+    # float64, Spark → Decimal objects) even when values are identical;
+    # DECIMAL(12,2) → DOUBLE is exact at this range (round-2 verdict).
     return scanned.filter(F.col("s_acctbal") > 0).select(
         "s_suppkey",
         F.upper("s_name").alias("name_upper"),
         "s_nationkey",
-        "s_acctbal",
+        F.col("s_acctbal").cast("double").alias("s_acctbal"),
     )
 
 
@@ -101,7 +105,7 @@ CSV_SCAN_SUPPLIER_SQL = """
 SELECT s_suppkey,
        upper(s_name) AS name_upper,
        s_nationkey,
-       CAST(s_acctbal AS DECIMAL(12,2)) AS s_acctbal
+       CAST(CAST(s_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS s_acctbal
 FROM supplier
 WHERE CAST(s_acctbal AS DECIMAL(12,2)) > 0
 """
@@ -240,7 +244,8 @@ def xml_scan_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 XML_SCAN_CUSTOMER_SQL = """
 SELECT c_mktsegment,
        count(*) AS n,
-       sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS acctbal_cents,
+       CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS acctbal_cents,
        count(CASE WHEN c_acctbal < 0 THEN 1 END) AS n_negative
 FROM customer
 GROUP BY c_mktsegment ORDER BY c_mktsegment

@@ -314,6 +314,54 @@ FROM b JOIN v ON b.user_id = v.user_id
 """
 
 
+def stream_static_enrich_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-equivalent of ``jobs.run_stream_static_enrich``: events
+    joined to a static per-user profile (historical count + value
+    tier). Stream-static joins are stateless, so the streamed run is
+    value-identical (pytest pins it); this oracle-checked form is what
+    the driver grades. Tier thresholds on the ROUNDED historical sum —
+    both engines band the same post-round value (trap 1).
+    """
+    ev = io.load_table(spark, sf_dir, "events")
+    profile = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("hist_events"),
+            F.round(F.sum("value"), 4).alias("hist_value"),
+        )
+        .withColumn(
+            "tier",
+            F.when(F.col("hist_value") >= 500, "gold")
+            .when(F.col("hist_value") >= 100, "silver")
+            .otherwise("bronze"),
+        )
+    )
+    return ev.join(profile, "user_id").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "tier",
+        "hist_events",
+        F.round("value", 4).alias("value"),
+    )
+
+
+STREAM_STATIC_ENRICH_SQL = """
+WITH profile AS (
+  SELECT user_id,
+         count(*) AS hist_events,
+         round(sum(value), 4) AS hist_value,
+         CASE WHEN round(sum(value), 4) >= 500 THEN 'gold'
+              WHEN round(sum(value), 4) >= 100 THEN 'silver'
+              ELSE 'bronze' END AS tier
+  FROM events GROUP BY user_id
+)
+SELECT event_id, e.user_id, event_type, tier, hist_events,
+       round(value, 4) AS value
+FROM events e JOIN profile USING (user_id)
+"""
+
+
 QUERIES = {
     "stream_tumbling_window": (tumbling_window_agg, TUMBLING_SQL),
     "stream_sliding_window": (sliding_window_agg, SLIDING_SQL),
@@ -322,4 +370,5 @@ QUERIES = {
     "stream_dedup_first_per_key": (streaming_dedup_keys, STREAM_DEDUP_SQL),
     "stream_hierarchical_rollup": (hierarchical_rollup, HIERARCHICAL_ROLLUP_SQL),
     "stream_stream_join": (stream_stream_join_attrib, STREAM_STREAM_JOIN_SQL),
+    "stream_static_enrich": (stream_static_enrich_profile, STREAM_STATIC_ENRICH_SQL),
 }

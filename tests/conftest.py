@@ -9,7 +9,9 @@ import sys
 import duckdb
 import pytest
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+sys.path.insert(0, os.path.join(_REPO, "tools"))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 TABLES = (
@@ -68,6 +70,14 @@ def assert_query_matches_oracle(spark, oracle, name, sf_dir=SF_DIR):
     assert sql is not None, f"{name} has no oracle SQL"
     odf = oracle.sql(sql)
     oracle_cols_raw = list(odf.columns)
+    # dtype-strict (round-2 verdict item 2): the driver's hasher is
+    # dtype-sensitive, so value-equality alone is not enough — reject
+    # HUGEINT/DECIMAL/nested representations and cross-engine kind
+    # mismatches before they cost a driver green row.
+    from driver_sim import dtype_violations
+
+    viol = dtype_violations(sdf.dtypes, oracle_cols_raw, odf.types)
+    assert not viol, f"{name}: dtype violations {viol}"
     order = sorted(range(len(oracle_cols_raw)), key=lambda i: oracle_cols_raw[i])
     oracle_cols = [oracle_cols_raw[i] for i in order]
     oracle_rows = sorted(

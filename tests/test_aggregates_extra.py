@@ -45,16 +45,15 @@ def test_approx_distinct_within_rsd(spark):
 
 
 def test_incremental_append_idempotent_rerun(spark, tmp_path):
-    """Same frontier re-run overwrites its own batch — no duplication
-    (the exactly-once-per-key-range posture, SURVEY.md §7.3#5)."""
-    from seamless_sharepoint_etl_spark import pipelines
+    """Same frontier re-run is a committed-txn no-op — no duplication
+    (the exactly-once manifest-commit posture, SURVEY.md §7.3#5)."""
+    from seamless_sharepoint_etl_spark import pipelines, sinks
 
     out = str(tmp_path / "sink")
     n1 = pipelines.run_incremental_append(spark, SF, out)
     n2 = pipelines.run_incremental_append(spark, SF, out)
     assert n1 == n2 > 0
-    total = spark.read.parquet(f"{out}/batch_from=*").count()
-    assert total == n1
+    assert sinks.read_snapshot(spark, out).count() == n1
 
 
 def test_hll_partial_merge_matches_exact(spark):
@@ -84,3 +83,19 @@ def test_hll_partial_merge_matches_exact(spark):
     for flag, e in est.items():
         assert abs(e - exact[flag]) / exact[flag] < 0.05, (flag, e, exact[flag])
         assert e == direct[flag], "union-merge must equal single-level sketch"
+
+
+def test_approx_topk_exactness_precondition(spark):
+    """agg_approx_topk's hash-match against the plain GROUP BY oracle
+    is only guaranteed while event_type cardinality ≤ the sketch's 100
+    tracked slots (counts are then exact). Pin the precondition so a
+    richer fixture surfaces as this assertion, not as a
+    nondeterministic oracle mismatch."""
+    from seamless_sharepoint_etl_spark import io
+
+    e = io.load_table(spark, SF, "events")
+    card = e.select("event_type").distinct().count()
+    assert card <= 100, (
+        f"event_type cardinality {card} > 100: approx_top_k counts are no "
+        "longer exact — switch agg_approx_topk's oracle to a tolerance gate"
+    )

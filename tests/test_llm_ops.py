@@ -411,6 +411,18 @@ def test_curation_ops_survive_degenerate_docs(spark, tmp_path):
     # 1-token doc: no trigrams (guarded to 0), run of 1 == whole doc
     assert gq[0]["dup_tri_bp"] == 0 and gq[0]["top_run_bp"] == 10000
     assert gq[3]["dup_word_bp"] == 0 and gq[3]["keep"] is False  # top_run 1/2
+    # NULL text must not vanish from either engine's row set: the
+    # oracle's `runs` CTE has no row for it (unnest of NULL), so only a
+    # LEFT JOIN keeps the doc — pin both engines at 4 rows
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{os.path.join(d, 'documents.parquet')}'"
+    )
+    oracle_ids = {r[0] for r in con.sql(curation.GOPHER_RULES_SQL).fetchall()}
+    assert set(gq) == oracle_ids == {0, 1, 2, 3}
 
     pk = {r["doc_id"]: r for r in curation.sequence_packing(spark, d).collect()}
     assert pk[0]["offset"] == 0 and pk[0]["bins_spanned"] == 1

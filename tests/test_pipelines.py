@@ -24,11 +24,14 @@ def test_rerun_idempotence(spark, tmp_path):
     """Re-running the same frontier does not duplicate rows (A11, §7.3#5)."""
     from seamless_sharepoint_etl_spark import pipelines
 
+    from seamless_sharepoint_etl_spark import sinks
+
     out = str(tmp_path / "sink")
     n1 = pipelines.run_incremental_append(spark, SF_DIR, out)
     n2 = pipelines.run_incremental_append(spark, SF_DIR, out)
     assert n1 == n2
-    assert spark.read.parquet(f"{out}/batch_from=*").count() == n1
+    assert sinks.read_snapshot(spark, out).count() == n1
+    assert len(sinks.committed_txns(out)) == 1  # one txn, not two
 
 
 def test_routing_split_covers_everything(spark):
@@ -73,3 +76,62 @@ def test_routed_write_partition_pruning(spark, tmp_path):
     # the route predicate must NOT appear as a pushed data filter —
     # it's resolved at directory level
     assert "PushedFilters: []" in plan, plan
+
+
+def test_manifest_sink_crash_between_write_and_commit(spark, tmp_path, monkeypatch):
+    """Kill-point test (SURVEY §7.3#5): a crash AFTER the distributed
+    data write but BEFORE the manifest flip must leave the sink
+    logically unchanged — readers never see the half-committed batch,
+    and vacuum sweeps the orphan files."""
+    import os
+
+    from seamless_sharepoint_etl_spark import io, sinks
+
+    root = str(tmp_path / "sink")
+    base = io.load_table(spark, SF_DIR, "nation").select("n_nationkey", "n_name")
+    sinks.commit_append(base.limit(5), root, txn_id="t1")
+    before = sinks.read_snapshot(spark, root).count()
+    assert before == 5
+
+    # crash injection: os.replace is THE commit point — die just before
+    real_replace = os.replace
+
+    def boom(src, dst):
+        if os.path.basename(dst) == "LATEST":
+            raise RuntimeError("simulated crash before manifest flip")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(os, "replace", boom)
+    try:
+        sinks.commit_append(base.limit(9), root, txn_id="t2")
+        raise AssertionError("crash injection did not fire")
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(os, "replace", real_replace)
+
+    # reader still sees exactly the pre-crash snapshot
+    assert sinks.read_snapshot(spark, root).count() == before
+    assert sinks.committed_txns(root) == {"t1"}
+    # the orphaned txn-t2 data files exist on disk but are invisible;
+    # vacuum removes them and never touches committed files
+    orphans = sinks.vacuum(root)
+    assert orphans and all("txn-t2" in p for p in orphans)
+    assert sinks.read_snapshot(spark, root).count() == before
+
+    # the recovered writer retries the SAME txn id → lands exactly once
+    sinks.commit_append(base.limit(9), root, txn_id="t2")
+    assert sinks.read_snapshot(spark, root).count() == before + 9
+    sinks.commit_append(base.limit(9), root, txn_id="t2")  # duplicate retry
+    assert sinks.read_snapshot(spark, root).count() == before + 9
+
+
+def test_manifest_sink_exactly_once_retry(spark, tmp_path):
+    """Re-committing an already-committed txn id is a durable no-op."""
+    from seamless_sharepoint_etl_spark import io, sinks
+
+    root = str(tmp_path / "sink")
+    base = io.load_table(spark, SF_DIR, "region")
+    s1 = sinks.commit_append(base, root, txn_id="batch-1")
+    s2 = sinks.commit_append(base, root, txn_id="batch-1")
+    assert s1["version"] == s2["version"] == 1
+    assert sinks.read_snapshot(spark, root).count() == base.count()

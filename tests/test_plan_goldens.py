@@ -61,6 +61,15 @@ GOLDEN_QUERIES = [
     "layout_zorder_stats",
     "text_source_reputation",
     "sim_semantic_dedup",
+    # round-3: the rest of the ANN family — pin broadcast centroid
+    # routing and the absence of BroadcastNestedLoop so the round-1
+    # BNLJ regression can't silently return, and pin the banded-bucket
+    # shape of the two LSH variants
+    "sim_ivf_topk",
+    "sim_brp_lsh_topk",
+    "dedup_minhash_lsh",
+    # round-3 perf fix: single from_json projection (no triplicated parse)
+    "fn_json",
 ]
 
 _EXCHANGE_KIND = re.compile(

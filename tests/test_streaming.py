@@ -208,3 +208,57 @@ def test_stream_stream_join_equals_batch(spark, stream_src, tmp_path):
     }
     assert w, "fixture must contain attributable purchases"
     assert g == w
+
+
+def test_stream_static_enrich_equals_batch(spark, stream_src, tmp_path):
+    """Stream-static join: streamed enrichment ≡ the same join run as a
+    batch (stream-static joins are stateless, so exact equality)."""
+    from seamless_sharepoint_etl_spark.streaming import jobs
+
+    got = jobs.run_stream_static_enrich(spark, stream_src, str(tmp_path / "ck"))
+    ev = spark.read.schema(jobs.EVENT_SCHEMA).parquet(stream_src)
+    profile = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("hist_events"),
+            F.round(F.sum("value"), 4).alias("hist_value"),
+        )
+        .withColumn(
+            "tier",
+            F.when(F.col("hist_value") >= 500, "gold")
+            .when(F.col("hist_value") >= 100, "silver")
+            .otherwise("bronze"),
+        )
+    )
+    want = ev.join(profile, "user_id").select(
+        "event_id", "user_id", "event_type", "tier", "hist_events",
+        F.round("value", 4).alias("value"),
+    )
+    g = {tuple(r) for r in got.collect()}
+    w = {tuple(r) for r in want.collect()}
+    assert g == w and len(g) == ev.count()
+
+
+def test_stream_to_manifest_sink_exactly_once(spark, stream_src, tmp_path):
+    """foreachBatch → manifest sink: every micro-batch commits exactly
+    once; a FULL re-run of the stream (fresh checkpoint, same sink)
+    replays the same batch ids and commits nothing new."""
+    from seamless_sharepoint_etl_spark.streaming import jobs
+    from seamless_sharepoint_etl_spark import sinks
+
+    sink = str(tmp_path / "sink")
+    n_txn = jobs.run_stream_to_manifest_sink(
+        spark, stream_src, str(tmp_path / "ck1"), sink
+    )
+    total = spark.read.schema(jobs.EVENT_SCHEMA).parquet(stream_src).count()
+    snap = sinks.read_snapshot(spark, sink)
+    assert snap.count() == total
+    assert n_txn == 4  # one txn per chunk (maxFilesPerTrigger=1)
+
+    # replay the whole stream against the same sink: same batch ids →
+    # every commit is a no-op, snapshot unchanged
+    n_txn2 = jobs.run_stream_to_manifest_sink(
+        spark, stream_src, str(tmp_path / "ck2"), sink
+    )
+    assert n_txn2 == n_txn
+    assert sinks.read_snapshot(spark, sink).count() == total

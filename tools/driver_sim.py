@@ -39,6 +39,73 @@ def norm(v):
     return v
 
 
+# --- dtype strictness -------------------------------------------------
+# The driver's hasher is dtype-sensitive: it canonicalizes through
+# pandas, so DuckDB HUGEINT (int128) vs Spark BIGINT, or DECIMAL cells
+# (DuckDB → float64, Spark → decimal.Decimal objects), hash differently
+# even when every value is equal. That cost green rows in BOTH round 1
+# (ndarray crash) and round 2 (five HUGEINT/DECIMAL repr-fails), so the
+# simulator now rejects those representations outright and requires the
+# two sides' column *kinds* to line up, not just their values.
+
+_SPARK_KIND = {
+    "tinyint": "int", "smallint": "int", "int": "int", "bigint": "int",
+    "float": "float", "double": "float",
+    "string": "str", "boolean": "bool", "binary": "bytes",
+    "date": "date", "timestamp": "ts", "timestamp_ntz": "ts",
+}
+
+_DUCK_KIND = {
+    "TINYINT": "int", "SMALLINT": "int", "INTEGER": "int", "BIGINT": "int",
+    "UTINYINT": "int", "USMALLINT": "int", "UINTEGER": "int", "UBIGINT": "int",
+    "FLOAT": "float", "DOUBLE": "float",
+    "VARCHAR": "str", "BOOLEAN": "bool", "BLOB": "bytes",
+    "DATE": "date", "TIMESTAMP": "ts", "TIMESTAMP_NS": "ts",
+    "TIMESTAMP WITH TIME ZONE": "ts",
+}
+
+
+def spark_kind(dtype: str) -> str:
+    """Map a Spark simpleString dtype to a comparison kind, or REJECT:…"""
+    if dtype.startswith("decimal"):
+        return "REJECT:spark DECIMAL (driver hashes Decimal objects differently)"
+    if dtype.startswith(("array", "map", "struct")):
+        return f"REJECT:spark nested type {dtype} (driver canonicalizer cannot hash it)"
+    return _SPARK_KIND.get(dtype, f"REJECT:spark unknown dtype {dtype}")
+
+
+def duck_kind(dtype: str) -> str:
+    """Map a DuckDB type string to a comparison kind, or REJECT:…"""
+    s = str(dtype).upper()
+    if s == "HUGEINT":
+        return "REJECT:oracle HUGEINT (list_sum/sum on ints — CAST(... AS BIGINT))"
+    if s.startswith("DECIMAL"):
+        return "REJECT:oracle DECIMAL (CAST to DOUBLE or BIGINT)"
+    if s.endswith("[]") or s.startswith(("STRUCT", "MAP", "LIST", "UNION")):
+        return f"REJECT:oracle nested type {s}"
+    return _DUCK_KIND.get(s, f"REJECT:oracle unknown type {s}")
+
+
+def dtype_violations(spark_dtypes, duck_cols, duck_types) -> list[str]:
+    """Strict cross-engine dtype check. ``spark_dtypes`` is
+    ``df.dtypes`` (name → simpleString); ``duck_cols``/``duck_types``
+    come from the DuckDB relation. Returns human-readable violations
+    (empty = clean). Columns are matched by sorted name, mirroring the
+    driver's sort-columns-by-name canonicalization."""
+    out = []
+    skinds = {name: spark_kind(dt) for name, dt in spark_dtypes}
+    dkinds = {name: duck_kind(dt) for name, dt in zip(duck_cols, duck_types)}
+    for name in sorted(set(skinds) | set(dkinds)):
+        sk, dk = skinds.get(name), dkinds.get(name)
+        for k in (sk, dk):
+            if k and k.startswith("REJECT:"):
+                out.append(f"{name}: {k[7:]}")
+        if sk and dk and not sk.startswith("REJECT") and not dk.startswith("REJECT"):
+            if sk != dk:
+                out.append(f"{name}: kind mismatch spark={sk} oracle={dk}")
+    return out
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
@@ -83,10 +150,14 @@ def main() -> int:
                 continue
             odf = con.sql(oracles[name])
             ocols_raw = list(odf.columns)
+            viol = dtype_violations(sdf.dtypes, ocols_raw, odf.types)
             order = sorted(range(len(ocols_raw)), key=lambda i: ocols_raw[i])
             ocols = [ocols_raw[i] for i in order]
             orows = sorted((tuple(norm(r[i]) for i in order) for r in odf.fetchall()), key=repr)
-            if scols != ocols:
+            if viol:
+                print(f"FAIL {name}: dtype {viol}")
+                n_fail += 1
+            elif scols != ocols:
                 print(f"FAIL {name}: cols spark={scols} oracle={ocols}")
                 n_fail += 1
             elif srows != orows:
