@@ -1,0 +1,149 @@
+"""Graph analytics over the similarity graph (north-star tier).
+
+Provenance: SURVEY.md §2 Tier B extension — the dedup family already
+builds a near-duplicate *graph* (edges = vector pairs above
+``similarity.NEARDUP_COS``) and consumes it as connected components
+(``dedup.neardup_clusters``) and PageRank exemplars
+(``dedup.neardup_pagerank``). These operators complete the standard
+graph-shaped questions a curation pipeline asks of that graph:
+how clustered is it (triangles / clustering coefficient — dense
+near-dup cliques mean template spam), and what does its degree
+distribution look like (hub documents that near-match everything are
+boilerplate magnets).
+
+Both are pure DataFrame joins/aggregations over the edge relation —
+the distributed-triangle shape is the textbook one: orient every edge
+low→high, two-hop join on the middle vertex, then close the wedge with
+a semi-join against the edge set. Every exchange is keyed by vertex
+id, so at 100 TB the plan is three hash-partitioned joins over an
+edge list, never an adjacency matrix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .similarity import EMBEDDING_NEARDUP_SQL, embedding_neardup
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oriented (id_lo < id_hi) near-dup edge relation."""
+    return embedding_neardup(spark, sf_dir).select("id_lo", "id_hi")
+
+
+def triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle census of the near-dup graph: edge/wedge/triangle
+    counts plus the transitivity ratio (3×triangles / wedges).
+
+    Shape: edges are already oriented lo<hi, so each triangle
+    {a<b<c} is counted exactly once as e(a,b)⋈e(b,c) closed by
+    e(a,c) — a two-hop equi-join on the shared vertex and one
+    LEFT SEMI join against the edge set; wedges come from the degree
+    relation as Σ deg·(deg−1)/2. All joins are vertex-keyed shuffles
+    (or AQE-broadcast when one side is small); nothing is quadratic
+    in vertices. The ratio divides two BIGINTs in one double op —
+    bit-identical across engines, emitted as basis points.
+    """
+    e = _edges(spark, sf_dir)
+    e.persist()
+    ab = e.select(F.col("id_lo").alias("a"), F.col("id_hi").alias("b"))
+    bc = e.select(F.col("id_lo").alias("b"), F.col("id_hi").alias("c"))
+    ac = e.select(F.col("id_lo").alias("a"), F.col("id_hi").alias("c"))
+    tri = (
+        ab.join(bc, "b")
+        .join(ac, ["a", "c"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        e.select(F.col("id_lo").alias("v"))
+        .unionAll(e.select(F.col("id_hi").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wedge = deg.agg(
+        F.count(F.lit(1)).alias("n_vertices"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges"),
+    )
+    edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        edges.crossJoin(wedge)
+        .crossJoin(tri)
+        .select(
+            "n_edges",
+            "n_vertices",
+            "n_wedges",
+            "n_triangles",
+            F.when(F.col("n_wedges") > 0,
+                   F.floor(3.0 * F.col("n_triangles") / F.col("n_wedges") * 10000
+                           + F.lit(0.5)).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+            .alias("transitivity_bp"),
+        )
+    )
+
+
+TRIANGLE_STATS_SQL = f"""
+WITH edges AS (SELECT id_lo, id_hi FROM ({EMBEDDING_NEARDUP_SQL})),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM edges e1
+  JOIN edges e2 ON e1.id_hi = e2.id_lo
+  WHERE EXISTS (SELECT 1 FROM edges e3
+                WHERE e3.id_lo = e1.id_lo AND e3.id_hi = e2.id_hi)
+),
+deg AS (
+  SELECT v, count(*) AS d
+  FROM (SELECT id_lo AS v FROM edges UNION ALL SELECT id_hi FROM edges)
+  GROUP BY v
+),
+wedge AS (
+  SELECT count(*) AS n_vertices,
+         CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+  FROM deg
+),
+ecnt AS (SELECT count(*) AS n_edges FROM edges)
+SELECT n_edges, n_vertices, n_wedges, n_triangles,
+       CASE WHEN n_wedges > 0
+            THEN CAST(floor(3.0 * n_triangles / n_wedges * 10000 + 0.5) AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS transitivity_bp
+FROM ecnt, wedge, tri
+"""
+
+
+def degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the near-dup graph: how many vertices
+    have each degree. Two vertex-keyed hash aggregations — the shape
+    that turns a 100 TB edge list into a k-row histogram with one
+    shuffle each.
+    """
+    e = _edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("id_lo").alias("v"))
+        .unionAll(e.select(F.col("id_hi").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_vertices"))
+        .orderBy("degree")
+    )
+
+
+DEGREE_HISTOGRAM_SQL = f"""
+WITH edges AS (SELECT id_lo, id_hi FROM ({EMBEDDING_NEARDUP_SQL})),
+deg AS (
+  SELECT v, count(*) AS degree
+  FROM (SELECT id_lo AS v FROM edges UNION ALL SELECT id_hi FROM edges)
+  GROUP BY v
+)
+SELECT degree, count(*) AS n_vertices
+FROM deg GROUP BY degree ORDER BY degree
+"""
+
+
+QUERIES = {
+    "graph_triangle_stats": (triangle_stats, TRIANGLE_STATS_SQL),
+    "graph_degree_histogram": (degree_histogram, DEGREE_HISTOGRAM_SQL),
+}

@@ -242,9 +242,625 @@ LIMIT {Q18_TOP}
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Round-3 extension: the rest of the TPC-H shapes expressible on this
+# star schema (no partsupp table, no shipmode/commitdate/receiptdate
+# columns — Q2/Q4/Q9/Q11/Q12/Q13/Q20 are either unexpressible or
+# already covered by join_semi_exists / join_left_null_histogram).
+# Where TPC-H compares a value against an AVG, the comparison is
+# re-expressed in exact integer space (quantities are integral doubles,
+# balances are 2-decimal) so a 1e-8 cross-engine avg() drift can never
+# flip a row in or out of the result (NOTES trap 1).
+# ---------------------------------------------------------------------------
+
+Q6_FROM = "1997-01-01"
+Q6_TO = "1998-01-01"
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6: pure scan-aggregate — the predicate-pushdown showcase.
+
+    No join at all: a year of shipments in a discount band under a
+    quantity cap, summed. Expected plan: ONE parquet scan with all
+    three predicates in PushedFilters, ReadSchema limited to the four
+    referenced columns, and a partial+final agg — at 100 TB this query
+    is bounded purely by scan bandwidth. Discount bounds sit between
+    the 2-decimal grid points (0.045/0.075) so double-literal equality
+    can never go wrong at the band edge.
+    """
+    li = io.load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= Q6_FROM)
+            & (F.col("l_shipdate") < Q6_TO)
+            & (F.col("l_discount") > 0.045)
+            & (F.col("l_discount") < 0.075)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+Q6_SQL = f"""
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{Q6_FROM}'
+  AND l_shipdate < TIMESTAMP '{Q6_TO}'
+  AND l_discount > 0.045 AND l_discount < 0.075
+  AND l_quantity < 24
+"""
+
+
+Q7_NATION_A = "NATION_3"
+Q7_NATION_B = "NATION_7"
+
+
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7: shipping volume between two nations by year — the two-copy
+    dimension join (nation joined once on the supplier branch, once on
+    the customer branch) plus a symmetric pair predicate.
+
+    Both nation copies are forced broadcast (25 rows); the pair filter
+    ((A,B) or (B,A)) lands above the joins and prunes to two nation
+    pairs before the groupBy. The orderkey shuffle joining the fact to
+    orders dominates at scale, as in Q5.
+    """
+    li = io.load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = io.load_table(spark, sf_dir, "orders")
+    c = io.load_table(spark, sf_dir, "customer")
+    s = io.load_table(spark, sf_dir, "supplier")
+    n = io.load_table(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == Q7_NATION_A) & (F.col("cust_nation") == Q7_NATION_B)
+    ) | ((F.col("supp_nation") == Q7_NATION_B) & (F.col("cust_nation") == Q7_NATION_A))
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q7_SQL = f"""
+SELECT supp_nation, cust_nation, l_year,
+       round(sum(volume), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l_shipdate) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+    AND ((n1.n_name = '{Q7_NATION_A}' AND n2.n_name = '{Q7_NATION_B}')
+      OR (n1.n_name = '{Q7_NATION_B}' AND n2.n_name = '{Q7_NATION_A}'))
+)
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+Q8_REGION = "ASIA"
+Q8_NATION = "NATION_3"
+Q8_TYPE = "ECONOMY"
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8: one nation's market share of a part type inside one region,
+    by order year — the widest join tree here (7 full relations, nation
+    twice), with a conditional-aggregate ratio on top.
+
+    The share is emitted as integer basis points via floor(x*1e4+0.5):
+    the two revenue sums agree across engines to ~1e-11 relative, so
+    the ratio is stable far below the 1e-4 grid — exact-integer output
+    with no float hashing (NOTES trap 1).
+    """
+    p = io.load_table(spark, sf_dir, "part").filter(F.col("p_type") == Q8_TYPE)
+    li = io.load_table(spark, sf_dir, "lineitem")
+    s = io.load_table(spark, sf_dir, "supplier")
+    o = io.load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = io.load_table(spark, sf_dir, "customer")
+    n = io.load_table(spark, sf_dir, "nation")
+    r = io.load_table(spark, sf_dir, "region").filter(F.col("r_name") == Q8_REGION)
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_rkey")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        .join(F.broadcast(r), F.col("n2_rkey") == r.r_regionkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.floor(
+                F.sum(F.when(F.col("supp_nation") == Q8_NATION, vol).otherwise(0.0))
+                / F.sum(vol)
+                * 10000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("mkt_share_bp"),
+            F.round(F.sum(vol), 2).alias("total_volume"),
+        )
+        .orderBy("o_year")
+    )
+
+
+Q8_SQL = f"""
+SELECT year(o_orderdate) AS o_year,
+       CAST(floor(sum(CASE WHEN n1.n_name = '{Q8_NATION}'
+                           THEN l_extendedprice * (1 - l_discount)
+                           ELSE 0.0 END)
+                  / sum(l_extendedprice * (1 - l_discount)) * 10000 + 0.5)
+            AS BIGINT) AS mkt_share_bp,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_volume
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+JOIN region ON n2.n_regionkey = r_regionkey
+WHERE p_type = '{Q8_TYPE}' AND r_name = '{Q8_REGION}'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY year(o_orderdate)
+ORDER BY o_year
+"""
+
+
+Q14_FROM = "1997-09-01"
+Q14_TO = "1997-10-01"
+
+
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14: share of one month's revenue that came from promo parts —
+    fact⋈dim join with a conditional-aggregate ratio.
+
+    part is the broadcast side (it is a dimension at every SF); the
+    share is integer basis points (see Q8's rationale). Expected plan:
+    the shipdate range is pushed to the lineitem scan, and the join is
+    a single BroadcastHashJoin with no shuffle at all below the
+    2-row-ish final aggregate.
+    """
+    p = io.load_table(spark, sf_dir, "part")
+    li = io.load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= Q14_FROM) & (F.col("l_shipdate") < Q14_TO)
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+        F.floor(
+            F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0))
+            / F.sum(vol)
+            * 10000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("promo_share_bp"),
+        F.round(F.sum(vol), 2).alias("total_revenue"),
+    )
+
+
+Q14_SQL = f"""
+SELECT CAST(floor(sum(CASE WHEN p_type = 'PROMO'
+                           THEN l_extendedprice * (1 - l_discount)
+                           ELSE 0.0 END)
+                  / sum(l_extendedprice * (1 - l_discount)) * 10000 + 0.5)
+            AS BIGINT) AS promo_share_bp,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '{Q14_FROM}'
+  AND l_shipdate < TIMESTAMP '{Q14_TO}'
+"""
+
+
+Q15_FROM = "1997-01-01"
+Q15_TO = "1997-04-01"
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15: the supplier(s) with the maximum quarterly revenue — an
+    aggregate reused twice (once per supplier, once for the global
+    max), i.e. TPC-H's CREATE VIEW pattern.
+
+    The per-supplier revenue relation is built once and joined against
+    its own 1-row max via a broadcast; revenue is rounded to cents
+    BEFORE the max/equality so the tie comparison is exact on both
+    engines. At 100 TB the revenue relation is supplier-cardinality
+    (small) — both the scalar max and the equality join are cheap;
+    only the groupBy over the fact shuffles.
+    """
+    li = io.load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= Q15_FROM) & (F.col("l_shipdate") < Q15_TO)
+    )
+    s = io.load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == F.col("mx"))
+        .join(s, rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q15_FROM}'
+    AND l_shipdate < TIMESTAMP '{Q15_TO}'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+Q16_BRAND = "Brand#13"
+Q16_SIZES = (1, 5, 10, 15, 20, 25, 30, 35)
+
+
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16: how many distinct suppliers can deliver each part profile —
+    dim filters + NOT IN supplier exclusion + count-distinct per group.
+
+    Without a partsupp table, lineitem serves as the observed
+    part↔supplier relation. The excluded-supplier set (a deterministic
+    suppkey%10 stand-in for TPC-H's comment scan) is applied as a
+    broadcast anti-join BEFORE the distinct aggregation. The
+    countDistinct shuffles (partkey-grouped profile keys); at 100 TB
+    that is one exchange over (brand,type,size,suppkey) pairs — far
+    smaller than the fact.
+    """
+    p = io.load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != Q16_BRAND) & F.col("p_size").isin(*Q16_SIZES)
+    )
+    li = io.load_table(spark, sf_dir, "lineitem")
+    bad = io.load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_suppkey") % 10 == 7
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"), F.asc("p_size")
+        )
+        .limit(30)
+    )
+
+
+Q16_SQL = f"""
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> '{Q16_BRAND}'
+  AND p_size IN {Q16_SIZES}
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_suppkey % 10 = 7)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+LIMIT 30
+"""
+
+
+Q17_BRAND = "Brand#22"
+
+
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17: revenue lost to small orders — each lineitem compared to
+    20% of ITS part's average quantity, i.e. the classic correlated
+    scalar subquery, decorrelated into a per-part aggregate join.
+
+    The avg comparison runs in exact integer space: quantities are
+    integral doubles, so ``qty < 0.2 * sum/cnt`` becomes
+    ``5*qty*cnt < sum`` over BIGINTs — a 1e-8 cross-engine avg()
+    drift can never flip a row (NOTES trap 1). The per-part aggregate
+    is partkey-grouped (same shuffle key as the join that consumes
+    it); at 100 TB AQE keeps the brand-filtered branch broadcast.
+    """
+    p = io.load_table(spark, sf_dir, "part").filter(F.col("p_brand") == Q17_BRAND)
+    li = io.load_table(spark, sf_dir, "lineitem")
+    base = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        "l_extendedprice",
+    )
+    per_part = base.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("qty").alias("sum_qty"), F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        base.join(per_part, base.l_partkey == F.col("pk"))
+        .filter(F.lit(5) * F.col("qty") * F.col("cnt") < F.col("sum_qty"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small_lines"),
+        )
+    )
+
+
+Q17_SQL = f"""
+WITH base AS (
+  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = '{Q17_BRAND}'
+), per_part AS (
+  SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS sum_qty, count(*) AS cnt
+  FROM base GROUP BY l_partkey
+)
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+       count(*) AS n_small_lines
+FROM base JOIN per_part USING (l_partkey)
+WHERE 5 * qty * cnt < sum_qty
+"""
+
+
+def q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19: revenue matched by an OR of three brand/size/quantity
+    conjunctions — the disjunctive join-predicate shape whose point is
+    that the per-branch part filters must NOT block the single
+    part⋈lineitem equi-join.
+
+    Expressed as one equi-join on partkey with the disjunction as a
+    residual filter above it — Catalyst keeps the hash join and
+    evaluates the OR post-join, instead of degenerating into three
+    scans or a nested-loop. part stays the broadcast build side.
+    """
+    p = io.load_table(spark, sf_dir, "part")
+    li = io.load_table(spark, sf_dir, "lineitem")
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#13")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(1, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#22")
+            & (F.col("p_size").between(10, 25))
+            & (F.col("l_quantity").between(10, 30))
+        )
+        | (
+            (F.col("p_brand") == "Brand#25")
+            & (F.col("p_size").between(20, 50))
+            & (F.col("l_quantity").between(20, 50))
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(branch)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+Q19_SQL = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 25
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#25' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 20 AND 50)
+"""
+
+
+Q21_LATE_DAYS = 90
+Q21_TOP = 20
+
+
+def q21_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 (adapted): suppliers who were the SOLE late shipper on a
+    finished multi-supplier order — EXISTS + NOT EXISTS correlated
+    subqueries, decorrelated into a semi-join and an anti-join.
+
+    "Late" is shipdate > orderdate + 90 days (the fixture has no
+    commit/receipt dates). The lineitem relation joined to finished
+    orders is built once and reused three times (self semi/anti joins
+    on orderkey); all three exchanges share the orderkey shuffle key,
+    so at 100 TB this is one fact shuffle plus two co-partitioned
+    probes, then a supplier-cardinality aggregate.
+    """
+    o = (
+        io.load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = io.load_table(spark, sf_dir, "lineitem")
+    lo = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {Q21_LATE_DAYS} DAYS")
+        ).alias("late"),
+    )
+    l1 = lo.filter(F.col("late")).select("l_orderkey", "l_suppkey")
+    others = lo.select(
+        F.col("l_orderkey").alias("o2_key"), F.col("l_suppkey").alias("s2_key")
+    )
+    late_others = lo.filter(F.col("late")).select(
+        F.col("l_orderkey").alias("o3_key"), F.col("l_suppkey").alias("s3_key")
+    )
+    s = io.load_table(spark, sf_dir, "supplier")
+    return (
+        l1.join(
+            others,
+            (F.col("l_orderkey") == F.col("o2_key"))
+            & (F.col("l_suppkey") != F.col("s2_key")),
+            "left_semi",
+        )
+        .join(
+            late_others,
+            (F.col("l_orderkey") == F.col("o3_key"))
+            & (F.col("l_suppkey") != F.col("s3_key")),
+            "left_anti",
+        )
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(Q21_TOP)
+    )
+
+
+Q21_SQL = f"""
+WITH lo AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+)
+SELECT s_name, count(*) AS numwait
+FROM lo l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE l1.late
+  AND EXISTS (SELECT 1 FROM lo l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lo l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT {Q21_TOP}
+"""
+
+
+Q22_SEGMENTS = (1, 2, 4, 6)
+Q22_DORMANT_SINCE = "1999-01-01"
+
+
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 (adapted): well-funded customers with no recent order,
+    bucketed by a key-derived segment — scalar-subquery threshold + anti-join.
+
+    The above-average test runs in exact cents: balances are 2-decimal
+    doubles, so ``bal > avg(bal WHERE bal > 0)`` becomes
+    ``cents*cnt > sum_cents`` over BIGINTs (floor(x*100+0.5) on both
+    engines) — engine-order avg drift cannot flip a customer in or out
+    (NOTES trap 1). The 1-row threshold is a broadcast; the anti-join
+    against orders shuffles on custkey only.
+    """
+    c = io.load_table(spark, sf_dir, "customer").filter(
+        (F.col("c_custkey") % 7).isin(*Q22_SEGMENTS)
+    )
+    cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+    stats = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            F.sum(cents).alias("sum_cents"),
+            F.count(F.lit(1)).alias("cnt_pos"),
+        )
+    )
+    o = (
+        io.load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= Q22_DORMANT_SINCE)
+        .select("o_custkey")
+    )
+    return (
+        c.join(F.broadcast(stats))
+        .filter(cents * F.col("cnt_pos") > F.col("sum_cents"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy((F.col("c_custkey") % 7).alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+Q22_SQL = f"""
+WITH seg AS (
+  SELECT c_custkey, c_acctbal,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+  FROM customer WHERE c_custkey % 7 IN {Q22_SEGMENTS}
+), thr AS (
+  SELECT CAST(sum(cents) AS BIGINT) AS sum_cents, count(*) AS cnt_pos
+  FROM seg WHERE c_acctbal > 0.0
+)
+SELECT c_custkey % 7 AS cntrycode,
+       count(*) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM seg, thr
+WHERE cents * cnt_pos > sum_cents
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '{Q22_DORMANT_SINCE}')
+GROUP BY cntrycode
+ORDER BY cntrycode
+"""
+
+
 QUERIES = {
     "olap_q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "olap_q5_local_supplier_volume": (q5_local_supplier_volume, Q5_SQL),
+    "olap_q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
+    "olap_q7_nation_volume": (q7_nation_volume, Q7_SQL),
+    "olap_q8_market_share": (q8_market_share, Q8_SQL),
     "olap_q10_returned_items": (q10_returned_items, Q10_SQL),
+    "olap_q14_promo_share": (q14_promo_share, Q14_SQL),
+    "olap_q15_top_supplier": (q15_top_supplier, Q15_SQL),
+    "olap_q16_supplier_variety": (q16_supplier_variety, Q16_SQL),
+    "olap_q17_small_qty_revenue": (q17_small_qty_revenue, Q17_SQL),
     "olap_q18_large_volume_customers": (q18_large_volume_customers, Q18_SQL),
+    "olap_q19_disjunctive_join": (q19_disjunctive_join, Q19_SQL),
+    "olap_q21_late_suppliers": (q21_late_suppliers, Q21_SQL),
+    "olap_q22_dormant_customers": (q22_dormant_customers, Q22_SQL),
 }

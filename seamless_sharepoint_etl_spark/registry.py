@@ -35,7 +35,7 @@ def _collect() -> dict[str, Entry]:
     from .functions import scalar, udfs
     from .sources import formats, rest
     from .streaming import windows as stream_windows
-    from .llm_ops import curation, dedup, multimodal, similarity, text
+    from .llm_ops import curation, dedup, graph, multimodal, similarity, text
 
     registry: dict[str, Entry] = {
         "flagship_incremental_load": (
@@ -63,6 +63,7 @@ def _collect() -> dict[str, Entry]:
         text,
         curation,
         multimodal,
+        graph,
     ):
         overlap = registry.keys() & mod.QUERIES.keys()
         if overlap:
