@@ -71,6 +71,19 @@ HEADLINE = [
     "text_pmi_collocations",
     "layout_zorder_stats",
     "mm_modality_routing",
+    # round-3 additions: multi-join OLAP suite (scan-agg, 7-relation
+    # tree, EXISTS/NOT EXISTS decorrelation), graph census over the
+    # near-dup edges, containment dedup, order-aware LM scoring,
+    # grid interpolation, banded phash blocking
+    "olap_q6_forecast_revenue",
+    "olap_q8_market_share",
+    "olap_q18_large_volume_customers",
+    "olap_q21_late_suppliers",
+    "graph_triangle_stats",
+    "dedup_containment",
+    "text_bigram_logprob",
+    "ts_linear_interpolate",
+    "mm_phash_neardup",
 ]
 
 

@@ -560,6 +560,78 @@ FROM documents
 """
 
 
+
+# ---------------------------------------------------------------------------
+# 8. Bigram-LM log-probability scoring (order-aware perplexity stand-in)
+# ---------------------------------------------------------------------------
+
+
+def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average negative log-likelihood under the corpus's
+    own bigram model — the order-aware upgrade of ``unigram_logprob``
+    (a scrambled-word document scores like clean text under a unigram
+    LM; the bigram model catches it). p(w2|w1) = c(w1,w2) / c(w1,.),
+    trained and scored on the same corpus, so every scored bigram is
+    in the model and no smoothing mass is needed.
+
+    Scale shape: the (doc_id, w1, w2) bigram relation explodes once
+    from the wide text column (guarded for 1-token docs — NOTES trap
+    12); the model tables are bigram/left-context counts (vocab^2-
+    bounded but Zipf-concentrated, far smaller than the corpus) joined
+    back WITHOUT a broadcast hint so AQE broadcasts at fixture scale
+    and shuffle-joins at 100 TB, like pmi_collocations. Docs with <2
+    tokens carry no bigrams and drop out of both engines identically
+    (inner join).
+    """
+    d = io.load_table_parallel(spark, sf_dir, "documents")
+    pairs_expr = F.expr(
+        """
+        CASE WHEN size(split(text, ' ')) >= 2 THEN
+          transform(sequence(1, size(split(text, ' ')) - 1),
+                    i -> struct(split(text, ' ')[i - 1] AS w1,
+                                split(text, ' ')[i] AS w2))
+        ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) END
+        """
+    )
+    bg = d.select("doc_id", F.explode(pairs_expr).alias("p")).select(
+        "doc_id", "p.w1", "p.w2"
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    lm = c2.join(c1, "w1").select(
+        "w1", "w2", F.log(F.col("c2") / F.col("c1")).alias("lnp")
+    )
+    return (
+        bg.join(lm, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum("lnp").alias("s"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.floor((-F.col("s") / F.col("n_bigrams")) * 10000 + F.lit(0.5))
+            .cast("long")
+            .alias("nll_bp"),
+        )
+    )
+
+
+BIGRAM_LOGPROB_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+bg AS (
+  SELECT doc_id, a[i] AS w1, a[i + 1] AS w2
+  FROM t, unnest(range(1, greatest(len(a), 1))) AS u(i)
+),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1),
+lm AS (SELECT w1, w2, ln(CAST(c2 AS DOUBLE) / c1) AS lnp
+       FROM c2 JOIN c1 USING (w1))
+SELECT doc_id, count(*) AS n_bigrams,
+       CAST(floor((-sum(lnp) / count(*)) * 10000 + 0.5) AS BIGINT) AS nll_bp
+FROM bg JOIN lm USING (w1, w2)
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "text_contamination_overlap": (contamination_overlap, CONTAMINATION_SQL),
     "text_unigram_logprob": (unigram_logprob, UNIGRAM_LOGPROB_SQL),
@@ -568,4 +640,5 @@ QUERIES = {
     "text_stratified_reservoir": (stratified_reservoir, STRATIFIED_RESERVOIR_SQL),
     "text_source_reputation": (source_reputation, SOURCE_REPUTATION_SQL),
     "text_pii_scrub": (pii_scrub, PII_SCRUB_SQL),
+    "text_bigram_logprob": (bigram_logprob, BIGRAM_LOGPROB_SQL),
 }

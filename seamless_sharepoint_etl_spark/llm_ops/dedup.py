@@ -708,6 +708,67 @@ GROUP BY doc_id
 """
 
 
+
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by shingle CONTAINMENT ≥ 0.8 — the asymmetric
+    cousin of Jaccard: |A∩B| / min(|A|,|B|) catches a short document
+    embedded inside a long one (quoted posts, boilerplate wrappers),
+    which symmetric Jaccard misses because the union is dominated by
+    the long side.
+
+    Same execution shape as ``ngram_jaccard_pairs`` (and the same
+    session-cached shingle relation): posting lists on 8-byte shingle
+    keys → in-array ordered-pair explode → ONE pair-count hash agg —
+    2 shuffles, 0 joins, stop-shingle capped. The containment ratio
+    divides two BIGINTs in one double op, bit-identical across engines.
+    """
+    sh = _hashed_shingles(spark, sf_dir)
+    posting = (
+        sh.groupBy("h")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= MAX_POSTING))
+    )
+    pairs = posting.select(F.explode(F.expr(_PAIR_EXPLODE)).alias("p")).select("p.*")
+    inter = pairs.groupBy("doc_lo", "n_lo", "doc_hi", "n_hi").agg(
+        F.count(F.lit(1)).alias("n_inter")
+    )
+    cont = F.col("n_inter") / F.least("n_lo", "n_hi")
+    return (
+        inter.filter(cont >= CONTAINMENT_THRESHOLD)
+        .select(
+            "doc_lo",
+            "doc_hi",
+            F.least("n_lo", "n_hi").alias("n_small"),
+            "n_inter",
+            F.floor(cont * 10000 + F.lit(0.5)).cast("long").alias("containment_bp"),
+        )
+    )
+
+
+CONTAINMENT_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_lo, b.doc_id AS doc_hi, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_lo, doc_hi,
+       least(sa.n_sh, sb.n_sh) AS n_small,
+       n_inter,
+       CAST(floor(n_inter::DOUBLE / least(sa.n_sh, sb.n_sh) * 10000 + 0.5)
+            AS BIGINT) AS containment_bp
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_lo
+JOIN sizes sb ON sb.doc_id = doc_hi
+WHERE n_inter::DOUBLE / least(sa.n_sh, sb.n_sh) >= {CONTAINMENT_THRESHOLD}
+"""
+
+
 QUERIES = {
     "dedup_exact_normalized": (exact_dedup, EXACT_DEDUP_SQL),
     "dedup_ngram_jaccard": (ngram_jaccard_pairs, NGRAM_JACCARD_SQL),
@@ -718,4 +779,5 @@ QUERIES = {
     "dedup_cdc_chunking": (cdc_chunk_stats, None),
     "dedup_repeated_spans": (repeated_spans, REPEATED_SPANS_SQL),
     "dedup_neardup_pagerank": (neardup_pagerank, None),
+    "dedup_containment": (containment_pairs, CONTAINMENT_SQL),
 }

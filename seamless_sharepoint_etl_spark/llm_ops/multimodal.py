@@ -281,10 +281,103 @@ GROUP BY 1
 """
 
 
+
+PHASH_BANDS = 4
+PHASH_MAX_HAMMING = 3  # pigeonhole: <= BANDS-1 bit flips always share a band
+
+
+def phash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit perceptual-hash-style signature per binary payload: a
+    64-bin byte histogram thresholded at its own mean, packed into one
+    BIGINT — the byte-level stand-in for an image pHash (DCT grid >
+    median), with the identical Spark surface: bytes → Arrow batch →
+    numpy featurize → fixed-width signature column.
+    """
+    p = with_payload(spark, sf_dir).select("doc_id", "payload")
+
+    def sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(payload or b"", dtype=np.uint8)
+                hist = np.bincount(arr >> 2, minlength=64)[:64]
+                bits = hist > hist.mean()
+                h = 0
+                for b in bits:
+                    h = (h << 1) | int(b)
+                if h >= 1 << 63:
+                    h -= 1 << 64
+                out.append([doc_id, h])
+            yield pd.DataFrame(out, columns=["doc_id", "phash"])
+
+    return p.mapInPandas(sig, "doc_id BIGINT, phash BIGINT")
+
+
+def phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate binary assets by signature Hamming distance —
+    banded-bucket blocking, the multimodal twin of MinHash-LSH.
+
+    The 64-bit signature splits into ``PHASH_BANDS`` 16-bit bands;
+    pairs sharing any band value are candidates (pigeonhole: a pair
+    within ``PHASH_MAX_HAMMING`` = BANDS−1 bit flips must agree on at
+    least one band, so blocking is EXACT — recall 1.0, proven by the
+    pytest brute-force twin, not sampled). Verification XORs the two
+    signatures and counts bits JVM-side. At 100 TB: band buckets are
+    the shuffle key (16-bit values × band index), candidate volume is
+    Σ|bucket|² like every LSH family, and the signature relation is
+    8 bytes/asset — the whole join moves fixed-width keys, never
+    payloads. rows-only for the driver (the signature is Python-side);
+    the pytest gate checks the pair set equals brute force exactly.
+    """
+    s = phash_signatures(spark, sf_dir)
+    s = s.persist()
+    bands = s.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band_idx"),
+                    F.shiftrightunsigned(F.col("phash"), 16 * i)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias("band_val"),
+                )
+                for i in range(PHASH_BANDS)
+            ])
+        ).alias("b"),
+    ).select("doc_id", "phash", "b.band_idx", "b.band_val")
+    a = bands.select(
+        F.col("band_idx").alias("bi"),
+        F.col("band_val").alias("bv"),
+        F.col("doc_id").alias("doc_lo"),
+        F.col("phash").alias("ph_lo"),
+    )
+    b = bands.select(
+        F.col("band_idx").alias("bi"),
+        F.col("band_val").alias("bv"),
+        F.col("doc_id").alias("doc_hi"),
+        F.col("phash").alias("ph_hi"),
+    )
+    cand = (
+        a.join(b, ["bi", "bv"])
+        .filter(F.col("doc_lo") < F.col("doc_hi"))
+        .select("doc_lo", "doc_hi", "ph_lo", "ph_hi")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ph_lo").bitwiseXOR(F.col("ph_hi")))
+    return (
+        cand.select("doc_lo", "doc_hi", ham.alias("hamming"))
+        .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+    )
+
+
 QUERIES = {
     "mm_binary_metadata": (binary_metadata, BINARY_METADATA_SQL),
     "mm_decode_stub_features": (decode_stub_features, None),
     "mm_frame_sample_checksum": (frame_sample_checksum, FRAME_SAMPLE_SQL),
     "mm_byte_histogram": (byte_histogram_features, BYTE_HISTOGRAM_SQL),
     "mm_modality_routing": (modality_routing, MODALITY_ROUTING_SQL),
+    "mm_phash_neardup": (phash_neardup, None),
 }

@@ -826,6 +826,71 @@ ORDER BY cms_estimate DESC, token ASC LIMIT {CMS_TOP}
 """
 
 
+
+ZIPF_TOP_N = 500
+
+
+def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-fit of the corpus: OLS slope of ln(freq) against ln(rank)
+    over the top-``ZIPF_TOP_N`` tokens — natural text sits near −1;
+    machine-generated or heavily templated corpora bend away from it,
+    so the slope is a cheap corpus-health number for curation.
+
+    Built from the session-cached token relation: one vocab hash agg,
+    a TakeOrderedAndProject top-N (deterministic (freq, token)
+    tie-break), then the OLS moments as ONE aggregate pass in a fixed
+    expression order. The regression sums are 500 doubles — engine
+    summation order can drift ~1e-13 relative, far under the 1e-4
+    basis-point grid the slope is emitted on.
+    """
+    toks = _token_relation(spark, sf_dir)
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(ZIPF_TOP_N)
+    )
+    # constant partition key: the ranked relation is LIMIT-bounded at
+    # any corpus size, so one partition is correct; the explicit key
+    # keeps WindowExec's single-partition warning out of the logs
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("cnt"), F.asc("token"))
+    ranked = vocab.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.floor(
+            (
+                (F.count(F.lit(1)) * F.sum(F.col("x") * F.col("y"))
+                 - F.sum("x") * F.sum("y"))
+                / (F.count(F.lit(1)) * F.sum(F.col("x") * F.col("x"))
+                   - F.sum("x") * F.sum("x"))
+            )
+            * 10000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("slope_bp"),
+    )
+
+
+ZIPF_SLOPE_SQL = f"""
+WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+v AS (SELECT token, count(*) AS cnt FROM t GROUP BY token
+      ORDER BY cnt DESC, token ASC LIMIT {ZIPF_TOP_N}),
+r AS (SELECT ln(CAST(row_number() OVER (ORDER BY cnt DESC, token ASC)
+                     AS DOUBLE)) AS x,
+             ln(CAST(cnt AS DOUBLE)) AS y
+      FROM v)
+SELECT count(*) AS n_terms,
+       CAST(floor(((count(*) * sum(x * y) - sum(x) * sum(y))
+                   / (count(*) * sum(x * x) - sum(x) * sum(x)))
+                  * 10000 + 0.5) AS BIGINT) AS slope_bp
+FROM r
+"""
+
+
 QUERIES = {
     "text_token_stats": (token_stats, TOKEN_STATS_SQL),
     "text_quality_score": (quality_score, QUALITY_SCORE_SQL),
@@ -839,4 +904,5 @@ QUERIES = {
     "text_token_budget_alloc": (token_budget_alloc, TOKEN_BUDGET_SQL),
     "text_cms_heavy_hitters": (cms_heavy_hitters, CMS_HEAVY_HITTERS_SQL),
     "text_pmi_collocations": (pmi_collocations, PMI_COLLOCATIONS_SQL),
+    "text_zipf_slope": (zipf_slope, ZIPF_SLOPE_SQL),
 }

@@ -325,9 +325,189 @@ GROUP BY user_id
 """
 
 
+
+def linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample with LINEAR interpolation across gaps — the
+    numeric upgrade of ``resample_ffill`` for sensor-style series where
+    a step function biases downstream features.
+
+    Each gap hour gets prev + (next - prev) * dt_frac between its
+    surrounding known hours (known hours pass through exactly). All
+    interpolation inputs are exact integers (bp-quantized hourly means,
+    hour distances), so the one double expression is bit-identical
+    across engines and the output is floor-rounded back to bp ints.
+
+    Scale note: the bidirectional carry windows run per event_type over
+    the (key, hour) AGGREGATE (time-bounded: years x 8760 rows per key,
+    not corpus-sized) — acceptable single-task-per-key; the two-phase
+    bucketed-carry rewrite in ``resample_ffill`` is the pattern to
+    lift to if per-key series length ever dominates.
+    """
+    ev = io.load_table(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        F.col("event_type").alias("k"), F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.floor(
+            (F.round(F.sum("value"), 2) / F.count(F.lit(1))) * 10000 + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("v")
+    )
+    bounds = agg.groupBy("k").agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = bounds.select(
+        "k", F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    j = grid.join(agg, ["k", "h"], "left")
+    wp = Window.partitionBy("k").orderBy("h").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wn = Window.partitionBy("k").orderBy("h").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    # hour offsets as ROW offsets over the dense hourly grid (tz-proof:
+    # no epoch arithmetic, so a DST-shifted session timezone cannot
+    # change the interpolation weights — NOTES trap on tz-dependence)
+    wr = Window.partitionBy("k").orderBy("h")
+    j = j.withColumn("rn", F.row_number().over(wr).cast("long"))
+    known_rn = F.when(F.col("v").isNotNull(), F.col("rn"))
+    pv = F.last("v", ignorenulls=True).over(wp)
+    prn = F.last(known_rn, ignorenulls=True).over(wp)
+    nv = F.first("v", ignorenulls=True).over(wn)
+    nrn = F.first(known_rn, ignorenulls=True).over(wn)
+    # first/last grid hours are known (bounds come from the data), so
+    # gap rows always have both neighbors
+    interp = F.floor(
+        pv + (nv - pv) * ((F.col("rn") - prn) / (nrn - prn)) + F.lit(0.5)
+    ).cast("long")
+    return j.select(
+        F.col("k").alias("event_type"),
+        F.col("h").alias("hour_ts"),
+        F.when(F.col("v").isNotNull(), F.col("v")).otherwise(interp).alias(
+            "value_interp_bp"
+        ),
+        F.when(F.col("v").isNull(), 1).otherwise(0).alias("was_gap"),
+    )
+
+
+LINEAR_INTERPOLATE_SQL = """
+WITH agg AS (
+  SELECT event_type AS k, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+         CAST(floor((round(sum(value), 2) / count(*)) * 10000 + 0.5) AS BIGINT)
+           AS v
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT k, min(h) AS h0, max(h) AS h1 FROM agg GROUP BY 1),
+grid AS (SELECT k, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+         FROM bounds),
+j AS (SELECT g.k, g.h, a.v FROM grid g
+      LEFT JOIN agg a ON a.k = g.k AND a.h = g.h),
+r AS (
+  SELECT k, h, v,
+         CAST(row_number() OVER (PARTITION BY k ORDER BY h) AS BIGINT) AS rn
+  FROM j
+),
+c AS (
+  SELECT k, h, v, rn,
+         last_value(v IGNORE NULLS) OVER (
+           PARTITION BY k ORDER BY h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         last_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS) OVER (
+           PARTITION BY k ORDER BY h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prn,
+         first_value(v IGNORE NULLS) OVER (
+           PARTITION BY k ORDER BY h
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS) OVER (
+           PARTITION BY k ORDER BY h
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nrn
+  FROM r
+)
+SELECT k AS event_type, h AS hour_ts,
+       CASE WHEN v IS NOT NULL THEN v
+            ELSE CAST(floor(
+              pv + (nv - pv) * ((rn - prn) / CAST(nrn - prn AS DOUBLE))
+              + 0.5) AS BIGINT) END AS value_interp_bp,
+       CASE WHEN v IS NULL THEN 1 ELSE 0 END AS was_gap
+FROM c
+"""
+
+
+ZSCORE_FLAG_BP = 25000  # |z| >= 2.5 flags an anomaly
+
+
+def daily_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events anomalous against their own (event_type, day) cohort:
+    |z| >= 2.5 where z = (x - mean) / sample-stddev of that day's
+    values for that type.
+
+    Determinism: values are 2-decimal doubles, so mean and stddev are
+    derived from EXACT integer sums (cents and squared cents) — the
+    z expression is the same IEEE double ops in a fixed order on
+    bit-identical inputs in both engines, making the flag set (not
+    just the scores) exactly reproducible. Shape: one (type, day)
+    hash agg (tiny), broadcast back onto the event stream; no windows,
+    no sort — at 100 TB this is a scan + map-side-joined filter.
+    """
+    ev = io.load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    e = ev.select(
+        "event_id",
+        F.col("event_type").alias("k"),
+        F.to_date("ts").alias("d"),
+        cents.alias("c"),
+    )
+    stats = e.groupBy("k", "d").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    mu = F.col("s1") / F.col("n")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    z = (F.col("c") - mu) / F.sqrt(var)
+    return (
+        e.join(stats, ["k", "d"])
+        .filter(F.col("n") >= 10)
+        .withColumn("z_bp", F.floor(z * 10000 + F.lit(0.5)).cast("long"))
+        .filter(F.abs(F.col("z_bp")) >= ZSCORE_FLAG_BP)
+        .select(
+            "event_id",
+            F.col("k").alias("event_type"),
+            F.col("d").alias("day"),
+            "z_bp",
+        )
+    )
+
+
+DAILY_ZSCORE_SQL = f"""
+WITH e AS (
+  SELECT event_id, event_type AS k, CAST(ts AS DATE) AS d,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events
+),
+stats AS (
+  SELECT k, d, count(*) AS n,
+         CAST(sum(c) AS BIGINT) AS s1,
+         CAST(sum(c * c) AS BIGINT) AS s2
+  FROM e GROUP BY k, d
+)
+SELECT event_id, k AS event_type, d AS day,
+       CAST(floor((c - s1 / CAST(n AS DOUBLE))
+                  / sqrt((s2 - (s1 * s1) / CAST(n AS DOUBLE))
+                         / (n - 1)) * 10000 + 0.5) AS BIGINT) AS z_bp
+FROM e JOIN stats USING (k, d)
+WHERE n >= 10
+  AND abs(CAST(floor((c - s1 / CAST(n AS DOUBLE))
+                     / sqrt((s2 - (s1 * s1) / CAST(n AS DOUBLE))
+                            / (n - 1)) * 10000 + 0.5) AS BIGINT))
+      >= {ZSCORE_FLAG_BP}
+"""
+
+
 QUERIES = {
     "ts_resample_ffill": (resample_ffill, RESAMPLE_FFILL_SQL),
     "ts_scd2_intervals": (scd2_intervals, SCD2_SQL),
     "ts_interval_overlap_join": (interval_overlap_join, _interval_overlap_sql()),
     "ts_ewma": (ewma_per_user, EWMA_SQL),
+    "ts_linear_interpolate": (linear_interpolate, LINEAR_INTERPOLATE_SQL),
+    "ts_daily_zscore_anomalies": (daily_zscore_anomalies, DAILY_ZSCORE_SQL),
 }

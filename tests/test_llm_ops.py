@@ -531,3 +531,30 @@ def test_pagerank_mass_determinism_and_chain_shape(spark, tmp_path):
     # chain: endpoints have 1 neighbor, interior 2 → strictly lower rank
     assert rows[0] < rows[1] and rows[4] < rows[3]
     assert rows[0] == rows[4] and rows[1] == rows[3]  # symmetry
+
+
+def test_phash_neardup_equals_brute_force(spark):
+    """Banded blocking is EXACT for Hamming <= BANDS-1 (pigeonhole), so
+    the blocked pair set must equal the brute-force pair set — recall
+    1.0 and precision 1.0, not a sampled bound."""
+    from seamless_sharepoint_etl_spark.llm_ops import multimodal
+
+    sigs = {
+        r["doc_id"]: r["phash"]
+        for r in multimodal.phash_signatures(spark, SF_DIR).collect()
+    }
+    assert len(sigs) == 500
+    ids = sorted(sigs)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1")
+        <= multimodal.PHASH_MAX_HAMMING
+    }
+    blocked = {
+        (r["doc_lo"], r["doc_hi"])
+        for r in multimodal.phash_neardup(spark, SF_DIR).collect()
+    }
+    assert brute, "no phash near-dups in fixture — assumption broken"
+    assert blocked == brute

@@ -70,6 +70,19 @@ GOLDEN_QUERIES = [
     "dedup_minhash_lsh",
     # round-3 perf fix: single from_json projection (no triplicated parse)
     "fn_json",
+    # round-3 OLAP suite: pin the join strategies the docstrings claim —
+    # Q6 pure pushdown scan-agg (no exchange below the 1-row agg), Q5/Q8
+    # forced-broadcast dims + single fact shuffle, Q18's aggregate-first
+    # HAVING shape, Q21's shared-key semi/anti probe chain
+    "olap_q6_forecast_revenue",
+    "olap_q5_local_supplier_volume",
+    "olap_q8_market_share",
+    "olap_q18_large_volume_customers",
+    "olap_q21_late_suppliers",
+    # round-3 LLM additions: containment reuses the posting-list shape;
+    # the daily z-score must stay a join+filter (no window, no sort)
+    "dedup_containment",
+    "ts_daily_zscore_anomalies",
 ]
 
 _EXCHANGE_KIND = re.compile(
