@@ -180,21 +180,19 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = docs.crossJoin(F.broadcast(width)).withColumn(
         "bkt", F.expr("doc_id div bw")
     )
-    # constant partition key: the bucket relation is _PACK_BUCKETS rows
-    # at ANY corpus size, so one partition is correct — the explicit
-    # key just keeps WindowExec's single-partition warning out of logs
-    wb = (
-        Window.partitionBy(F.lit(0))
-        .orderBy("bkt")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
+    # bucket start offsets WITHOUT a window: the bucket relation is
+    # _PACK_BUCKETS rows at any corpus size, so the strictly-before
+    # prefix sum is a triangular self-join (O(buckets^2) on a 64-row
+    # relation) — no global-ORDER window, so no single-partition
+    # WindowExec appears anywhere in the plan (a partitionBy(lit(0))
+    # decoy does NOT work: Catalyst folds the constant key away and
+    # the warning returns)
+    bt = b.groupBy("bkt").agg(F.sum("n_tokens").alias("bt"))
+    prev = bt.select(F.col("bkt").alias("pbkt"), F.col("bt").alias("pbt"))
     starts = (
-        b.groupBy("bkt")
-        .agg(F.sum("n_tokens").alias("bt"))
-        .select(
-            "bkt",
-            F.coalesce(F.sum("bt").over(wb), F.lit(0)).alias("bkt_start"),
-        )
+        bt.join(prev, F.col("pbkt") < F.col("bkt"), "left")
+        .groupBy("bkt")
+        .agg(F.coalesce(F.sum("pbt"), F.lit(0)).alias("bkt_start"))
     )
     wd = Window.partitionBy("bkt").orderBy("doc_id")
     return (

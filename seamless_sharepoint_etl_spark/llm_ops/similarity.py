@@ -617,6 +617,94 @@ def centroid_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+MMR_LAMBDA = 0.7
+MMR_POOL = 20
+MMR_K = 5
+
+
+def mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-rank: from each query's top-
+    ``MMR_POOL`` cosine pool, greedily pick ``MMR_K`` results that
+    trade relevance against redundancy —
+    argmax λ·cos(q,c) − (1−λ)·max cos(c, selected). The standard
+    diversification pass a training-data sampler runs so one near-
+    duplicate cluster cannot monopolize a retrieval budget.
+
+    Shape: the pool comes from the same crossJoin+window top-k plan as
+    ``brute_force_topk`` (IVF routing is the drop-in replacement at
+    scale); candidate vectors ride into ``applyInPandas`` grouped BY
+    QUERY, so the greedy O(K·POOL·d) numpy loop runs per group, fully
+    parallel across queries — the driver never sees a vector. Ties
+    break on cand_id, floats never cross engines (rows-only; the
+    pytest gate asserts the diversity property and determinism).
+    """
+    e = io.load_table_parallel(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), _dbl("embedding").alias("qv")
+    ).withColumn("qn", _norm(F.col("qv")))
+    c = e.select(
+        F.col("vec_id").alias("cand_id"), _dbl("embedding").alias("cv")
+    ).withColumn("cn", _norm(F.col("cv")))
+    cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("cand_id"))
+    pool = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            cos.alias("rel"),
+            F.transform(F.col("cv") , lambda x: x / F.col("cn")).alias("unit"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= MMR_POOL)
+    )
+
+    out_schema = (
+        "query_id BIGINT, position INT, cand_id BIGINT, "
+        "rel_bp BIGINT, mmr_bp BIGINT"
+    )
+
+    def greedy(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values(["rel", "cand_id"], ascending=[False, True],
+                              kind="mergesort").reset_index(drop=True)
+        vecs = np.stack(pdf["unit"].to_numpy())
+        rel = pdf["rel"].to_numpy()
+        sims = vecs @ vecs.T  # unit vectors → pairwise cosine
+        n = len(pdf)
+        selected: list[int] = []
+        rows = []
+        for pos in range(min(MMR_K, n)):
+            best_i, best_score = -1, None
+            for i in range(n):
+                if i in selected:
+                    continue
+                red = max((sims[i, j] for j in selected), default=0.0)
+                score = MMR_LAMBDA * rel[i] - (1 - MMR_LAMBDA) * red
+                # strict > with index order as tie-break: deterministic
+                if best_score is None or score > best_score:
+                    best_i, best_score = i, score
+            selected.append(best_i)
+            rows.append(
+                [
+                    int(pdf["query_id"].iloc[best_i]),
+                    pos + 1,
+                    int(pdf["cand_id"].iloc[best_i]),
+                    int(np.floor(rel[best_i] * 10000 + 0.5)),
+                    int(np.floor(best_score * 10000 + 0.5)),
+                ]
+            )
+        return pd.DataFrame(
+            rows, columns=["query_id", "position", "cand_id", "rel_bp", "mmr_bp"]
+        )
+
+    return pool.groupBy("query_id").applyInPandas(greedy, out_schema)
+
+
 QUERIES = {
     "sim_brute_force_topk": (brute_force_topk, BRUTE_FORCE_SQL),
     "sim_embedding_neardup": (embedding_neardup, EMBEDDING_NEARDUP_SQL),
@@ -626,4 +714,5 @@ QUERIES = {
     "sim_semantic_dedup": (semantic_dedup, None),
     "emb_label_knn_accuracy": (label_knn_accuracy, LABEL_KNN_SQL),
     "emb_centroid_purity": (centroid_purity, None),
+    "sim_mmr_diversify": (mmr_diversify, None),
 }

@@ -850,13 +850,26 @@ def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("token"))
         .limit(ZIPF_TOP_N)
     )
-    # constant partition key: the ranked relation is LIMIT-bounded at
-    # any corpus size, so one partition is correct; the explicit key
-    # keeps WindowExec's single-partition warning out of the logs
-    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("cnt"), F.asc("token"))
-    ranked = vocab.select(
-        F.log(F.row_number().over(w).cast("double")).alias("x"),
-        F.log(F.col("cnt").cast("double")).alias("y"),
+    # rank WITHOUT a global-ORDER window (Catalyst folds a constant
+    # partition key, so partitionBy(lit(0)) still single-partitions
+    # with a warning): rank = 1 + |rows strictly before| via a
+    # triangular self-join on the LIMIT-bounded 500-row relation.
+    before = vocab.select(
+        F.col("cnt").alias("bcnt"), F.col("token").alias("btoken")
+    )
+    ranked = (
+        vocab.join(
+            before,
+            (F.col("bcnt") > F.col("cnt"))
+            | ((F.col("bcnt") == F.col("cnt")) & (F.col("btoken") < F.col("token"))),
+            "left",
+        )
+        .groupBy("token", "cnt")
+        .agg((F.count("btoken") + 1).alias("rank"))
+        .select(
+            F.log(F.col("rank").cast("double")).alias("x"),
+            F.log(F.col("cnt").cast("double")).alias("y"),
+        )
     )
     return ranked.agg(
         F.count(F.lit(1)).alias("n_terms"),

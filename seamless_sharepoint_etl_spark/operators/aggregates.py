@@ -17,7 +17,7 @@ so the driver's value-hash is stable against summation-order ulps.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import io
@@ -712,6 +712,53 @@ GROUP BY o_orderpriority
 """
 
 
+
+
+KMV_K = 64
+
+
+def kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch per event_type —
+    the third mergeable-sketch family next to HLL and Count-Min: keep
+    the K smallest hash values of the key; the K-th smallest hash
+    position estimates the distinct count as (K−1)/u_k where u_k is
+    the K-th value mapped to (0,1).
+
+    Why KMV when HLL exists: KMV sketches support set INTERSECTION
+    estimates (via Jaccard over the combined sketch), which HLL alone
+    cannot — it is the sketch behind theta-sketch set algebra. Shape:
+    one distinct pass (map-side partial) → per-key rank ≤ K window
+    over the distinct-hash relation (keyed shuffle; at 100 TB the
+    distinct relation is |keys|·|distinct| rows, already far smaller
+    than the events). The estimate is deterministic given xxhash64,
+    but DuckDB has no xxhash64 — rows-only; the pytest gate bounds the
+    estimate against exact countDistinct (within 3σ ≈ 38% for K=64)
+    and proves sketch MERGE exactness (k-smallest of two sketch unions
+    == sketch of the union).
+    """
+    ev = io.load_table(spark, sf_dir, "events")
+    h = F.xxhash64(F.col("user_id"))
+    distinct_h = (
+        ev.select(F.col("event_type").alias("k"), h.alias("h")).distinct()
+    )
+    w = Window.partitionBy("k").orderBy("h")
+    sk = (
+        distinct_h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("k")
+        .agg(F.max("h").alias("hk"), F.count(F.lit(1)).alias("n_kept"))
+    )
+    # u_k: map int64 hash to (0, 1]; fixed op order keeps it reproducible
+    u = (F.col("hk").cast("double") / F.lit(2.0**64)) + F.lit(0.5)
+    return sk.select(
+        F.col("k").alias("event_type"),
+        "n_kept",
+        F.when(F.col("n_kept") < KMV_K, F.col("n_kept").cast("long"))
+        .otherwise(F.floor((F.lit(KMV_K - 1) / u) + F.lit(0.5)).cast("long"))
+        .alias("est_distinct"),
+    )
+
+
 QUERIES = {
     "agg_pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
     "agg_multikey_distinct": (multikey_distinct, MULTIKEY_DISTINCT_SQL),
@@ -733,5 +780,6 @@ QUERIES = {
     "agg_incremental_merge": (incremental_agg_merge, INCREMENTAL_AGG_MERGE_SQL),
     "agg_equiwidth_histogram": (equiwidth_histogram, EQUIWIDTH_HISTOGRAM_SQL),
     "agg_approx_topk": (approx_topk_event_types, APPROX_TOPK_SQL),
+    "agg_kmv_distinct": (kmv_distinct, None),
     "agg_bitmap_distinct": (bitmap_distinct_customers, BITMAP_DISTINCT_SQL),
 }

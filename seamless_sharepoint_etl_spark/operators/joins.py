@@ -494,6 +494,90 @@ WHERE levenshtein(a.s_name, b.s_name) <= {FUZZY_MAX_DIST}
 """
 
 
+
+
+BLOOM_M_BITS = 65536  # bitmap width (8 KB) — scale with build-side keys
+BLOOM_H = 3  # hash functions
+
+
+def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-bloom-filtered join, with the Bloom filter ITSELF built
+    from DataFrame aggregates (Spark's `bloom_filter_agg` is optimizer-
+    internal and not SQL-registered, so the engine owns the mechanism):
+
+      build:  selective orders keys → H seeded hash positions →
+              bit-OR per 64-bit word (distributed hash agg, ≤ m/64
+              rows) → ONE dense array<long> row.
+      probe:  the 8 KB bitmap rides a 1-row broadcast; each fact row
+              tests all H positions with pure JVM shift/mask
+              expressions and dies at the scan stage on a miss.
+
+    Why it matters at 100 TB: when the build side is selective but too
+    big to broadcast as keys, a sort-merge join still shuffles the
+    ENTIRE fact; the bloom cuts shuffle volume to (selectivity + FP)
+    of the fact for a few-MB broadcast. False positives are harmless —
+    the exact join removes them — so the result is IDENTICAL to the
+    plain join, which is exactly what the DuckDB oracle (a plain
+    join) checks.
+    """
+    o = io.load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderstatus") == "F")
+    )
+    n_words = BLOOM_M_BITS // 64
+    seeds = F.array(*[F.lit(s) for s in range(BLOOM_H)])
+    pos = o.select(
+        F.explode(
+            F.transform(
+                seeds,
+                lambda s: F.pmod(F.xxhash64(F.col("o_orderkey"), s), F.lit(BLOOM_M_BITS)),
+            )
+        ).alias("p")
+    )
+    words = pos.groupBy((F.col("p") / 64).cast("int").alias("w")).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))")
+        ).alias("mask")
+    )
+    bitmap = words.agg(
+        F.map_from_arrays(F.collect_list("w"), F.collect_list("mask")).alias("wm")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_words - 1)),
+            lambda w: F.coalesce(F.element_at(F.col("wm"), w), F.lit(0).cast("long")),
+        ).alias("bm")
+    )
+    li = io.load_table(spark, sf_dir, "lineitem")
+    hit = None
+    for s in range(BLOOM_H):
+        test = F.expr(
+            f"((shiftrightunsigned(element_at(bm,"
+            f" CAST(pmod(xxhash64(l_orderkey, {s}), {BLOOM_M_BITS}) / 64 AS INT) + 1),"
+            f" CAST(pmod(xxhash64(l_orderkey, {s}), {BLOOM_M_BITS}) % 64 AS INT))"
+            f" & CAST(1 AS BIGINT)) = 1)"
+        )
+        hit = test if hit is None else (hit & test)
+    prefiltered = li.join(F.broadcast(bitmap)).filter(hit).drop("bm")
+    return (
+        prefiltered.join(o, F.col("l_orderkey") == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+BLOOM_PREFILTER_SQL = """
+SELECT o_orderpriority, count(*) AS n_lines,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "join_broadcast_dim": (broadcast_dim_join, BROADCAST_DIM_SQL),
     "join_shuffle_fact": (shuffle_fact_join, SHUFFLE_FACT_SQL),
@@ -508,4 +592,5 @@ QUERIES = {
     "join_lateral_topn": (lateral_topn_per_customer, LATERAL_TOPN_SQL),
     "join_salted_skew": (salted_skew_join, SALTED_SKEW_JOIN_SQL),
     "join_fuzzy_name_match": (fuzzy_name_match, FUZZY_NAME_MATCH_SQL),
+    "join_bloom_prefilter": (bloom_prefilter_join, BLOOM_PREFILTER_SQL),
 }

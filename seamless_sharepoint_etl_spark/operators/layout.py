@@ -165,7 +165,61 @@ LIMIT {SKEW_TOP_K}
 """
 
 
+
+
+PRUNE_MONTH = "1997-03"
+
+
+def partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned write + partition-pruned read-back: orders are
+    laid out ONCE per (session, sf) under ``om=yyyy-MM/`` directories,
+    then a one-month query reads back through the partition column.
+
+    The point is the scan: the month predicate binds to the PARTITION
+    column, so Spark's file index prunes to one directory before any
+    I/O — ``PartitionFilters: [om = 1997-03]`` in the plan, and data
+    filters never even run (asserted in tests/test_plans.py). At
+    100 TB with daily/monthly partitions this is the difference
+    between scanning one partition and scanning the fleet. The write
+    is idempotent via a _SUCCESS sentinel, mirroring the bucketed-join
+    layout staging.
+    """
+    import os
+
+    tag = "sf" + sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    stage = f"/tmp/sse_part_orders-{tag}"
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        (
+            io.load_table(spark, sf_dir, "orders")
+            .withColumn("om", F.date_format("o_orderdate", "yyyy-MM"))
+            .write.mode("overwrite")
+            .partitionBy("om")
+            .parquet(stage)
+        )
+    back = spark.read.parquet(stage).filter(F.col("om") == PRUNE_MONTH)
+    return (
+        back.groupBy(F.to_date("o_orderdate").alias("order_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("day_revenue"),
+        )
+        .orderBy("order_day")
+    )
+
+
+PARTITION_PRUNED_SQL = f"""
+SELECT CAST(o_orderdate AS DATE) AS order_day,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS day_revenue
+FROM orders
+WHERE strftime(o_orderdate, '%Y-%m') = '{PRUNE_MONTH}'
+GROUP BY order_day
+ORDER BY order_day
+"""
+
+
 QUERIES = {
     "layout_zorder_stats": (zorder_stats, ZORDER_STATS_SQL),
     "diag_join_key_skew": (join_key_skew, JOIN_KEY_SKEW_SQL),
+    "layout_partition_pruned_read": (partition_pruned_read, PARTITION_PRUNED_SQL),
 }

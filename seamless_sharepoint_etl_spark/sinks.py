@@ -100,13 +100,27 @@ def commit_append(df: DataFrame, root: str, txn_id: str) -> dict:
     return new
 
 
-def read_snapshot(spark: SparkSession, root: str) -> DataFrame | None:
-    """Read the committed snapshot (None if the sink has never committed).
+def read_snapshot(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame | None:
+    """Read a committed snapshot (None if the sink has never committed).
 
-    Only files named by the latest manifest are read — uncommitted or
-    half-written txn directories are invisible by construction.
+    ``version=None`` reads the latest; an explicit version TIME-TRAVELS
+    to that manifest (the ordered v<NNNNNN>.json log is retained, so any
+    committed state stays readable — until ``vacuum``, which keeps only
+    the files of the LATEST snapshot, exactly like Delta's VACUUM
+    retention tradeoff). Only files named by the chosen manifest are
+    read — uncommitted or half-written txn directories are invisible
+    by construction.
     """
-    snap = _read_latest(root)
+    if version is None:
+        snap = _read_latest(root)
+    else:
+        vpath = os.path.join(_manifest_path(root), f"v{version:06d}.json")
+        if not os.path.exists(vpath):
+            raise ValueError(f"snapshot version {version} was never committed")
+        with open(vpath) as fh:
+            snap = json.load(fh)
     if not snap["files"]:
         return None
     paths = [os.path.join(root, f) for f in snap["files"]]

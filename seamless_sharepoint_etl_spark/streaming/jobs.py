@@ -85,18 +85,16 @@ def prepare_stream_source(
             f" div (hi - lo + 1) AS INT), {n_buckets - 1})"
         ),
     )
-    # constant partition key: the relation is n_buckets rows at ANY
-    # corpus size, so one partition is correct — the explicit key just
-    # keeps WindowExec's single-partition warning out of the logs
-    wb = (
-        Window.partitionBy(F.lit(0))
-        .orderBy("bkt")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
+    # bucket start offsets via a triangular self-join on the n_buckets-
+    # row relation — no global-ORDER window (partitionBy(lit(0)) is NOT
+    # a fix: Catalyst folds the constant key and WindowExec still
+    # warns/single-partitions)
+    bc = b.groupBy("bkt").agg(F.count(F.lit(1)).alias("bc"))
+    prevb = bc.select(F.col("bkt").alias("pbkt"), F.col("bc").alias("pbc"))
     starts = (
-        b.groupBy("bkt")
-        .agg(F.count(F.lit(1)).alias("bc"))
-        .select("bkt", F.coalesce(F.sum("bc").over(wb), F.lit(0)).alias("bkt_start"))
+        bc.join(prevb, F.col("pbkt") < F.col("bkt"), "left")
+        .groupBy("bkt")
+        .agg(F.coalesce(F.sum("pbc"), F.lit(0)).alias("bkt_start"))
     )
     wd = Window.partitionBy("bkt").orderBy("ts", "event_id")
     # ntile semantics: with N = base·n + rem, the first `rem` chunks

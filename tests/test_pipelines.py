@@ -135,3 +135,29 @@ def test_manifest_sink_exactly_once_retry(spark, tmp_path):
     s2 = sinks.commit_append(base, root, txn_id="batch-1")
     assert s1["version"] == s2["version"] == 1
     assert sinks.read_snapshot(spark, root).count() == base.count()
+
+
+def test_sink_time_travel_reads_past_snapshots(spark, tmp_path):
+    """Every committed version stays readable by number until vacuum;
+    vacuum then keeps only the latest snapshot's files (Delta-style
+    retention tradeoff, documented in read_snapshot)."""
+    import pytest as _pytest
+
+    from seamless_sharepoint_etl_spark import io, sinks
+
+    root = str(tmp_path / "tt_sink")
+    base = io.load_table(spark, SF_DIR, "orders").select("o_orderkey")
+    sinks.commit_append(base.limit(3), root, txn_id="t1")
+    sinks.commit_append(base.limit(5), root, txn_id="t2")
+    sinks.commit_append(base.limit(7), root, txn_id="t3")
+
+    assert sinks.read_snapshot(spark, root, version=1).count() == 3
+    assert sinks.read_snapshot(spark, root, version=2).count() == 3 + 5
+    assert sinks.read_snapshot(spark, root).count() == 3 + 5 + 7
+    with _pytest.raises(ValueError):
+        sinks.read_snapshot(spark, root, version=9)
+
+    # vacuum keeps only LATEST's files — history remains listed in old
+    # manifests but their data is gone; latest is untouched
+    assert sinks.vacuum(root) == []  # all files still referenced by LATEST
+    assert sinks.read_snapshot(spark, root).count() == 15
