@@ -84,6 +84,10 @@ HEADLINE = [
     "text_bigram_logprob",
     "ts_linear_interpolate",
     "mm_phash_neardup",
+    # round-3 session 2: DSIR importance resampling (hashed-bigram
+    # log-likelihood ratio), embedding-space QA moments
+    "text_dsir_importance",
+    "emb_dim_stats",
 ]
 
 

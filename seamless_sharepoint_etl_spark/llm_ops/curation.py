@@ -630,6 +630,143 @@ GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# 9. DSIR importance resampling (hashed-bigram log-likelihood ratio)
+# ---------------------------------------------------------------------------
+
+# Data Selection via Importance Resampling (Xie et al., NeurIPS 2023):
+# fit bag-of-hashed-ngrams models on a small target-domain sample and on
+# the raw pool, score every raw document by the log-likelihood ratio
+# Σ_b c_b(doc) · (ln p_target(b) − ln p_raw(b)), and keep the top-scored
+# documents. The hash keeps the feature space fixed (DSIR_BUCKETS) no
+# matter how large the vocabulary grows.
+DSIR_TARGET_SOURCES = ("src18", "src6", "src7")
+DSIR_BUCKETS = 256
+DSIR_TOP = 200
+
+# Character-polynomial bucket hash, bit-identical across engines (unlike
+# xxhash64, which DuckDB lacks): fold acc·31 + codepoint mod 1000003
+# (prime, keeps acc < 2^45 — no BIGINT overflow under ANSI mode), then
+# mod DSIR_BUCKETS. Bigram strings are never empty (the '_' separator),
+# so the sequence(1, length) fold never sees trap 12's descending range.
+_DSIR_BUCKET = (
+    "aggregate(sequence(1, length({col})), CAST(7 AS BIGINT),"
+    " (acc, i) -> (acc * 31 + ascii(substring({col}, i, 1))) % 1000003)"
+    f" % {DSIR_BUCKETS}"
+)
+
+_DSIR_BIGRAMS = """
+CASE WHEN size(split(text, ' ')) >= 2 THEN
+  transform(sequence(1, size(split(text, ' ')) - 1),
+            i -> concat_ws('_', split(text, ' ')[i - 1],
+                                split(text, ' ')[i]))
+ELSE CAST(array() AS ARRAY<STRING>) END
+"""
+
+
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection: rank the raw pool by hashed-bigram
+    importance weight against a target-domain sample.
+
+    The corpus-sized bigram explode is consumed exactly once, into the
+    (doc_id, bucket) count relation — the per-side bucket models, the
+    totals, and the per-document scores all derive from that reduced
+    relation, so at 100 TB the wide ``text`` column is read once and
+    every later exchange moves (doc, bucket, count) triples. The
+    256-row log-ratio table is broadcast (constant size by
+    construction — that is the point of the hashing); per-doc scoring
+    is one broadcast join + one doc_id-keyed aggregate. Weights are
+    emitted as floor(w·10⁴ + 0.5) basis points: the per-bucket ratio
+    is a single ln() expression with fixed operation order on integer
+    counts, so cross-engine drift is ~1e-15 relative, far below the
+    1e-4 grid (trap 1).
+    """
+    d = io.load_table_parallel(spark, sf_dir, "documents")
+    is_tgt = F.col("source").isin(*DSIR_TARGET_SOURCES)
+    # one pass: per-(doc, bucket) counts, carrying the doc's side
+    db = (
+        d.select("doc_id", is_tgt.alias("tgt"), F.explode(F.expr(_DSIR_BIGRAMS)).alias("bg"))
+        .select("doc_id", "tgt", F.expr(_DSIR_BUCKET.format(col="bg")).alias("b"))
+        .groupBy("doc_id", "tgt", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sides = db.groupBy("b").agg(
+        F.sum(F.when(F.col("tgt"), F.col("c")).otherwise(0)).alias("tc"),
+        F.sum(F.when(~F.col("tgt"), F.col("c")).otherwise(0)).alias("rc"),
+    )
+    tots = sides.agg(
+        F.sum("tc").alias("tt"), F.sum("rc").alias("rt")
+    )
+    lr = sides.crossJoin(F.broadcast(tots)).select(
+        "b",
+        F.log(
+            (F.col("tc") + 1)
+            / (F.col("tt") + DSIR_BUCKETS)
+            / (F.col("rc") + 1)
+            * (F.col("rt") + DSIR_BUCKETS)
+        ).alias("lr"),
+    )
+    return (
+        db.filter(~F.col("tgt"))
+        .join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.floor(F.sum(F.col("c") * F.col("lr")) * 10000 + F.lit(0.5))
+            .cast("long")
+            .alias("weight_bp"),
+        )
+        .orderBy(F.desc("weight_bp"), F.asc("doc_id"))
+        .limit(DSIR_TOP)
+    )
+
+
+_DSIR_BUCKET_SQL = (
+    "list_reduce(list_prepend(CAST(7 AS BIGINT),"
+    " list_transform(range(1, length({col}) + 1),"
+    " i -> CAST(ascii(substr({col}, i, 1)) AS BIGINT))),"
+    " (acc, c) -> (acc * 31 + c) % 1000003)"
+    f" % {DSIR_BUCKETS}"
+)
+
+DSIR_IMPORTANCE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source IN {DSIR_TARGET_SOURCES} AS tgt,
+         string_split(text, ' ') AS a
+  FROM documents
+), bg AS (
+  SELECT doc_id, tgt,
+         unnest(list_transform(range(1, len(a)),
+                               i -> concat(a[i], '_', a[i + 1]))) AS bgs
+  FROM t
+), db AS (
+  SELECT doc_id, tgt, {_DSIR_BUCKET_SQL.format(col='bgs')} AS b,
+         count(*) AS c
+  FROM bg GROUP BY doc_id, tgt, b
+), sides AS (
+  SELECT b,
+         CAST(sum(CASE WHEN tgt THEN c ELSE 0 END) AS BIGINT) AS tc,
+         CAST(sum(CASE WHEN NOT tgt THEN c ELSE 0 END) AS BIGINT) AS rc
+  FROM db GROUP BY b
+), tots AS (
+  SELECT CAST(sum(tc) AS BIGINT) AS tt, CAST(sum(rc) AS BIGINT) AS rt
+  FROM sides
+), lr AS (
+  SELECT b, ln((tc + 1) / CAST(tt + {DSIR_BUCKETS} AS DOUBLE)
+               / (rc + 1) * (rt + {DSIR_BUCKETS})) AS lr
+  FROM sides, tots
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_bigrams,
+       CAST(floor(sum(c * lr) * 10000 + 0.5) AS BIGINT) AS weight_bp
+FROM db JOIN lr USING (b)
+WHERE NOT tgt
+GROUP BY doc_id
+ORDER BY weight_bp DESC, doc_id ASC
+LIMIT {DSIR_TOP}
+"""
+
+
 QUERIES = {
     "text_contamination_overlap": (contamination_overlap, CONTAMINATION_SQL),
     "text_unigram_logprob": (unigram_logprob, UNIGRAM_LOGPROB_SQL),
@@ -639,4 +776,5 @@ QUERIES = {
     "text_source_reputation": (source_reputation, SOURCE_REPUTATION_SQL),
     "text_pii_scrub": (pii_scrub, PII_SCRUB_SQL),
     "text_bigram_logprob": (bigram_logprob, BIGRAM_LOGPROB_SQL),
+    "text_dsir_importance": (dsir_importance, DSIR_IMPORTANCE_SQL),
 }

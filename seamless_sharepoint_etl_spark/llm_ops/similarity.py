@@ -705,6 +705,68 @@ def mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pool.groupBy("query_id").applyInPandas(greedy, out_schema)
 
 
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension moment profile of the embedding table — the
+    pre-flight QA a pipeline runs before trusting an embedding space
+    (dead dimensions, scale imbalance, mean offset all show up here,
+    and the same sums feed whitening / PCA preprocessing).
+
+    Plan: posexplode to (dim, x) pairs, then ONE hash aggregate keyed
+    by the 64 dims — partial aggregation reduces every partition to
+    64 rows before the only (tiny) shuffle, so at 100 TB the exchange
+    moves dims × partitions rows, not the table. Moments come from
+    explicit Σx / Σx² sums (never var_samp: engine streaming-moment
+    algorithms drift; plain double sums agree to ~1e-11 relative) and
+    every output is floor(x·10⁴ + 0.5) basis points (trap 1).
+    """
+    e = io.load_table_parallel(spark, sf_dir, "embeddings")
+    ex = e.select(F.posexplode("embedding").alias("d", "xf")).select(
+        (F.col("d") + 1).cast("long").alias("dim"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    bp = lambda c: F.floor(c * 10000 + F.lit(0.5)).cast("long")  # noqa: E731
+    return (
+        ex.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.min("x").alias("mn"),
+            F.max("x").alias("mx"),
+        )
+        .select(
+            "dim",
+            "n",
+            bp(F.col("sx") / F.col("n")).alias("mean_bp"),
+            bp(
+                (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / F.col("n")
+            ).alias("var_bp"),
+            bp(F.col("mn")).alias("min_bp"),
+            bp(F.col("mx")).alias("max_bp"),
+        )
+        .orderBy("dim")
+    )
+
+
+EMB_DIM_STATS_SQL = """
+WITH ex AS (
+  SELECT CAST(i AS BIGINT) AS dim, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+), m AS (
+  SELECT dim, count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx,
+         min(x) AS mn, max(x) AS mx
+  FROM ex GROUP BY dim
+)
+SELECT dim, n,
+       CAST(floor(sx / n * 10000 + 0.5) AS BIGINT) AS mean_bp,
+       CAST(floor((sxx - sx * sx / n) / n * 10000 + 0.5) AS BIGINT) AS var_bp,
+       CAST(floor(mn * 10000 + 0.5) AS BIGINT) AS min_bp,
+       CAST(floor(mx * 10000 + 0.5) AS BIGINT) AS max_bp
+FROM m
+ORDER BY dim
+"""
+
+
 QUERIES = {
     "sim_brute_force_topk": (brute_force_topk, BRUTE_FORCE_SQL),
     "sim_embedding_neardup": (embedding_neardup, EMBEDDING_NEARDUP_SQL),
@@ -715,4 +777,5 @@ QUERIES = {
     "emb_label_knn_accuracy": (label_knn_accuracy, LABEL_KNN_SQL),
     "emb_centroid_purity": (centroid_purity, None),
     "sim_mmr_diversify": (mmr_diversify, None),
+    "emb_dim_stats": (embedding_dim_stats, EMB_DIM_STATS_SQL),
 }
