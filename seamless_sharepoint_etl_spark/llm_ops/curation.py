@@ -690,6 +690,12 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "tgt", "b")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    # db is consumed twice (model fit AND scoring). Deliberately NOT
+    # persisted: in a vanilla 200-shuffle-partition session the cached
+    # relation defeats AQE partition coalescing and costs ~5× the
+    # recompute at fixture scale (measured). At 100 TB, where the
+    # text explode dominates task overhead, persist/checkpoint this
+    # reduced relation instead (the _SHINGLE_CACHE pattern).
     sides = db.groupBy("b").agg(
         F.sum(F.when(F.col("tgt"), F.col("c")).otherwise(0)).alias("tc"),
         F.sum(F.when(~F.col("tgt"), F.col("c")).otherwise(0)).alias("rc"),

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import io
+from ..operators import bloom
 
 JACCARD_THRESHOLD = 0.8
 SHINGLE_K = 5
@@ -769,6 +770,68 @@ WHERE n_inter::DOUBLE / least(sa.n_sh, sb.n_sh) >= {CONTAINMENT_THRESHOLD}
 """
 
 
+# ---------------------------------------------------------------------------
+# Incremental dedup: new batch vs historical corpus via a Bloom filter
+# ---------------------------------------------------------------------------
+
+# History is the standing corpus (even doc_ids); the "new crawl batch"
+# is doc_id % 3 == 0 — the overlap (doc_id % 6 == 0) simulates re-crawled
+# pages, the case incremental dedup exists to catch (the fixture plants
+# near-dups but no exact cross-doc dups). Bitmap sized for fixture
+# history cardinality; at 100 TB use m ≈ 1.44·n·log2(1/fp)
+# (see operators/bloom.py).
+INCR_M_BITS = 1 << 17
+INCR_H = 5
+
+
+def bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup of a new batch against corpus history —
+    the standard shape for deduplicating tonight's crawl against a
+    100 TB standing corpus without joining the whole history per run:
+
+      1. build a Bloom bitmap over history's normalized-text keys
+         (distributed bit-OR aggregate, ``operators/bloom.py``);
+      2. probe the new batch against the broadcast bitmap — misses are
+         PROVABLY new (no false negatives) and exit at the scan;
+      3. exact semi-join verifies only the surviving candidates, so
+         the expensive exchange carries (true dups + FP rate) of the
+         batch, not the batch × history.
+
+    The result is therefore IDENTICAL to the plain semi-join answer —
+    which is exactly what the DuckDB oracle checks — while the bloom
+    internals (no-FN, FP bound) carry their own pytest property gate.
+    """
+    d = io.load_table_parallel(spark, sf_dir, "documents")
+    norm = d.select("doc_id", "source", _norm_text().alias("k"))
+    hist = norm.filter(F.col("doc_id") % 2 == 0)
+    new = norm.filter(F.col("doc_id") % 3 == 0)
+    bitmap = bloom.bloom_bitmap(hist, "k", INCR_M_BITS, INCR_H)
+    candidates = (
+        new.join(F.broadcast(bitmap))
+        .filter(bloom.bloom_hit("k", INCR_M_BITS, INCR_H))
+        .drop("bm")
+    )
+    return (
+        candidates.join(hist.select("k"), "k", "left_semi")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+BLOOM_INCREMENTAL_SQL = """
+WITH n AS (
+  SELECT doc_id, source,
+         regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS k
+  FROM documents
+)
+SELECT doc_id, source
+FROM n
+WHERE doc_id % 3 = 0
+  AND k IN (SELECT k FROM n WHERE doc_id % 2 = 0)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact_normalized": (exact_dedup, EXACT_DEDUP_SQL),
     "dedup_ngram_jaccard": (ngram_jaccard_pairs, NGRAM_JACCARD_SQL),
@@ -780,4 +843,5 @@ QUERIES = {
     "dedup_repeated_spans": (repeated_spans, REPEATED_SPANS_SQL),
     "dedup_neardup_pagerank": (neardup_pagerank, None),
     "dedup_containment": (containment_pairs, CONTAINMENT_SQL),
+    "dedup_bloom_incremental": (bloom_incremental_dedup, BLOOM_INCREMENTAL_SQL),
 }

@@ -287,11 +287,19 @@ PHASH_MAX_HAMMING = 3  # pigeonhole: <= BANDS-1 bit flips always share a band
 
 
 def phash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit perceptual-hash-style signature per binary payload: a
-    64-bin byte histogram thresholded at its own mean, packed into one
-    BIGINT — the byte-level stand-in for an image pHash (DCT grid >
-    median), with the identical Spark surface: bytes → Arrow batch →
-    numpy featurize → fixed-width signature column.
+    """64-bit perceptual-hash-style signature per binary payload: the
+    payload is cut into a fixed 64-block grid and each bit is that
+    block's mean vs the global mean — the byte-level analog of an
+    image pHash's DCT-grid-vs-median bits, with the identical Spark
+    surface: bytes → Arrow batch → numpy featurize → fixed-width
+    signature column.
+
+    A small local edit perturbs one or two blocks (small Hamming
+    distance); unrelated payloads disagree on ~half the bits. (A byte
+    *histogram* signature is useless here — natural-language bytes
+    give near-identical histograms corpus-wide, which collapses every
+    doc into one blocking bucket and makes the "near-dup" answer
+    itself quadratic.)
     """
     p = with_payload(spark, sf_dir).select("doc_id", "payload")
 
@@ -302,8 +310,12 @@ def phash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 arr = np.frombuffer(payload or b"", dtype=np.uint8)
-                hist = np.bincount(arr >> 2, minlength=64)[:64]
-                bits = hist > hist.mean()
+                if arr.size == 0:
+                    arr = np.zeros(1, dtype=np.uint8)
+                means = np.array(
+                    [c.mean() if c.size else 0.0 for c in np.array_split(arr, 64)]
+                )
+                bits = means > arr.mean()
                 h = 0
                 for b in bits:
                     h = (h << 1) | int(b)

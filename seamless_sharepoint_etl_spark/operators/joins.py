@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import io
+from . import bloom
 
 
 def broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -523,40 +524,13 @@ def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = io.load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderstatus") == "F")
     )
-    n_words = BLOOM_M_BITS // 64
-    seeds = F.array(*[F.lit(s) for s in range(BLOOM_H)])
-    pos = o.select(
-        F.explode(
-            F.transform(
-                seeds,
-                lambda s: F.pmod(F.xxhash64(F.col("o_orderkey"), s), F.lit(BLOOM_M_BITS)),
-            )
-        ).alias("p")
-    )
-    words = pos.groupBy((F.col("p") / 64).cast("int").alias("w")).agg(
-        F.bit_or(
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))")
-        ).alias("mask")
-    )
-    bitmap = words.agg(
-        F.map_from_arrays(F.collect_list("w"), F.collect_list("mask")).alias("wm")
-    ).select(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(n_words - 1)),
-            lambda w: F.coalesce(F.element_at(F.col("wm"), w), F.lit(0).cast("long")),
-        ).alias("bm")
-    )
+    bitmap = bloom.bloom_bitmap(o, "o_orderkey", BLOOM_M_BITS, BLOOM_H)
     li = io.load_table(spark, sf_dir, "lineitem")
-    hit = None
-    for s in range(BLOOM_H):
-        test = F.expr(
-            f"((shiftrightunsigned(element_at(bm,"
-            f" CAST(pmod(xxhash64(l_orderkey, {s}), {BLOOM_M_BITS}) / 64 AS INT) + 1),"
-            f" CAST(pmod(xxhash64(l_orderkey, {s}), {BLOOM_M_BITS}) % 64 AS INT))"
-            f" & CAST(1 AS BIGINT)) = 1)"
-        )
-        hit = test if hit is None else (hit & test)
-    prefiltered = li.join(F.broadcast(bitmap)).filter(hit).drop("bm")
+    prefiltered = (
+        li.join(F.broadcast(bitmap))
+        .filter(bloom.bloom_hit("l_orderkey", BLOOM_M_BITS, BLOOM_H))
+        .drop("bm")
+    )
     return (
         prefiltered.join(o, F.col("l_orderkey") == o.o_orderkey)
         .groupBy("o_orderpriority")

@@ -608,3 +608,49 @@ def test_mmr_diversify_properties(spark):
 
     again = sim.mmr_diversify(spark, SF_DIR).collect()
     assert sorted(map(tuple, mmr)) == sorted(map(tuple, again))
+
+
+def test_bloom_incremental_no_false_negatives_and_fp_bound(spark):
+    """Bloom internals for dedup_bloom_incremental: every true dup in the
+    new batch is a bloom candidate (no false negatives — the filter can
+    only over-approximate), and the candidate overshoot beyond true dups
+    stays under the m/n sizing's expected FP envelope."""
+    from pyspark.sql import functions as F
+
+    from seamless_sharepoint_etl_spark import io
+    from seamless_sharepoint_etl_spark.llm_ops import dedup
+    from seamless_sharepoint_etl_spark.operators import bloom
+
+    d = io.load_table_parallel(spark, SF_DIR, "documents")
+    norm = d.select("doc_id", dedup._norm_text().alias("k"))
+    hist = norm.filter(F.col("doc_id") % 2 == 0)
+    new = norm.filter(F.col("doc_id") % 3 == 0)
+
+    bitmap = bloom.bloom_bitmap(hist, "k", dedup.INCR_M_BITS, dedup.INCR_H)
+    cand = {
+        r["doc_id"]
+        for r in new.join(F.broadcast(bitmap))
+        .filter(bloom.bloom_hit("k", dedup.INCR_M_BITS, dedup.INCR_H))
+        .select("doc_id")
+        .collect()
+    }
+    true_dups = {
+        r["doc_id"]
+        for r in new.join(hist.select("k"), "k", "left_semi").select("doc_id").collect()
+    }
+    n_new = new.count()
+
+    assert true_dups, "fixture has no cross-split exact dups — gate is vacuous"
+    assert true_dups <= cand  # no false negatives, ever
+    # FP envelope: with n_hist keys in m bits and H hashes the per-key
+    # FP rate is (1 - e^{-H·n/m})^H; allow 5× slack over the expectation
+    import math
+
+    n_hist = hist.select("k").distinct().count()
+    fp_rate = (1 - math.exp(-dedup.INCR_H * n_hist / dedup.INCR_M_BITS)) ** dedup.INCR_H
+    allowed = len(true_dups) + max(5, 5 * fp_rate * n_new)
+    assert len(cand) <= allowed, (len(cand), len(true_dups), fp_rate, n_new)
+
+    # and the oracle-facing result equals the exact semi-join answer
+    got = {r["doc_id"] for r in dedup.bloom_incremental_dedup(spark, SF_DIR).collect()}
+    assert got == true_dups
