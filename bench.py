@@ -85,9 +85,12 @@ HEADLINE = [
     "ts_linear_interpolate",
     "mm_phash_neardup",
     # round-3 session 2: DSIR importance resampling (hashed-bigram
-    # log-likelihood ratio), embedding-space QA moments
+    # log-likelihood ratio), embedding-space QA moments, bloom-gated
+    # incremental dedup, PQ-compressed ANN
     "text_dsir_importance",
     "emb_dim_stats",
+    "dedup_bloom_incremental",
+    "sim_pq_topk",
 ]
 
 

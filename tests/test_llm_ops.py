@@ -654,3 +654,50 @@ def test_bloom_incremental_no_false_negatives_and_fp_bound(spark):
     # and the oracle-facing result equals the exact semi-join answer
     got = {r["doc_id"] for r in dedup.bloom_incremental_dedup(spark, SF_DIR).collect()}
     assert got == true_dups
+
+
+def test_pq_topk_recall_and_reconstruction(spark):
+    """PQ/ADC gates: (1) codes actually compress — reconstruction error
+    clearly below the zero-codebook baseline (ratio 1.0); (2) retrieval
+    through 4-bit codes still clears a floor on arbitrary neighbors and
+    finds the planted high-cosine structure; (3) deterministic."""
+    from pyspark.sql import functions as F
+
+    from seamless_sharepoint_etl_spark import io
+    from seamless_sharepoint_etl_spark.llm_ops import similarity as sim
+
+    res = sim.pq_topk(spark, SF_DIR).collect()
+    truth_rows = sim.brute_force_topk(spark, SF_DIR).collect()
+    truth = {(r["query_id"], r["cand_id"]) for r in truth_rows}
+    high = {(r["query_id"], r["cand_id"]) for r in truth_rows if r["cosine"] >= 0.9}
+    approx = {(r["query_id"], r["cand_id"]) for r in res}
+    assert truth
+    per_q = {}
+    for r in res:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+    if high:
+        assert len(high & approx) / len(high) >= 0.8
+    # PQ ranks through lossy codes on near-uniform vectors: grant it
+    # half the float-IVF scan-fraction floor
+    assert len(truth & approx) / len(truth) >= 0.25 * sim.NPROBE / sim.NLIST
+
+    codes, cent = sim._pq_index(spark, SF_DIR)
+    v = io.load_table_parallel(spark, SF_DIR, "embeddings").select(
+        "vec_id", sim._dbl("embedding").alias("v")
+    )
+    sub = sim._subvectors(v, "vec_id", "v")
+    rec = (
+        sub.join(codes, ["vec_id", "m"])
+        .join(cent.select("m", "code", "cv"), ["m", "code"])
+        .select(
+            sim._l2sq(F.col("sv"), F.col("cv")).alias("e2"),
+            F.aggregate(F.col("sv"), F.lit(0.0), lambda a, x: a + x * x).alias("n2"),
+        )
+        .agg(F.sum("e2").alias("E"), F.sum("n2").alias("N"))
+        .collect()[0]
+    )
+    assert rec["E"] / rec["N"] < 0.75, rec
+
+    again = sim.pq_topk(spark, SF_DIR).collect()
+    assert sorted(map(tuple, res)) == sorted(map(tuple, again))

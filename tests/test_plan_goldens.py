@@ -83,6 +83,13 @@ GOLDEN_QUERIES = [
     # the daily z-score must stay a join+filter (no window, no sort)
     "dedup_containment",
     "ts_daily_zscore_anomalies",
+    # round-3 session 2: DSIR's broadcast log-ratio scoring, the bloom
+    # incremental dedup's broadcast-bitmap probe + semi-join, PQ's
+    # broadcast LUT/codebook joins (no BNLJ anywhere in the ANN family)
+    "text_dsir_importance",
+    "dedup_bloom_incremental",
+    "sim_pq_topk",
+    "emb_dim_stats",
 ]
 
 _EXCHANGE_KIND = re.compile(
