@@ -713,6 +713,7 @@ PQ_M = 8  # subspaces
 PQ_DSUB = 8  # dims per subspace (fixture d = 64 = PQ_M · PQ_DSUB)
 PQ_K = 16  # codes per subspace (4-bit codes)
 PQ_ITERS = 2
+PQ_TRAIN_STRIDE = 5  # Lloyd runs on a 1/5 sample; encoding is full-table
 
 # Session-scoped trained PQ codebook + encoded table, keyed like the IVF
 # index: a PQ index is trained once and served, never retrained per query.
@@ -756,10 +757,15 @@ def _pq_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
 
     All PQ_M subspace k-means runs happen in the SAME distributed jobs
     (the subspace id ``m`` is just another key), so training is
-    PQ_ITERS Lloyd passes total, not per-subspace. Init is seed-free
-    (sub-vectors of the first PQ_K vec_ids, code = that vec_id);
-    centroid means stay distributed (posexplode + two-level agg);
-    every Lloyd pass is forced eagerly (NOTES trap 4/17).
+    PQ_ITERS Lloyd passes total, not per-subspace — and Lloyd runs on
+    a 1/PQ_TRAIN_STRIDE sample (FAISS-style: codebooks train on a
+    sample, only ENCODING is a full-table pass). Assignment is an
+    argmin over the broadcast per-subspace centroid ARRAY (8 rows,
+    each holding the K centroids) — a pure per-row expression, so
+    encoding adds zero shuffles and no K× row blowup. Init is
+    seed-free (sub-vectors of the first PQ_K vec_ids, code = that
+    vec_id); centroid means stay distributed (posexplode + two-level
+    agg); every Lloyd pass is forced eagerly (NOTES trap 4/17).
     """
     key = (spark.sparkContext.applicationId, sf_dir)
     got = _PQ_CACHE.get(key)
@@ -770,28 +776,33 @@ def _pq_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     e = io.load_table_parallel(spark, sf_dir, "embeddings")
     v = e.select("vec_id", _dbl("embedding").alias("v"))
     sub = _subvectors(v, "vec_id", "v")
+    train = sub.filter(F.col("vec_id") % PQ_TRAIN_STRIDE == 0)
     first = v.orderBy("vec_id").limit(PQ_K).select("vec_id")
-    cent = sub.join(F.broadcast(first), "vec_id").select(
-        "m", F.col("vec_id").alias("code"), F.col("sv").alias("cv")
+    # (m, carr): the K centroids of subspace m as a code-sorted array
+    carr = (
+        sub.join(F.broadcast(first), "vec_id")
+        .select("m", F.col("vec_id").alias("code"), F.col("sv").alias("cv"))
+        .groupBy("m")
+        .agg(F.array_sort(F.collect_list(F.struct("code", "cv"))).alias("carr"))
     )
-    assign = None
-    w = Window.partitionBy("vec_id", "m").orderBy(F.asc("d2"), F.asc("code"))
-    for _ in range(PQ_ITERS):
-        assign = (
-            sub.join(F.broadcast(cent.select("m", "code", "cv")), "m")
-            .select(
-                "vec_id",
-                "m",
-                "sv",
-                "code",
-                _l2sq(F.col("sv"), F.col("cv")).alias("d2"),
-            )
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "m", "sv", "code")
+
+    def _assign(rel: DataFrame) -> DataFrame:
+        d = F.transform(
+            F.col("carr"), lambda c: _l2sq(F.col("sv"), c.getField("cv"))
         )
-        pos = assign.select("m", "code", F.posexplode("sv").alias("pos", "x"))
-        cent = (
+        best = F.array_position(d, F.array_min(d)).cast("int")
+        return rel.join(F.broadcast(carr), "m").select(
+            "vec_id",
+            "m",
+            "sv",
+            F.element_at(F.col("carr"), best).getField("code").alias("code"),
+        )
+
+    for _ in range(PQ_ITERS):
+        pos = _assign(train).select(
+            "m", "code", F.posexplode("sv").alias("pos", "x")
+        )
+        carr = (
             pos.groupBy("m", "code", "pos")
             .agg(F.avg("x").alias("cx"))
             .groupBy("m", "code")
@@ -801,21 +812,34 @@ def _pq_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
                     lambda s: s.getField("cx"),
                 ).alias("cv")
             )
+            .groupBy("m")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("code", "cv"))).alias("carr")
+            )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        cent.count()  # force this Lloyd pass now; truncates the lineage
-    codes = assign.select("vec_id", "m", "code").persist(
+        carr.count()  # force this Lloyd pass now; truncates the lineage
+    codes = _assign(sub).select("vec_id", "m", "code").persist(
         StorageLevel.MEMORY_AND_DISK
     )
     codes.count()
-    cent = cent.select(
-        "m",
-        "code",
-        "cv",
-        F.aggregate(
-            F.col("cv"), F.lit(0.0), lambda acc, x: acc + x * x
-        ).alias("c2"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    cent = (
+        carr.select("m", F.explode("carr").alias("c"))
+        .select(
+            "m",
+            F.col("c").getField("code").alias("code"),
+            F.col("c").getField("cv").alias("cv"),
+        )
+        .select(
+            "m",
+            "code",
+            "cv",
+            F.aggregate(
+                F.col("cv"), F.lit(0.0), lambda acc, x: acc + x * x
+            ).alias("c2"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     cent.count()
     _PQ_CACHE[key] = (codes, cent)
     return codes, cent
