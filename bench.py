@@ -91,6 +91,8 @@ HEADLINE = [
     "emb_dim_stats",
     "dedup_bloom_incremental",
     "sim_pq_topk",
+    "text_perplexity_buckets",
+    "layout_compaction_read",
 ]
 
 

@@ -631,6 +631,68 @@ GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# 8b. CCNet perplexity buckets (head / middle / tail)
+# ---------------------------------------------------------------------------
+
+
+def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality tiers (Wenzek et al. 2020): score every doc
+    with the corpus LM, then split the corpus at the 1/3 and 2/3
+    perplexity quantiles into head (fluent), middle, tail (noisy) —
+    the standard cheap stratification before sampling pretraining data
+    by tier.
+
+    The per-doc score reuses the unigram-LM relation (already one
+    broadcast join + one doc agg over the cached token relation). The
+    two cut points are ONE 2-row global aggregate — broadcast back, so
+    tier assignment is a per-row comparison, never a global sort or
+    single-task ntile. Thresholds interpolate over integer nll_bp
+    scores with the same p·(n−1) rule in both engines, and docs
+    exactly on a cut go to the lower tier (< / <) deterministically.
+    """
+    nll = unigram_logprob(spark, sf_dir).select("doc_id", "nll_bp")
+    cuts = nll.agg(
+        F.expr(
+            "percentile(nll_bp, array(CAST(1 AS DOUBLE)/3, CAST(2 AS DOUBLE)/3))"
+        ).alias("c")
+    ).select(F.col("c")[0].alias("c1"), F.col("c")[1].alias("c2"))
+    return (
+        nll.crossJoin(F.broadcast(cuts))
+        .select(
+            "doc_id",
+            "nll_bp",
+            F.when(F.col("nll_bp") < F.col("c1"), "head")
+            .when(F.col("nll_bp") < F.col("c2"), "middle")
+            .otherwise("tail")
+            .alias("ppl_tier"),
+        )
+    )
+
+
+PERPLEXITY_BUCKETS_SQL = """
+WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+v AS (SELECT token, count(*) AS cnt FROM t GROUP BY token),
+g AS (SELECT sum(cnt) AS g_total FROM v),
+lm AS (SELECT token, ln(CAST(cnt AS DOUBLE) / g_total) AS lnp FROM v, g),
+nll AS (
+  SELECT doc_id,
+         CAST(floor((-sum(lnp) / count(*)) * 10000 + 0.5) AS BIGINT) AS nll_bp
+  FROM t JOIN lm USING (token)
+  GROUP BY doc_id
+), cuts AS (
+  SELECT quantile_cont(nll_bp, CAST(1 AS DOUBLE)/3) AS c1,
+         quantile_cont(nll_bp, CAST(2 AS DOUBLE)/3) AS c2
+  FROM nll
+)
+SELECT doc_id, nll_bp,
+       CASE WHEN nll_bp < c1 THEN 'head'
+            WHEN nll_bp < c2 THEN 'middle'
+            ELSE 'tail' END AS ppl_tier
+FROM nll, cuts
+"""
+
+
+# ---------------------------------------------------------------------------
 # 9. DSIR importance resampling (hashed-bigram log-likelihood ratio)
 # ---------------------------------------------------------------------------
 
@@ -783,4 +845,5 @@ QUERIES = {
     "text_pii_scrub": (pii_scrub, PII_SCRUB_SQL),
     "text_bigram_logprob": (bigram_logprob, BIGRAM_LOGPROB_SQL),
     "text_dsir_importance": (dsir_importance, DSIR_IMPORTANCE_SQL),
+    "text_perplexity_buckets": (perplexity_buckets, PERPLEXITY_BUCKETS_SQL),
 }

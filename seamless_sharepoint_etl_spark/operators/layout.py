@@ -218,8 +218,93 @@ ORDER BY order_day
 """
 
 
+FRAG_FILES = 64  # the planted small-file problem
+COMPACT_TARGET_BYTES = 4 * 1024 * 1024  # target file size after compaction
+
+
+def _compaction_dirs(sf_dir: str) -> tuple[str, str]:
+    tag = "sf" + sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    return f"/tmp/sse_frag_events-{tag}", f"/tmp/sse_compact_events-{tag}"
+
+
+def compact_events(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
+    """The maintenance half of ``layout_compaction_read``: plant a
+    small-file problem (events round-robined into FRAG_FILES shards),
+    then compact to ceil(bytes / COMPACT_TARGET_BYTES) files. Returns
+    (files_before, files_after); both steps are _SUCCESS-idempotent.
+
+    Sizing reads the staged directory listing on the driver — a file-
+    count decision is metadata-scale work (one NameNode/listing call at
+    any corpus size); the DATA moves through one round-robin exchange,
+    the minimum any rebalancing write costs. At 100 TB you run exactly
+    this per partition-directory after every streaming/CDC ingest day.
+    """
+    import math
+    import os
+
+    frag, compact = _compaction_dirs(sf_dir)
+    if not os.path.exists(os.path.join(frag, "_SUCCESS")):
+        (
+            io.load_table(spark, sf_dir, "events")
+            .select("event_id", "event_type", "value")
+            .repartition(FRAG_FILES)
+            .write.mode("overwrite")
+            .parquet(frag)
+        )
+
+    def _parquet_files(d: str) -> list[str]:
+        return [
+            os.path.join(d, f)
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        ]
+
+    files_before = _parquet_files(frag)
+    n_bytes = sum(os.path.getsize(f) for f in files_before)
+    n_target = max(1, math.ceil(n_bytes / COMPACT_TARGET_BYTES))
+    if not os.path.exists(os.path.join(compact, "_SUCCESS")):
+        (
+            spark.read.parquet(frag)
+            .repartition(n_target)
+            .write.mode("overwrite")
+            .parquet(compact)
+        )
+    return len(files_before), len(_parquet_files(compact))
+
+
+def compaction_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction + readback proof: the per-type totals out
+    of the compacted layout must equal the source table exactly (the
+    oracle checks THAT — file counts are filesystem facts the pytest
+    gate owns). The readback scan now opens ~bytes/4 MiB files instead
+    of FRAG_FILES tiny ones — footer/open overhead is the silent tax
+    small files levy on every downstream query at 100 TB.
+    """
+    compact_events(spark, sf_dir)
+    _, compact = _compaction_dirs(sf_dir)
+    return (
+        spark.read.parquet(compact)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+COMPACTION_READ_SQL = """
+SELECT event_type, count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "layout_zorder_stats": (zorder_stats, ZORDER_STATS_SQL),
     "diag_join_key_skew": (join_key_skew, JOIN_KEY_SKEW_SQL),
     "layout_partition_pruned_read": (partition_pruned_read, PARTITION_PRUNED_SQL),
+    "layout_compaction_read": (compaction_read, COMPACTION_READ_SQL),
 }

@@ -218,3 +218,20 @@ def test_zorder_buckets_bound_both_dimensions(spark):
     ck_spans = sorted(r["max_ck"] - r["min_ck"] for r in multi)
     assert day_spans[len(day_spans) // 2] <= g_day / 4
     assert ck_spans[len(ck_spans) // 2] <= g_ck / 4
+
+
+def test_compaction_reduces_file_count(spark):
+    """layout_compaction_read's maintenance half: the planted
+    small-file layout really compacts to the byte-sized target count,
+    and no rows are lost or duplicated."""
+    from conftest import SF_DIR
+
+    from seamless_sharepoint_etl_spark import io
+    from seamless_sharepoint_etl_spark.operators import layout
+
+    before, after = layout.compact_events(spark, SF_DIR)
+    assert before == layout.FRAG_FILES
+    assert after < before
+    _, compact = layout._compaction_dirs(SF_DIR)
+    n_src = io.load_table(spark, SF_DIR, "events").count()
+    assert spark.read.parquet(compact).count() == n_src
