@@ -93,6 +93,8 @@ HEADLINE = [
     "sim_pq_topk",
     "text_perplexity_buckets",
     "layout_compaction_read",
+    "src_schema_evolution_scan",
+    "text_bpe_tokenize",
 ]
 
 

@@ -904,6 +904,132 @@ FROM r
 """
 
 
+# ---------------------------------------------------------------------------
+# Real BPE: sample-trained merge table, distributed Arrow-batched apply
+# ---------------------------------------------------------------------------
+
+# 40 merges against the fixture's small synthetic vocabulary keeps the
+# encoding genuinely sub-word (common words collapse to one symbol,
+# rarer words stay split) — with a larger budget the ~100 reachable
+# merges fully collapse EVERY corpus word and the stats degenerate to
+# n_bpe == n_words. A real 100 TB vocab run raises both constants.
+BPE_N_MERGES = 40
+BPE_TRAIN_TOP_WORDS = 2000
+BPE_EOW = "</w>"
+
+# (applicationId, sf_dir) → ranked merge list. Training a BPE vocab is
+# an offline, inherently-sequential job over a word-frequency SAMPLE
+# (merge i+1's counts depend on merge i) — at 100 TB you'd aggregate
+# the word-frequency table distributed (done here) and run the merge
+# induction once on its driver-sized head, exactly like every
+# production tokenizer trainer. The APPLY side is the corpus-scale op.
+_BPE_CACHE: dict[tuple[str, str], list[tuple[str, str]]] = {}
+
+
+def _bpe_merges(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _BPE_CACHE.get(key)
+    if got is not None:
+        return got
+    freq_rows = (
+        _token_relation(spark, sf_dir)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("token"))
+        .limit(BPE_TRAIN_TOP_WORDS)
+        .collect()
+    )
+    # classic Sennrich BPE induction, fully deterministic: the best pair
+    # is (max count, then lexicographically smallest pair)
+    vocab = {
+        tuple(list(r["token"]) + [BPE_EOW]): r["c"] for r in freq_rows if r["token"]
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(BPE_N_MERGES):
+        pairs: dict[tuple[str, str], int] = {}
+        for word, c in vocab.items():
+            for i in range(len(word) - 1):
+                p = (word[i], word[i + 1])
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        merged_sym = best[0] + best[1]
+        new_vocab = {}
+        for word, c in vocab.items():
+            out, i = [], 0
+            while i < len(word):
+                if (
+                    i < len(word) - 1
+                    and word[i] == best[0]
+                    and word[i + 1] == best[1]
+                ):
+                    out.append(merged_sym)
+                    i += 2
+                else:
+                    out.append(word[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    _BPE_CACHE[key] = merges
+    return merges
+
+
+def _bpe_encode_word(w: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Rank-greedy BPE apply: repeatedly merge the lowest-ranked
+    adjacent pair (leftmost on rank ties). Lossless by construction —
+    ``''.join(result) == w + BPE_EOW``."""
+    syms = list(w) + [BPE_EOW]
+    while len(syms) > 1:
+        best_rank, best_i = None, -1
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a trained BPE merge table to every document — the actual
+    tokenization pass a pretraining pipeline runs over the full corpus
+    (the token-budget / packing operators upstream only estimate).
+
+    The ranked merge list is tiny (BPE_N_MERGES entries) and rides into
+    an Arrow-batched ``mapInPandas`` closure; each worker tokenizes its
+    batch independently with the standard rank-greedy merge loop, so
+    the pass is embarrassingly parallel, reads ``text`` exactly once,
+    and emits 3 small ints per doc. rows-only for the driver (BPE is a
+    sequential induction DuckDB can't express); pytest gates
+    lossless-ness (token concat reconstructs the text), the
+    compression-ratio envelope, and determinism.
+    """
+    merges = _bpe_merges(spark, sf_dir)
+    ranks = {m: i for i, m in enumerate(merges)}
+    d = io.load_table_parallel(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                words = (text or "").split(" ")
+                n_bpe = sum(len(_bpe_encode_word(w, ranks)) for w in words if w)
+                n_chars = len(text or "")
+                out.append([doc_id, len([w for w in words if w]), n_bpe, n_chars])
+            yield pd.DataFrame(
+                out, columns=["doc_id", "n_words", "n_bpe_tokens", "n_chars"]
+            )
+
+    return d.mapInPandas(
+        run, "doc_id BIGINT, n_words BIGINT, n_bpe_tokens BIGINT, n_chars BIGINT"
+    )
+
+
 QUERIES = {
     "text_token_stats": (token_stats, TOKEN_STATS_SQL),
     "text_quality_score": (quality_score, QUALITY_SCORE_SQL),
@@ -918,4 +1044,5 @@ QUERIES = {
     "text_cms_heavy_hitters": (cms_heavy_hitters, CMS_HEAVY_HITTERS_SQL),
     "text_pmi_collocations": (pmi_collocations, PMI_COLLOCATIONS_SQL),
     "text_zipf_slope": (zipf_slope, ZIPF_SLOPE_SQL),
+    "text_bpe_tokenize": (bpe_tokenize_stats, None),
 }

@@ -252,10 +252,67 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema evolution: two staged table generations — an old
+    one without ``o_orderstatus`` (odd orderkeys) and a new one that
+    added the column (even orderkeys) — read back as ONE relation via
+    ``mergeSchema``, old rows surfacing NULL for the late column.
+
+    This is the engine-side answer to the reference's runtime-discovered
+    schemas (SURVEY §1.3: column sets change under the pipeline between
+    deploys): a 100 TB lake accretes schema versions per ingest day, and
+    the scan — not a backfill rewrite — reconciles them. mergeSchema is
+    a footer-metadata union (per-file schemas merge on the driver; no
+    data pass), and the NULL back-fill is scan-time projection.
+    """
+    path = _stage_dir(sf_dir, "orders-evo")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        o = io.load_table(spark, sf_dir, "orders")
+        (
+            o.filter(F.col("o_orderkey") % 2 == 1)
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, "gen=1"))
+        )
+        (
+            o.filter(F.col("o_orderkey") % 2 == 0)
+            .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+            .write.mode("append")
+            .parquet(os.path.join(path, "gen=2"))
+        )
+        open(marker, "w").close()
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    return (
+        merged.groupBy(
+            F.coalesce("o_orderstatus", F.lit("<pre-schema>")).alias("status")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+        .orderBy("status")
+    )
+
+
+SCHEMA_EVOLUTION_SQL = """
+SELECT coalesce(CASE WHEN o_orderkey % 2 = 0 THEN o_orderstatus END,
+                '<pre-schema>') AS status,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue,
+       count(DISTINCT o_custkey) AS n_customers
+FROM orders
+GROUP BY status
+ORDER BY status
+"""
+
+
 QUERIES = {
     "src_json_scan": (json_scan_events, JSON_SCAN_EVENTS_SQL),
     "src_csv_scan": (csv_scan_supplier, CSV_SCAN_SUPPLIER_SQL),
     "src_orc_scan": (orc_scan_part, ORC_SCAN_PART_SQL),
     "src_binaryfile_scan": (binaryfile_scan_docs, BINARYFILE_SCAN_SQL),
     "src_xml_scan": (xml_scan_customer, XML_SCAN_CUSTOMER_SQL),
+    "src_schema_evolution_scan": (schema_evolution_scan, SCHEMA_EVOLUTION_SQL),
 }

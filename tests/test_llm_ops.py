@@ -701,3 +701,36 @@ def test_pq_topk_recall_and_reconstruction(spark):
 
     again = sim.pq_topk(spark, SF_DIR).collect()
     assert sorted(map(tuple, res)) == sorted(map(tuple, again))
+
+
+def test_bpe_tokenize_lossless_and_subword(spark):
+    """BPE gates: the merge table reproduces text losslessly
+    (token concat == word + EOW marker), the encoding is genuinely
+    sub-word on this corpus (1 < tokens/word < chars/word), and two
+    runs are identical."""
+    from seamless_sharepoint_etl_spark import io
+    from seamless_sharepoint_etl_spark.llm_ops import text as T
+
+    merges = T._bpe_merges(spark, SF_DIR)
+    assert len(merges) == T.BPE_N_MERGES
+    ranks = {m: i for i, m in enumerate(merges)}
+    words = [
+        r["text"].split(" ")[0]
+        for r in io.load_table(spark, SF_DIR, "documents").limit(50).collect()
+        if r["text"]
+    ]
+    assert words
+    for w in words:
+        syms = T._bpe_encode_word(w, ranks)
+        assert "".join(syms) == w + T.BPE_EOW
+
+    rows = T.bpe_tokenize_stats(spark, SF_DIR).collect()
+    nb = sum(r["n_bpe_tokens"] for r in rows)
+    nw = sum(r["n_words"] for r in rows)
+    nc = sum(r["n_chars"] for r in rows)
+    assert nw < nb < nc, (nw, nb, nc)  # sub-word: between words and chars
+    for r in rows:
+        assert r["n_bpe_tokens"] >= r["n_words"]
+
+    again = T.bpe_tokenize_stats(spark, SF_DIR).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
