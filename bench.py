@@ -95,6 +95,7 @@ HEADLINE = [
     "layout_compaction_read",
     "src_schema_evolution_scan",
     "text_bpe_tokenize",
+    "sim_rerank_two_stage",
 ]
 
 

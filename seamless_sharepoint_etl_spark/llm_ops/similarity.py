@@ -904,6 +904,63 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RERANK_POOL = 50  # coarse candidates per query fed to the exact stage
+
+
+def rerank_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval (the standard serving pattern): stage 1
+    scans COMPRESSED codes — PQ/ADC scores inside the IVF-probed
+    buckets and keeps a RERANK_POOL-sized shortlist per query; stage 2
+    re-scores ONLY the shortlist against full-precision vectors and
+    emits the exact-cosine top-{k}.
+
+    Why this shape wins at 100 TB: the expensive float vectors are
+    touched for queries × RERANK_POOL rows (a broadcast-sized join
+    against the base table), while the bulk scan reads 8 nibbles per
+    candidate. Quantization error cannot misrank the final top-{k}
+    within the shortlist — only shortlist misses cost recall, so the
+    pytest gate is strictly tighter than PQ-alone.
+    """
+    codes, cent = _pq_index(spark, sf_dir)
+    probes, cand = _ivf_probes_and_candidates(spark, sf_dir)
+    q = probes.select("query_id", "qv", "qn").distinct()
+    qsub = _subvectors(q.select("query_id", "qv"), "query_id", "qv")
+    lut = qsub.join(F.broadcast(cent.select("m", "code", "cv")), "m").select(
+        "query_id", "m", "code", _dot(F.col("sv"), F.col("cv")).alias("pd")
+    )
+    pairs = (
+        probes.select("query_id", "bucket")
+        .join(cand.select("bucket", "cand_id"), "bucket")
+        .filter(F.col("query_id") != F.col("cand_id"))
+    )
+    pc = pairs.join(
+        codes.select(F.col("vec_id").alias("cand_id"), "m", "code"), "cand_id"
+    )
+    adc = (
+        pc.join(F.broadcast(lut), ["query_id", "m", "code"])
+        .groupBy("query_id", "cand_id")
+        .agg(F.sum("pd").alias("adot"))
+    )
+    wpool = Window.partitionBy("query_id").orderBy(F.desc("adot"), F.asc("cand_id"))
+    shortlist = (
+        adc.withColumn("pr", F.row_number().over(wpool))
+        .filter(F.col("pr") <= RERANK_POOL)
+        .select("query_id", "cand_id")
+    )
+    # stage 2: exact cosine on the shortlist only
+    exact = shortlist.join(
+        cand.select("cand_id", "cv", "cn").dropDuplicates(["cand_id"]), "cand_id"
+    ).join(q.select("query_id", "qv", "qn"), "query_id")
+    cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        exact.select("query_id", "cand_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "cand_id", F.round("cos", 6).alias("cosine"))
+    )
+
+
 def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension moment profile of the embedding table — the
     pre-flight QA a pipeline runs before trusting an embedding space
@@ -978,4 +1035,5 @@ QUERIES = {
     "sim_mmr_diversify": (mmr_diversify, None),
     "emb_dim_stats": (embedding_dim_stats, EMB_DIM_STATS_SQL),
     "sim_pq_topk": (pq_topk, None),
+    "sim_rerank_two_stage": (rerank_two_stage, None),
 }

@@ -734,3 +734,33 @@ def test_bpe_tokenize_lossless_and_subword(spark):
 
     again = T.bpe_tokenize_stats(spark, SF_DIR).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_rerank_two_stage_beats_pq_alone(spark):
+    """Two-stage gates: reranked results within IVF-probed buckets are
+    EXACT (any pair both stages return agrees with brute-force cosine
+    ordering), recall >= PQ-alone recall, and the high-cosine planted
+    structure survives with recall >= 0.9."""
+    from seamless_sharepoint_etl_spark.llm_ops import similarity as sim
+
+    truth_rows = sim.brute_force_topk(spark, SF_DIR).collect()
+    truth = {(r["query_id"], r["cand_id"]) for r in truth_rows}
+    high = {(r["query_id"], r["cand_id"]) for r in truth_rows if r["cosine"] >= 0.9}
+    rr = sim.rerank_two_stage(spark, SF_DIR).collect()
+    rr_pairs = {(r["query_id"], r["cand_id"]) for r in rr}
+    pq_pairs = {
+        (r["query_id"], r["cand_id"]) for r in sim.pq_topk(spark, SF_DIR).collect()
+    }
+    assert truth
+    rr_recall = len(truth & rr_pairs) / len(truth)
+    pq_recall = len(truth & pq_pairs) / len(truth)
+    assert rr_recall >= pq_recall, (rr_recall, pq_recall)
+    if high:
+        assert len(high & rr_pairs) / len(high) >= 0.9
+    # exactness within the shortlist: the reranked cosine equals the
+    # brute-force cosine for every pair both return
+    bf_cos = {(r["query_id"], r["cand_id"]): r["cosine"] for r in truth_rows}
+    for r in rr:
+        k = (r["query_id"], r["cand_id"])
+        if k in bf_cos:
+            assert abs(r["cosine"] - bf_cos[k]) < 1e-9
