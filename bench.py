@@ -96,6 +96,7 @@ HEADLINE = [
     "src_schema_evolution_scan",
     "text_bpe_tokenize",
     "sim_rerank_two_stage",
+    "sql_gateway_topn",
 ]
 
 

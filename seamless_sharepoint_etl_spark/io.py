@@ -113,6 +113,14 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 
+def register_sql_views(spark: SparkSession, sf_dir: str) -> None:
+    """Expose every fixture table as a temp view so users can drive the
+    engine through plain ``spark.sql`` — the DataFrame registry and the
+    SQL surface are the same Catalyst plans either way."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
 # ---------------------------------------------------------------------------
 # Reference-derived logical fixtures (FIXTURES.md §B) — views over the
 # driver tables reproducing the exact row shapes the reference ETL moves.

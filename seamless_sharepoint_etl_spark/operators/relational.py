@@ -329,6 +329,44 @@ FROM j WHERE new_cents IS NOT NULL
 """
 
 
+# ---------------------------------------------------------------------------
+# SQL gateway: one portable ANSI statement, executed verbatim by BOTH
+# engines — Spark runs it through spark.sql over the registered fixture
+# views (io.register_sql_views), the driver's oracle runs the SAME text
+# in DuckDB. Proof that the SQL surface and the DataFrame registry are
+# one engine, and that a reference user can bring ad-hoc ANSI SQL
+# untranslated.
+# ---------------------------------------------------------------------------
+
+PORTABLE_TOPN_SQL = """
+WITH r AS (
+  SELECT c_nationkey, o_custkey,
+         round(sum(o_totalprice), 2) AS cust_rev,
+         count(*) AS n_orders
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE o_orderstatus <> 'P'
+  GROUP BY c_nationkey, o_custkey
+)
+SELECT c_nationkey, o_custkey, cust_rev, n_orders, rnk
+FROM (
+  SELECT c_nationkey, o_custkey, cust_rev, n_orders,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY cust_rev DESC, o_custkey ASC) AS rnk
+  FROM r
+) ranked
+WHERE rnk <= 5
+"""
+
+
+def sql_gateway_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 customers by revenue per nation — executed via
+    ``spark.sql`` on the EXACT text the DuckDB oracle runs. Catalyst
+    plans it identically to the DataFrame form (filter pushdown, AQE
+    join pick, window per nation partition)."""
+    io.register_sql_views(spark, sf_dir)
+    return spark.sql(PORTABLE_TOPN_SQL)
+
+
 QUERIES = {
     "rel_project_filter_predicates": (project_filter_predicates, PROJECT_FILTER_SQL),
     "rel_project_derived_like": (project_derived_like, PROJECT_DERIVED_SQL),
@@ -337,4 +375,5 @@ QUERIES = {
     "rel_stratified_sample": (stratified_sample, None),
     "rel_merge_upsert": (merge_upsert, MERGE_UPSERT_SQL),
     "rel_snapshot_diff": (snapshot_diff, SNAPSHOT_DIFF_SQL),
+    "sql_gateway_topn": (sql_gateway_topn, PORTABLE_TOPN_SQL),
 }

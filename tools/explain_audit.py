@@ -26,13 +26,29 @@ def main() -> None:
     spark = get_spark("explain-audit")
     queries = registry.queries()
 
+    def truncate_cached(plan: str) -> str:
+        # A cached relation prints its STORED build plan (for iterative
+        # index builds, recursively — the PQ plan text is ~3400 lines of
+        # nested Lloyd lineage while the actual query runs 8 exchanges).
+        # Same policy as the golden-plan signatures: the scorecard reads
+        # the query-time plan down to its first cached leaf, and an AQE
+        # "== Initial Plan ==" duplicate section ends the text.
+        out = []
+        for line in plan.splitlines():
+            if "== Initial Plan ==" in line:
+                break
+            out.append(line)
+            if "InMemoryRelation" in line:
+                break
+        return "\n".join(out)
+
     hdr = f"{'query':34} {'exch':>4} {'bcast':>5} {'wscg':>4} {'py':>3}  pushed filters"
     print(hdr)
     print("-" * len(hdr))
     for name in HEADLINE:
         try:
             df = queries[name](spark, sf_dir)
-            plan = df._jdf.queryExecution().executedPlan().toString()
+            plan = truncate_cached(df._jdf.queryExecution().executedPlan().toString())
         except Exception as e:  # noqa: BLE001
             print(f"{name:34} ERROR {type(e).__name__}")
             continue
