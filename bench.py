@@ -97,6 +97,7 @@ HEADLINE = [
     "text_bpe_tokenize",
     "sim_rerank_two_stage",
     "sql_gateway_topn",
+    "layout_dynamic_overwrite",
 ]
 
 

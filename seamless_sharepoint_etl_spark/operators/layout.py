@@ -302,9 +302,64 @@ ORDER BY event_type
 """
 
 
+RERUN_MONTH = "1997-06"
+
+
+def dynamic_overwrite_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite: replay ONE ingest month into the
+    partitioned lake table and prove the other partitions survived.
+
+    Load 1 writes every month; the replay rewrites only RERUN_MONTH
+    with ``partitionOverwriteMode=dynamic`` — Spark deletes exactly the
+    partitions present in the incoming frame, which is how an
+    idempotent daily batch re-run works on a 100 TB partitioned table
+    (the static default would TRUNCATE the whole table first). The
+    oracle is the full source aggregate, so if the replay had clobbered
+    any other partition the row set itself would diverge — correctness
+    of the overwrite semantics IS the checked result.
+    """
+    import os
+
+    tag = "sf" + sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    stage = f"/tmp/sse_dynpart_orders-{tag}"
+    marker = os.path.join(stage, "_RERUN_DONE")
+    om = F.date_format("o_orderdate", "yyyy-MM")
+    if not os.path.exists(marker):
+        o = io.load_table(spark, sf_dir, "orders").withColumn("om", om)
+        o.write.mode("overwrite").partitionBy("om").parquet(stage)
+        (
+            o.filter(F.col("om") == RERUN_MONTH)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("om")
+            .parquet(stage)
+        )
+        open(marker, "w").close()
+    back = spark.read.parquet(stage)
+    return (
+        back.groupBy("om")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("om")
+    )
+
+
+DYNAMIC_OVERWRITE_SQL = """
+SELECT strftime(o_orderdate, '%Y-%m') AS om,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY om
+ORDER BY om
+"""
+
+
 QUERIES = {
     "layout_zorder_stats": (zorder_stats, ZORDER_STATS_SQL),
     "diag_join_key_skew": (join_key_skew, JOIN_KEY_SKEW_SQL),
     "layout_partition_pruned_read": (partition_pruned_read, PARTITION_PRUNED_SQL),
     "layout_compaction_read": (compaction_read, COMPACTION_READ_SQL),
+    "layout_dynamic_overwrite": (dynamic_overwrite_read, DYNAMIC_OVERWRITE_SQL),
 }

@@ -300,3 +300,40 @@ def test_token_budget_alloc_matches_naive(spark, docs):
     _run_vs_oracle(
         spark, d, "documents", text.token_budget_alloc, text.TOKEN_BUDGET_SQL
     )
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=1,
+            max_size=24,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@SETTINGS
+def test_portable_polynomial_hash_matches(spark, words):
+    """The character-polynomial bucket hash DSIR's oracle parity rests
+    on (curation._DSIR_BUCKET vs _DSIR_BUCKET_SQL) is bit-identical
+    across engines for arbitrary printable-ASCII strings."""
+    import pyspark.sql.functions as F
+
+    from seamless_sharepoint_etl_spark.llm_ops import curation
+
+    pdf = pd.DataFrame({"s": words})
+    sdf = spark.createDataFrame(pdf)
+    got = sorted(
+        (r["s"], r["b"])
+        for r in sdf.select(
+            "s", F.expr(curation._DSIR_BUCKET.format(col="s")).alias("b")
+        ).collect()
+    )
+    want = sorted(
+        _duck(
+            pdf,
+            f"SELECT s, {curation._DSIR_BUCKET_SQL.format(col='s')} AS b FROM t",
+        )
+    )
+    assert got == want

@@ -235,3 +235,34 @@ def test_compaction_reduces_file_count(spark):
     _, compact = layout._compaction_dirs(SF_DIR)
     n_src = io.load_table(spark, SF_DIR, "events").count()
     assert spark.read.parquet(compact).count() == n_src
+
+
+def test_dynamic_partition_overwrite_preserves_other_partitions(spark):
+    """Mechanism gate for layout_dynamic_overwrite: with
+    partitionOverwriteMode=dynamic a rewrite touching one partition
+    leaves the others' files byte-identical; the static default would
+    have truncated them."""
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="sse_dynpart_gate_")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "b")], ["id", "p"]
+    )
+    df.write.mode("overwrite").partitionBy("p").parquet(d)
+
+    def files(part):
+        pd_ = os.path.join(d, f"p={part}")
+        return {
+            f: os.path.getmtime(os.path.join(pd_, f))
+            for f in os.listdir(pd_)
+            if f.endswith(".parquet")
+        }
+
+    before_b = files("b")
+    spark.createDataFrame([(9, "a")], ["id", "p"]).write.mode(
+        "overwrite"
+    ).option("partitionOverwriteMode", "dynamic").partitionBy("p").parquet(d)
+    assert files("b") == before_b  # untouched partition: same files, same mtimes
+    rows = {(r["id"], r["p"]) for r in spark.read.parquet(d).collect()}
+    assert rows == {(9, "a"), (3, "b"), (4, "b")}
