@@ -113,12 +113,21 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 
+_VIEWS_REGISTERED: set[tuple[str, str]] = set()
+
+
 def register_sql_views(spark: SparkSession, sf_dir: str) -> None:
     """Expose every fixture table as a temp view so users can drive the
     engine through plain ``spark.sql`` — the DataFrame registry and the
-    SQL surface are the same Catalyst plans either way."""
+    SQL surface are the same Catalyst plans either way. Idempotent per
+    (session, sf_dir): repeat calls (every sql_gateway invocation) skip
+    the ~10-table re-read/re-register driver work."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _VIEWS_REGISTERED:
+        return
     for t in TABLES:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    _VIEWS_REGISTERED.add(key)
 
 
 # ---------------------------------------------------------------------------

@@ -711,6 +711,10 @@ DSIR_TOP = 200
 # (prime, keeps acc < 2^45 — no BIGINT overflow under ANSI mode), then
 # mod DSIR_BUCKETS. Bigram strings are never empty (the '_' separator),
 # so the sequence(1, length) fold never sees trap 12's descending range.
+# Portability bound: verified (hypothesis-fuzzed) for BMP text; on
+# supplementary-plane characters (emoji etc.) Spark's ascii()/substring
+# operate on UTF-16 code units while DuckDB is codepoint-based, so a
+# non-BMP corpus would need a codepoint-safe fold on the Spark side.
 _DSIR_BUCKET = (
     "aggregate(sequence(1, length({col})), CAST(7 AS BIGINT),"
     " (acc, i) -> (acc * 31 + ascii(substring({col}, i, 1))) % 1000003)"

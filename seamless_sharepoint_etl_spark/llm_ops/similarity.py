@@ -799,6 +799,7 @@ def _pq_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
         )
 
     for _ in range(PQ_ITERS):
+        prev = carr
         pos = _assign(train).select(
             "m", "code", F.posexplode("sv").alias("pos", "x")
         )
@@ -819,6 +820,7 @@ def _pq_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         carr.count()  # force this Lloyd pass now; truncates the lineage
+        prev.unpersist()  # superseded pass's cache (no-op on the unpersisted init)
     codes = _assign(sub).select("vec_id", "m", "code").persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -841,6 +843,7 @@ def _pq_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     cent.count()
+    carr.unpersist()  # codes + cent are materialized; the codebook-array form is done
     _PQ_CACHE[key] = (codes, cent)
     return codes, cent
 
@@ -936,12 +939,25 @@ def rerank_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     pc = pairs.join(
         codes.select(F.col("vec_id").alias("cand_id"), "m", "code"), "cand_id"
     )
+    # shortlist by approx COSINE (adot normalized by the code-derived
+    # candidate norm) — the same metric pq_topk and the exact stage
+    # rank by; a raw-inner-product pool would be norm-biased and could
+    # drop high-cosine/small-norm candidates that PQ-alone returns
+    can = (
+        codes.join(F.broadcast(cent.select("m", "code", "c2")), ["m", "code"])
+        .groupBy("vec_id")
+        .agg(F.sqrt(F.sum("c2")).alias("can"))
+    )
     adc = (
         pc.join(F.broadcast(lut), ["query_id", "m", "code"])
         .groupBy("query_id", "cand_id")
         .agg(F.sum("pd").alias("adot"))
+        .join(can.withColumnRenamed("vec_id", "cand_id"), "cand_id")
+        .select(
+            "query_id", "cand_id", (F.col("adot") / F.col("can")).alias("acos")
+        )
     )
-    wpool = Window.partitionBy("query_id").orderBy(F.desc("adot"), F.asc("cand_id"))
+    wpool = Window.partitionBy("query_id").orderBy(F.desc("acos"), F.asc("cand_id"))
     shortlist = (
         adc.withColumn("pr", F.row_number().over(wpool))
         .filter(F.col("pr") <= RERANK_POOL)

@@ -278,7 +278,7 @@ def schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             o.filter(F.col("o_orderkey") % 2 == 0)
             .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
-            .write.mode("append")
+            .write.mode("overwrite")
             .parquet(os.path.join(path, "gen=2"))
         )
         open(marker, "w").close()

@@ -26,21 +26,23 @@ def main() -> None:
     spark = get_spark("explain-audit")
     queries = registry.queries()
 
-    def truncate_cached(plan: str) -> str:
-        # A cached relation prints its STORED build plan (for iterative
-        # index builds, recursively — the PQ plan text is ~3400 lines of
-        # nested Lloyd lineage while the actual query runs 8 exchanges).
-        # Same policy as the golden-plan signatures: the scorecard reads
-        # the query-time plan down to its first cached leaf, and an AQE
-        # "== Initial Plan ==" duplicate section ends the text.
-        out = []
-        for line in plan.splitlines():
-            if "== Initial Plan ==" in line:
-                break
-            out.append(line)
-            if "InMemoryRelation" in line:
-                break
-        return "\n".join(out)
+    def walk(node, names: list[str]) -> None:
+        # Genuine tree walk over the physical plan (toString/formatted
+        # text both recurse into every cached relation's STORED build
+        # plan — for the iteratively-trained ANN indexes that is ~3400
+        # lines of Lloyd lineage around an 8-exchange query, so text
+        # counting is hopeless). InMemoryTableScan is a leaf: whatever
+        # is under it ran once at cache-fill, not per query.
+        name = node.nodeName()
+        names.append(name)
+        if "InMemoryTableScan" in name:
+            return
+        if name == "AdaptiveSparkPlan":
+            walk(node.initialPlan(), names)
+            return
+        kids = node.children()
+        for i in range(kids.length()):
+            walk(kids.apply(i), names)
 
     hdr = f"{'query':34} {'exch':>4} {'bcast':>5} {'wscg':>4} {'py':>3}  pushed filters"
     print(hdr)
@@ -48,14 +50,19 @@ def main() -> None:
     for name in HEADLINE:
         try:
             df = queries[name](spark, sf_dir)
-            plan = truncate_cached(df._jdf.queryExecution().executedPlan().toString())
+            root = df._jdf.queryExecution().executedPlan()
+            nodes: list[str] = []
+            walk(root, nodes)
+            plan = root.toString()
         except Exception as e:  # noqa: BLE001
             print(f"{name:34} ERROR {type(e).__name__}")
             continue
-        exch = len(re.findall(r"Exchange (hash|range|single)", plan))
-        bcast = plan.count("BroadcastExchange")
-        wscg = len(set(re.findall(r"\*\((\d+)\)", plan)))
-        py = plan.count("EvalPython") + plan.count("InPandas")
+        exch = sum(1 for n in nodes if n == "Exchange")
+        bcast = sum(1 for n in nodes if n == "BroadcastExchange")
+        wscg = sum(1 for n in nodes if n.startswith("WholeStageCodegen"))
+        py = sum(
+            1 for n in nodes if "EvalPython" in n or "InPandas" in n or "ArrowEval" in n
+        )
         pushed = re.findall(r"PushedFilters: \[([^\]]{1,60})", plan)
         interesting = next(
             (p for p in pushed if p and not p.startswith("IsNotNull") or "Than" in p),
