@@ -734,37 +734,29 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR data selection: rank the raw pool by hashed-bigram
     importance weight against a target-domain sample.
 
-    The corpus-sized bigram explode is consumed exactly once, into the
-    (doc_id, bucket) count relation — the per-side bucket models, the
-    totals, and the per-document scores all derive from that reduced
-    relation, so at 100 TB the wide ``text`` column is read once and
-    every later exchange moves (doc, bucket, count) triples. The
+    The model pass aggregates the exploded bigram stream straight to
+    (bucket, side) counts — 512 groups, so map-side partials reduce
+    every partition to ≤512 rows before the only model exchange. The
     256-row log-ratio table is broadcast (constant size by
-    construction — that is the point of the hashing); per-doc scoring
-    is one broadcast join + one doc_id-keyed aggregate. Weights are
-    emitted as floor(w·10⁴ + 0.5) basis points: the per-bucket ratio
-    is a single ln() expression with fixed operation order on integer
-    counts, so cross-engine drift is ~1e-15 relative, far below the
-    1e-4 grid (trap 1).
+    construction — that is the point of the hashing); the scoring pass
+    then joins the broadcast table into the SAME exploded stream and
+    aggregates once on doc_id. No intermediate (doc, bucket) relation
+    exists at all: two scans of ``text`` (the model genuinely must be
+    complete before scoring; at 100 TB checkpoint the hashed stream to
+    trade storage for the second scan), ONE corpus-sized shuffle.
+    Weights are emitted as floor(w·10⁴ + 0.5) basis points: the
+    per-bucket ratio is a single ln() expression with fixed operation
+    order on integer counts, so cross-engine drift is ~1e-15 relative,
+    far below the 1e-4 grid (trap 1).
     """
     d = io.load_table_parallel(spark, sf_dir, "documents")
     is_tgt = F.col("source").isin(*DSIR_TARGET_SOURCES)
-    # one pass: per-(doc, bucket) counts, carrying the doc's side
-    db = (
-        d.select("doc_id", is_tgt.alias("tgt"), F.explode(F.expr(_DSIR_BIGRAMS)).alias("bg"))
-        .select("doc_id", "tgt", F.expr(_DSIR_BUCKET.format(col="bg")).alias("b"))
-        .groupBy("doc_id", "tgt", "b")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    # db is consumed twice (model fit AND scoring). Deliberately NOT
-    # persisted: in a vanilla 200-shuffle-partition session the cached
-    # relation defeats AQE partition coalescing and costs ~5× the
-    # recompute at fixture scale (measured). At 100 TB, where the
-    # text explode dominates task overhead, persist/checkpoint this
-    # reduced relation instead (the _SHINGLE_CACHE pattern).
-    sides = db.groupBy("b").agg(
-        F.sum(F.when(F.col("tgt"), F.col("c")).otherwise(0)).alias("tc"),
-        F.sum(F.when(~F.col("tgt"), F.col("c")).otherwise(0)).alias("rc"),
+    bg = d.select(
+        "doc_id", is_tgt.alias("tgt"), F.explode(F.expr(_DSIR_BIGRAMS)).alias("bg")
+    ).select("doc_id", "tgt", F.expr(_DSIR_BUCKET.format(col="bg")).alias("b"))
+    sides = bg.groupBy("b").agg(
+        F.sum(F.when(F.col("tgt"), 1).otherwise(0)).alias("tc"),
+        F.sum(F.when(~F.col("tgt"), 1).otherwise(0)).alias("rc"),
     )
     tots = sides.agg(
         F.sum("tc").alias("tt"), F.sum("rc").alias("rt")
@@ -779,12 +771,12 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("lr"),
     )
     return (
-        db.filter(~F.col("tgt"))
+        bg.filter(~F.col("tgt"))
         .join(F.broadcast(lr), "b")
         .groupBy("doc_id")
         .agg(
-            F.sum("c").alias("n_bigrams"),
-            F.floor(F.sum(F.col("c") * F.col("lr")) * 10000 + F.lit(0.5))
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.floor(F.sum(F.col("lr")) * 10000 + F.lit(0.5))
             .cast("long")
             .alias("weight_bp"),
         )
@@ -811,15 +803,14 @@ WITH t AS (
          unnest(list_transform(range(1, len(a)),
                                i -> concat(a[i], '_', a[i + 1]))) AS bgs
   FROM t
-), db AS (
-  SELECT doc_id, tgt, {_DSIR_BUCKET_SQL.format(col='bgs')} AS b,
-         count(*) AS c
-  FROM bg GROUP BY doc_id, tgt, b
+), bk AS (
+  SELECT doc_id, tgt, {_DSIR_BUCKET_SQL.format(col='bgs')} AS b
+  FROM bg
 ), sides AS (
   SELECT b,
-         CAST(sum(CASE WHEN tgt THEN c ELSE 0 END) AS BIGINT) AS tc,
-         CAST(sum(CASE WHEN NOT tgt THEN c ELSE 0 END) AS BIGINT) AS rc
-  FROM db GROUP BY b
+         CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS tc,
+         CAST(sum(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS BIGINT) AS rc
+  FROM bk GROUP BY b
 ), tots AS (
   SELECT CAST(sum(tc) AS BIGINT) AS tt, CAST(sum(rc) AS BIGINT) AS rt
   FROM sides
@@ -829,9 +820,9 @@ WITH t AS (
   FROM sides, tots
 )
 SELECT doc_id,
-       CAST(sum(c) AS BIGINT) AS n_bigrams,
-       CAST(floor(sum(c * lr) * 10000 + 0.5) AS BIGINT) AS weight_bp
-FROM db JOIN lr USING (b)
+       count(*) AS n_bigrams,
+       CAST(floor(sum(lr) * 10000 + 0.5) AS BIGINT) AS weight_bp
+FROM bk JOIN lr USING (b)
 WHERE NOT tgt
 GROUP BY doc_id
 ORDER BY weight_bp DESC, doc_id ASC

@@ -273,6 +273,16 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     return buckets, cent
 
 
+# Session-scoped router output — (probes, cand) per (application,
+# sf_dir). Five consumers (float IVF, int8, PQ, two-stage rerank,
+# SemDeDup) each reference probes/cand 2-3×; Catalyst inlines every
+# reference as its own subtree (plans are trees, not DAGs), so without
+# the cache the window-over-crossJoin probe assignment recomputes per
+# reference. In production this IS the serving layout: route the query
+# batch once, every scorer reads the routed relations.
+_ROUTER_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+
+
 def _ivf_probes_and_candidates(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
@@ -284,8 +294,13 @@ def _ivf_probes_and_candidates(
     base table. Joining them on `bucket` restricts any downstream
     scoring (float or quantized) to ~NPROBE/NLIST of the data. The
     centroid table is NLIST rows → broadcast; the bucket assignment of
-    the base table is one equi-join on vec_id.
+    the base table is one equi-join on vec_id. Both relations are
+    session-cached eagerly (trap 17).
     """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _ROUTER_CACHE.get(key)
+    if got is not None:
+        return got
     e = io.load_table_parallel(spark, sf_dir, "embeddings")
     v = e.select("vec_id", _dbl("embedding").alias("v"))
     buckets, cent_named = _ivf_index(spark, sf_dir)
@@ -315,6 +330,13 @@ def _ivf_probes_and_candidates(
         F.col("v").alias("cv"),
         _norm(F.col("v")).alias("cn"),
     )
+    from pyspark import StorageLevel
+
+    probes = probes.persist(StorageLevel.MEMORY_AND_DISK)
+    probes.count()
+    cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
+    cand.count()
+    _ROUTER_CACHE[key] = (probes, cand)
     return probes, cand
 
 
