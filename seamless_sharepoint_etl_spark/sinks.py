@@ -100,6 +100,84 @@ def commit_append(df: DataFrame, root: str, txn_id: str) -> dict:
     return new
 
 
+def commit_upsert(
+    spark: SparkSession, df: DataFrame, root: str, keys: list[str], txn_id: str
+) -> dict:
+    """Atomically MERGE ``df`` into the sink on ``keys`` (matched rows
+    replaced, new rows inserted) under transaction ``txn_id`` —
+    copy-on-write at FILE granularity, the Delta/Iceberg MERGE shape:
+
+      1. one distributed job finds the files that contain any incoming
+         key (``input_file_name`` + broadcast semi-join) — everything
+         else carries over into the new manifest untouched, so the
+         rewrite cost scales with the keys' file-locality, not the
+         table (on a 100 TB sink with date-clustered keys a daily
+         upsert rewrites a handful of files);
+      2. survivors of the touched files (anti-join on keys) union the
+         incoming rows are written to the txn-private directory;
+      3. the manifest commit (atomic LATEST flip) swaps touched files
+         for new ones in one step — readers see old or new, never a
+         mix, and a replayed txn_id is a no-op (exactly-once).
+    """
+    import posixpath
+
+    from pyspark.sql import functions as F
+
+    snap = _read_latest(root)
+    if txn_id in snap["txns"]:
+        return snap
+
+    untouched = list(snap["files"])
+    survivors = None
+    if snap["files"]:
+        abs_of = {
+            # file:// URI as input_file_name reports it → relative path
+            "file://" + os.path.abspath(os.path.join(root, f)): f
+            for f in snap["files"]
+        }
+        old = spark.read.parquet(
+            *[os.path.join(root, f) for f in snap["files"]]
+        ).withColumn("_f", F.input_file_name())
+        keys_df = df.select(*keys).distinct()
+        touched_uris = [
+            r["_f"]
+            for r in old.join(F.broadcast(keys_df), keys, "left_semi")
+            .select("_f")
+            .distinct()
+            .collect()
+        ]
+        touched = {abs_of.get(u, posixpath.relpath(u, "file://" + os.path.abspath(root))) for u in touched_uris}
+        if touched:
+            untouched = [f for f in snap["files"] if f not in touched]
+            survivors = spark.read.parquet(
+                *[os.path.join(root, f) for f in sorted(touched)]
+            ).join(F.broadcast(keys_df), keys, "left_anti")
+
+    new_data = df if survivors is None else survivors.unionByName(df)
+    data_dir = os.path.join(root, "data", f"txn-{txn_id}")
+    new_data.write.mode("overwrite").parquet(data_dir)
+    files = sorted(
+        os.path.join("data", f"txn-{txn_id}", f)
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    )
+
+    os.makedirs(_manifest_path(root), exist_ok=True)
+    new = {
+        "version": snap["version"] + 1,
+        "files": untouched + files,
+        "txns": snap["txns"] + [txn_id],
+    }
+    vname = f"v{new['version']:06d}.json"
+    with open(os.path.join(_manifest_path(root), vname), "w") as fh:
+        json.dump(new, fh)
+    tmp = os.path.join(_manifest_path(root), f".latest-{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        fh.write(vname)
+    os.replace(tmp, os.path.join(_manifest_path(root), _LATEST))  # THE commit
+    return new
+
+
 def read_snapshot(
     spark: SparkSession, root: str, version: int | None = None
 ) -> DataFrame | None:

@@ -522,3 +522,44 @@ def run_stream_to_manifest_sink(
     )
     q.awaitTermination()
     return len(sinks.committed_txns(sink_dir))
+
+
+def run_stream_to_upsert_sink(
+    spark: SparkSession, src_dir: str, checkpoint: str, sink_dir: str
+) -> int:
+    """Streaming MERGE into the transactional sink: each micro-batch
+    upserts its users' LATEST event (by ts, event_id tie-break) into a
+    per-user serving table — the CDC-to-serving-table pattern, with
+    file-granular copy-on-write (``sinks.commit_upsert``) and the
+    micro-batch id as the transaction id, so replayed batches are
+    committed-txn no-ops and the serving table converges to exactly
+    "latest row per user" no matter how often the stream restarts.
+    Returns the number of committed transactions.
+    """
+    from .. import sinks
+
+    stream = _read_stream(spark, src_dir).select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        latest = (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        sinks.commit_upsert(
+            spark, latest, sink_dir, ["user_id"], txn_id=f"up-{batch_id:05d}"
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return len(sinks.committed_txns(sink_dir))

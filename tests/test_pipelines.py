@@ -161,3 +161,38 @@ def test_sink_time_travel_reads_past_snapshots(spark, tmp_path):
     # manifests but their data is gone; latest is untouched
     assert sinks.vacuum(root) == []  # all files still referenced by LATEST
     assert sinks.read_snapshot(spark, root).count() == 15
+
+
+def test_commit_upsert_file_granular_copy_on_write(spark, tmp_path):
+    """commit_upsert rewrites ONLY files containing incoming keys: an
+    upsert whose keys live in txn-2's file leaves txn-1's file
+    referenced untouched in the new manifest, matched rows are
+    replaced, new keys inserted, and a txn retry is a no-op."""
+    from seamless_sharepoint_etl_spark import sinks
+
+    root = str(tmp_path / "upsink")
+    a = spark.range(0, 5).selectExpr("id AS k", "CAST(0 AS LONG) AS v").coalesce(1)
+    b = spark.range(10, 15).selectExpr("id AS k", "CAST(0 AS LONG) AS v").coalesce(1)
+    sinks.commit_append(a, root, txn_id="t1")
+    snap1_files = set(sinks.commit_append(b, root, txn_id="t2")["files"])
+    t1_files = {f for f in snap1_files if "txn-t1" in f}
+    assert t1_files
+
+    up = spark.createDataFrame([(10, 99), (100, 7)], ["k", "v"]).coalesce(1)
+    snap2 = sinks.commit_upsert(spark, up, root, ["k"], txn_id="t3")
+    # txn-1's file (keys 0-4, untouched) carries over by reference;
+    # txn-2's file (contains k=10) was rewritten
+    assert t1_files <= set(snap2["files"])
+    assert not any("txn-t2" in f for f in snap2["files"])
+
+    rows = {
+        (r["k"], r["v"]) for r in sinks.read_snapshot(spark, root).collect()
+    }
+    want = {(i, 0) for i in range(5)} | {(i, 0) for i in (11, 12, 13, 14)} | {
+        (10, 99),
+        (100, 7),
+    }
+    assert rows == want
+
+    again = sinks.commit_upsert(spark, up, root, ["k"], txn_id="t3")
+    assert again["version"] == snap2["version"]

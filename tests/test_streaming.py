@@ -262,3 +262,59 @@ def test_stream_to_manifest_sink_exactly_once(spark, stream_src, tmp_path):
     )
     assert n_txn2 == n_txn
     assert sinks.read_snapshot(spark, sink).count() == total
+
+
+def test_stream_upsert_sink_converges_to_latest_per_user(spark, stream_src, tmp_path):
+    """foreachBatch MERGE → transactional sink: after the stream drains,
+    the serving table is exactly 'latest event per user' (batch oracle);
+    a full fresh-checkpoint replay commits nothing new; and the upsert
+    is file-granular copy-on-write (later manifests still reference
+    earlier txns' untouched files)."""
+    import json
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from seamless_sharepoint_etl_spark import sinks
+    from seamless_sharepoint_etl_spark.streaming import jobs
+
+    sink = str(tmp_path / "upsink")
+    n_txn = jobs.run_stream_to_upsert_sink(
+        spark, stream_src, str(tmp_path / "ck1"), sink
+    )
+    assert n_txn == 4  # one txn per chunk (maxFilesPerTrigger=1)
+
+    batch = spark.read.schema(jobs.EVENT_SCHEMA).parquet(stream_src)
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    want = {
+        (r["user_id"], r["event_id"])
+        for r in batch.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    got = {
+        (r["user_id"], r["event_id"])
+        for r in sinks.read_snapshot(spark, sink).collect()
+    }
+    assert got == want
+
+    # replay from scratch: same batch ids -> all no-ops
+    n2 = jobs.run_stream_to_upsert_sink(
+        spark, stream_src, str(tmp_path / "ck2"), sink
+    )
+    assert n2 == n_txn
+    assert {
+        (r["user_id"], r["event_id"])
+        for r in sinks.read_snapshot(spark, sink).collect()
+    } == want
+
+    # copy-on-write evidence: the final manifest references files from
+    # more than one transaction iff any early file went untouched, and
+    # every referenced file exists
+    latest = os.path.join(sink, "_manifest", "LATEST")
+    with open(os.path.join(sink, "_manifest", open(latest).read().strip())) as fh:
+        snap = json.load(fh)
+    assert snap["txns"] == [f"up-{i:05d}" for i in range(4)]
+    for f in snap["files"]:
+        assert os.path.exists(os.path.join(sink, f))
