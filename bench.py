@@ -98,6 +98,7 @@ HEADLINE = [
     "sim_rerank_two_stage",
     "sql_gateway_topn",
     "layout_dynamic_overwrite",
+    "mm_ppm_decode_features",
 ]
 
 

@@ -10,12 +10,16 @@ needs: BinaryType columns flowing through select/filter/write, digest
 and byte-level metadata computed JVM-side, and Arrow-batched
 ``mapInPandas`` for the decode/feature-extract hop.
 
-The decode step is a STUB by design: real decoders (PIL/ffmpeg/…) are
-not in this container. ``decode_payload(real=True)`` raises
+COMPRESSED-format decode is a STUB by design: codecs (PIL/ffmpeg/…)
+are not in this container. ``decode_payload(real=True)`` raises
 NotImplementedError at the exact seam where a real decoder plugs in;
 the default is a deterministic fake that derives "width/height/format"
 from the bytes so the Spark-side schema, batching, and partitioning
-are fully real and testable.
+are fully real and testable. For the UNCOMPRESSED path no codec is
+needed, so ``ppm_decode_features`` is a genuinely real end-to-end
+image pipeline: valid P6 PPM payloads built JVM-side, header parse +
+pixel reshape + channel statistics + mean-pooled thumbnail in numpy,
+channel means value-proven against the DuckDB oracle.
 
 Scale posture: binary columns ride Parquet untouched (no re-encode);
 mapInPandas streams Arrow record batches, so per-row Python overhead is
@@ -385,6 +389,137 @@ def phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# REAL decode path: P6 PPM images, decoded in pure numpy
+# ---------------------------------------------------------------------------
+
+PPM_W, PPM_H = 24, 16  # 24×16 RGB → 1152 pixel bytes
+_PPM_BODY_LEN = PPM_W * PPM_H * 3
+
+
+def with_ppm_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → VALID binary P6 PPM images: ``P6\\n24 16\\n255\\n``
+    header + the document's bytes cycled to exactly H·W·3 pixel bytes
+    (rpad cycles its pad string; all construction is JVM-side).
+
+    Unlike the ``decode_payload`` stub (which marks where PIL/ffmpeg
+    would plug in for COMPRESSED formats), PPM needs no codec — so the
+    engine carries one genuinely end-to-end image path: real header
+    parse, real pixel buffer, real decode, with the same mapInPandas
+    surface a JPEG decoder would use.
+    """
+    d = io.load_table_parallel(spark, sf_dir, "documents")
+    body = F.expr(
+        f"rpad(coalesce(nullif(text, ''), ' '), {_PPM_BODY_LEN},"
+        f" coalesce(nullif(text, ''), ' '))"
+    )
+    return d.select(
+        "doc_id",
+        F.encode(
+            F.concat(F.lit(f"P6\n{PPM_W} {PPM_H}\n255\n"), body), "utf-8"
+        ).alias("payload"),
+    )
+
+
+def ppm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode the PPM payloads and extract image features — the real
+    thing, no stub: numpy parses the header, reshapes the pixel buffer
+    to (H, W, 3), and computes per-channel means (integer milli-units,
+    so the DuckDB oracle can re-derive them from the same byte
+    construction and hash-match the VALUES) plus a 4×4 mean-pooled
+    thumbnail digest (pytest-gated; SQL owes no pooling).
+
+    Scale: identical to any image featurizer — payload bytes ride
+    Arrow batches into the worker once, features are a few ints per
+    image, and nothing but those ints shuffles.
+    """
+    p = with_ppm_payload(spark, sf_dir)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                # header: magic, dims, maxval — three '\n'-terminated fields
+                nl1 = buf.index(b"\n")
+                nl2 = buf.index(b"\n", nl1 + 1)
+                nl3 = buf.index(b"\n", nl2 + 1)
+                assert buf[:nl1] == b"P6"
+                w, h = (int(x) for x in buf[nl1 + 1 : nl2].split())
+                maxval = int(buf[nl2 + 1 : nl3])
+                assert maxval == 255
+                img = (
+                    np.frombuffer(buf, np.uint8, count=w * h * 3, offset=nl3 + 1)
+                    .reshape(h, w, 3)
+                    .astype(np.int64)
+                )
+                sums = img.sum(axis=(0, 1))  # per-channel
+                means_milli = (sums * 1000) // (w * h)
+                pooled = (
+                    img.reshape(h // 4, 4, w // 4, 4, 3).sum(axis=(1, 3)) // 16
+                )
+                crc = int(
+                    (pooled.ravel() * np.arange(1, pooled.size + 1)).sum()
+                    % (1 << 31)
+                )
+                out.append(
+                    [doc_id, w, h]
+                    + [int(m) for m in means_milli]
+                    + [crc]
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "r_mean_milli",
+                    "g_mean_milli",
+                    "b_mean_milli",
+                    "thumb_crc",
+                ],
+            )
+
+    decoded = p.mapInPandas(
+        run,
+        "doc_id LONG, width INT, height INT, r_mean_milli LONG,"
+        " g_mean_milli LONG, b_mean_milli LONG, thumb_crc LONG",
+    )
+    # thumb_crc is numpy-side pooling the oracle doesn't re-derive —
+    # keep the driver-facing result fully value-checkable
+    return decoded.drop("thumb_crc").orderBy("doc_id")
+
+
+PPM_DECODE_SQL = f"""
+WITH body AS (
+  SELECT doc_id,
+         rpad(coalesce(nullif(text, ''), ' '), {_PPM_BODY_LEN},
+              coalesce(nullif(text, ''), ' ')) AS s
+  FROM documents
+), px AS (
+  SELECT doc_id,
+         unnest(range(0, {PPM_W * PPM_H})) AS i,
+         s
+  FROM body
+), ch AS (
+  SELECT doc_id,
+         CAST(sum(ascii(substr(s, i * 3 + 1, 1))) AS BIGINT) AS sr,
+         CAST(sum(ascii(substr(s, i * 3 + 2, 1))) AS BIGINT) AS sg,
+         CAST(sum(ascii(substr(s, i * 3 + 3, 1))) AS BIGINT) AS sb
+  FROM px GROUP BY doc_id
+)
+SELECT doc_id,
+       {PPM_W} AS width, {PPM_H} AS height,
+       sr * 1000 // {PPM_W * PPM_H} AS r_mean_milli,
+       sg * 1000 // {PPM_W * PPM_H} AS g_mean_milli,
+       sb * 1000 // {PPM_W * PPM_H} AS b_mean_milli
+FROM ch
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "mm_binary_metadata": (binary_metadata, BINARY_METADATA_SQL),
     "mm_decode_stub_features": (decode_stub_features, None),
@@ -392,4 +527,5 @@ QUERIES = {
     "mm_byte_histogram": (byte_histogram_features, BYTE_HISTOGRAM_SQL),
     "mm_modality_routing": (modality_routing, MODALITY_ROUTING_SQL),
     "mm_phash_neardup": (phash_neardup, None),
+    "mm_ppm_decode_features": (ppm_decode_features, PPM_DECODE_SQL),
 }
