@@ -99,6 +99,7 @@ HEADLINE = [
     "sql_gateway_topn",
     "layout_dynamic_overwrite",
     "mm_ppm_decode_features",
+    "mm_wav_decode_features",
 ]
 
 

@@ -520,6 +520,134 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# REAL audio decode path: RIFF/WAV PCM16, decoded in pure numpy
+# ---------------------------------------------------------------------------
+
+WAV_N_SAMPLES = 384
+WAV_RATE = 8000
+_WAV_BODY_LEN = WAV_N_SAMPLES * 2  # PCM16 mono
+
+
+def _wav_header() -> bytes:
+    """Canonical 44-byte RIFF/WAVE header for PCM16 mono at WAV_RATE —
+    a CONSTANT given the fixed sample count, so the Spark side can
+    prepend it as a binary literal."""
+    import struct
+
+    data_len = _WAV_BODY_LEN
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + data_len)
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, WAV_RATE, WAV_RATE * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", data_len)
+    )
+
+
+def with_wav_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → VALID RIFF/WAVE files: constant PCM16-mono header +
+    the document's bytes cycled to the fixed data-chunk length (each
+    consecutive byte pair is one little-endian sample)."""
+    d = io.load_table_parallel(spark, sf_dir, "documents")
+    body = F.expr(
+        f"rpad(coalesce(nullif(text, ''), ' '), {_WAV_BODY_LEN},"
+        f" coalesce(nullif(text, ''), ' '))"
+    )
+    return d.select(
+        "doc_id",
+        F.concat(F.lit(_wav_header()), F.encode(body, "utf-8")).alias("payload"),
+    )
+
+
+def wav_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode the WAV payloads and extract audio features — a real
+    RIFF parser (chunk magics, PCM format fields validated), int16
+    sample buffer via numpy, and the standard cheap audio QA stats:
+    RMS level, peak, floor, mean — all in exact integer units so the
+    DuckDB oracle re-derives them from the same byte construction
+    (sqrt is IEEE-correctly-rounded in both engines; the floor grid
+    makes the value hash exact)."""
+    p = with_wav_payload(spark, sf_dir)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                assert buf[0:4] == b"RIFF" and buf[8:12] == b"WAVE"
+                assert buf[12:16] == b"fmt "
+                fmt, nch, rate = struct.unpack("<HHI", buf[20:28])
+                bits = struct.unpack("<H", buf[34:36])[0]
+                assert (fmt, nch, rate, bits) == (1, 1, WAV_RATE, 16)
+                assert buf[36:40] == b"data"
+                (data_len,) = struct.unpack("<I", buf[40:44])
+                s = np.frombuffer(
+                    buf, np.int16, count=data_len // 2, offset=44
+                ).astype(np.int64)
+                out.append(
+                    [
+                        doc_id,
+                        int(s.size),
+                        int(np.floor(np.sqrt((s * s).sum() / s.size))),
+                        int(s.max()),
+                        int(s.min()),
+                        int((s.sum() * 1000) // s.size),
+                    ]
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "n_samples",
+                    "rms",
+                    "peak",
+                    "floor_s",
+                    "mean_milli",
+                ],
+            )
+
+    return p.mapInPandas(
+        run,
+        "doc_id LONG, n_samples LONG, rms LONG, peak LONG,"
+        " floor_s LONG, mean_milli LONG",
+    ).orderBy("doc_id")
+
+
+WAV_DECODE_SQL = f"""
+WITH body AS (
+  SELECT doc_id,
+         rpad(coalesce(nullif(text, ''), ' '), {_WAV_BODY_LEN},
+              coalesce(nullif(text, ''), ' ')) AS s
+  FROM documents
+), smp AS (
+  SELECT doc_id,
+         ascii(substr(s, i * 2 + 1, 1))
+           + 256 * ascii(substr(s, i * 2 + 2, 1)) AS raw
+  FROM body, unnest(range(0, {WAV_N_SAMPLES})) AS t(i)
+), pcm AS (
+  SELECT doc_id,
+         CAST(CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END
+              AS BIGINT) AS v
+  FROM smp
+)
+SELECT doc_id,
+       count(*) AS n_samples,
+       CAST(floor(sqrt(CAST(sum(v * v) AS DOUBLE) / count(*))) AS BIGINT) AS rms,
+       max(v) AS peak,
+       min(v) AS floor_s,
+       CAST(sum(v) AS BIGINT) * 1000 // count(*) AS mean_milli
+FROM pcm
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "mm_binary_metadata": (binary_metadata, BINARY_METADATA_SQL),
     "mm_decode_stub_features": (decode_stub_features, None),
@@ -528,4 +656,5 @@ QUERIES = {
     "mm_modality_routing": (modality_routing, MODALITY_ROUTING_SQL),
     "mm_phash_neardup": (phash_neardup, None),
     "mm_ppm_decode_features": (ppm_decode_features, PPM_DECODE_SQL),
+    "mm_wav_decode_features": (wav_decode_features, WAV_DECODE_SQL),
 }
