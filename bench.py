@@ -100,6 +100,7 @@ HEADLINE = [
     "layout_dynamic_overwrite",
     "mm_ppm_decode_features",
     "mm_wav_decode_features",
+    "mm_video_frame_features",
 ]
 
 

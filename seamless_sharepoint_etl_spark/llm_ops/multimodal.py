@@ -648,6 +648,116 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# REAL video decode path: raw grayscale frame buffer, numpy frame ops
+# ---------------------------------------------------------------------------
+
+VID_W = VID_H = 16
+VID_FRAMES = 8
+VID_SAMPLE_EVERY = 2  # temporal sampling stride
+_VID_BODY_LEN = VID_W * VID_H * VID_FRAMES
+
+
+def with_video_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → raw-video buffers: VID_FRAMES contiguous W×H
+    grayscale frames (the uncompressed y-plane layout every codec
+    decodes INTO) cycled from the document's bytes, preceded by a tiny
+    self-describing header ``RAWV<w><h><n>`` (one byte each)."""
+    d = io.load_table_parallel(spark, sf_dir, "documents")
+    body = F.expr(
+        f"rpad(coalesce(nullif(text, ''), ' '), {_VID_BODY_LEN},"
+        f" coalesce(nullif(text, ''), ' '))"
+    )
+    header = bytes([0x52, 0x41, 0x57, 0x56, VID_W, VID_H, VID_FRAMES])  # RAWV
+    return d.select(
+        "doc_id",
+        F.concat(F.lit(header), F.encode(body, "utf-8")).alias("payload"),
+    )
+
+
+def video_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sample + featurize the raw-video buffers: parse the
+    header, reshape to (frames, H, W), keep every VID_SAMPLE_EVERY-th
+    frame (the decode-side temporal sampling a video curation pipeline
+    runs), and emit per-doc stats — sampled-frame luma mean and a
+    motion proxy (mean absolute difference between consecutive SAMPLED
+    frames), both in exact integer milli-units so the DuckDB oracle
+    re-derives them from the byte construction."""
+    p = with_video_payload(spark, sf_dir)
+    fpx = VID_W * VID_H
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                assert buf[:4] == b"RAWV"
+                w, h, n = buf[4], buf[5], buf[6]
+                vid = (
+                    np.frombuffer(buf, np.uint8, count=w * h * n, offset=7)
+                    .reshape(n, h, w)
+                    .astype(np.int64)
+                )
+                sampled = vid[::VID_SAMPLE_EVERY]
+                luma = int(sampled.sum() * 1000 // sampled.size)
+                diffs = np.abs(sampled[1:] - sampled[:-1])
+                motion = int(diffs.sum() * 1000 // diffs.size)
+                out.append(
+                    [doc_id, int(n), int(sampled.shape[0]), luma, motion]
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "n_frames",
+                    "n_sampled",
+                    "luma_milli",
+                    "motion_milli",
+                ],
+            )
+
+    return p.mapInPandas(
+        run,
+        "doc_id LONG, n_frames INT, n_sampled INT,"
+        " luma_milli LONG, motion_milli LONG",
+    ).orderBy("doc_id")
+
+
+_VID_SAMPLED = list(range(0, VID_FRAMES, VID_SAMPLE_EVERY))
+
+VIDEO_DECODE_SQL = f"""
+WITH body AS (
+  SELECT doc_id,
+         rpad(coalesce(nullif(text, ''), ' '), {_VID_BODY_LEN},
+              coalesce(nullif(text, ''), ' ')) AS s
+  FROM documents
+), px AS (
+  -- pixel i of sampled frame f (0-based), valued by its byte
+  SELECT doc_id, f, i,
+         CAST(ascii(substr(s, f * {VID_W * VID_H} + i + 1, 1)) AS BIGINT) AS v
+  FROM body,
+       unnest({_VID_SAMPLED}) AS tf(f),
+       unnest(range(0, {VID_W * VID_H})) AS ti(i)
+), luma AS (
+  SELECT doc_id, CAST(sum(v) AS BIGINT) * 1000 // count(*) AS luma_milli
+  FROM px GROUP BY doc_id
+), motion AS (
+  SELECT a.doc_id,
+         CAST(sum(abs(a.v - b.v)) AS BIGINT) * 1000 // count(*) AS motion_milli
+  FROM px a
+  JOIN px b ON a.doc_id = b.doc_id AND a.i = b.i
+           AND b.f = a.f + {VID_SAMPLE_EVERY}
+  GROUP BY a.doc_id
+)
+SELECT doc_id, {VID_FRAMES} AS n_frames,
+       {len(_VID_SAMPLED)} AS n_sampled, luma_milli, motion_milli
+FROM luma JOIN motion USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "mm_binary_metadata": (binary_metadata, BINARY_METADATA_SQL),
     "mm_decode_stub_features": (decode_stub_features, None),
@@ -657,4 +767,5 @@ QUERIES = {
     "mm_phash_neardup": (phash_neardup, None),
     "mm_ppm_decode_features": (ppm_decode_features, PPM_DECODE_SQL),
     "mm_wav_decode_features": (wav_decode_features, WAV_DECODE_SQL),
+    "mm_video_frame_features": (video_decode_features, VIDEO_DECODE_SQL),
 }

@@ -839,3 +839,33 @@ def test_wav_decode_is_a_real_audio_pipeline(spark):
     )
     assert int(np.floor(np.sqrt((s * s).sum() / s.size))) == 1234
     assert int(s.max()) == int(s.min()) == 1234
+
+
+def test_video_decode_frame_sampling_math(spark):
+    """Raw-video path: buffers self-describe via the RAWV header; a
+    crafted two-tone sequence yields exactly the expected luma and
+    motion; sampling keeps every VID_SAMPLE_EVERY-th frame."""
+    import numpy as np
+
+    from seamless_sharepoint_etl_spark.llm_ops import multimodal as mm
+
+    row = mm.with_video_payload(spark, SF_DIR).limit(1).collect()[0]
+    buf = bytes(row["payload"])
+    assert buf[:4] == b"RAWV"
+    assert (buf[4], buf[5], buf[6]) == (mm.VID_W, mm.VID_H, mm.VID_FRAMES)
+    assert len(buf) == 7 + mm.VID_W * mm.VID_H * mm.VID_FRAMES
+
+    rows = mm.video_decode_features(spark, SF_DIR).collect()
+    for r in rows[:5]:
+        assert r["n_frames"] == mm.VID_FRAMES
+        assert r["n_sampled"] == len(range(0, mm.VID_FRAMES, mm.VID_SAMPLE_EVERY))
+
+    # crafted: frames alternate all-10 / all-30 → sampled frames (stride
+    # 2) are all-10, motion 0; with stride 1 motion would be 20
+    vid = np.zeros((mm.VID_FRAMES, mm.VID_H, mm.VID_W), np.int64)
+    vid[0::2] = 10
+    vid[1::2] = 30
+    sampled = vid[:: mm.VID_SAMPLE_EVERY]
+    assert int(sampled.sum() * 1000 // sampled.size) == 10_000
+    diffs = np.abs(sampled[1:] - sampled[:-1])
+    assert int(diffs.sum() * 1000 // diffs.size) == 0
