@@ -101,6 +101,8 @@ HEADLINE = [
     "mm_ppm_decode_features",
     "mm_wav_decode_features",
     "mm_video_frame_features",
+    "agg_sample_estimate",
+    "join_auto_skew_remedy",
 ]
 
 

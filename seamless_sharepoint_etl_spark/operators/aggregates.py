@@ -759,6 +759,57 @@ def kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Approximate query processing: deterministic hash-sample estimator
+# ---------------------------------------------------------------------------
+
+AQP_MOD = 20  # 1-in-20 deterministic sample → scale factor 20
+
+
+def sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQP sum/count estimation from a 5% DETERMINISTIC hash sample —
+    what a dashboard runs when the exact scan is too expensive, made
+    reproducible: membership is ``xxhash64(row-key) % 20 == 0``, not
+    Bernoulli randomness, so the estimate is a pure function of the
+    data (the oracle recomputes the identical sample... via the same
+    portable polynomial hash family DuckDB can evaluate).
+
+    At 100 TB the sample predicate rides the scan (evaluated per row,
+    nothing shuffles but the sampled 5%), and the estimate's error is
+    pytest-gated against the exact answer — the AQP contract (fast,
+    bounded-error, reproducible) rather than the exact one. The scale
+    factor multiplies OUT of the aggregate, keeping integer counts
+    exact-integer.
+    """
+    li = io.load_table(spark, sf_dir, "lineitem")
+    # portable per-row hash (same fold DuckDB runs — xxhash64 is not
+    # available there): key on the unique (orderkey, linenumber) pair
+    h = F.pmod(
+        F.col("l_orderkey") * 2654435761 + F.col("l_linenumber") * 40503,
+        F.lit(AQP_MOD),
+    )
+    return (
+        li.filter(h == 0)
+        .groupBy("l_returnflag")
+        .agg(
+            (F.count(F.lit(1)) * AQP_MOD).alias("est_rows"),
+            F.round(F.sum("l_extendedprice") * AQP_MOD, 2).alias("est_revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SAMPLE_ESTIMATE_SQL = f"""
+SELECT l_returnflag,
+       count(*) * {AQP_MOD} AS est_rows,
+       round(sum(l_extendedprice) * {AQP_MOD}, 2) AS est_revenue
+FROM lineitem
+WHERE (l_orderkey * 2654435761 + l_linenumber * 40503) % {AQP_MOD} = 0
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
     "agg_pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
     "agg_multikey_distinct": (multikey_distinct, MULTIKEY_DISTINCT_SQL),
@@ -782,4 +833,5 @@ QUERIES = {
     "agg_approx_topk": (approx_topk_event_types, APPROX_TOPK_SQL),
     "agg_kmv_distinct": (kmv_distinct, None),
     "agg_bitmap_distinct": (bitmap_distinct_customers, BITMAP_DISTINCT_SQL),
+    "agg_sample_estimate": (sample_estimate, SAMPLE_ESTIMATE_SQL),
 }

@@ -552,6 +552,74 @@ GROUP BY o_orderpriority
 """
 
 
+SKEW_SHARE_BP = 10  # salt when the hottest key holds > 0.1% of rows
+
+
+def auto_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-tuning join: measure the join key's skew first (the
+    ``diag_join_key_skew`` profile as a 1-row aggregate), then pick the
+    physical strategy from the measurement — plain shuffle join when
+    the key is balanced, salted (× N_JOIN_SALT) when the hottest key
+    exceeds SKEW_SHARE_BP of the rows. The answer is IDENTICAL either
+    way (the oracle is the plain join); only the shuffle layout
+    changes — this is the engine making the salting decision the
+    operator docs otherwise leave to the operator.
+
+    The profile collect is a 1-row scalar frontier (same class as the
+    watermark read): one cheap agg over the join column, metadata-
+    scale at any SF. At 100 TB AQE's runtime skew split covers
+    *detected* skew mid-query; the measured pre-decision is for
+    pipelines that must PLAN the layout (e.g. to co-partition a
+    downstream write).
+    """
+    li = io.load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    o = io.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    prof = (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c").alias("mx"), F.sum("c").alias("tot"))
+        .collect()[0]
+    )
+    skewed = prof["mx"] * 10000 > SKEW_SHARE_BP * prof["tot"]
+    if skewed:
+        big = li.withColumn(
+            "salt",
+            F.pmod(F.xxhash64("l_linenumber", "l_partkey"), F.lit(N_JOIN_SALT)),
+        )
+        small = o.withColumn(
+            "salt",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(N_JOIN_SALT - 1)).cast("array<bigint>")
+            ),
+        )
+        joined = big.join(
+            small,
+            (big.l_orderkey == small.o_orderkey) & (big.salt == small.salt),
+        )
+    else:
+        joined = li.join(o, li.l_orderkey == o.o_orderkey)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+AUTO_SKEW_JOIN_SQL = """
+SELECT o_orderpriority, count(*) AS n_lines,
+       round(sum(o_totalprice), 2) AS total_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_quantity > 45
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
     "join_broadcast_dim": (broadcast_dim_join, BROADCAST_DIM_SQL),
     "join_shuffle_fact": (shuffle_fact_join, SHUFFLE_FACT_SQL),
@@ -567,4 +635,5 @@ QUERIES = {
     "join_salted_skew": (salted_skew_join, SALTED_SKEW_JOIN_SQL),
     "join_fuzzy_name_match": (fuzzy_name_match, FUZZY_NAME_MATCH_SQL),
     "join_bloom_prefilter": (bloom_prefilter_join, BLOOM_PREFILTER_SQL),
+    "join_auto_skew_remedy": (auto_skew_join, AUTO_SKEW_JOIN_SQL),
 }

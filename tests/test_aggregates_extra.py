@@ -139,3 +139,34 @@ def test_kmv_estimate_within_bound_and_merge_exact(spark):
     half_b = sorted(h for h in hashes if h % 2 != 0)[: agg.KMV_K]
     merged = sorted(half_a + half_b)[: agg.KMV_K]
     assert merged == hashes[: agg.KMV_K]
+
+
+def test_sample_estimate_error_bound(spark):
+    """AQP contract: the 5% deterministic-sample estimate lands within
+    a sampling-theory-sized envelope of the exact per-flag answer (25%
+    at this SF's ~100-row samples), and never misses a flag group."""
+    from pyspark.sql import functions as F
+
+    from conftest import SF_DIR
+    from seamless_sharepoint_etl_spark import io
+    from seamless_sharepoint_etl_spark.operators import aggregates
+
+    est = {
+        r["l_returnflag"]: (r["est_rows"], r["est_revenue"])
+        for r in aggregates.sample_estimate(spark, SF_DIR).collect()
+    }
+    li = io.load_table(spark, SF_DIR, "lineitem")
+    exact = {
+        r["l_returnflag"]: (r["n"], r["rev"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("rev"),
+        )
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for flag, (n, rev) in exact.items():
+        en, erev = est[flag]
+        assert abs(en - n) / n <= 0.25, (flag, en, n)
+        assert abs(erev - rev) / rev <= 0.25, (flag, erev, rev)
