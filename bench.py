@@ -103,6 +103,7 @@ HEADLINE = [
     "mm_video_frame_features",
     "agg_sample_estimate",
     "join_auto_skew_remedy",
+    "layout_codec_stats",
 ]
 
 

@@ -356,10 +356,61 @@ ORDER BY om
 """
 
 
+CODECS = ("uncompressed", "snappy", "zstd")
+
+
+def codec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-codec shootout over the documents table: write the same
+    (sorted, single-shard — layout pinned so byte sizes are a codec
+    property, not a partitioning accident) data under each parquet
+    codec, report bytes + ratio vs uncompressed, and prove every
+    variant reads back whole.
+
+    At 100 TB the codec choice IS a top-three cost lever (storage +
+    scan bandwidth vs decode CPU); this operator is the measurement a
+    platform runs before fixing the table default. Writes stage once
+    per (sf, codec) behind _SUCCESS markers. rows-only for the driver
+    (byte sizes are filesystem facts no SQL oracle can know); pytest
+    gates compression monotonicity and readback row counts.
+    """
+    import os
+
+    tag = "sf" + sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    d = (
+        io.load_table(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .coalesce(1)
+    )
+    rows_src = None
+    out = []
+    for codec in CODECS:
+        stage = f"/tmp/sse_codec_{codec}-{tag}"
+        if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+            d.write.mode("overwrite").option("compression", codec).parquet(stage)
+        n_bytes = sum(
+            os.path.getsize(os.path.join(stage, f))
+            for f in os.listdir(stage)
+            if f.endswith(".parquet")
+        )
+        n_rows = spark.read.parquet(stage).count()
+        if rows_src is None:
+            rows_src = io.load_table(spark, sf_dir, "documents").count()
+        out.append((codec, n_rows, n_bytes))
+    base = next(b for c, _, b in out if c == "uncompressed")
+    return spark.createDataFrame(
+        [
+            (c, r, b, int(b * 10000 // base))
+            for c, r, b in out
+        ],
+        "codec STRING, n_rows BIGINT, n_bytes BIGINT, size_ratio_bp BIGINT",
+    ).orderBy("codec")
+
+
 QUERIES = {
     "layout_zorder_stats": (zorder_stats, ZORDER_STATS_SQL),
     "diag_join_key_skew": (join_key_skew, JOIN_KEY_SKEW_SQL),
     "layout_partition_pruned_read": (partition_pruned_read, PARTITION_PRUNED_SQL),
     "layout_compaction_read": (compaction_read, COMPACTION_READ_SQL),
     "layout_dynamic_overwrite": (dynamic_overwrite_read, DYNAMIC_OVERWRITE_SQL),
+    "layout_codec_stats": (codec_stats, None),
 }

@@ -266,3 +266,22 @@ def test_dynamic_partition_overwrite_preserves_other_partitions(spark):
     assert files("b") == before_b  # untouched partition: same files, same mtimes
     rows = {(r["id"], r["p"]) for r in spark.read.parquet(d).collect()}
     assert rows == {(9, "a"), (3, "b"), (4, "b")}
+
+
+def test_codec_stats_monotone_and_lossless(spark):
+    """layout_codec_stats: every codec reads back every row, and the
+    compressed variants genuinely compress (zstd <= snappy < uncompressed
+    on this text-heavy table)."""
+    from conftest import SF_DIR
+
+    from seamless_sharepoint_etl_spark import io
+    from seamless_sharepoint_etl_spark.operators import layout
+
+    rows = {r["codec"]: r for r in layout.codec_stats(spark, SF_DIR).collect()}
+    assert set(rows) == set(layout.CODECS)
+    n_src = io.load_table(spark, SF_DIR, "documents").count()
+    for r in rows.values():
+        assert r["n_rows"] == n_src
+    assert rows["zstd"]["n_bytes"] <= rows["snappy"]["n_bytes"]
+    assert rows["snappy"]["n_bytes"] < rows["uncompressed"]["n_bytes"]
+    assert rows["uncompressed"]["size_ratio_bp"] == 10000
