@@ -104,6 +104,7 @@ HEADLINE = [
     "agg_sample_estimate",
     "join_auto_skew_remedy",
     "layout_codec_stats",
+    "ts_lttb_downsample",
 ]
 
 

@@ -503,6 +503,71 @@ WHERE n >= 10
 """
 
 
+LTTB_POINTS = 50
+
+
+def lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013) —
+    the standard visualization/monitoring reduction: each per-type
+    hourly series shrinks to LTTB_POINTS points chosen to preserve the
+    curve's visual shape (per bucket, keep the point forming the
+    largest triangle with the previously kept point and the next
+    bucket's centroid).
+
+    LTTB is sequential within a series (choice i depends on choice
+    i−1), so the Spark shape is groupBy(series).applyInPandas —
+    state stays inside one Arrow batch per series, series run in
+    parallel, and at 100 TB the reduction output (k points × series)
+    is what ships to the dashboard store, not the raw telemetry.
+    rows-only for the driver; pytest gates endpoints, count, subset,
+    and monotonic timestamps.
+    """
+    ev = io.load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("h")
+        )
+        .agg(
+            F.floor(F.sum("value") * 100 + F.lit(0.5)).cast("long").alias("cents")
+        )
+    )
+    out_schema = "event_type STRING, h TIMESTAMP_NTZ, cents LONG, pos INT"
+
+    def lttb(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("h").reset_index(drop=True)
+        n, k = len(pdf), LTTB_POINTS
+        if n <= k:
+            keep = list(range(n))
+        else:
+            x = pdf["h"].astype("int64").to_numpy().astype(np.float64)
+            y = pdf["cents"].to_numpy().astype(np.float64)
+            keep = [0]
+            # k-2 interior buckets over points 1..n-2
+            bounds = np.linspace(1, n - 1, k - 1).astype(int)
+            a = 0
+            for b in range(k - 2):
+                lo, hi = bounds[b], max(bounds[b + 1], bounds[b] + 1)
+                nlo = bounds[b + 1]
+                nhi = bounds[b + 2] if b + 2 < len(bounds) else n
+                nhi = max(nhi, nlo + 1)
+                cx, cy = x[nlo:nhi].mean(), y[nlo:nhi].mean()
+                seg = slice(lo, hi)
+                area = np.abs(
+                    (x[a] - cx) * (y[seg] - y[a]) - (x[a] - x[seg]) * (cy - y[a])
+                )
+                a = lo + int(area.argmax())
+                keep.append(a)
+            keep.append(n - 1)
+        res = pdf.iloc[keep].copy()
+        res["pos"] = range(len(keep))
+        return res[["event_type", "h", "cents", "pos"]]
+
+    return hourly.groupBy("event_type").applyInPandas(lttb, out_schema)
+
+
 QUERIES = {
     "ts_resample_ffill": (resample_ffill, RESAMPLE_FFILL_SQL),
     "ts_scd2_intervals": (scd2_intervals, SCD2_SQL),
@@ -510,4 +575,5 @@ QUERIES = {
     "ts_ewma": (ewma_per_user, EWMA_SQL),
     "ts_linear_interpolate": (linear_interpolate, LINEAR_INTERPOLATE_SQL),
     "ts_daily_zscore_anomalies": (daily_zscore_anomalies, DAILY_ZSCORE_SQL),
+    "ts_lttb_downsample": (lttb_downsample, None),
 }

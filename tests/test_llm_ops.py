@@ -869,3 +869,54 @@ def test_video_decode_frame_sampling_math(spark):
     assert int(sampled.sum() * 1000 // sampled.size) == 10_000
     diffs = np.abs(sampled[1:] - sampled[:-1])
     assert int(diffs.sum() * 1000 // diffs.size) == 0
+
+
+def test_session2_ops_survive_degenerate_docs(spark, tmp_path):
+    """The round-3 session-2 operators over 1-token / empty / NULL text:
+    DSIR, perplexity tiers, BPE, bloom dedup, and all three real decode
+    paths must emit rows (or an empty result), never throw — the NULL
+    arm is the one the advisor's probe hit last round."""
+    import os
+
+    import pandas as pd
+
+    from seamless_sharepoint_etl_spark.llm_ops import curation, dedup, multimodal, text
+
+    d = str(tmp_path / "degen2")
+    os.makedirs(d)
+    pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 6],
+            "text": ["solo", "", None, "two tokens", "from target source"],
+            "lang": ["en"] * 5,
+            "source": ["src0", "src0", "src0", "src0", "src18"],
+            "n_chars": [4, 0, 0, 10, 18],
+        }
+    ).to_parquet(os.path.join(d, "documents.parquet"))
+
+    # DSIR: NULL/empty docs yield no bigrams -> absent from the ranking,
+    # not a crash; the 2-token doc scores
+    dsir = {r["doc_id"] for r in curation.dsir_importance(spark, d).collect()}
+    assert 3 in dsir and 2 not in dsir and 1 not in dsir
+
+    # perplexity tiers: every doc with >=1 token gets a tier
+    tiers = {r["doc_id"]: r["ppl_tier"] for r in
+             curation.perplexity_buckets(spark, d).collect()}
+    assert 0 in tiers and 3 in tiers
+
+    # BPE: empty/NULL -> 0 tokens, never a throw
+    bpe = {r["doc_id"]: r["n_bpe_tokens"] for r in
+           text.bpe_tokenize_stats(spark, d).collect()}
+    assert bpe[1] == 0 and bpe[2] == 0 and bpe[0] >= 1
+
+    # bloom incremental dedup: runs clean over the tiny degenerate split
+    dedup.bloom_incremental_dedup(spark, d).collect()
+
+    # decode paths: NULL text coalesces to ' ' padding -> still valid
+    # PPM/WAV/RAWV files with full-size bodies
+    for r in multimodal.ppm_decode_features(spark, d).collect():
+        assert (r["width"], r["height"]) == (multimodal.PPM_W, multimodal.PPM_H)
+    for r in multimodal.wav_decode_features(spark, d).collect():
+        assert r["n_samples"] == multimodal.WAV_N_SAMPLES
+    for r in multimodal.video_decode_features(spark, d).collect():
+        assert r["n_frames"] == multimodal.VID_FRAMES

@@ -285,3 +285,46 @@ def test_codec_stats_monotone_and_lossless(spark):
     assert rows["zstd"]["n_bytes"] <= rows["snappy"]["n_bytes"]
     assert rows["snappy"]["n_bytes"] < rows["uncompressed"]["n_bytes"]
     assert rows["uncompressed"]["size_ratio_bp"] == 10000
+
+
+def test_lttb_downsample_shape_properties(spark):
+    """LTTB gates: per series — exactly min(n, LTTB_POINTS) points,
+    first/last input points kept, output ⊆ input, timestamps strictly
+    increasing with pos, deterministic."""
+    from conftest import SF_DIR
+
+    from pyspark.sql import functions as F
+
+    from seamless_sharepoint_etl_spark import io
+    from seamless_sharepoint_etl_spark.operators import timeseries as T
+
+    ev = io.load_table(spark, SF_DIR, "events")
+    hourly = {}
+    for r in (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.floor(F.sum("value") * 100 + F.lit(0.5)).cast("long").alias("c"))
+        .collect()
+    ):
+        hourly.setdefault(r["event_type"], {})[r["h"]] = r["c"]
+
+    by_type = {}
+    for r in T.lttb_downsample(spark, SF_DIR).collect():
+        by_type.setdefault(r["event_type"], []).append((r["pos"], r["h"], r["cents"]))
+
+    assert set(by_type) == set(hourly)
+    for t, pts in by_type.items():
+        pts.sort()
+        src = sorted(hourly[t].items())
+        assert len(pts) == min(len(src), T.LTTB_POINTS)
+        assert (pts[0][1], pts[0][2]) == src[0]
+        assert (pts[-1][1], pts[-1][2]) == src[-1]
+        hs = [h for _, h, _ in pts]
+        assert hs == sorted(hs) and len(set(hs)) == len(hs)
+        for _, h, c in pts:
+            assert hourly[t][h] == c
+
+    again = [tuple(r) for r in T.lttb_downsample(spark, SF_DIR).collect()]
+    first = [
+        (t, h, c, p) for t, pts in by_type.items() for p, h, c in pts
+    ]
+    assert sorted(again) == sorted((t, h, c, p) for t, h, c, p in first)
