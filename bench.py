@@ -105,6 +105,7 @@ HEADLINE = [
     "join_auto_skew_remedy",
     "layout_codec_stats",
     "ts_lttb_downsample",
+    "sim_filtered_topk",
 ]
 
 

@@ -929,6 +929,88 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FILTERED_TOP_K = 5
+
+
+def filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search: top-{k} cosine neighbors restricted to
+    candidates SHARING THE QUERY'S LABEL — the metadata-predicate
+    search every vector store names as a first-class feature (and the
+    case where post-filtering an unfiltered ANN result silently
+    under-fills: the filter must run INSIDE candidate generation).
+
+    Registered as the exact pre-filtered form (label partitions the
+    candidate set, so the pair stream shrinks to Σ|label|²/50 — the
+    filter IS the blocking) and fully oracle-checked; at 100 TB the
+    same shape rides the IVF router with the label as a second routing
+    key (per-label bucket lists, exactly how partitioned HNSW/IVF
+    serve filtered queries).
+    """
+    e = io.load_table_parallel(spark, sf_dir, "embeddings")
+    q = (
+        e.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("lbl"),
+            _dbl("embedding").alias("qv"),
+        )
+        .withColumn("qn", _norm(F.col("qv")))
+    )
+    c = e.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("lbl"),
+        _dbl("embedding").alias("cv"),
+    ).withColumn("cn", _norm(F.col("cv")))
+    cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    scored = (
+        q.join(c, "lbl")  # the metadata filter IS the join key / blocking
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "lbl", "cand_id", cos.alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= FILTERED_TOP_K)
+        .select(
+            "query_id",
+            F.col("lbl").alias("label"),
+            "rank",
+            "cand_id",
+            F.round("cos", 6).alias("cosine"),
+        )
+    )
+
+
+FILTERED_TOPK_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, label AS lbl,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id % {QUERY_STRIDE} = 0
+),
+c AS (
+  SELECT vec_id AS cand_id, label AS lbl,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings
+),
+scored AS (
+  SELECT query_id, q.lbl AS lbl, cand_id,
+         list_sum(list_transform(list_zip(qv, cv), p -> p[1] * p[2]))
+           / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+              * sqrt(list_sum(list_transform(cv, x -> x * x)))) AS cos
+  FROM q JOIN c ON q.lbl = c.lbl
+  WHERE query_id <> cand_id
+)
+SELECT query_id, lbl AS label, rank, cand_id, round(cos, 6) AS cosine
+FROM (
+  SELECT query_id, lbl, cand_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, cand_id ASC) AS rank
+  FROM scored
+) r
+WHERE rank <= {FILTERED_TOP_K}
+"""
+
+
 RERANK_POOL = 50  # coarse candidates per query fed to the exact stage
 
 
@@ -1074,4 +1156,5 @@ QUERIES = {
     "emb_dim_stats": (embedding_dim_stats, EMB_DIM_STATS_SQL),
     "sim_pq_topk": (pq_topk, None),
     "sim_rerank_two_stage": (rerank_two_stage, None),
+    "sim_filtered_topk": (filtered_topk, FILTERED_TOPK_SQL),
 }
