@@ -106,6 +106,7 @@ HEADLINE = [
     "layout_codec_stats",
     "ts_lttb_downsample",
     "sim_filtered_topk",
+    "ts_trend_slope",
 ]
 
 

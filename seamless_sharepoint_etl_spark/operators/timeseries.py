@@ -503,6 +503,79 @@ WHERE n >= 10
 """
 
 
+def trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type OLS trend of daily revenue — the monitoring primitive
+    behind "is this series drifting": slope of daily cents on day
+    index, computed from the four classic sums (n, Σx, Σy, Σxy, Σx²)
+    so the whole regression is ONE aggregation pass.
+
+    Exactness discipline: x is the day offset from the TYPE'S OWN
+    first day (centering keeps every product far from BIGINT range),
+    y is exact integer cents, so n·Σxy−Σx·Σy and n·Σx²−(Σx)² are
+    exact BIGINTs in both engines; the final ratio is one double
+    division of identical integers (int→double conversion and IEEE
+    division are deterministic), floored onto the micro grid.
+    """
+    ev = io.load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.floor(F.sum("value") * 100 + F.lit(0.5)).cast("long").alias("cents")
+    )
+    first = daily.groupBy("event_type").agg(F.min("d").alias("d0"))
+    xy = daily.join(F.broadcast(first), "event_type").select(
+        "event_type",
+        F.datediff("d", "d0").cast("long").alias("x"),
+        F.col("cents").alias("y"),
+    )
+    s = xy.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        "event_type",
+        "n",
+        F.floor(num / den * 1000000 + F.lit(0.5)).cast("long").alias(
+            "slope_micro_cents_per_day"
+        ),
+        F.expr("sy div n").alias("mean_daily_cents"),
+    ).orderBy("event_type")
+
+
+TREND_SLOPE_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS cents
+  FROM events GROUP BY event_type, d
+), first AS (
+  SELECT event_type, min(d) AS d0 FROM daily GROUP BY event_type
+), xy AS (
+  SELECT daily.event_type,
+         CAST(datediff('day', d0, d) AS BIGINT) AS x,
+         cents AS y
+  FROM daily JOIN first USING (event_type)
+), s AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM xy GROUP BY event_type
+)
+SELECT event_type, n,
+       CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                  / (n * sxx - sx * sx) * 1000000 + 0.5) AS BIGINT)
+         AS slope_micro_cents_per_day,
+       sy // n AS mean_daily_cents
+FROM s
+ORDER BY event_type
+"""
+
+
 LTTB_POINTS = 50
 
 
@@ -576,4 +649,5 @@ QUERIES = {
     "ts_linear_interpolate": (linear_interpolate, LINEAR_INTERPOLATE_SQL),
     "ts_daily_zscore_anomalies": (daily_zscore_anomalies, DAILY_ZSCORE_SQL),
     "ts_lttb_downsample": (lttb_downsample, None),
+    "ts_trend_slope": (trend_slope, TREND_SLOPE_SQL),
 }

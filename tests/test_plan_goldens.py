@@ -90,6 +90,18 @@ GOLDEN_QUERIES = [
     "dedup_bloom_incremental",
     "sim_pq_topk",
     "emb_dim_stats",
+    # round-3 session 2 (later waves): filtered search must stay an
+    # equi-join on the label (never a crossJoin + post-filter), the AQP
+    # sample predicate must ride the scan, rerank keeps broadcast LUT
+    # joins, perplexity tiers broadcast their 1-row cuts, the SQL
+    # gateway plans like the DataFrame form, and the decode paths stay
+    # single-pass mapInPandas
+    "sim_filtered_topk",
+    "agg_sample_estimate",
+    "sim_rerank_two_stage",
+    "text_perplexity_buckets",
+    "sql_gateway_topn",
+    "mm_ppm_decode_features",
 ]
 
 _EXCHANGE_KIND = re.compile(
