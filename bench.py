@@ -107,6 +107,7 @@ HEADLINE = [
     "ts_lttb_downsample",
     "sim_filtered_topk",
     "ts_trend_slope",
+    "win_pattern_consecutive",
 ]
 
 

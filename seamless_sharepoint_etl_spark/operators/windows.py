@@ -495,6 +495,56 @@ FROM (
 """
 
 
+def pattern_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style STRICT-contiguity pattern: per user, count
+    view→click→purchase runs with NO intervening event (the default
+    `A B C` semantics of SQL-2016 row pattern matching, vs the funnel's
+    eventually-ordered `A ... B ... C`).
+
+    Shape: two lead() taps over ONE user-partitioned ts order — the
+    pattern test is a per-row predicate after a single shuffle, and
+    adding pattern length adds lead() columns, not shuffles. Ties on
+    ts break by event_id so the row sequence is total and identical in
+    both engines.
+    """
+    ev = io.load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    matched = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("n1", F.lead("event_type", 1).over(w))
+        .withColumn("n2", F.lead("event_type", 2).over(w))
+        .filter(
+            (F.col("event_type") == "view")
+            & (F.col("n1") == "click")
+            & (F.col("n2") == "purchase")
+        )
+    )
+    return (
+        matched.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_patterns"),
+            F.min("ts").alias("first_match_ts"),
+        )
+        .orderBy("user_id")
+    )
+
+
+PATTERN_CONSECUTIVE_SQL = """
+WITH seq AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS tsc, event_type,
+         lead(event_type, 1) OVER w AS n1,
+         lead(event_type, 2) OVER w AS n2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+)
+SELECT user_id, count(*) AS n_patterns, min(tsc) AS first_match_ts
+FROM seq
+WHERE event_type = 'view' AND n1 = 'click' AND n2 = 'purchase'
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "win_topn_per_group": (topn_per_group, TOPN_PER_GROUP_SQL),
     "win_rank_dense_ntile": (rank_dense_ntile, RANK_DENSE_NTILE_SQL),
@@ -507,4 +557,5 @@ QUERIES = {
     "win_cohort_retention": (cohort_retention, COHORT_RETENTION_SQL),
     "win_sessionize_gap": (sessionize_gap, SESSIONIZE_GAP_SQL),
     "win_moving_median": (moving_median, MOVING_MEDIAN_SQL),
+    "win_pattern_consecutive": (pattern_consecutive, PATTERN_CONSECUTIVE_SQL),
 }
