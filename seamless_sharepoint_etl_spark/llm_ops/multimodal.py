@@ -410,8 +410,8 @@ def with_ppm_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = io.load_table_parallel(spark, sf_dir, "documents")
     body = F.expr(
-        f"rpad(coalesce(nullif(text, ''), ' '), {_PPM_BODY_LEN},"
-        f" coalesce(nullif(text, ''), ' '))"
+        f"rpad(coalesce(nullif(regexp_replace(text, '[^ -~]', '?'), ''), ' '), {_PPM_BODY_LEN},"
+        f" coalesce(nullif(regexp_replace(text, '[^ -~]', '?'), ''), ' '))"
     )
     return d.select(
         "doc_id",
@@ -495,8 +495,8 @@ def ppm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 PPM_DECODE_SQL = f"""
 WITH body AS (
   SELECT doc_id,
-         rpad(coalesce(nullif(text, ''), ' '), {_PPM_BODY_LEN},
-              coalesce(nullif(text, ''), ' ')) AS s
+         rpad(coalesce(nullif(regexp_replace(text, '[^ -~]', '?', 'g'), ''), ' '), {_PPM_BODY_LEN},
+              coalesce(nullif(regexp_replace(text, '[^ -~]', '?', 'g'), ''), ' ')) AS s
   FROM documents
 ), px AS (
   SELECT doc_id,
@@ -552,8 +552,8 @@ def with_wav_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     consecutive byte pair is one little-endian sample)."""
     d = io.load_table_parallel(spark, sf_dir, "documents")
     body = F.expr(
-        f"rpad(coalesce(nullif(text, ''), ' '), {_WAV_BODY_LEN},"
-        f" coalesce(nullif(text, ''), ' '))"
+        f"rpad(coalesce(nullif(regexp_replace(text, '[^ -~]', '?'), ''), ' '), {_WAV_BODY_LEN},"
+        f" coalesce(nullif(regexp_replace(text, '[^ -~]', '?'), ''), ' '))"
     )
     return d.select(
         "doc_id",
@@ -622,8 +622,8 @@ def wav_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 WAV_DECODE_SQL = f"""
 WITH body AS (
   SELECT doc_id,
-         rpad(coalesce(nullif(text, ''), ' '), {_WAV_BODY_LEN},
-              coalesce(nullif(text, ''), ' ')) AS s
+         rpad(coalesce(nullif(regexp_replace(text, '[^ -~]', '?', 'g'), ''), ' '), {_WAV_BODY_LEN},
+              coalesce(nullif(regexp_replace(text, '[^ -~]', '?', 'g'), ''), ' ')) AS s
   FROM documents
 ), smp AS (
   SELECT doc_id,
@@ -665,8 +665,8 @@ def with_video_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-describing header ``RAWV<w><h><n>`` (one byte each)."""
     d = io.load_table_parallel(spark, sf_dir, "documents")
     body = F.expr(
-        f"rpad(coalesce(nullif(text, ''), ' '), {_VID_BODY_LEN},"
-        f" coalesce(nullif(text, ''), ' '))"
+        f"rpad(coalesce(nullif(regexp_replace(text, '[^ -~]', '?'), ''), ' '), {_VID_BODY_LEN},"
+        f" coalesce(nullif(regexp_replace(text, '[^ -~]', '?'), ''), ' '))"
     )
     header = bytes([0x52, 0x41, 0x57, 0x56, VID_W, VID_H, VID_FRAMES])  # RAWV
     return d.select(
@@ -730,8 +730,8 @@ _VID_SAMPLED = list(range(0, VID_FRAMES, VID_SAMPLE_EVERY))
 VIDEO_DECODE_SQL = f"""
 WITH body AS (
   SELECT doc_id,
-         rpad(coalesce(nullif(text, ''), ' '), {_VID_BODY_LEN},
-              coalesce(nullif(text, ''), ' ')) AS s
+         rpad(coalesce(nullif(regexp_replace(text, '[^ -~]', '?', 'g'), ''), ' '), {_VID_BODY_LEN},
+              coalesce(nullif(regexp_replace(text, '[^ -~]', '?', 'g'), ''), ' ')) AS s
   FROM documents
 ), px AS (
   -- pixel i of sampled frame f (0-based), valued by its byte

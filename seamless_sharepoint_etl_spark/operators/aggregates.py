@@ -769,10 +769,9 @@ AQP_MOD = 20  # 1-in-20 deterministic sample → scale factor 20
 def sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AQP sum/count estimation from a 5% DETERMINISTIC hash sample —
     what a dashboard runs when the exact scan is too expensive, made
-    reproducible: membership is ``xxhash64(row-key) % 20 == 0``, not
+    reproducible: membership is a portable per-row hash mod 20, not
     Bernoulli randomness, so the estimate is a pure function of the
-    data (the oracle recomputes the identical sample... via the same
-    portable polynomial hash family DuckDB can evaluate).
+    data and the oracle recomputes the identical sample.
 
     At 100 TB the sample predicate rides the scan (evaluated per row,
     nothing shuffles but the sampled 5%), and the estimate's error is
@@ -783,9 +782,13 @@ def sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = io.load_table(spark, sf_dir, "lineitem")
     # portable per-row hash (same fold DuckDB runs — xxhash64 is not
-    # available there): key on the unique (orderkey, linenumber) pair
+    # available there), keyed on the unique (orderkey, linenumber)
+    # pair. The pre-mod bounds the product at ~2.7e15 regardless of
+    # table scale — without it, orderkey × 2654435761 overflows BIGINT
+    # around SF 600 (silent wrap in Spark, error in DuckDB).
     h = F.pmod(
-        F.col("l_orderkey") * 2654435761 + F.col("l_linenumber") * 40503,
+        (F.col("l_orderkey") % 1000003) * 2654435761
+        + F.col("l_linenumber") * 40503,
         F.lit(AQP_MOD),
     )
     return (
@@ -804,7 +807,7 @@ SELECT l_returnflag,
        count(*) * {AQP_MOD} AS est_rows,
        round(sum(l_extendedprice) * {AQP_MOD}, 2) AS est_revenue
 FROM lineitem
-WHERE (l_orderkey * 2654435761 + l_linenumber * 40503) % {AQP_MOD} = 0
+WHERE ((l_orderkey % 1000003) * 2654435761 + l_linenumber * 40503) % {AQP_MOD} = 0
 GROUP BY l_returnflag
 ORDER BY l_returnflag
 """

@@ -582,7 +582,8 @@ def auto_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("c").alias("mx"), F.sum("c").alias("tot"))
         .collect()[0]
     )
-    skewed = prof["mx"] * 10000 > SKEW_SHARE_BP * prof["tot"]
+    # empty filtered side → max/sum are NULL: nothing to salt
+    skewed = bool(prof["tot"]) and prof["mx"] * 10000 > SKEW_SHARE_BP * prof["tot"]
     if skewed:
         big = li.withColumn(
             "salt",

@@ -119,7 +119,7 @@ def commit_upsert(
          for new ones in one step — readers see old or new, never a
          mix, and a replayed txn_id is a no-op (exactly-once).
     """
-    import posixpath
+    from urllib.parse import unquote, urlparse
 
     from pyspark.sql import functions as F
 
@@ -130,10 +130,13 @@ def commit_upsert(
     untouched = list(snap["files"])
     survivors = None
     if snap["files"]:
+        # input_file_name() reports file:// URIs (possibly percent-
+        # encoded, possibly through symlinks) — normalize BOTH sides to
+        # realpath before mapping back to manifest-relative paths, and
+        # fail loudly on an unmappable URI rather than leave the old
+        # file referenced alongside its rewrite (duplicate keys).
         abs_of = {
-            # file:// URI as input_file_name reports it → relative path
-            "file://" + os.path.abspath(os.path.join(root, f)): f
-            for f in snap["files"]
+            os.path.realpath(os.path.join(root, f)): f for f in snap["files"]
         }
         old = spark.read.parquet(
             *[os.path.join(root, f) for f in snap["files"]]
@@ -146,7 +149,12 @@ def commit_upsert(
             .distinct()
             .collect()
         ]
-        touched = {abs_of.get(u, posixpath.relpath(u, "file://" + os.path.abspath(root))) for u in touched_uris}
+        touched = set()
+        for u in touched_uris:
+            p = os.path.realpath(unquote(urlparse(u).path))
+            if p not in abs_of:
+                raise ValueError(f"unmappable data file URI in upsert: {u}")
+            touched.add(abs_of[p])
         if touched:
             untouched = [f for f in snap["files"] if f not in touched]
             survivors = spark.read.parquet(

@@ -551,6 +551,23 @@ def run_stream_to_upsert_sink(
             .filter(F.col("rn") == 1)
             .drop("rn")
         )
+        # event-time guard: a late-arriving batch must not regress a
+        # user's row to an OLDER event — fold the sink's current rows
+        # for the touched users into the latest-wins pick, so the merge
+        # is monotone in event time no matter how batches arrive
+        cur = sinks.read_snapshot(spark, sink_dir)
+        if cur is not None:
+            existing = cur.join(
+                F.broadcast(latest.select("user_id").distinct()),
+                "user_id",
+                "left_semi",
+            )
+            latest = (
+                latest.unionByName(existing)
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .drop("rn")
+            )
         sinks.commit_upsert(
             spark, latest, sink_dir, ["user_id"], txn_id=f"up-{batch_id:05d}"
         )

@@ -318,3 +318,49 @@ def test_stream_upsert_sink_converges_to_latest_per_user(spark, stream_src, tmp_
     assert snap["txns"] == [f"up-{i:05d}" for i in range(4)]
     for f in snap["files"]:
         assert os.path.exists(os.path.join(sink, f))
+
+
+def test_stream_upsert_out_of_order_batches_keep_latest(spark, tmp_path):
+    """Event-time guard: a LATE-arriving batch (older ts processed
+    after a newer one) must not regress the serving table — the merge
+    folds the sink's current row into the latest-wins pick."""
+    import datetime
+    import glob
+    import os
+    import shutil
+
+    from seamless_sharepoint_etl_spark import sinks
+    from seamless_sharepoint_etl_spark.streaming import jobs
+
+    def ts(h):
+        return datetime.datetime(2024, 1, 1, h, 0, 0)
+
+    flat = str(tmp_path / "ooo_src")
+    os.makedirs(flat)
+    chunks = [
+        # processed FIRST (mtime 1): the NEWER event
+        [(2, ts(10), 1, "click", 2.0), (10, ts(8), 7, "view", 1.0)],
+        # processed SECOND (mtime 2): a late event, older ts
+        [(1, ts(9), 1, "view", 1.0), (11, ts(9), 7, "click", 3.0)],
+    ]
+    for k, rows in enumerate(chunks):
+        staging = str(tmp_path / f"c{k}")
+        spark.createDataFrame(
+            rows, "event_id LONG, ts TIMESTAMP, user_id LONG,"
+            " event_type STRING, value DOUBLE"
+        ).coalesce(1).write.mode("overwrite").parquet(staging)
+        src = glob.glob(os.path.join(staging, "*.parquet"))[0]
+        dst = os.path.join(flat, f"{k:02d}.parquet")
+        shutil.copy(src, dst)
+        os.utime(dst, (1_700_000_000 + k, 1_700_000_000 + k))
+
+    sink = str(tmp_path / "ooo_sink")
+    jobs.run_stream_to_upsert_sink(spark, flat, str(tmp_path / "ck"), sink)
+    got = {
+        r["user_id"]: (r["event_id"], r["ts"])
+        for r in sinks.read_snapshot(spark, sink).collect()
+    }
+    # user 1: the late 09:00 event must NOT displace the 10:00 row
+    assert got[1] == (2, ts(10))
+    # user 7: 09:00 arrived after 08:00 and IS newer -> replaces
+    assert got[7] == (11, ts(9))
