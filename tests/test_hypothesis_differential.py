@@ -337,3 +337,36 @@ def test_portable_polynomial_hash_matches(spark, words):
         )
     )
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**62),  # adversarial orderkeys
+            st.integers(min_value=0, max_value=7),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@SETTINGS
+def test_aqp_sample_hash_matches_and_never_overflows(spark, rows):
+    """agg_sample_estimate's pre-mod hash: identical sample membership
+    in both engines for orderkeys up to 2^62 — the regime where the
+    un-pre-modded product would overflow BIGINT."""
+    import pyspark.sql.functions as F
+
+    from seamless_sharepoint_etl_spark.operators.aggregates import AQP_MOD
+
+    pdf = pd.DataFrame(
+        {"k": pd.array([k for k, _ in rows], dtype="int64"),
+         "ln": pd.array([l for _, l in rows], dtype="int64")}
+    )
+    sdf = spark.createDataFrame(pdf)
+    h = F.pmod((F.col("k") % 1000003) * 2654435761 + F.col("ln") * 40503,
+               F.lit(AQP_MOD))
+    got = sorted((r["k"], r["ln"], r["h"]) for r in sdf.select("k", "ln", h.alias("h")).collect())
+    want = sorted(
+        _duck(pdf, f"SELECT k, ln, ((k % 1000003) * 2654435761 + ln * 40503) % {AQP_MOD} AS h FROM t")
+    )
+    assert got == want
