@@ -1030,8 +1030,130 @@ def bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_TERMS = ("hash", "join", "vector")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP = 20
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval: top-k documents for a fixed multi-term
+    query — the lexical-search half of a retrieval stack (the ANN
+    family in ``similarity`` is the dense half).
+
+    Plan: the cached token spine is filtered to the query terms BEFORE
+    the tf aggregate (predicate on the narrow persisted relation — the
+    inverted-index access path, no full-corpus tf table is ever
+    built); document lengths and corpus stats are one groupBy over the
+    same spine; per-term document frequencies (≤ |terms| rows) and the
+    1-row corpus stats broadcast into the scoring join. The dl join is
+    left to AQE: matched docs are term-selectivity-sized, broadcastable
+    for rare terms, shuffle-join for stopword-like ones.
+
+    Cross-engine float discipline (NOTES traps 1/9): each term's
+    contribution is an identical expression tree on both engines, the
+    per-document total adds the ≤1-row per-term sums in FIXED written
+    order (never a float sum over an engine-ordered group), and the
+    score ships as integer basis points, so ranking and hashing cannot
+    flap. ``k1=1.2, b=0.75`` (the standard Robertson parameters),
+    Lucene's ``ln(1 + (N-df+0.5)/(df+0.5))`` non-negative idf.
+    """
+    toks = _token_relation(spark, sf_dir)
+    dls = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dls.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tf = (
+        toks.filter(F.col("token").isin(*BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dls, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "token",
+            (
+                F.log(
+                    (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                    + F.lit(1.0)
+                )
+                * (F.col("tf") * F.lit(BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + F.lit(BM25_K1)
+                    * (
+                        F.lit(1 - BM25_B)
+                        + F.lit(BM25_B)
+                        * (F.col("dl") * F.col("n_docs") / F.col("sum_dl"))
+                    )
+                )
+            ).alias("c"),
+        )
+    )
+    per_term = contrib.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("token") == t, F.col("c"))).alias(f"c{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ]
+    )
+    total = sum(
+        (F.coalesce(F.col(f"c{i}"), F.lit(0.0)) for i in range(1, len(BM25_TERMS))),
+        F.coalesce(F.col("c0"), F.lit(0.0)),
+    )
+    return (
+        per_term.select(
+            "doc_id",
+            F.floor(total * 10000 + F.lit(0.5)).cast("long").alias("score_bp"),
+        )
+        .orderBy(F.desc("score_bp"), F.asc("doc_id"))
+        .limit(BM25_TOP)
+    )
+
+
+_BM25_CASES = ",\n        ".join(
+    f"sum(CASE WHEN tok = '{t}' THEN c END) AS c{i}"
+    for i, t in enumerate(BM25_TERMS)
+)
+_BM25_TOTAL = " + ".join(f"coalesce(c{i}, 0.0)" for i in range(len(BM25_TERMS)))
+
+BM25_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), dls AS (
+  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+), st AS (
+  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dls
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks
+  WHERE tok IN {BM25_TERMS} GROUP BY doc_id, tok
+), dfr AS (
+  SELECT tok, count(*) AS df FROM tf GROUP BY tok
+), contrib AS (
+  SELECT doc_id, tok,
+         ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * (tf * {BM25_K1 + 1}) / (tf + {BM25_K1} * ({1 - BM25_B} + {BM25_B}
+               * (dl * n_docs / sum_dl))) AS c
+  FROM tf JOIN dfr USING (tok) JOIN dls USING (doc_id) CROSS JOIN st
+), per_term AS (
+  SELECT doc_id, {_BM25_CASES}
+  FROM contrib GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(floor(({_BM25_TOTAL}) * 10000 + 0.5) AS BIGINT) AS score_bp
+FROM per_term
+ORDER BY score_bp DESC, doc_id ASC
+LIMIT {BM25_TOP}
+"""
+
+
 QUERIES = {
     "text_token_stats": (token_stats, TOKEN_STATS_SQL),
+    "text_bm25_topk": (bm25_topk, BM25_SQL),
     "text_quality_score": (quality_score, QUALITY_SCORE_SQL),
     "text_langid_confusion": (langid_confusion, LANGID_SQL),
     "text_fingerprint": (fingerprint, FINGERPRINT_SQL),

@@ -1,4 +1,12 @@
-"""Classic multi-join OLAP queries (TPC-H Q3/Q5/Q10/Q18 shapes).
+"""Classic multi-join OLAP queries — the full 22-shape TPC-H suite.
+
+Q1 lives in ``aggregates.pricing_summary``; the other 21 shapes are
+here, each adapted to the fixture schema (no partsupp / commitdate /
+shipmode columns — the adaptations keep every query's *plan shape*:
+Q2's decorrelated scalar-MIN subquery, Q4's non-equi EXISTS, Q9's
+five-way profit tree, Q11's global-scalar HAVING, Q12's conditional
+aggregation, Q13's filtered outer join + agg-of-agg, Q20's
+semi-join against an aggregating subquery, and so on).
 
 The single-table aggregates (``aggregates.pricing_summary`` = Q1) and
 two-table joins prove operators in isolation; these prove the engine
@@ -848,19 +856,476 @@ ORDER BY cntrycode
 """
 
 
+Q2_REGION = "EUROPE"
+Q2_TYPE = "ECONOMY"
+Q2_MAX_SIZE = 10
+Q2_TOP = 20
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: for each qualifying part, the supplier in one region
+    with the minimum observed cost — TPC-H's correlated scalar MIN
+    subquery, decorrelated into a per-part aggregate joined back.
+
+    Without a partsupp table the observed part↔supplier cost relation
+    is built from lineitem (total cents per pair — exact BIGINTs, so
+    the min and its tie-break can never flap cross-engine; NOTES
+    trap 1). The decorrelation is the point: ``min per part`` is a
+    partkey-grouped aggregate reusing the same shuffle key as the
+    join that consumes it, and ties resolve to the lowest suppkey via
+    a second tiny aggregate rather than a window. region/nation/part
+    filters are broadcast; the single fact shuffle is on partkey.
+    """
+    n = io.load_table(spark, sf_dir, "nation")
+    r = io.load_table(spark, sf_dir, "region").filter(F.col("r_name") == Q2_REGION)
+    sup = (
+        io.load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    pts = io.load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == Q2_TYPE) & (F.col("p_size") <= Q2_MAX_SIZE)
+    ).select("p_partkey", "p_name")
+    li = io.load_table(spark, sf_dir, "lineitem")
+    offers = (
+        li.join(F.broadcast(pts), li.l_partkey == pts.p_partkey)
+        .join(F.broadcast(sup.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("cents")
+        )
+    )
+    mins = offers.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.min("cents").alias("min_cents")
+    )
+    best = (
+        offers.join(
+            mins,
+            (offers.l_partkey == F.col("pk"))
+            & (offers.cents == F.col("min_cents")),
+        )
+        .groupBy("l_partkey", "min_cents")
+        .agg(F.min("l_suppkey").alias("best_suppkey"))
+    )
+    return (
+        best.join(F.broadcast(pts), best.l_partkey == pts.p_partkey)
+        .join(F.broadcast(sup), best.best_suppkey == sup.s_suppkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            F.round(F.col("min_cents") / 100.0, 2).alias("best_cost"),
+            F.col("best_suppkey").alias("s_suppkey"),
+            "s_name",
+            "n_name",
+        )
+        .orderBy(F.asc("min_cents"), F.asc("p_partkey"))
+        .limit(Q2_TOP)
+    )
+
+
+Q2_SQL = f"""
+WITH sup AS (
+  SELECT s_suppkey, s_name, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = '{Q2_REGION}'
+), pts AS (
+  SELECT p_partkey, p_name FROM part
+  WHERE p_type = '{Q2_TYPE}' AND p_size <= {Q2_MAX_SIZE}
+), offers AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem
+  JOIN pts ON l_partkey = p_partkey
+  JOIN sup ON l_suppkey = s_suppkey
+  GROUP BY l_partkey, l_suppkey
+), mins AS (
+  SELECT l_partkey, min(cents) AS min_cents FROM offers GROUP BY l_partkey
+), best AS (
+  SELECT o.l_partkey, m.min_cents, min(o.l_suppkey) AS best_suppkey
+  FROM offers o JOIN mins m
+    ON o.l_partkey = m.l_partkey AND o.cents = m.min_cents
+  GROUP BY o.l_partkey, m.min_cents
+)
+SELECT p_partkey, p_name,
+       round(min_cents / 100.0, 2) AS best_cost,
+       best_suppkey AS s_suppkey, s_name, n_name
+FROM best
+JOIN pts ON l_partkey = p_partkey
+JOIN sup ON best_suppkey = s_suppkey
+ORDER BY min_cents ASC, p_partkey ASC
+LIMIT {Q2_TOP}
+"""
+
+
+Q4_FROM = "1997-01-01"
+Q4_TO = "1997-04-01"
+
+
+def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: order-priority counts over orders with at least one
+    late line — the canonical EXISTS → left-semi join.
+
+    The fixture has no commit/receipt dates, so "late" is a lineitem
+    shipped after its order date — which makes the semi-join condition
+    deliberately NON-equi on top of the orderkey equi-key
+    (``l_shipdate > o_orderdate``), proving residual predicates ride
+    the semi-join. One shuffle on orderkey; the quarter filter reaches
+    the orders scan.
+    """
+    o = io.load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= Q4_FROM) & (F.col("o_orderdate") < Q4_TO)
+    )
+    li = io.load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_cnt"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_SQL = f"""
+SELECT o_orderpriority, count(*) AS order_cnt
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{Q4_FROM}'
+  AND o_orderdate < TIMESTAMP '{Q4_TO}'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+Q9_NAME_FRAGMENT = "ge"
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape: profit by supplier nation × order year over a
+    name-filtered part family — the widest join tree in the suite
+    (lineitem ⋈ part ⋈ supplier ⋈ nation ⋈ orders) with an
+    expression-level measure combining columns from three tables.
+
+    Supply cost stands in as ``0.6 × p_retailprice × quantity``
+    (no partsupp table). nation/part/supplier broadcast; orders join
+    shuffles on orderkey — the one fact-sized exchange. The profit
+    sum runs entirely in exact integer space (1e-4-dollar units:
+    ``cents × (100 - discount_bp) - 60 × retail_cents × qty`` as
+    BIGINT — prices are 2dp, discounts are whole basis-hundredths,
+    quantities integral), then divides by 10000.0 once: both engines
+    produce the identical IEEE double with NO round() boundary to
+    flap (NOTES trap 1 — round(sum-of-floats, 2) flapped at the .005
+    boundary on this very query at sf0.01). At 1e12-row scale the
+    BIGINT partial sums approach 2^63; a 100 TB deployment would sum
+    as DECIMAL(38,0) — same plan shape.
+    """
+    p = io.load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains(Q9_NAME_FRAGMENT)
+    )
+    s = io.load_table(spark, sf_dir, "supplier")
+    n = io.load_table(spark, sf_dir, "nation")
+    o = io.load_table(spark, sf_dir, "orders")
+    li = io.load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            (
+                F.sum(
+                    F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+                    * (
+                        F.lit(100)
+                        - F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+                    )
+                    - F.lit(60)
+                    * F.floor(F.col("p_retailprice") * 100 + F.lit(0.5)).cast("long")
+                    * F.col("l_quantity").cast("long")
+                )
+                / F.lit(10000.0)
+            ).alias("profit")
+        )
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+Q9_SQL = f"""
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+         - 60 * CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+             * CAST(l_quantity AS BIGINT)
+       ) AS BIGINT) / 10000.0 AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%{Q9_NAME_FRAGMENT}%'
+GROUP BY n_name, year(o_orderdate)
+ORDER BY n_name ASC, year(o_orderdate) DESC
+"""
+
+
+Q11_NATION = "NATION_7"
+Q11_TOP = 100
+
+
+def q11_important_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: parts whose value held by one nation's suppliers
+    exceeds a fraction of that nation's total — HAVING against a
+    global scalar subquery.
+
+    Value is exact cents (BIGINT), the global total is a 1-row
+    aggregate cross-joined (broadcast) into the HAVING filter, and the
+    threshold compares ``cents * n_parts > 2 * total`` in integer
+    space — the scale-free "more than 2× the mean part" test that
+    cannot flap and keeps selectivity stable as SF grows. Two
+    shuffles: the partkey aggregate and nothing else; the 1-row total
+    is a broadcast.
+    """
+    n = io.load_table(spark, sf_dir, "nation").filter(F.col("n_name") == Q11_NATION)
+    sup = (
+        io.load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_suppkey")
+    )
+    li = io.load_table(spark, sf_dir, "lineitem")
+    value = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("cents")
+        )
+    )
+    total = value.agg(
+        F.sum("cents").alias("tot"), F.count(F.lit(1)).alias("n_parts")
+    )
+    return (
+        value.crossJoin(F.broadcast(total))
+        .filter(F.col("cents") * F.col("n_parts") > 2 * F.col("tot"))
+        .select(
+            "l_partkey",
+            F.round(F.col("cents") / 100.0, 2).alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), F.asc("l_partkey"))
+        .limit(Q11_TOP)
+    )
+
+
+Q11_SQL = f"""
+WITH sup AS (
+  SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = '{Q11_NATION}'
+), v AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem JOIN sup ON l_suppkey = s_suppkey
+  GROUP BY l_partkey
+), t AS (
+  SELECT CAST(sum(cents) AS BIGINT) AS tot, count(*) AS n_parts FROM v
+)
+SELECT l_partkey, round(cents / 100.0, 2) AS part_value
+FROM v, t
+WHERE cents * n_parts > 2 * tot
+ORDER BY part_value DESC, l_partkey ASC
+LIMIT {Q11_TOP}
+"""
+
+
+Q12_FROM = "1997-01-01"
+Q12_TO = "1998-01-01"
+Q12_MODES = ("R", "A")
+Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+
+def q12_priority_by_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: per-shipmode counts of high- vs low-priority orders —
+    the join + conditional-aggregation (CASE inside SUM) pattern.
+
+    l_returnflag stands in for l_shipmode (the fixture carries no mode
+    column). The CASE branches are evaluated post-join JVM-side;
+    orders⋈lineitem shuffles on orderkey; the year + flag filters
+    reach the lineitem scan as pushed predicates.
+    """
+    o = io.load_table(spark, sf_dir, "orders")
+    li = io.load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= Q12_FROM)
+        & (F.col("l_shipdate") < Q12_TO)
+        & F.col("l_returnflag").isin(*Q12_MODES)
+    )
+    high = F.col("o_orderpriority").isin(*Q12_HIGH)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("l_returnflag").alias("ship_mode"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("ship_mode")
+    )
+
+
+Q12_SQL = f"""
+SELECT l_returnflag AS ship_mode,
+       CAST(sum(CASE WHEN o_orderpriority IN {Q12_HIGH} THEN 1 ELSE 0 END) AS BIGINT)
+         AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN {Q12_HIGH} THEN 0 ELSE 1 END) AS BIGINT)
+         AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '{Q12_FROM}'
+  AND l_shipdate < TIMESTAMP '{Q12_TO}'
+  AND l_returnflag IN {Q12_MODES}
+GROUP BY ship_mode
+ORDER BY ship_mode
+"""
+
+
+Q13_EXCLUDED = "4-NOT SPECIFIED"
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: distribution of per-customer order counts — a LEFT
+    OUTER join whose JOIN CONDITION carries a non-key filter (so
+    customers with only excluded orders still appear with count 0),
+    followed by aggregation over an aggregate.
+
+    ``count(o_orderkey)`` counts non-null keys in both engines, which
+    is what makes the outer join visible in the result. Two shuffles
+    (custkey join+agg, then the tiny count-of-counts); the second
+    aggregate's input is at most one row per customer and its output
+    at most the distinct-count values — trivially scale-safe.
+    """
+    c = io.load_table(spark, sf_dir, "customer")
+    o = io.load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != Q13_EXCLUDED
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q13_SQL = f"""
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '{Q13_EXCLUDED}'
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+Q20_TYPE = "PROMO"
+Q20_FROM = "1997-01-01"
+Q20_TO = "1998-01-01"
+
+
+def q20_supplier_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: suppliers whose shipped volume of one part family in
+    one year beats a quota — IN over an aggregating subquery, i.e. a
+    semi-join against a derived aggregate.
+
+    The quota is scale-free ("more than 1.5× the mean supplier's
+    volume"), compared in exact integer space
+    (``2 * qty * n > 3 * total`` over BIGINT quantity sums — the
+    fixture's quantities are integral doubles). The aggregate subquery
+    shuffles on suppkey; its result (≤ |supplier| rows) semi-joins
+    back as a broadcast. part filter broadcasts into the fact scan.
+    """
+    p = io.load_table(spark, sf_dir, "part").filter(F.col("p_type") == Q20_TYPE)
+    li = io.load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= Q20_FROM) & (F.col("l_shipdate") < Q20_TO)
+    )
+    shipped = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+    )
+    total = shipped.agg(
+        F.sum("qty").alias("tot"), F.count(F.lit(1)).alias("n_sup")
+    )
+    heavy = (
+        shipped.crossJoin(F.broadcast(total))
+        .filter(F.lit(2) * F.col("qty") * F.col("n_sup") > 3 * F.col("tot"))
+        .select("l_suppkey")
+    )
+    s = io.load_table(spark, sf_dir, "supplier")
+    n = io.load_table(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(heavy), s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
+
+
+Q20_SQL = f"""
+WITH shipped AS (
+  SELECT l_suppkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = '{Q20_TYPE}'
+    AND l_shipdate >= TIMESTAMP '{Q20_FROM}'
+    AND l_shipdate < TIMESTAMP '{Q20_TO}'
+  GROUP BY l_suppkey
+), t AS (
+  SELECT CAST(sum(qty) AS BIGINT) AS tot, count(*) AS n_sup FROM shipped
+)
+SELECT s_suppkey, s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM shipped, t WHERE 2 * qty * n_sup > 3 * tot
+)
+ORDER BY s_suppkey
+"""
+
+
 QUERIES = {
+    "olap_q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
     "olap_q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
+    "olap_q4_priority_exists": (q4_priority_exists, Q4_SQL),
     "olap_q5_local_supplier_volume": (q5_local_supplier_volume, Q5_SQL),
     "olap_q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
     "olap_q7_nation_volume": (q7_nation_volume, Q7_SQL),
     "olap_q8_market_share": (q8_market_share, Q8_SQL),
+    "olap_q9_product_profit": (q9_product_profit, Q9_SQL),
     "olap_q10_returned_items": (q10_returned_items, Q10_SQL),
+    "olap_q11_important_share": (q11_important_share, Q11_SQL),
+    "olap_q12_priority_by_mode": (q12_priority_by_mode, Q12_SQL),
+    "olap_q13_customer_distribution": (q13_customer_distribution, Q13_SQL),
     "olap_q14_promo_share": (q14_promo_share, Q14_SQL),
     "olap_q15_top_supplier": (q15_top_supplier, Q15_SQL),
     "olap_q16_supplier_variety": (q16_supplier_variety, Q16_SQL),
     "olap_q17_small_qty_revenue": (q17_small_qty_revenue, Q17_SQL),
     "olap_q18_large_volume_customers": (q18_large_volume_customers, Q18_SQL),
     "olap_q19_disjunctive_join": (q19_disjunctive_join, Q19_SQL),
+    "olap_q20_supplier_quota": (q20_supplier_quota, Q20_SQL),
     "olap_q21_late_suppliers": (q21_late_suppliers, Q21_SQL),
     "olap_q22_dormant_customers": (q22_dormant_customers, Q22_SQL),
 }
