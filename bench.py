@@ -108,6 +108,15 @@ HEADLINE = [
     "sim_filtered_topk",
     "ts_trend_slope",
     "win_pattern_consecutive",
+    # round-3 session 3: the suite-completing TPC-H shapes (widest
+    # tree, decorrelated MIN, outer-join distribution), BM25 lexical
+    # retrieval over the cached token spine, one-pass profiler, k-core
+    "olap_q2_min_cost_supplier",
+    "olap_q9_product_profit",
+    "olap_q13_customer_distribution",
+    "text_bm25_topk",
+    "diag_table_profile",
+    "graph_kcore",
 ]
 
 

@@ -143,7 +143,75 @@ FROM deg GROUP BY degree ORDER BY degree
 """
 
 
+KCORE_K = 2
+KCORE_MAX_ROUNDS = 50
+
+
+def kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=2) of the near-dup graph — the standard
+    "dense boilerplate cluster" extractor: iteratively peel vertices
+    with degree < k until the remaining subgraph's minimum degree is
+    ≥ k. The 2-core drops every pendant chain and keeps only vertices
+    that sit on cycles of near-duplication — template spam, not
+    coincidental pairs.
+
+    Distributed peel: each round is (a) restrict edges to surviving
+    vertices — two vertex-keyed semi-joins, (b) recount degrees — one
+    vertex-keyed aggregate, (c) filter. Rounds are data-dependent
+    (peel depth, not diameter); each round's surviving-vertex relation
+    is persisted and forced eagerly so the plan never nests (NOTES
+    trap 4), with the previous round unpersisted. Converges when the
+    vertex count stops shrinking; a round cap raises rather than
+    silently returning a non-core (same backstop policy as the CC
+    labeler). Rows-only for the driver (iterative fixpoints aren't
+    single-statement SQL); the pytest gate re-peels the collected
+    edge list exactly in Python and compares sets.
+    """
+    e = _edges(spark, sf_dir).persist()
+    e.count()
+
+    def degrees(edges: DataFrame) -> DataFrame:
+        return (
+            edges.select(F.col("id_lo").alias("v"))
+            .unionAll(edges.select(F.col("id_hi").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+
+    cur_edges = e
+    prev_n = -1
+    for _ in range(KCORE_MAX_ROUNDS):
+        verts = degrees(cur_edges).filter(F.col("deg") >= KCORE_K).persist()
+        n = verts.count()
+        if n == prev_n:
+            core = verts
+            break
+        nxt = (
+            cur_edges.join(
+                verts.select(F.col("v").alias("id_lo")), "id_lo", "left_semi"
+            )
+            .join(verts.select(F.col("v").alias("id_hi")), "id_hi", "left_semi")
+            .persist()
+        )
+        nxt.count()
+        if cur_edges is not e:
+            cur_edges.unpersist()
+        cur_edges = nxt
+        prev_n = n
+    else:
+        raise RuntimeError(
+            f"k-core peel did not converge in {KCORE_MAX_ROUNDS} rounds"
+        )
+    out = core.select(
+        F.col("v").alias("vec_id"), F.col("deg").alias("core_degree")
+    ).orderBy("vec_id")
+    if cur_edges is not e:
+        cur_edges.unpersist()
+    return out
+
+
 QUERIES = {
     "graph_triangle_stats": (triangle_stats, TRIANGLE_STATS_SQL),
     "graph_degree_histogram": (degree_histogram, DEGREE_HISTOGRAM_SQL),
+    "graph_kcore": (kcore, None),
 }

@@ -405,8 +405,95 @@ def codec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("codec")
 
 
+# (column, kind) — kind drives the numeric min/max encoding: bigint
+# and double cast straight, timestamps profile as epoch days, strings
+# carry NULL min/max (their value domain is the n_distinct column).
+PROFILE_COLS = (
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "date"),
+    ("o_orderpriority", "str"),
+)
+
+
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiler over ``orders`` — the stats sweep a
+    platform runs on every new table (null rates, exact cardinalities,
+    numeric ranges) before choosing partition keys and join strategies.
+
+    ALL columns profile in a single aggregation job: per-column
+    count/min/max are one partial-agg pass, and the exact
+    count-distincts share one Expand-based aggregate (Spark rewrites
+    multiple DISTINCTs into an Expand ×6 + two-phase agg — one shuffle
+    total, factor-of-columns map-side inflation, the standard
+    trade for exactness; a 100 TB profile would swap in
+    approx_count_distinct per column and lose the Expand). The 1-row
+    aggregate then unpivots via ``stack`` into (column, stats) rows —
+    never a per-column scan loop.
+    """
+    o = io.load_table(spark, sf_dir, "orders")
+
+    def _num(col: str, kind: str):
+        if kind == "num":
+            return F.col(col).cast("double")
+        if kind == "date":
+            return F.datediff(F.col(col), F.lit("1970-01-01")).cast("double")
+        return F.lit(None).cast("double")
+
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c, kind in PROFILE_COLS:
+        aggs += [
+            F.count(F.col(c)).alias(f"nn_{c}"),
+            F.countDistinct(F.col(c)).alias(f"nd_{c}"),
+            F.min(_num(c, kind)).alias(f"mn_{c}"),
+            F.max(_num(c, kind)).alias(f"mx_{c}"),
+        ]
+    one = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c, _ in PROFILE_COLS
+    )
+    return one.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(PROFILE_COLS)}, {stack_args}) AS "
+            "(column_name, n_nonnull, n_distinct, min_num, max_num)"
+        ),
+    ).select(
+        "column_name",
+        "n_rows",
+        (F.col("n_rows") - F.col("n_nonnull")).alias("n_nulls"),
+        "n_distinct",
+        "min_num",
+        "max_num",
+    ).orderBy("column_name")
+
+
+def _profile_branch(col: str, kind: str) -> str:
+    if kind == "num":
+        mn, mx = f"min(CAST({col} AS DOUBLE))", f"max(CAST({col} AS DOUBLE))"
+    elif kind == "date":
+        mn = f"min(CAST(date_diff('day', DATE '1970-01-01', CAST({col} AS DATE)) AS DOUBLE))"
+        mx = f"max(CAST(date_diff('day', DATE '1970-01-01', CAST({col} AS DATE)) AS DOUBLE))"
+    else:
+        mn = mx = "CAST(NULL AS DOUBLE)"
+    return (
+        f"SELECT '{col}' AS column_name, count(*) AS n_rows,\n"
+        f"       count(*) - count({col}) AS n_nulls,\n"
+        f"       count(DISTINCT {col}) AS n_distinct,\n"
+        f"       {mn} AS min_num, {mx} AS max_num FROM orders"
+    )
+
+
+TABLE_PROFILE_SQL = "\nUNION ALL\n".join(
+    _profile_branch(c, k) for c, k in PROFILE_COLS
+) + "\nORDER BY column_name"
+
+
 QUERIES = {
     "layout_zorder_stats": (zorder_stats, ZORDER_STATS_SQL),
+    "diag_table_profile": (table_profile, TABLE_PROFILE_SQL),
     "diag_join_key_skew": (join_key_skew, JOIN_KEY_SKEW_SQL),
     "layout_partition_pruned_read": (partition_pruned_read, PARTITION_PRUNED_SQL),
     "layout_compaction_read": (compaction_read, COMPACTION_READ_SQL),

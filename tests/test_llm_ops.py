@@ -920,3 +920,35 @@ def test_session2_ops_survive_degenerate_docs(spark, tmp_path):
         assert r["n_samples"] == multimodal.WAV_N_SAMPLES
     for r in multimodal.video_decode_features(spark, d).collect():
         assert r["n_frames"] == multimodal.VID_FRAMES
+
+
+def test_kcore_matches_exact_python_peel(spark):
+    """graph_kcore must equal the exact sequential peel of the same
+    edge list — the k-core is unique, so set equality IS correctness,
+    and the reported core_degree must be the degree within the core."""
+    from collections import defaultdict
+
+    from seamless_sharepoint_etl_spark.llm_ops import graph
+
+    edges = [
+        (r["id_lo"], r["id_hi"])
+        for r in graph._edges(spark, SF_DIR).collect()
+    ]
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    # exact peel
+    alive = {v for v in adj if len(adj[v]) >= graph.KCORE_K}
+    changed = True
+    while changed:
+        changed = False
+        for v in list(alive):
+            if sum(1 for u in adj[v] if u in alive) < graph.KCORE_K:
+                alive.discard(v)
+                changed = True
+    got = {r["vec_id"]: r["core_degree"] for r in graph.kcore(spark, SF_DIR).collect()}
+    assert set(got) == alive
+    for v, d in got.items():
+        assert d == sum(1 for u in adj[v] if u in alive)
+        assert d >= graph.KCORE_K

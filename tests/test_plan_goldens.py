@@ -102,6 +102,16 @@ GOLDEN_QUERIES = [
     "text_perplexity_buckets",
     "sql_gateway_topn",
     "mm_ppm_decode_features",
+    # round-3 session 3: the suite-completing TPC-H shapes — Q2's
+    # decorrelated MIN must keep its partkey-grouped aggregates (no
+    # window), Q9's five-way tree keeps three broadcast dims + one fact
+    # shuffle, Q13's outer join must not degrade to a cartesian — and
+    # BM25's inverted-index path (term filter BEFORE the tf aggregate,
+    # broadcast df/stats, no full-corpus tf table)
+    "olap_q2_min_cost_supplier",
+    "olap_q9_product_profit",
+    "olap_q13_customer_distribution",
+    "text_bm25_topk",
 ]
 
 _EXCHANGE_KIND = re.compile(
