@@ -117,6 +117,13 @@ HEADLINE = [
     "text_bm25_topk",
     "diag_table_profile",
     "graph_kcore",
+    # round-3 session 4: equi-depth stats, positional phrase probe,
+    # A-ES weighted sampling, snapshot time travel, cross-format join
+    "agg_equidepth_histogram",
+    "text_phrase_search",
+    "text_weighted_sample",
+    "layout_time_travel_read",
+    "src_federated_join",
 ]
 
 

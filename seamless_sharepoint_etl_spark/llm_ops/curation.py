@@ -399,6 +399,59 @@ QUALIFY rn <= {RESERVOIR_K}
 
 
 # ---------------------------------------------------------------------------
+# 5b. Weighted sampling without replacement (Efraimidis–Spirakis A-ES)
+# ---------------------------------------------------------------------------
+
+_WS_P = 1_000_000_007
+_WS_K = 20
+
+
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample without replacement (k=20, weight = n_chars) via
+    the Efraimidis–Spirakis exponential-keys trick, derandomized: each
+    doc gets key = ln(u)/w for a deterministic uniform u — taking the k
+    LARGEST keys is exactly a weighted sample without replacement
+    (A-ES; u^(1/w) max-selection, ln-transformed so no cross-engine
+    pow). u comes from a portable LCG-style integer hash of doc_id, so
+    both engines derive bit-identical keys.
+
+    THE distributed weighted-sampling shape: key assignment is
+    embarrassingly parallel and selection is a global top-k, which
+    Spark executes as per-partition heaps + one k-row merge
+    (TakeOrderedAndProject) — no sort, no shuffle of the corpus. At
+    100 TB this is one scan + a k-row exchange; the same keys also
+    make the sample MERGEABLE across shards/days (union then re-top-k
+    gives the sample of the union).
+    """
+    d = io.load_table_parallel(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * F.lit(1_103_515_245) + F.lit(12_345)) % F.lit(_WS_P)
+    u = (h + F.lit(1)).cast("double") / F.lit(float(_WS_P + 1))
+    t = d.filter(F.col("n_chars") > 0).select(
+        "doc_id",
+        "n_chars",
+        (F.log(u) / F.col("n_chars")).alias("es_key"),
+    )
+    return (
+        t.orderBy(F.col("es_key").desc(), "doc_id")
+        .limit(_WS_K)
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+WEIGHTED_SAMPLE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, n_chars,
+         ln(CAST((doc_id * 1103515245 + 12345) % {_WS_P} + 1 AS DOUBLE)
+            / {float(_WS_P + 1)}) / n_chars AS es_key
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, n_chars FROM t
+ORDER BY es_key DESC, doc_id LIMIT {_WS_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # 6. Per-source reputation (C4-style blocklist candidates)
 # ---------------------------------------------------------------------------
 
@@ -836,6 +889,7 @@ QUERIES = {
     "text_sequence_packing": (sequence_packing, SEQUENCE_PACKING_SQL),
     "text_gopher_quality_rules": (gopher_quality_rules, GOPHER_RULES_SQL),
     "text_stratified_reservoir": (stratified_reservoir, STRATIFIED_RESERVOIR_SQL),
+    "text_weighted_sample": (weighted_sample, WEIGHTED_SAMPLE_SQL),
     "text_source_reputation": (source_reputation, SOURCE_REPUTATION_SQL),
     "text_pii_scrub": (pii_scrub, PII_SCRUB_SQL),
     "text_bigram_logprob": (bigram_logprob, BIGRAM_LOGPROB_SQL),

@@ -158,17 +158,20 @@ def kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     Distributed peel: each round is (a) restrict edges to surviving
     vertices — two vertex-keyed semi-joins, (b) recount degrees — one
     vertex-keyed aggregate, (c) filter. Rounds are data-dependent
-    (peel depth, not diameter); each round's surviving-vertex relation
-    is persisted and forced eagerly so the plan never nests (NOTES
-    trap 4), with the previous round unpersisted. Converges when the
-    vertex count stops shrinking; a round cap raises rather than
-    silently returning a non-core (same backstop policy as the CC
-    labeler). Rows-only for the driver (iterative fixpoints aren't
-    single-statement SQL); the pytest gate re-peels the collected
-    edge list exactly in Python and compares sets.
+    (peel depth, not diameter), so per-round relations are
+    ``localCheckpoint(eager=True)``, not persist — persist does NOT
+    truncate lineage (NOTES trap 16) and the peel's nested semi-join
+    plan OOMed the DRIVER on plan bookkeeping inside the bench's
+    long-lived session; the eager checkpoint cuts each round to a
+    leaf, and dropping the Python refs lets the ContextCleaner reclaim
+    prior rounds' blocks. Converges when the vertex count stops
+    shrinking; a round cap raises rather than silently returning a
+    non-core (same backstop policy as the CC labeler). Rows-only for
+    the driver (iterative fixpoints aren't single-statement SQL); the
+    pytest gate re-peels the collected edge list exactly in Python and
+    compares sets.
     """
-    e = _edges(spark, sf_dir).persist()
-    e.count()
+    cur_edges = _edges(spark, sf_dir).localCheckpoint(eager=True)
 
     def degrees(edges: DataFrame) -> DataFrame:
         return (
@@ -178,36 +181,30 @@ def kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("deg"))
         )
 
-    cur_edges = e
     prev_n = -1
     for _ in range(KCORE_MAX_ROUNDS):
-        verts = degrees(cur_edges).filter(F.col("deg") >= KCORE_K).persist()
+        verts = (
+            degrees(cur_edges)
+            .filter(F.col("deg") >= KCORE_K)
+            .localCheckpoint(eager=True)
+        )
         n = verts.count()
         if n == prev_n:
             core = verts
             break
-        nxt = (
-            cur_edges.join(
-                verts.select(F.col("v").alias("id_lo")), "id_lo", "left_semi"
-            )
-            .join(verts.select(F.col("v").alias("id_hi")), "id_hi", "left_semi")
-            .persist()
-        )
-        nxt.count()
-        if cur_edges is not e:
-            cur_edges.unpersist()
-        cur_edges = nxt
+        cur_edges = cur_edges.join(
+            verts.select(F.col("v").alias("id_lo")), "id_lo", "left_semi"
+        ).join(
+            verts.select(F.col("v").alias("id_hi")), "id_hi", "left_semi"
+        ).localCheckpoint(eager=True)
         prev_n = n
     else:
         raise RuntimeError(
             f"k-core peel did not converge in {KCORE_MAX_ROUNDS} rounds"
         )
-    out = core.select(
+    return core.select(
         F.col("v").alias("vec_id"), F.col("deg").alias("core_degree")
     ).orderBy("vec_id")
-    if cur_edges is not e:
-        cur_edges.unpersist()
-    return out
 
 
 QUERIES = {

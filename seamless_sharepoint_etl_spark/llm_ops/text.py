@@ -1151,8 +1151,69 @@ LIMIT {BM25_TOP}
 """
 
 
+# ---------------------------------------------------------------------------
+# Positional phrase search (inverted-index shape)
+# ---------------------------------------------------------------------------
+
+PHRASE = ("fast", "table")
+
+
+def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase query ("fast table") via positional posting lists —
+    the inverted-index probe shape, not a regex scan.
+
+    Tokens are exploded WITH positions and immediately filtered to the
+    phrase's terms, so the shuffled relation is only the two terms'
+    posting lists (at 100 TB the explode-then-filter runs map-side and
+    the shuffle carries ~corpus_freq(term) rows, not the corpus).
+    Adjacency is resolved in-array after ONE doc_id groupBy:
+    hits = |(positions(w0)+1) ∩ positions(w1)| — no self-join, no
+    second shuffle. A real search engine materializes the posting
+    lists once (the `_token_relation` cache is that seam); the probe
+    per query is then a selective scan + one narrow shuffle.
+    """
+    d = io.load_table_parallel(spark, sf_dir, "documents")
+    pos = d.select(
+        "doc_id", F.posexplode(_tokens()).alias("pos", "token")
+    ).filter(F.col("token").isin(*PHRASE))
+    per = pos.groupBy("doc_id").agg(
+        F.collect_list(
+            F.when(F.col("token") == PHRASE[0], F.col("pos"))
+        ).alias("p0"),
+        F.collect_list(
+            F.when(F.col("token") == PHRASE[1], F.col("pos"))
+        ).alias("p1"),
+    )
+    return (
+        per.select(
+            "doc_id",
+            F.size(
+                F.array_intersect(
+                    F.transform("p0", lambda x: x + F.lit(1)), F.col("p1")
+                )
+            )
+            .cast("bigint")
+            .alias("n_hits"),
+        )
+        .filter(F.col("n_hits") > 0)
+        .orderBy("doc_id")
+    )
+
+
+PHRASE_SEARCH_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+h AS (SELECT doc_id,
+             CAST(len(list_filter(range(1, len(toks)),
+                  i -> toks[i] = '{PHRASE[0]}' AND toks[i+1] = '{PHRASE[1]}'))
+                  AS BIGINT) AS n_hits
+      FROM t)
+SELECT doc_id, n_hits FROM h WHERE n_hits > 0 ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": (token_stats, TOKEN_STATS_SQL),
+    "text_phrase_search": (phrase_search, PHRASE_SEARCH_SQL),
     "text_bm25_topk": (bm25_topk, BM25_SQL),
     "text_quality_score": (quality_score, QUALITY_SCORE_SQL),
     "text_langid_confusion": (langid_confusion, LANGID_SQL),

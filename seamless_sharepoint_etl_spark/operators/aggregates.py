@@ -648,6 +648,103 @@ GROUP BY 1, 2
 """
 
 
+_ED_BUCKETS = 8
+_ED_RANGE_BINS = 64
+
+
+def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT equi-depth histogram (8 quantile buckets) of order value —
+    the optimizer statistic equi-width can't give you on skewed data
+    (every bucket holds the same row count, so bucket edges ARE the
+    octiles).
+
+    Needs each row's exact global rank, which is the classic
+    single-task-window trap. Two-phase instead: fetch the 3-scalar
+    bounds (min/max/count) driver-side — the scalar-frontier pattern,
+    one 1-row job — so binning into {_ED_RANGE_BINS} cents-ranges is
+    map-side pure literals (binning is monotone, so bin order == value
+    order); aggregate per-bin counts (≤64 rows), prefix-sum them at the
+    driver (no global-ORDER window anywhere in the plan), broadcast the
+    offsets back, and rank within bins partitioned. bucket =
+    (rank-1)*K div N is pure integer arithmetic on cents, so both
+    engines agree bit-for-bit. At 100 TB: two pruned scans (counts +
+    rank) plus the 1-row bounds pass, one bin-keyed shuffle, one
+    bin-partitioned window — same shape as the sequence-packing prefix
+    sum. (Earlier drafts broadcast the bounds row / triangular-joined
+    the counts instead; Catalyst re-derived the aggregates under every
+    reference — 4 corpus scans and 3 BroadcastNestedLoopJoins for what
+    are ≤65 scalars — the plan golden pins this shape.)
+    """
+    o = io.load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    c = o.select("o_orderkey", cents.alias("cents"))
+    lo, hi, n_total = c.agg(
+        F.min("cents"), F.max("cents"), F.count(F.lit(1))
+    ).first()
+    span = max(hi - lo + 1, 1)
+    b = c.select(
+        "o_orderkey",
+        "cents",
+        F.lit(int(n_total)).alias("n_total"),
+        F.expr(
+            f"least(((cents - {int(lo)}) * {_ED_RANGE_BINS})"
+            f" div {int(span)}, {_ED_RANGE_BINS - 1})"
+        ).alias("bin"),
+    )
+    # per-bin counts collapse to ≤64 rows — fetch them and take the
+    # strictly-before prefix sum driver-side (a stat frontier, same as
+    # the bounds row): the triangular-self-join alternative made
+    # Catalyst re-derive the bin-count aggregate under each reference
+    # (two extra corpus scans for a 64-row cumsum)
+    bt = sorted(
+        (r[0], r[1])
+        for r in b.groupBy("bin").agg(F.count(F.lit(1)).alias("bn")).collect()
+    )
+    acc, rows = 0, []
+    for bin_id, bn in bt:
+        rows.append((bin_id, acc))
+        acc += bn
+    offsets = spark.createDataFrame(rows, "bin BIGINT, bin_start BIGINT")
+    wd = Window.partitionBy("bin").orderBy("cents", "o_orderkey")
+    ranked = (
+        b.join(F.broadcast(offsets), "bin")
+        .withColumn("grank", F.col("bin_start") + F.row_number().over(wd))
+        .withColumn(
+            "bucket", F.expr(f"((grank - 1) * {_ED_BUCKETS}) div n_total + 1")
+        )
+    )
+    return (
+        ranked.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("bucket")
+    )
+
+
+EQUIDEPTH_HISTOGRAM_SQL = f"""
+WITH c AS (
+  SELECT o_orderkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+r AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY cents, o_orderkey) AS rk,
+         count(*) OVER () AS n FROM c
+)
+SELECT ((rk - 1) * {_ED_BUCKETS}) // n + 1 AS bucket,
+       count(*) AS n_rows,
+       min(cents) AS lo_cents,
+       max(cents) AS hi_cents,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM r GROUP BY bucket ORDER BY bucket
+"""
+
+
 # Incremental maintenance frontier: orders strictly before this date are
 # the "stored" base state; the rest is the CDC delta.
 MV_FRONTIER = "1997-01-01"
@@ -833,6 +930,7 @@ QUERIES = {
     "agg_mode": (mode_agg, MODE_AGG_SQL),
     "agg_incremental_merge": (incremental_agg_merge, INCREMENTAL_AGG_MERGE_SQL),
     "agg_equiwidth_histogram": (equiwidth_histogram, EQUIWIDTH_HISTOGRAM_SQL),
+    "agg_equidepth_histogram": (equidepth_histogram, EQUIDEPTH_HISTOGRAM_SQL),
     "agg_approx_topk": (approx_topk_event_types, APPROX_TOPK_SQL),
     "agg_kmv_distinct": (kmv_distinct, None),
     "agg_bitmap_distinct": (bitmap_distinct_customers, BITMAP_DISTINCT_SQL),

@@ -356,6 +356,67 @@ ORDER BY om
 """
 
 
+TT_YEAR = 1995
+TT_MONTH = "1995-03"
+
+
+def time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel on the transactional manifest sink: commit
+    v1 (append all {TT_YEAR} orders), commit v2 (MERGE that doubles
+    {TT_MONTH}'s prices), then read **version 1** — the pre-MERGE state
+    must still be byte-reproducible from the retained manifest log,
+    exactly Delta/Iceberg `VERSION AS OF`.
+
+    The oracle is the untouched source aggregate: if version-1 readback
+    leaked ANY v2 file (or lost one of v1's), the month totals diverge
+    — snapshot isolation of the commit protocol IS the checked result.
+    The pytest gate additionally proves latest != v1 on the merged
+    month. Revenue travels as exact integer cents so the check is
+    bit-strict, not float-rounded. At 100 TB both reads are plain
+    parquet scans over the manifest's file list; time travel costs one
+    tiny JSON read, never a data copy (sinks.py:189).
+    """
+    import os
+
+    from .. import sinks
+
+    tag = "sf" + sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    root = f"/tmp/sse_timetravel-{tag}"
+    marker = os.path.join(root, "_STAGED")
+    if not os.path.exists(marker):
+        o95 = io.load_table(spark, sf_dir, "orders").filter(
+            F.year("o_orderdate") == TT_YEAR
+        )
+        sinks.commit_append(o95, root, txn_id="tt-base")
+        upd = o95.filter(
+            F.date_format("o_orderdate", "yyyy-MM") == TT_MONTH
+        ).withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        sinks.commit_upsert(spark, upd, root, keys=["o_orderkey"], txn_id="tt-upd")
+        open(marker, "w").close()
+    v1 = sinks.read_snapshot(spark, root, version=1)
+    return (
+        v1.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("om"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("revenue_cents"),
+        )
+        .orderBy("om")
+    )
+
+
+TIME_TRAVEL_SQL = f"""
+SELECT strftime(o_orderdate, '%Y-%m') AS om,
+       count(*) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders
+WHERE year(o_orderdate) = {TT_YEAR}
+GROUP BY om ORDER BY om
+"""
+
+
 CODECS = ("uncompressed", "snappy", "zstd")
 
 
@@ -498,5 +559,6 @@ QUERIES = {
     "layout_partition_pruned_read": (partition_pruned_read, PARTITION_PRUNED_SQL),
     "layout_compaction_read": (compaction_read, COMPACTION_READ_SQL),
     "layout_dynamic_overwrite": (dynamic_overwrite_read, DYNAMIC_OVERWRITE_SQL),
+    "layout_time_travel_read": (time_travel_read, TIME_TRAVEL_SQL),
     "layout_codec_stats": (codec_stats, None),
 }

@@ -308,8 +308,87 @@ ORDER BY status
 """
 
 
+FED_YEAR = 1996
+
+
+def federated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-format federation: ONE declarative plan joins a CSV
+    relation (orders), a JSON-lines relation (customer) and a parquet
+    relation (lineitem) — Catalyst plans all three scans with column
+    pruning and picks the join strategy without caring about the wire
+    format. This is the landing-zone reality at 100 TB: operational
+    extracts arrive as CSV/JSON and must join the parquet lake *before*
+    conversion. Keys travel as integers and the date as an ISO string,
+    so the format round-trips are exact by construction; the only
+    predicate (order year) is applied to the CSV relation first, so the
+    big parquet side joins against a pre-filtered build side. The
+    oracle runs the same join on the original parquet — proving the
+    federation is value-exact, not merely runnable.
+    """
+    o_path = _stage_dir(sf_dir, "orders-fed-csv")
+    c_path = _stage_dir(sf_dir, "customer-fed-json")
+    o = io.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+    )
+    c = io.load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    if not os.path.exists(os.path.join(o_path, "_SUCCESS")):
+        o.write.mode("overwrite").option("header", True).csv(o_path)
+    if not os.path.exists(os.path.join(c_path, "_SUCCESS")):
+        c.write.mode("overwrite").json(c_path)
+
+    o_csv = (
+        spark.read.schema("o_orderkey BIGINT, o_custkey BIGINT, o_date STRING")
+        .option("header", True)
+        .csv(o_path)
+        .filter(F.col("o_date").startswith(str(FED_YEAR)))
+    )
+    c_json = spark.read.schema("c_custkey BIGINT, c_mktsegment STRING").json(
+        c_path
+    )
+    # revenue in exact 1e-4-dollar integers: price and discount are
+    # 2-decimal, so cents * (100 - discount_pct_e2) is exact — the sum
+    # is a BIGINT, immune to float-summation-order half-ulp flips that
+    # round(sum(double), 2) is exposed to at a .xx5 boundary
+    rev_e4 = (
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+        * (100 - F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long"))
+    )
+    l = io.load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", rev_e4.alias("rev_e4")
+    )
+    return (
+        l.join(o_csv, l.l_orderkey == o_csv.o_orderkey)
+        .join(c_json, o_csv.o_custkey == c_json.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            (F.sum("rev_e4").cast("double") / 10000).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+FEDERATED_JOIN_SQL = f"""
+SELECT c_mktsegment,
+       count(DISTINCT o_orderkey) AS n_orders,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+            AS DOUBLE) / 10000 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE strftime(o_orderdate, '%Y-%m-%d') LIKE '{FED_YEAR}%'
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 QUERIES = {
     "src_json_scan": (json_scan_events, JSON_SCAN_EVENTS_SQL),
+    "src_federated_join": (federated_join, FEDERATED_JOIN_SQL),
     "src_csv_scan": (csv_scan_supplier, CSV_SCAN_SUPPLIER_SQL),
     "src_orc_scan": (orc_scan_part, ORC_SCAN_PART_SQL),
     "src_binaryfile_scan": (binaryfile_scan_docs, BINARYFILE_SCAN_SQL),

@@ -112,6 +112,16 @@ GOLDEN_QUERIES = [
     "olap_q9_product_profit",
     "olap_q13_customer_distribution",
     "text_bm25_topk",
+    # round-3 session 4: equi-depth must stay the two-phase 64-bin
+    # prefix-sum (no global-ORDER window / single-task exchange),
+    # phrase search keeps the term filter under the explode (posting
+    # lists only reach the shuffle), weighted sampling must plan as
+    # TakeOrderedAndProject (per-partition heaps, no global sort), and
+    # the cross-format federation must not degrade to a cartesian
+    "agg_equidepth_histogram",
+    "text_phrase_search",
+    "text_weighted_sample",
+    "src_federated_join",
 ]
 
 _EXCHANGE_KIND = re.compile(

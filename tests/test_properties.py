@@ -268,6 +268,39 @@ def test_dynamic_partition_overwrite_preserves_other_partitions(spark):
     assert rows == {(9, "a"), (3, "b"), (4, "b")}
 
 
+def test_time_travel_versions_diverge_exactly_on_merged_month(spark):
+    """layout_time_travel_read's other half: the LATEST snapshot must
+    differ from version 1 on exactly the merged month (prices doubled)
+    and match it everywhere else — time travel reads history, the head
+    reads the MERGE result."""
+    from conftest import SF_DIR
+
+    from seamless_sharepoint_etl_spark import sinks
+    from seamless_sharepoint_etl_spark.operators import layout
+
+    layout.time_travel_read(spark, SF_DIR)  # ensures both commits exist
+    tag = "sf" + SF_DIR.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    root = f"/tmp/sse_timetravel-{tag}"
+    om = F.date_format("o_orderdate", "yyyy-MM").alias("om")
+    cents = F.sum(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    ).alias("c")
+
+    def month_totals(version):
+        df = sinks.read_snapshot(spark, root, version=version)
+        return {
+            r["om"]: r["c"] for r in df.groupBy(om).agg(cents).collect()
+        }
+
+    v1, head = month_totals(1), month_totals(None)
+    assert set(v1) == set(head)
+    for m in v1:
+        if m == layout.TT_MONTH:
+            assert head[m] == 2 * v1[m]  # merged month: doubled exactly
+        else:
+            assert head[m] == v1[m]  # untouched months carried over
+
+
 def test_codec_stats_monotone_and_lossless(spark):
     """layout_codec_stats: every codec reads back every row, and the
     compressed variants genuinely compress (zstd <= snappy < uncompressed
