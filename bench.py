@@ -124,6 +124,15 @@ HEADLINE = [
     "text_weighted_sample",
     "layout_time_travel_read",
     "src_federated_join",
+    "diag_referential_integrity",
+    "diag_psi_drift",
+    "text_token_entropy",
+    "src_textlog_scan",
+    "diag_join_cardinality",
+    "text_url_canonicalize",
+    "sql_gateway_grouping_sets",
+    "graph_bfs_depth",
+    "win_event_transitions",
 ]
 
 

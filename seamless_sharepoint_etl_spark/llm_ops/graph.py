@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .. import io
 from .similarity import EMBEDDING_NEARDUP_SQL, embedding_neardup
 
 
@@ -207,8 +208,83 @@ def kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+BFS_MAX_ROUNDS = 64
+_BFS_A = 1_103_515_245
+_BFS_C = 12_345
+_BFS_M = 2_147_483_648
+
+
+def bfs_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS depth histogram over a synthesized random recursive tree —
+    the hierarchy-traversal operator (org charts, BOM explosion,
+    reply-thread depth) that SQL expresses as WITH RECURSIVE and Spark
+    (which has no recursive CTE) must run as an iterative frontier
+    join. The DuckDB oracle IS the recursive CTE, so the loop's result
+    is exactly graded, unlike the fixpoint family's rows-only checks.
+
+    Tree: node n>0 gets parent = lcg(n) % n (strictly smaller, so the
+    graph is acyclic and rooted at 0); expected depth is O(log n). Each
+    BFS round joins the (child, parent) edge relation against the
+    current frontier on the parent key and assigns depth+1; rounds are
+    ``localCheckpoint(eager=True)`` (NOTES trap 16). At 100 TB every
+    round is one hash join keyed by parent id — the Pregel message
+    shape — and the frontier never exceeds a level's width. A round cap
+    raises rather than returning a truncated traversal.
+    """
+    d = io.load_table_parallel(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("n")
+    )
+    edges = d.filter(F.col("n") > 0).select(
+        "n",
+        ((F.col("n") * _BFS_A + _BFS_C) % _BFS_M % F.col("n")).alias("parent"),
+    ).localCheckpoint(eager=True)
+    frontier = d.filter(F.col("n") == 0).select(
+        "n", F.lit(0).cast("long").alias("depth")
+    ).localCheckpoint(eager=True)
+    levels = [frontier]
+    for _ in range(BFS_MAX_ROUNDS):
+        nxt = (
+            edges.join(
+                frontier.select(F.col("n").alias("parent"), "depth"), "parent"
+            )
+            .select("n", (F.col("depth") + 1).alias("depth"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        levels.append(nxt)
+        frontier = nxt
+    else:
+        raise RuntimeError(f"BFS exceeded {BFS_MAX_ROUNDS} rounds")
+    from functools import reduce
+
+    all_nodes = reduce(DataFrame.unionAll, levels)
+    return (
+        all_nodes.groupBy("depth")
+        .agg(F.count(F.lit(1)).alias("n_nodes"), F.min("n").alias("min_node"))
+        .orderBy("depth")
+    )
+
+
+BFS_DEPTH_SQL = f"""
+WITH RECURSIVE walk AS (
+  SELECT doc_id AS n, CAST(0 AS BIGINT) AS depth
+  FROM documents WHERE doc_id = 0
+  UNION ALL
+  SELECT d.doc_id, w.depth + 1
+  FROM documents d
+  JOIN walk w
+    ON d.doc_id > 0
+   AND (d.doc_id * {_BFS_A} + {_BFS_C}) % {_BFS_M} % d.doc_id = w.n
+)
+SELECT depth, count(*) AS n_nodes, min(n) AS min_node
+FROM walk GROUP BY depth ORDER BY depth
+"""
+
+
 QUERIES = {
     "graph_triangle_stats": (triangle_stats, TRIANGLE_STATS_SQL),
     "graph_degree_histogram": (degree_histogram, DEGREE_HISTOGRAM_SQL),
     "graph_kcore": (kcore, None),
+    "graph_bfs_depth": (bfs_depth, BFS_DEPTH_SQL),
 }

@@ -1211,8 +1211,167 @@ SELECT doc_id, n_hits FROM h WHERE n_hits > 0 ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Token-level Shannon entropy (repetitiveness quality signal)
+# ---------------------------------------------------------------------------
+
+
+def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution, in
+    centibits — the classic repetitiveness signal: template spam and
+    keyword-stuffed pages sit far below natural prose at equal length,
+    and unlike the Gopher duplicate-ratio rules it degrades smoothly.
+
+    H = −Σ (c/n)·log₂(c/n) over the doc's token frequencies. Rides the
+    cached ``_token_relation`` spine: one (doc_id, token) hash agg then
+    one doc_id hash agg — both shuffles carry the narrow token spine
+    with map-side combine, nothing is corpus-width. The identity
+    H = log₂(n) − (Σ c·log₂ c)/n lets the second agg need only
+    Σ c·log₂(c) and n, so per-doc state is two scalars, not a
+    frequency vector. Floored to centibits over exact integer counts —
+    the cross-engine ln recipe of the log-likelihood family.
+    """
+    t = _token_relation(spark, sf_dir)
+    per_tok = t.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    ln2 = F.log(F.lit(2.0))
+    return (
+        per_tok.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.col("c") * (F.log("c") / ln2)).alias("s"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor(
+                (
+                    F.log(F.col("n_tokens")) / ln2
+                    - F.col("s") / F.col("n_tokens")
+                )
+                * 100
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("entropy_cb"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TOKEN_ENTROPY_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+freq AS (
+  SELECT doc_id, token, count(*) AS c FROM tok GROUP BY doc_id, token
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(floor((ln(sum(c)) / ln(2)
+                   - sum(c * (ln(c) / ln(2))) / sum(c)) * 100 + 0.5)
+            AS BIGINT) AS entropy_cb
+FROM freq GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (web-crawl dedup prerequisite)
+# ---------------------------------------------------------------------------
+
+
+def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization — the step before any web-crawl dedup:
+    messy but equivalent URLs must collapse to one key or URL-level
+    dedup silently keeps duplicates. The fixture carries no URLs, so a
+    deterministic messy URL is constructed per doc (mixed-case scheme/
+    host, explicit default port, interleaved utm_* tracking params,
+    fragment) and then canonicalized: scheme+host lowercased, leading
+    ``www.`` and default ``:443`` dropped, fragment dropped, utm_*
+    params removed, surviving params sorted. Construction and cleanup
+    both run on BOTH engines, so the oracle catches any divergence in
+    any regex or array step.
+
+    All string/array work is JVM built-ins (regexp_extract, split,
+    filter, array_sort, array_join) — map-side, zero shuffles for the
+    per-row canonical form; the rollup is one host-keyed aggregate. At
+    100 TB this is exactly the crawl-frontier normalize pass.
+    """
+    d = io.load_table_parallel(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HtTpS://WwW."),
+        F.col("source"),
+        F.lit(".Example.COM:443/Docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?utm_source=feed&id="),
+        F.col("doc_id").cast("string"),
+        F.lit("&UTM_Campaign=Spring&ref=rss#Sec"),
+        (F.col("doc_id") % 5).cast("string"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    host = F.lower(F.regexp_extract("url", r"^[A-Za-z]+://([^/:?#]+)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    path = F.regexp_extract("url", r"^[A-Za-z]+://[^/?#]+(/[^?#]*)", 1)
+    qraw = F.regexp_extract("url", r"\?([^#]*)", 1)
+    params = F.filter(
+        F.split(qraw, "&"),
+        lambda p: ~F.lower(p).startswith("utm_"),
+    )
+    canon = F.concat(
+        F.lower(F.regexp_extract("url", r"^([A-Za-z]+)://", 1)),
+        F.lit("://"),
+        host,
+        path,
+        F.when(F.size(params) > 0, F.concat(F.lit("?"), F.array_join(F.array_sort(params), "&"))).otherwise(F.lit("")),
+    )
+    return u.select(
+        "doc_id",
+        canon.alias("canon_url"),
+        (F.size(F.split(qraw, "&")) - F.size(params)).cast("bigint").alias(
+            "n_tracking_dropped"
+        ),
+    ).orderBy("doc_id")
+
+
+URL_CANONICALIZE_SQL = """
+WITH u AS (
+  SELECT doc_id,
+         'HtTpS://WwW.' || source || '.Example.COM:443/Docs/' || doc_id
+         || '?utm_source=feed&id=' || doc_id
+         || '&UTM_Campaign=Spring&ref=rss#Sec' || (doc_id % 5) AS url
+  FROM documents
+),
+p AS (
+  SELECT doc_id,
+         lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+         regexp_replace(
+           lower(regexp_extract(url, '^[A-Za-z]+://([^/:?#]+)', 1)),
+           '^www\\.', '') AS host,
+         regexp_extract(url, '^[A-Za-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+         string_split(regexp_extract(url, '\\?([^#]*)', 1), '&') AS qs
+  FROM u
+),
+c AS (
+  SELECT doc_id, scheme, host, path,
+         list_sort(list_filter(qs, q -> NOT regexp_matches(lower(q), '^utm_'))) AS keep,
+         len(qs) - len(list_filter(qs, q -> NOT regexp_matches(lower(q), '^utm_')))
+           AS n_drop
+  FROM p
+)
+SELECT doc_id,
+       scheme || '://' || host || path ||
+         CASE WHEN len(keep) > 0
+              THEN '?' || array_to_string(keep, '&') ELSE '' END AS canon_url,
+       CAST(n_drop AS BIGINT) AS n_tracking_dropped
+FROM c ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": (token_stats, TOKEN_STATS_SQL),
+    "text_url_canonicalize": (url_canonicalize, URL_CANONICALIZE_SQL),
+    "text_token_entropy": (token_entropy, TOKEN_ENTROPY_SQL),
     "text_phrase_search": (phrase_search, PHRASE_SEARCH_SQL),
     "text_bm25_topk": (bm25_topk, BM25_SQL),
     "text_quality_score": (quality_score, QUALITY_SCORE_SQL),

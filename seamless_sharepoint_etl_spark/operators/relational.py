@@ -367,6 +367,36 @@ def sql_gateway_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(PORTABLE_TOPN_SQL)
 
 
+# Second gateway surface: GROUPING SETS + grouping() markers + HAVING +
+# NULLS FIRST — the OLAP-dialect corners a BI tool emits, verbatim in
+# both engines. Revenue travels as exact integer cents (trap 1) and the
+# grouping() flags disambiguate real NULL groups from rollup rows.
+PORTABLE_GSETS_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       grouping(o_orderpriority) AS g_pri,
+       grouping(o_orderstatus) AS g_st,
+       count(*) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS rev_cents
+FROM orders
+WHERE year(o_orderdate) = 1997
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                        (o_orderpriority), ())
+HAVING count(*) > 0
+ORDER BY g_pri, g_st,
+         o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+"""
+
+
+def sql_gateway_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One portable GROUPING SETS statement executed VERBATIM by both
+    engines (see PORTABLE_GSETS_SQL) — Spark plans it as a single
+    Expand + hash aggregate, one shuffle for all three grouping
+    levels."""
+    io.register_sql_views(spark, sf_dir)
+    return spark.sql(PORTABLE_GSETS_SQL)
+
+
 QUERIES = {
     "rel_project_filter_predicates": (project_filter_predicates, PROJECT_FILTER_SQL),
     "rel_project_derived_like": (project_derived_like, PROJECT_DERIVED_SQL),
@@ -376,4 +406,8 @@ QUERIES = {
     "rel_merge_upsert": (merge_upsert, MERGE_UPSERT_SQL),
     "rel_snapshot_diff": (snapshot_diff, SNAPSHOT_DIFF_SQL),
     "sql_gateway_topn": (sql_gateway_topn, PORTABLE_TOPN_SQL),
+    "sql_gateway_grouping_sets": (
+        sql_gateway_grouping_sets,
+        PORTABLE_GSETS_SQL,
+    ),
 }

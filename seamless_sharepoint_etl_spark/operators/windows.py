@@ -545,6 +545,75 @@ ORDER BY user_id
 """
 
 
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user journeys: for every
+    (from_type → to_type) pair of consecutive events within a user's
+    stream, the transition count and its row-conditional probability in
+    basis points — the clickstream model behind next-action prediction
+    and funnel-leak diagnosis.
+
+    One user-keyed shuffle orders each stream (microsecond integers +
+    event_id tie-break, same basis as the sessionizer); ``lead`` taps
+    the successor; the (from,to) aggregate is a ~|types|² relation, so
+    everything after the window is broadcast-sized at any corpus scale.
+    The probability denominator is the FROM-row total computed from the
+    transition counts themselves (one tiny self-aggregate joined back —
+    never a second pass over events), and bp = (cnt·10⁴) div row_total
+    is pure integer arithmetic.
+    """
+    e = io.load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    pairs = (
+        e.select(
+            "user_id",
+            "event_id",
+            F.expr("ts_ns div 1000").alias("ts_us"),
+            F.col("event_type").alias("from_type"),
+        )
+        .withColumn("to_type", F.lead("from_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    # row totals as a window OVER the counts relation (|types|² rows),
+    # not a second aggregate joined back: a join would make Catalyst
+    # re-derive the whole events window pipeline under both references
+    # — two corpus shuffles for one matrix (caught by the plan golden)
+    wt = Window.partitionBy("from_type")
+    return (
+        counts.withColumn("row_total", F.sum("n_transitions").over(wt))
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            F.expr("(n_transitions * 10000) div row_total").alias("prob_bp"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type AS from_type,
+         lead(event_type) OVER
+           (PARTITION BY user_id
+            ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS to_type
+  FROM events
+),
+counts AS (
+  SELECT from_type, to_type, count(*) AS n_transitions
+  FROM ordered WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n_transitions,
+       CAST((n_transitions * 10000)
+         // sum(n_transitions) OVER (PARTITION BY from_type) AS BIGINT)
+         AS prob_bp
+FROM counts ORDER BY from_type, to_type
+"""
+
+
 QUERIES = {
     "win_topn_per_group": (topn_per_group, TOPN_PER_GROUP_SQL),
     "win_rank_dense_ntile": (rank_dense_ntile, RANK_DENSE_NTILE_SQL),
@@ -556,6 +625,7 @@ QUERIES = {
     "win_funnel_conversion": (funnel_conversion, FUNNEL_SQL),
     "win_cohort_retention": (cohort_retention, COHORT_RETENTION_SQL),
     "win_sessionize_gap": (sessionize_gap, SESSIONIZE_GAP_SQL),
+    "win_event_transitions": (event_transitions, EVENT_TRANSITIONS_SQL),
     "win_moving_median": (moving_median, MOVING_MEDIAN_SQL),
     "win_pattern_consecutive": (pattern_consecutive, PATTERN_CONSECUTIVE_SQL),
 }

@@ -27,6 +27,7 @@ def _collect() -> dict[str, Entry]:
         analytics,
         joins,
         layout,
+        quality,
         relational,
         sorts_setops,
         timeseries,
@@ -52,6 +53,7 @@ def _collect() -> dict[str, Entry]:
         windows,
         timeseries,
         layout,
+        quality,
         sorts_setops,
         scalar,
         udfs,

@@ -386,8 +386,83 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+_LOG_RE = r'^(\d+) - \[([^\]]+)\] "([^"]*)" (-?\d+)$'
+
+
+def textlog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured text-log ingestion: events are rendered to an
+    access-log-style line format (``user - [iso-ts] "type" value_bp``),
+    landed as plain ``.txt``, read back with ``spark.read.text``, and
+    parsed into typed columns with ONE ``regexp_extract_all``-style
+    pattern — the raw-log landing-zone path every pipeline needs before
+    parquet exists. All four fields round-trip losslessly by
+    construction (integer ids, ISO timestamp, quoted type, basis-point
+    integer value), and the oracle aggregates the original events
+    parquet — so the scan is proven value-exact, not merely parseable.
+
+    Scale shape: the text scan splits by line ranges exactly like CSV
+    (fully parallel), the regex runs JVM-side in whole-stage codegen
+    (one pass, no Python), and the aggregate is one narrow shuffle on
+    event_type. Malformed lines surface as NULL extracts; the query
+    counts them per group (zero here) instead of silently dropping —
+    at 100 TB a parse-failure COUNT is the difference between an audit
+    and a guess.
+    """
+    path = _stage_dir(sf_dir, "events-textlog")
+    ev = io.load_table(spark, sf_dir, "events")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        lines = ev.select(
+            F.concat(
+                F.col("user_id").cast("string"),
+                F.lit(" - ["),
+                F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"),
+                F.lit('] "'),
+                F.col("event_type"),
+                F.lit('" '),
+                F.floor(F.col("value") * 10000 + F.lit(0.5))
+                .cast("long")
+                .cast("string"),
+            ).alias("value")
+        )
+        lines.write.mode("overwrite").text(path)
+    raw = spark.read.text(path)
+    parsed = raw.select(
+        F.regexp_extract("value", _LOG_RE, 1).cast("long").alias("user_id"),
+        F.to_timestamp(
+            F.regexp_extract("value", _LOG_RE, 2), "yyyy-MM-dd'T'HH:mm:ss"
+        ).alias("ts"),
+        F.regexp_extract("value", _LOG_RE, 3).alias("event_type"),
+        F.regexp_extract("value", _LOG_RE, 4).cast("long").alias("value_bp"),
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.countDistinct(F.to_date("ts")).alias("n_days"),
+            F.sum("value_bp").alias("sum_value_bp"),
+            F.count(F.when(F.col("user_id").isNull(), 1)).alias("n_malformed"),
+        )
+        .orderBy("event_type")
+    )
+
+
+TEXTLOG_SCAN_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       count(DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS n_days,
+       CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_value_bp,
+       CAST(0 AS BIGINT) AS n_malformed
+FROM events
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "src_json_scan": (json_scan_events, JSON_SCAN_EVENTS_SQL),
+    "src_textlog_scan": (textlog_scan, TEXTLOG_SCAN_SQL),
     "src_federated_join": (federated_join, FEDERATED_JOIN_SQL),
     "src_csv_scan": (csv_scan_supplier, CSV_SCAN_SUPPLIER_SQL),
     "src_orc_scan": (orc_scan_part, ORC_SCAN_PART_SQL),

@@ -122,6 +122,26 @@ GOLDEN_QUERIES = [
     "text_phrase_search",
     "text_weighted_sample",
     "src_federated_join",
+    # round-3 session 4 (wave 2): PSI must bin with literal arithmetic
+    # (no corpus BroadcastNestedLoopJoin against a bounds row), entropy
+    # stays two narrow hash aggs off the cached token spine, and the
+    # text-log parse is one codegen pass over a line-splittable scan
+    # with a single event_type shuffle
+    "diag_psi_drift",
+    "text_token_entropy",
+    "src_textlog_scan",
+    # wave 3: the cardinality pre-flight must join COUNT TABLES (two
+    # hash aggs feeding the join — never the fact relations), URL
+    # canonicalization stays a zero-shuffle map-side projection, and
+    # the verbatim GROUPING SETS statement plans as one Expand + a
+    # single shuffle for all three levels
+    "diag_join_cardinality",
+    "text_url_canonicalize",
+    "sql_gateway_grouping_sets",
+    # wave 4: the transition matrix must do exactly one user-keyed
+    # window shuffle, with the (from,to) rollup and its broadcast
+    # row-total join downstream of it
+    "win_event_transitions",
 ]
 
 _EXCHANGE_KIND = re.compile(

@@ -301,6 +301,156 @@ def test_time_travel_versions_diverge_exactly_on_merged_month(spark):
             assert head[m] == v1[m]  # untouched months carried over
 
 
+def test_referential_integrity_clean_on_consistent_fixture(spark):
+    """diag_referential_integrity: the TPC-H-ish fixture is FK-complete,
+    so every edge must audit clean — and the audit's internal counts
+    must be mutually consistent (keys ≤ rows, orphans ≤ keys)."""
+    from conftest import SF_DIR
+
+    from seamless_sharepoint_etl_spark.operators import quality
+
+    rows = quality.referential_integrity(spark, SF_DIR).collect()
+    assert len(rows) == len(quality.FK_EDGES)
+    for r in rows:
+        assert r["n_orphan_keys"] == 0, r["edge"]
+        assert r["n_null"] == 0, r["edge"]
+        assert 0 < r["n_keys"] <= r["n_rows"], r["edge"]
+
+
+def test_psi_drift_terms_nonnegative_and_bins_complete(spark):
+    """diag_psi_drift: every PSI term is ≥ 0 by construction ((pₐ−pₑ)
+    and ln(pₐ/pₑ) always share sign), and the fixed-width binning over
+    a dense value range must populate the full bin range."""
+    from conftest import SF_DIR
+
+    from seamless_sharepoint_etl_spark.operators import quality
+
+    rows = quality.psi_drift(spark, SF_DIR).collect()
+    assert [r["bin"] for r in rows] == list(range(quality.PSI_BINS))
+    for r in rows:
+        assert r["psi_ppm"] >= 0
+        assert r["e_cnt"] + r["a_cnt"] > 0
+
+
+def test_token_entropy_bounded_by_log2_n(spark):
+    """text_token_entropy: 0 ≤ H ≤ log₂(n_tokens) for every doc —
+    equality at the top only when all tokens are distinct."""
+    import math
+
+    from conftest import SF_DIR
+
+    from seamless_sharepoint_etl_spark.llm_ops import text as text_ops
+
+    rows = text_ops.token_entropy(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        hi = math.log2(r["n_tokens"]) * 100 if r["n_tokens"] > 1 else 0
+        assert 0 <= r["entropy_cb"] <= math.floor(hi + 0.5) + 1, r
+
+
+def test_join_cardinality_prediction_is_exact(spark):
+    """diag_join_cardinality: the count-product identity must equal the
+    actually-executed join's row count — the estimator is exact math,
+    not a heuristic."""
+    from conftest import SF_DIR
+
+    from seamless_sharepoint_etl_spark import io
+    from seamless_sharepoint_etl_spark.operators import quality
+
+    pred = quality.join_cardinality(spark, SF_DIR).first()
+    o = io.load_table(spark, SF_DIR, "orders")
+    e = io.load_table(spark, SF_DIR, "events")
+    actual = o.join(e, o.o_custkey == e.user_id).count()
+    assert pred["predicted_rows"] == actual
+    assert pred["max_contrib"] <= actual
+    assert pred["n_common_keys"] > 0
+
+
+def test_url_canonicalize_output_is_clean_and_collision_free(spark):
+    """text_url_canonicalize: every canonical URL is lowercase-scheme/
+    host, www/port/fragment/tracking-free, query params sorted — and
+    distinct docs stay distinct (the id param survives)."""
+    from conftest import SF_DIR
+
+    from seamless_sharepoint_etl_spark.llm_ops import text as text_ops
+
+    rows = text_ops.url_canonicalize(spark, SF_DIR).collect()
+    assert rows
+    urls = [r["canon_url"] for r in rows]
+    assert len(set(urls)) == len(urls)
+    for r in rows:
+        u = r["canon_url"]
+        assert u.startswith("https://src")
+        assert "www." not in u and ":443" not in u and "#" not in u
+        assert "utm_" not in u.lower()
+        assert r["n_tracking_dropped"] == 2
+        q = u.split("?", 1)[1].split("&")
+        assert q == sorted(q)
+
+
+def test_gateway_grouping_sets_levels_reconcile(spark):
+    """sql_gateway_grouping_sets: the grand-total row must equal the
+    sum of the per-priority rows, which must equal the sum of the
+    finest level — lossless re-aggregation across grouping sets."""
+    from conftest import SF_DIR
+
+    from seamless_sharepoint_etl_spark.operators import relational
+
+    rows = relational.sql_gateway_grouping_sets(spark, SF_DIR).collect()
+    fine = [r for r in rows if r["g_pri"] == 0 and r["g_st"] == 0]
+    mid = [r for r in rows if r["g_pri"] == 0 and r["g_st"] == 1]
+    total = [r for r in rows if r["g_pri"] == 1 and r["g_st"] == 1]
+    assert len(total) == 1
+    for col in ("n_orders", "rev_cents"):
+        assert (
+            sum(r[col] for r in fine)
+            == sum(r[col] for r in mid)
+            == total[0][col]
+        )
+
+
+def test_bfs_depth_covers_every_node_contiguously(spark):
+    """graph_bfs_depth: parent(n) < n makes every node reachable from
+    0, so the depth histogram must account for EVERY document exactly
+    once, with contiguous depths starting at 0 (a gap would mean a
+    dropped frontier)."""
+    from conftest import SF_DIR
+
+    from seamless_sharepoint_etl_spark import io
+    from seamless_sharepoint_etl_spark.llm_ops import graph
+
+    rows = graph.bfs_depth(spark, SF_DIR).collect()
+    n_docs = io.load_table(spark, SF_DIR, "documents").count()
+    assert sum(r["n_nodes"] for r in rows) == n_docs
+    assert [r["depth"] for r in rows] == list(range(len(rows)))
+    assert rows[0]["n_nodes"] == 1 and rows[0]["min_node"] == 0
+
+
+def test_event_transitions_rows_sum_to_totals(spark):
+    """win_event_transitions: transition counts must total n_events −
+    n_users-with-events (every event except each user's last emits one
+    transition), and each from-row's probabilities must sum to ~10000
+    bp (integer floor loses < |types| bp per row)."""
+    from collections import defaultdict
+
+    from conftest import SF_DIR
+
+    from seamless_sharepoint_etl_spark import io
+    from seamless_sharepoint_etl_spark.operators import windows as win_ops
+
+    rows = win_ops.event_transitions(spark, SF_DIR).collect()
+    e = io.load_table(spark, SF_DIR, "events")
+    n_events = e.count()
+    n_users = e.select("user_id").distinct().count()
+    assert sum(r["n_transitions"] for r in rows) == n_events - n_users
+    by_from = defaultdict(int)
+    n_types = len({r["to_type"] for r in rows})
+    for r in rows:
+        by_from[r["from_type"]] += r["prob_bp"]
+    for tot in by_from.values():
+        assert 10000 - n_types <= tot <= 10000
+
+
 def test_codec_stats_monotone_and_lossless(spark):
     """layout_codec_stats: every codec reads back every row, and the
     compressed variants genuinely compress (zstd <= snappy < uncompressed
