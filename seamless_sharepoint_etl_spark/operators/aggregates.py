@@ -681,6 +681,12 @@ def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo, hi, n_total = c.agg(
         F.min("cents"), F.max("cents"), F.count(F.lit(1))
     ).first()
+    if not n_total:  # empty relation: bounds are NULL — emit empty, don't crash
+        return spark.createDataFrame(
+            [],
+            "bucket BIGINT, n_rows BIGINT, lo_cents BIGINT,"
+            " hi_cents BIGINT, sum_cents BIGINT",
+        )
     span = max(hi - lo + 1, 1)
     b = c.select(
         "o_orderkey",

@@ -129,6 +129,10 @@ def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("y") == PSI_BASE_YEAR, 1)),
         F.count(F.when(F.col("y") == PSI_CUR_YEAR, 1)),
     ).first()
+    if lo is None:  # neither year present: emit empty, don't crash on NULL bounds
+        return spark.createDataFrame(
+            [], "bin BIGINT, e_cnt BIGINT, a_cnt BIGINT, psi_ppm BIGINT"
+        )
     span = max(hi - lo + 1, 1)
     g = (
         c.select(

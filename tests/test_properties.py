@@ -451,6 +451,55 @@ def test_event_transitions_rows_sum_to_totals(spark):
         assert 10000 - n_types <= tot <= 10000
 
 
+def test_frontier_ops_survive_empty_inputs(spark, tmp_path):
+    """equidepth/psi/join-cardinality/BFS use driver-side scalar
+    frontiers (bounds/counts via .first()); on an EMPTY relation those
+    scalars are NULL and naive int() conversion crashes. All four must
+    instead return empty (or all-NULL aggregate) results."""
+    import os
+
+    import pandas as pd
+
+    d = str(tmp_path / "empty")
+    os.makedirs(d)
+    pd.DataFrame(
+        {
+            "o_orderkey": pd.Series([], dtype="int64"),
+            "o_custkey": pd.Series([], dtype="int64"),
+            "o_totalprice": pd.Series([], dtype="float64"),
+            "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+        }
+    ).to_parquet(os.path.join(d, "orders.parquet"))
+    pd.DataFrame(
+        {
+            "event_id": pd.Series([], dtype="int64"),
+            "ts": pd.Series([], dtype="datetime64[us]"),
+            "user_id": pd.Series([], dtype="int64"),
+            "event_type": pd.Series([], dtype="object"),
+            "value": pd.Series([], dtype="float64"),
+            "props": pd.Series([], dtype="object"),
+        }
+    ).to_parquet(os.path.join(d, "events.parquet"))
+    pd.DataFrame(
+        {
+            "doc_id": pd.Series([], dtype="int64"),
+            "text": pd.Series([], dtype="object"),
+            "lang": pd.Series([], dtype="object"),
+            "source": pd.Series([], dtype="object"),
+            "n_chars": pd.Series([], dtype="int64"),
+        }
+    ).to_parquet(os.path.join(d, "documents.parquet"))
+
+    from seamless_sharepoint_etl_spark.llm_ops import graph
+    from seamless_sharepoint_etl_spark.operators import aggregates, quality
+
+    assert aggregates.equidepth_histogram(spark, d).count() == 0
+    assert quality.psi_drift(spark, d).count() == 0
+    card = quality.join_cardinality(spark, d).first()
+    assert card["n_common_keys"] == 0 and card["predicted_rows"] is None
+    assert graph.bfs_depth(spark, d).count() == 0
+
+
 def test_codec_stats_monotone_and_lossless(spark):
     """layout_codec_stats: every codec reads back every row, and the
     compressed variants genuinely compress (zstd <= snappy < uncompressed
