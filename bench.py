@@ -133,6 +133,9 @@ HEADLINE = [
     "sql_gateway_grouping_sets",
     "graph_bfs_depth",
     "win_event_transitions",
+    "ts_holt_linear",
+    "ts_cusum_changepoint",
+    "src_range_generator",
 ]
 
 

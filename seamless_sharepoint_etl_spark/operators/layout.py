@@ -360,6 +360,13 @@ TT_YEAR = 1995
 TT_MONTH = "1995-03"
 
 
+def timetravel_root(sf_dir: str) -> str:
+    """Staging root for the time-travel sink — shared with the pytest
+    gate so the operator and its test can't drift apart."""
+    tag = "sf" + sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    return f"/tmp/sse_timetravel-{tag}"
+
+
 def time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot time travel on the transactional manifest sink: commit
     v1 (append all {TT_YEAR} orders), commit v2 (MERGE that doubles
@@ -380,8 +387,7 @@ def time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .. import sinks
 
-    tag = "sf" + sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
-    root = f"/tmp/sse_timetravel-{tag}"
+    root = timetravel_root(sf_dir)
     marker = os.path.join(root, "_STAGED")
     if not os.path.exists(marker):
         o95 = io.load_table(spark, sf_dir, "orders").filter(

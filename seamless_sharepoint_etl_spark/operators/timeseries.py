@@ -298,10 +298,16 @@ def ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(array_sort(collect_list("
         "struct(ts_ns div 1000 AS ts_us, event_id, value))), s -> s.value)"
     )
+    # NB: Spark bracket indexing is 0-BASED (vals[0] = first element)
+    # while slice() is 1-based — an earlier draft seeded with vals[1]
+    # (= x₂), double-folding x₂ and dropping x₁; masked on the fixture
+    # only because (1-α)^45 shrinks the seed error below a cent, and an
+    # OOB crash for 1-event users under ANSI. Seed = vals[0] matches
+    # the oracle's list_reduce exactly at every series length.
     ewma = F.expr(
         f"""aggregate(
               slice(vals, 2, greatest(size(vals) - 1, 0)),
-              CAST(vals[1] AS DOUBLE),
+              CAST(vals[0] AS DOUBLE),
               (acc, x) -> {EWMA_ALPHA} * x + {1 - EWMA_ALPHA} * acc)"""
     )
     return (
@@ -313,6 +319,194 @@ def ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(ewma * 100 + F.lit(0.5)).cast("long").alias("ewma_cents"),
         )
     )
+
+
+HOLT_ALPHA = 0.5  # binary-exact smoothing weights: the recurrence's
+HOLT_BETA = 0.25  # float ops are then exactly reproducible cross-engine
+
+
+def holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing per user —
+    EWMA's forecasting upgrade: a coupled (level, trend) recurrence
+    lₜ = αxₜ + (1−α)(lₜ₋₁+bₜ₋₁); bₜ = β(lₜ−lₜ₋₁) + (1−β)bₜ₋₁, with the
+    standard init l₁=x₁ (x₂ for n≥2), b₁=x₂−x₁; forecast = l+b.
+
+    Same shape as ``ewma_per_user``: one user shuffle, ordered-array
+    fold — but the accumulator is a STRUCT, exercising vector-state
+    folds (Spark ``aggregate`` takes a struct seed directly). The
+    DuckDB twin CANNOT use list_reduce here: in DuckDB 1.0.0 a
+    struct-typed reduce evaluates later struct fields against the
+    accumulator ALREADY UPDATED by earlier fields of the same
+    iteration (verified: ``b := acc.l`` returns the new l — trap, see
+    NOTES), so the oracle instead runs the recurrence as a
+    WITH RECURSIVE step-join with textually identical arithmetic.
+    α=1/2, β=1/4 are binary-exact, and the fold order is pinned by
+    (ts_us, event_id), so every double op is bit-identical across
+    engines; outputs floor to integer cents.
+    """
+    e = io.load_table(spark, sf_dir, "events")
+    vals = F.expr(
+        "transform(array_sort(collect_list("
+        "struct(ts_ns div 1000 AS ts_us, event_id, value))), s -> s.value)"
+    )
+    a, b = HOLT_ALPHA, HOLT_BETA
+    # bracket indexing is 0-BASED, slice() 1-based (same trap as the
+    # EWMA seed): x₁ = vals[0], x₂ = vals[1]; the fold starts at x₃ =
+    # slice(vals, 3, ·). An earlier vals[1]/vals[2] draft double-folded
+    # x₃ and crashed on ≤2-event users under ANSI — caught by review,
+    # masked on the fixture by α=1/2 seed decay over ≥45 events.
+    state = F.expr(
+        f"""CASE WHEN size(vals) = 1
+              THEN struct(CAST(vals[0] AS DOUBLE) AS l, CAST(0 AS DOUBLE) AS b)
+            ELSE aggregate(
+              slice(vals, 3, greatest(size(vals) - 2, 0)),
+              struct(CAST(vals[1] AS DOUBLE) AS l,
+                     CAST(vals[1] - vals[0] AS DOUBLE) AS b),
+              (acc, x) -> struct(
+                {a} * x + {1 - a} * (acc.l + acc.b) AS l,
+                {b} * (({a} * x + {1 - a} * (acc.l + acc.b)) - acc.l)
+                  + {1 - b} * acc.b AS b))
+            END"""
+    )
+    cents = lambda c: F.floor(c * 100 + F.lit(0.5)).cast("long")  # noqa: E731
+    return (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), vals.alias("vals"))
+        .withColumn("s", state)
+        .select(
+            "user_id",
+            "n_events",
+            cents(F.col("s.l")).alias("level_cents"),
+            cents(F.col("s.b")).alias("trend_cents"),
+            cents(F.col("s.l") + F.col("s.b")).alias("forecast_cents"),
+        )
+    )
+
+
+HOLT_LINEAR_SQL = f"""
+WITH RECURSIVE ord AS (
+  SELECT user_id, CAST(value AS DOUBLE) AS value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS i,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+),
+rec AS (
+  SELECT o1.user_id, o1.n,
+         CASE WHEN o1.n = 1 THEN o1.value ELSE o2.value END AS l,
+         CASE WHEN o1.n = 1 THEN CAST(0 AS DOUBLE)
+              ELSE o2.value - o1.value END AS b,
+         CAST(least(o1.n, 2) AS BIGINT) AS i
+  FROM ord o1
+  LEFT JOIN ord o2 ON o1.user_id = o2.user_id AND o2.i = 2
+  WHERE o1.i = 1
+  UNION ALL
+  SELECT r.user_id, r.n,
+         {HOLT_ALPHA} * o.value + {1 - HOLT_ALPHA} * (r.l + r.b),
+         {HOLT_BETA} * (({HOLT_ALPHA} * o.value
+             + {1 - HOLT_ALPHA} * (r.l + r.b)) - r.l)
+           + {1 - HOLT_BETA} * r.b,
+         r.i + 1
+  FROM rec r JOIN ord o ON o.user_id = r.user_id AND o.i = r.i + 1
+)
+SELECT user_id, n AS n_events,
+       CAST(floor(l * 100 + 0.5) AS BIGINT) AS level_cents,
+       CAST(floor(b * 100 + 0.5) AS BIGINT) AS trend_cents,
+       CAST(floor((l + b) * 100 + 0.5) AS BIGINT) AS forecast_cents
+FROM rec WHERE i = n
+"""
+
+
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event type over the daily-value
+    series — the sequential drift detector that complements
+    ``diag_psi_drift``'s batch comparison: S₀=0, Sₜ = max(0, Sₜ₋₁+dₜ)
+    where dₜ is the deviation from the series mean; the peak Sₜ and its
+    day are the strongest upward-shift candidate.
+
+    The clamped recurrence looks sequential, but the classic identity
+    Sₜ = Pₜ − min(0, min_{{s≤t}} Pₛ) (P = running deviation sum) makes
+    it pure WINDOW algebra — no fold at all. Deviations are scaled by
+    n (dₜ' = n·xₜ − total) so EVERYTHING stays in exact integers: no
+    mean division, no floats, bit-identical across engines (report is
+    n-scaled cents). Per-type day counts are calendar-bounded, so the
+    per-type ordered windows are fine single-task-per-key (same
+    posture as ``linear_interpolate``); the daily aggregate before
+    them carries the one corpus-sized shuffle.
+    """
+    e = io.load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+            .alias("cents")
+        )
+    )
+    wt = Window.partitionBy("event_type")
+    wo = wt.orderBy("day")
+    s = (
+        daily.withColumn("n_days", F.count(F.lit(1)).over(wt))
+        .withColumn("total", F.sum("cents").over(wt))
+        .withColumn("d", F.col("n_days") * F.col("cents") - F.col("total"))
+        .withColumn(
+            "p",
+            F.sum("d").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn(
+            "s",
+            F.col("p")
+            - F.least(
+                F.lit(0).cast("long"),
+                F.min("p").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+            ),
+        )
+    )
+    rn = F.row_number().over(wt.orderBy(F.col("s").desc(), F.col("day")))
+    return (
+        s.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "n_days",
+            F.col("s").alias("max_cusum_scaled"),
+            F.col("day").alias("changepoint_day"),
+        )
+        .orderBy("event_type")
+    )
+
+
+CUSUM_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type, day,
+         count(*) OVER (PARTITION BY event_type) AS n_days,
+         CAST(count(*) OVER (PARTITION BY event_type) * cents
+              - sum(cents) OVER (PARTITION BY event_type) AS BIGINT) AS d
+  FROM daily
+),
+p AS (
+  SELECT event_type, day, n_days,
+         CAST(sum(d) OVER (PARTITION BY event_type ORDER BY day
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p
+  FROM w
+),
+s AS (
+  SELECT event_type, day, n_days,
+         CAST(p - least(CAST(0 AS BIGINT),
+               min(p) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS UNBOUNDED PRECEDING)) AS BIGINT) AS s
+  FROM p
+)
+SELECT event_type, n_days, s AS max_cusum_scaled, day AS changepoint_day
+FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY s DESC, day) AS rn FROM s)
+WHERE rn = 1 ORDER BY event_type
+"""
 
 
 EWMA_SQL = f"""
@@ -646,6 +840,8 @@ QUERIES = {
     "ts_scd2_intervals": (scd2_intervals, SCD2_SQL),
     "ts_interval_overlap_join": (interval_overlap_join, _interval_overlap_sql()),
     "ts_ewma": (ewma_per_user, EWMA_SQL),
+    "ts_holt_linear": (holt_linear, HOLT_LINEAR_SQL),
+    "ts_cusum_changepoint": (cusum_changepoint, CUSUM_SQL),
     "ts_linear_interpolate": (linear_interpolate, LINEAR_INTERPOLATE_SQL),
     "ts_daily_zscore_anomalies": (daily_zscore_anomalies, DAILY_ZSCORE_SQL),
     "ts_lttb_downsample": (lttb_downsample, None),

@@ -389,6 +389,32 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 _LOG_RE = r'^(\d+) - \[([^\]]+)\] "([^"]*)" (-?\d+)$'
 
 
+def _parse_log_lines(raw: DataFrame) -> DataFrame:
+    """One-pass regexp parse of access-log lines into typed columns.
+
+    Spark's ``regexp_extract`` yields '' (not NULL) on a non-matching
+    line, and under ANSI mode (Spark 4 default) a plain cast of ''
+    THROWS — so the casts are ``try_cast``/``try_to_timestamp``, which
+    map the empty extract to NULL. That is what makes the malformed-
+    line audit reachable: a bad line becomes a NULL-keyed row to COUNT,
+    not a query-killing exception (caught by review; proven by the
+    malformed-injection pytest).
+    """
+    return raw.select(
+        F.regexp_extract("value", _LOG_RE, 1)
+        .try_cast("long")
+        .alias("user_id"),
+        F.try_to_timestamp(
+            F.regexp_extract("value", _LOG_RE, 2),
+            F.lit("yyyy-MM-dd'T'HH:mm:ss"),
+        ).alias("ts"),
+        F.regexp_extract("value", _LOG_RE, 3).alias("event_type"),
+        F.regexp_extract("value", _LOG_RE, 4)
+        .try_cast("long")
+        .alias("value_bp"),
+    )
+
+
 def textlog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured text-log ingestion: events are rendered to an
     access-log-style line format (``user - [iso-ts] "type" value_bp``),
@@ -426,14 +452,7 @@ def textlog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         lines.write.mode("overwrite").text(path)
     raw = spark.read.text(path)
-    parsed = raw.select(
-        F.regexp_extract("value", _LOG_RE, 1).cast("long").alias("user_id"),
-        F.to_timestamp(
-            F.regexp_extract("value", _LOG_RE, 2), "yyyy-MM-dd'T'HH:mm:ss"
-        ).alias("ts"),
-        F.regexp_extract("value", _LOG_RE, 3).alias("event_type"),
-        F.regexp_extract("value", _LOG_RE, 4).cast("long").alias("value_bp"),
-    )
+    parsed = _parse_log_lines(raw)
     return (
         parsed.groupBy("event_type")
         .agg(
@@ -460,9 +479,64 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+GEN_N = 100_000
+# 31-bit LCG constants: id*A tops out near 2^47, far from BIGINT
+# overflow — Spark 4 runs ANSI mode, where a 64-bit-wrapping mix would
+# THROW, and a wrap would also silently diverge from DuckDB's HUGEINT
+_GEN_A = 1_103_515_245
+_GEN_C = 12_345
+_GEN_M = 2**31
+
+
+def range_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic-table generation at scale — the dbgen
+    pattern: ``spark.range(N)`` emits ids with NO input source (each
+    task materializes its slice — embarrassingly parallel, zero I/O,
+    zero shuffle until the final aggregate), and every derived column
+    is a pure integer function of the id (64-bit LCG mix, category
+    modulo, value in cents). At 100 TB-scale benchmarking this is how
+    you synthesize a fact table bigger than any fixture without ever
+    writing it. The oracle derives the identical columns from DuckDB's
+    ``range(N)``, so generation is value-exact cross-engine — the
+    aggregate (count / per-category sums / hash-checksum) would expose
+    any drift in a single cell.
+    """
+    df = spark.range(GEN_N).select(
+        F.col("id"),
+        ((F.col("id") * _GEN_A + _GEN_C) % _GEN_M).alias("h"),
+    )
+    return (
+        df.select(
+            (F.col("h") % 7).alias("category"),
+            (F.col("h") % 99_999).alias("cents"),
+        )
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("sum_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+        .orderBy("category")
+    )
+
+
+RANGE_GENERATOR_SQL = f"""
+WITH g AS (
+  SELECT ((range * {_GEN_A} + {_GEN_C}) % {_GEN_M}) AS h
+  FROM range({GEN_N})
+)
+SELECT CAST(h % 7 AS BIGINT) AS category,
+       count(*) AS n_rows,
+       CAST(sum(CAST(h % 99999 AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(max(h % 99999) AS BIGINT) AS max_cents
+FROM g GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "src_json_scan": (json_scan_events, JSON_SCAN_EVENTS_SQL),
     "src_textlog_scan": (textlog_scan, TEXTLOG_SCAN_SQL),
+    "src_range_generator": (range_generator, RANGE_GENERATOR_SQL),
     "src_federated_join": (federated_join, FEDERATED_JOIN_SQL),
     "src_csv_scan": (csv_scan_supplier, CSV_SCAN_SUPPLIER_SQL),
     "src_orc_scan": (orc_scan_part, ORC_SCAN_PART_SQL),

@@ -142,6 +142,14 @@ GOLDEN_QUERIES = [
     # window shuffle, with the (from,to) rollup and its broadcast
     # row-total join downstream of it
     "win_event_transitions",
+    # wave 5: both sequential detectors keep ONE corpus-sized shuffle
+    # (the user/daily aggregate) with the recurrence downstream — Holt
+    # as an in-array fold, CUSUM as pure window algebra
+    "ts_holt_linear",
+    "ts_cusum_changepoint",
+    # generation must plan as a Range leaf (no file scan, no exchange
+    # before the aggregate)
+    "src_range_generator",
 ]
 
 _EXCHANGE_KIND = re.compile(

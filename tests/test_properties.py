@@ -279,8 +279,7 @@ def test_time_travel_versions_diverge_exactly_on_merged_month(spark):
     from seamless_sharepoint_etl_spark.operators import layout
 
     layout.time_travel_read(spark, SF_DIR)  # ensures both commits exist
-    tag = "sf" + SF_DIR.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
-    root = f"/tmp/sse_timetravel-{tag}"
+    root = layout.timetravel_root(SF_DIR)
     om = F.date_format("o_orderdate", "yyyy-MM").alias("om")
     cents = F.sum(
         F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
@@ -498,6 +497,155 @@ def test_frontier_ops_survive_empty_inputs(spark, tmp_path):
     card = quality.join_cardinality(spark, d).first()
     assert card["n_common_keys"] == 0 and card["predicted_rows"] is None
     assert graph.bfs_depth(spark, d).count() == 0
+
+
+def test_holt_linear_matches_sequential_recurrence(spark):
+    """ts_holt_linear: re-run the coupled (level, trend) recurrence
+    sequentially in Python over each user's ordered values — the
+    distributed fold must agree bit-for-bit (same double ops, same
+    order)."""
+    import math
+
+    from conftest import SF_DIR
+
+    from seamless_sharepoint_etl_spark import io
+    from seamless_sharepoint_etl_spark.operators import timeseries as ts
+
+    got = {
+        r["user_id"]: (r["level_cents"], r["trend_cents"], r["forecast_cents"])
+        for r in ts.holt_linear(spark, SF_DIR).collect()
+    }
+    e = io.load_table(spark, SF_DIR, "events")
+    rows = e.selectExpr(
+        "user_id", "ts_ns div 1000 AS ts_us", "event_id", "value"
+    ).collect()
+    series = {}
+    for r in sorted(rows, key=lambda r: (r["user_id"], r["ts_us"], r["event_id"])):
+        series.setdefault(r["user_id"], []).append(r["value"])
+    a, b = ts.HOLT_ALPHA, ts.HOLT_BETA
+    for u, vals in series.items():
+        if len(vals) == 1:
+            l, t = vals[0], 0.0
+        else:
+            l, t = vals[1], vals[1] - vals[0]
+            for x in vals[2:]:
+                nl = a * x + (1 - a) * (l + t)
+                t = b * ((a * x + (1 - a) * (l + t)) - l) + (1 - b) * t
+                l = nl
+        want = tuple(
+            int(math.floor(v * 100 + 0.5)) for v in (l, t, l + t)
+        )
+        assert got[u] == want, (u, got[u], want)
+
+
+def test_cusum_identity_matches_clamped_recurrence(spark):
+    """ts_cusum_changepoint: the window identity Sₜ = Pₜ − min(0,
+    min Pₛ) must equal the textbook clamped recurrence
+    Sₜ = max(0, Sₜ₋₁ + dₜ) re-run sequentially in Python, including
+    the argmax day with earliest-day tie-break."""
+    from collections import defaultdict
+
+    from conftest import SF_DIR
+
+    from seamless_sharepoint_etl_spark import io
+    from seamless_sharepoint_etl_spark.operators import timeseries as ts
+    from pyspark.sql import functions as FF
+
+    got = {
+        r["event_type"]: (r["n_days"], r["max_cusum_scaled"], r["changepoint_day"])
+        for r in ts.cusum_changepoint(spark, SF_DIR).collect()
+    }
+    e = io.load_table(spark, SF_DIR, "events")
+    daily = (
+        e.groupBy("event_type", FF.to_date("ts").alias("day"))
+        .agg(
+            FF.sum(
+                FF.floor(FF.col("value") * 100 + FF.lit(0.5)).cast("long")
+            ).alias("cents")
+        )
+        .collect()
+    )
+    series = defaultdict(list)
+    for r in daily:
+        series[r["event_type"]].append((r["day"], r["cents"]))
+    for et, pts in series.items():
+        pts.sort()
+        n = len(pts)
+        total = sum(c for _, c in pts)
+        s, best, best_day = 0, None, None
+        for day, c in pts:
+            s = max(0, s + n * c - total)
+            if best is None or s > best:
+                best, best_day = s, day
+        assert got[et] == (n, best, best_day), et
+
+
+def test_sequential_smoothers_handle_short_series(spark, tmp_path):
+    """ts_ewma / ts_holt_linear over users with 1, 2, and 3 events —
+    the short-series cases the fixture lacks. Spark bracket indexing is
+    0-based while slice() is 1-based; the original seeds used vals[1]/
+    vals[2], which CRASHES under ANSI for n<=2 and silently mis-seeds
+    n>=3 (caught by review). Checked against hand-computed values."""
+    import os
+
+    import pandas as pd
+
+    d = str(tmp_path / "short")
+    os.makedirs(d)
+    base = pd.Timestamp("2024-01-01")
+    rows = [
+        # user 1: single event
+        (1, base, 1, "view", 10.0, "{}"),
+        # user 2: two events
+        (2, base, 2, "view", 10.0, "{}"),
+        (3, base + pd.Timedelta(hours=1), 2, "view", 20.0, "{}"),
+        # user 3: three events
+        (4, base, 3, "view", 1.0, "{}"),
+        (5, base + pd.Timedelta(hours=1), 3, "view", 2.0, "{}"),
+        (6, base + pd.Timedelta(hours=2), 3, "view", 3.0, "{}"),
+    ]
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(os.path.join(d, "events.parquet"))
+
+    from seamless_sharepoint_etl_spark.operators import timeseries as ts
+
+    ew = {r["user_id"]: r["ewma_cents"] for r in ts.ewma_per_user(spark, d).collect()}
+    # user1: ewma = 10.0; user2: 0.25*20 + 0.75*10 = 12.5; user3:
+    # s1=0.25*2+0.75*1=1.25, s2=0.25*3+0.75*1.25=1.6875
+    assert ew == {1: 1000, 2: 1250, 3: 169}
+
+    ho = {
+        r["user_id"]: (r["level_cents"], r["trend_cents"])
+        for r in ts.holt_linear(spark, d).collect()
+    }
+    # user1: l=10, b=0; user2: seed l=20, b=10 (no fold); user3: seed
+    # l=2, b=1 → x=3: l=0.5*3+0.5*3=3, b=0.25*(3-2)+0.75*1=1
+    assert ho == {1: (1000, 0), 2: (2000, 1000), 3: (300, 100)}
+
+
+def test_textlog_malformed_lines_are_counted_not_fatal(spark, tmp_path):
+    """src_textlog_scan's audit claim: a line that doesn't match the
+    log pattern must become a NULL-keyed counted row, not an ANSI cast
+    exception (regexp_extract returns '' on no-match; plain cast of ''
+    throws under Spark 4 ANSI — caught by review)."""
+    import os
+
+    from seamless_sharepoint_etl_spark.sources import formats
+
+    d = str(tmp_path / "log")
+    os.makedirs(d)
+    with open(os.path.join(d, "part.txt"), "w") as f:
+        f.write('7 - [2024-01-01T10:00:00] "view" 1234\n')
+        f.write("THIS LINE IS GARBAGE\n")
+        f.write('8 - [2024-01-01T11:00:00] "view" -50\n')
+    raw = spark.read.text(d)
+    parsed = formats._parse_log_lines(raw).collect()
+    ok = [r for r in parsed if r["user_id"] is not None]
+    bad = [r for r in parsed if r["user_id"] is None]
+    assert len(ok) == 2 and len(bad) == 1
+    assert {r["value_bp"] for r in ok} == {1234, -50}
+    assert bad[0]["ts"] is None and bad[0]["value_bp"] is None
 
 
 def test_codec_stats_monotone_and_lossless(spark):
