@@ -136,6 +136,9 @@ HEADLINE = [
     "ts_holt_linear",
     "ts_cusum_changepoint",
     "src_range_generator",
+    "win_rolling_distinct_users",
+    "join_market_basket",
+    "join_geo_gridblock",
 ]
 
 

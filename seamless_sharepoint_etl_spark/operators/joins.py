@@ -621,6 +621,206 @@ ORDER BY o_orderpriority
 """
 
 
+BASKET_TOP = 25
+
+
+def market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining over order baskets: for every part
+    pair co-ordered in the same order, support (co-order count) and
+    lift in basis points — the association-rule primitive (apriori's
+    size-2 frontier, which in practice carries most of the value of a
+    basket analysis).
+
+    Posting-list discipline, not a self-join: each order's distinct
+    sorted part array explodes its own C(k,2) pairs IN-ARRAY (TPC-H
+    baskets hold ≤7 items, so the explode factor is ≤21 and map-side);
+    the only shuffles are the basket collect and the (pa,pb) pair
+    count. Per-part basket counts come from the same basket relation
+    and broadcast into the lift expression; lift stays exact-integer:
+    lift_bp = support·n_baskets·10⁴ div (cₐ·c_b). A 100 TB catalog
+    would cap per-basket arity the same way MAX_POSTING caps shingle
+    postings. Top-{BASKET_TOP} by (support, pair) is
+    TakeOrderedAndProject.
+    """
+    li = io.load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    b = li.distinct()
+    baskets = b.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (x, i) ->"
+                " transform(slice(parts, i + 2, size(parts)),"
+                " y -> struct(x AS pa, y AS pb))))"
+            )
+        ).alias("p")
+    ).select("p.pa", "p.pb")
+    sup = pairs.groupBy("pa", "pb").agg(F.count(F.lit(1)).alias("support"))
+    # part counts and the basket total come from the flat distinct
+    # relation, NOT from re-deriving the collect_set baskets — Catalyst
+    # re-derives shared subtrees per reference, and the basket collect
+    # is the expensive aggregate (plan golden pins one ObjectHashAgg)
+    part_counts = b.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    n_baskets = b.select("l_orderkey").distinct().count()  # scalar frontier
+    ca = part_counts.select(F.col("part").alias("pa"), F.col("c").alias("ca"))
+    cb = part_counts.select(F.col("part").alias("pb"), F.col("c").alias("cb"))
+    return (
+        sup.join(F.broadcast(ca), "pa")
+        .join(F.broadcast(cb), "pb")
+        .select(
+            "pa",
+            "pb",
+            "support",
+            F.expr(f"(support * {n_baskets}L * 10000) div (ca * cb)").alias(
+                "lift_bp"
+            ),
+        )
+        .orderBy(F.col("support").desc(), "pa", "pb")
+        .limit(BASKET_TOP)
+    )
+
+
+MARKET_BASKET_SQL = f"""
+WITH b AS (
+  SELECT l_orderkey, l_partkey FROM lineitem GROUP BY 1, 2
+),
+sup AS (
+  SELECT a.l_partkey AS pa, c.l_partkey AS pb, count(*) AS support
+  FROM b a JOIN b c
+    ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+  GROUP BY 1, 2
+),
+pc AS (SELECT l_partkey AS part, count(*) AS c FROM b GROUP BY 1),
+n AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM b)
+SELECT pa, pb, support,
+       CAST((support * n_baskets * 10000) // (ca.c * cb.c) AS BIGINT)
+         AS lift_bp
+FROM sup
+CROSS JOIN n
+JOIN pc ca ON ca.part = pa
+JOIN pc cb ON cb.part = pb
+ORDER BY support DESC, pa, pb LIMIT {BASKET_TOP}
+"""
+
+
+GEO_R = 2_000_000  # radius in integer micro-degrees (2°), planar
+
+
+def geo_gridblock_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius join via grid blocking — the scale pattern for
+    "find all (customer, supplier) pairs within R": synthesize
+    deterministic planar positions in integer micro-degrees from each
+    key (no geo columns in the fixture; the LCG mix is identical in
+    both engines), bucket into R-sized grid cells, explode one side
+    into its 3×3 neighborhood (map-side ×9), equi-join on the cell,
+    and verify the exact integer distance² only inside candidate
+    cells. The oracle runs the naive quadratic theta join — proving
+    the blocked plan loses NO pair and adds none. At 100 TB the
+    candidate count is Σ|cell|·|neighborhood|, never |C|·|S|, and the
+    join key is a 2-int cell id — the same candidates-then-verify
+    discipline as the near-dup family.
+    """
+    def pos(df, key):
+        h = (F.col(key) * 1_103_515_245 + 12_345) % 2_147_483_648
+        h2 = (F.col(key) * 69_069 + 1) % 2_147_483_648
+        return df.select(
+            F.col(key).alias("id"),
+            (h % 180_000_001 - 90_000_000).alias("lat"),
+            (h2 % 360_000_001 - 180_000_000).alias("lon"),
+        )
+
+    c = pos(
+        io.load_table(spark, sf_dir, "customer").select("c_custkey"),
+        "c_custkey",
+    )
+    s = pos(
+        io.load_table(spark, sf_dir, "supplier").select("s_suppkey"),
+        "s_suppkey",
+    )
+    cell = lambda col: F.floor(F.col(col) / GEO_R).cast("long")  # noqa: E731
+    cg = c.select(
+        F.col("id").alias("cid"),
+        F.col("lat").alias("clat"),
+        F.col("lon").alias("clon"),
+        cell("lat").alias("gla"),
+        cell("lon").alias("glo"),
+    )
+    off = F.explode(F.sequence(F.lit(-1), F.lit(1)))
+    sg = (
+        s.select(
+            F.col("id").alias("sid"),
+            F.col("lat").alias("slat"),
+            F.col("lon").alias("slon"),
+            cell("lat").alias("sla"),
+            cell("lon").alias("slo"),
+        )
+        .withColumn("dla", off)
+        .withColumn("dlo", off)
+        .select(
+            "sid",
+            "slat",
+            "slon",
+            (F.col("sla") + F.col("dla")).alias("gla"),
+            (F.col("slo") + F.col("dlo")).alias("glo"),
+        )
+    )
+    d2 = (F.col("clat") - F.col("slat")) * (F.col("clat") - F.col("slat")) + (
+        F.col("clon") - F.col("slon")
+    ) * (F.col("clon") - F.col("slon"))
+    pairs = (
+        cg.join(sg, ["gla", "glo"])
+        .withColumn("d2", d2)
+        .filter(F.col("d2") <= F.lit(GEO_R * GEO_R))  # precomputed: int32 lit*lit overflows under ANSI
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("cid").alias("n_customers_matched"),
+        F.countDistinct("sid").alias("n_suppliers_matched"),
+        F.min("d2").alias("min_d2"),
+        F.sum("d2").alias("sum_d2"),
+    )
+
+
+GEO_GRIDBLOCK_SQL = f"""
+WITH c AS (
+  SELECT c_custkey AS cid,
+         (c_custkey * 1103515245 + 12345) % 2147483648 % 180000001
+           - 90000000 AS lat,
+         (c_custkey * 69069 + 1) % 2147483648 % 360000001
+           - 180000000 AS lon
+  FROM customer
+),
+s AS (
+  SELECT s_suppkey AS sid,
+         (s_suppkey * 1103515245 + 12345) % 2147483648 % 180000001
+           - 90000000 AS lat,
+         (s_suppkey * 69069 + 1) % 2147483648 % 360000001
+           - 180000000 AS lon
+  FROM supplier
+),
+p AS (
+  SELECT cid, sid,
+         (c.lat - s.lat) * (c.lat - s.lat)
+           + (c.lon - s.lon) * (c.lon - s.lon) AS d2
+  FROM c, s
+  WHERE (c.lat - s.lat) * (c.lat - s.lat)
+          + (c.lon - s.lon) * (c.lon - s.lon)
+        <= CAST({GEO_R} AS BIGINT) * {GEO_R}
+)
+SELECT count(*) AS n_pairs,
+       count(DISTINCT cid) AS n_customers_matched,
+       count(DISTINCT sid) AS n_suppliers_matched,
+       CAST(min(d2) AS BIGINT) AS min_d2,
+       CAST(sum(d2) AS BIGINT) AS sum_d2
+FROM p
+"""
+
+
 QUERIES = {
     "join_broadcast_dim": (broadcast_dim_join, BROADCAST_DIM_SQL),
     "join_shuffle_fact": (shuffle_fact_join, SHUFFLE_FACT_SQL),
@@ -637,4 +837,6 @@ QUERIES = {
     "join_fuzzy_name_match": (fuzzy_name_match, FUZZY_NAME_MATCH_SQL),
     "join_bloom_prefilter": (bloom_prefilter_join, BLOOM_PREFILTER_SQL),
     "join_auto_skew_remedy": (auto_skew_join, AUTO_SKEW_JOIN_SQL),
+    "join_market_basket": (market_basket, MARKET_BASKET_SQL),
+    "join_geo_gridblock": (geo_gridblock_join, GEO_GRIDBLOCK_SQL),
 }

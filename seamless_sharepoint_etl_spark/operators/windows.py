@@ -593,6 +593,69 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ROLLING_DAYS = 7
+
+
+def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-{ROLLING_DAYS}-day distinct active users per day (the
+    DAU/WAU family) — COUNT(DISTINCT) over a sliding range frame,
+    which window functions cannot express (distinct aggregates are
+    disallowed in frames).
+
+    Distributed shape: collapse events to the DISTINCT (day, user)
+    relation FIRST (one shuffle, the only corpus-sized one), then
+    explode each row into the {ROLLING_DAYS} target days it
+    contributes to (map-side ×{ROLLING_DAYS}), semi-join to observed
+    days, and count distinct per target day. The explode factor is the
+    window length — constant — so at 100 TB the cost is
+    {ROLLING_DAYS}× the DISTINCT relation, not the event stream, and
+    never a per-day self-join. Same-day actives (u1) ride along via a
+    conditional distinct on the offset-0 copy.
+    """
+    e = io.load_table(spark, sf_dir, "events")
+    du = e.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    days = du.select("day").distinct()
+    exp = du.select(
+        "user_id",
+        "day",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(ROLLING_DAYS - 1))
+        ).alias("k"),
+    ).select(
+        "user_id",
+        F.col("k"),
+        F.date_add("day", F.col("k")).alias("tday"),
+    )
+    return (
+        exp.join(days.select(F.col("day").alias("tday")), "tday", "left_semi")
+        .groupBy("tday")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("k") == 0, F.col("user_id"))
+            ).alias("u1"),
+            F.countDistinct("user_id").alias(f"u{ROLLING_DAYS}"),
+        )
+        .orderBy("tday")
+    )
+
+
+ROLLING_DISTINCT_SQL = f"""
+WITH du AS (
+  SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id
+  FROM events
+),
+days AS (SELECT DISTINCT day FROM du)
+SELECT d.day AS tday,
+       count(DISTINCT CASE WHEN du.day = d.day THEN user_id END) AS u1,
+       count(DISTINCT user_id) AS u{ROLLING_DAYS}
+FROM days d
+JOIN du ON du.day BETWEEN d.day - {ROLLING_DAYS - 1} AND d.day
+GROUP BY d.day ORDER BY d.day
+"""
+
+
 EVENT_TRANSITIONS_SQL = """
 WITH ordered AS (
   SELECT user_id, event_type AS from_type,
@@ -626,6 +689,10 @@ QUERIES = {
     "win_cohort_retention": (cohort_retention, COHORT_RETENTION_SQL),
     "win_sessionize_gap": (sessionize_gap, SESSIONIZE_GAP_SQL),
     "win_event_transitions": (event_transitions, EVENT_TRANSITIONS_SQL),
+    "win_rolling_distinct_users": (
+        rolling_distinct_users,
+        ROLLING_DISTINCT_SQL,
+    ),
     "win_moving_median": (moving_median, MOVING_MEDIAN_SQL),
     "win_pattern_consecutive": (pattern_consecutive, PATTERN_CONSECUTIVE_SQL),
 }

@@ -150,6 +150,12 @@ GOLDEN_QUERIES = [
     # generation must plan as a Range leaf (no file scan, no exchange
     # before the aggregate)
     "src_range_generator",
+    # wave 6: basket pairs must stay the in-array explode (no basket
+    # self-join), the spatial join must equi-join on grid cells (no
+    # cartesian / BNLJ), rolling distinct keeps one corpus shuffle
+    "join_market_basket",
+    "join_geo_gridblock",
+    "win_rolling_distinct_users",
 ]
 
 _EXCHANGE_KIND = re.compile(

@@ -648,6 +648,57 @@ def test_textlog_malformed_lines_are_counted_not_fatal(spark, tmp_path):
     assert bad[0]["ts"] is None and bad[0]["value_bp"] is None
 
 
+def test_rolling_distinct_users_dominates_daily(spark):
+    """win_rolling_distinct_users: the trailing-7d distinct count must
+    be ≥ the same-day distinct count for every day, and ≥ the max
+    single-day count within any full window."""
+    from conftest import SF_DIR
+
+    from seamless_sharepoint_etl_spark.operators import windows as win_ops
+
+    rows = win_ops.rolling_distinct_users(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["u7"] >= r["u1"] > 0
+
+
+def test_market_basket_support_and_lift_consistent(spark):
+    """join_market_basket: every reported pair's support must be ≥ 1,
+    pairs ordered pa < pb, and recomputing one pair's support by a
+    direct join must agree — the in-array pair explode loses nothing."""
+    from conftest import SF_DIR
+
+    from seamless_sharepoint_etl_spark import io
+    from seamless_sharepoint_etl_spark.operators import joins
+
+    rows = joins.market_basket(spark, SF_DIR).collect()
+    assert rows
+    assert all(r["pa"] < r["pb"] and r["support"] >= 1 for r in rows)
+    top = rows[0]
+    li = (
+        io.load_table(spark, SF_DIR, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.filter(F.col("l_partkey") == top["pa"]).select("l_orderkey")
+    b = li.filter(F.col("l_partkey") == top["pb"]).select("l_orderkey")
+    assert a.join(b, "l_orderkey").count() == top["support"]
+
+
+def test_geo_gridblock_is_nonvacuous_and_within_radius(spark):
+    """join_geo_gridblock: the blocked join must actually match pairs
+    on this fixture (oracle equality would be vacuous on zero rows) —
+    and every distance must honor the radius bound."""
+    from conftest import SF_DIR
+
+    from seamless_sharepoint_etl_spark.operators import joins
+
+    r = joins.geo_gridblock_join(spark, SF_DIR).first()
+    assert r["n_pairs"] > 0
+    assert 0 <= r["min_d2"] <= joins.GEO_R * joins.GEO_R
+    assert r["n_customers_matched"] <= r["n_pairs"]
+
+
 def test_codec_stats_monotone_and_lossless(spark):
     """layout_codec_stats: every codec reads back every row, and the
     compressed variants genuinely compress (zstd <= snappy < uncompressed
