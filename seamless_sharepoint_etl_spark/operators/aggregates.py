@@ -833,14 +833,16 @@ def kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     one distinct pass (map-side partial) → per-key rank ≤ K window
     over the distinct-hash relation (keyed shuffle; at 100 TB the
     distinct relation is |keys|·|distinct| rows, already far smaller
-    than the events). The estimate is deterministic given xxhash64,
-    but DuckDB has no xxhash64 — rows-only; the pytest gate bounds the
-    estimate against exact countDistinct (within 3σ ≈ 38% for K=64)
-    and proves sketch MERGE exactness (k-smallest of two sketch unions
-    == sketch of the union).
+    than the events). The hash is the portable LCG (same integer
+    arithmetic in both engines — originally xxhash64, which DuckDB
+    lacks, leaving this rows-only; the switch bought a full value-hash
+    oracle), so the estimate is EXACTLY graded; the pytest gate still
+    bounds it against exact countDistinct and proves sketch MERGE
+    exactness (k-smallest of two sketch unions == sketch of the
+    union).
     """
     ev = io.load_table(spark, sf_dir, "events")
-    h = F.xxhash64(F.col("user_id"))
+    h = (F.col("user_id") * 1_103_515_245 + 12_345) % F.lit(2_147_483_648)
     distinct_h = (
         ev.select(F.col("event_type").alias("k"), h.alias("h")).distinct()
     )
@@ -851,8 +853,8 @@ def kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k")
         .agg(F.max("h").alias("hk"), F.count(F.lit(1)).alias("n_kept"))
     )
-    # u_k: map int64 hash to (0, 1]; fixed op order keeps it reproducible
-    u = (F.col("hk").cast("double") / F.lit(2.0**64)) + F.lit(0.5)
+    # u_k: map the 31-bit hash to (0, 1]; +1 keeps u > 0 for hk = 0
+    u = (F.col("hk") + 1).cast("double") / F.lit(2.0**31)
     return sk.select(
         F.col("k").alias("event_type"),
         "n_kept",
@@ -860,6 +862,29 @@ def kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.floor((F.lit(KMV_K - 1) / u) + F.lit(0.5)).cast("long"))
         .alias("est_distinct"),
     )
+
+
+KMV_DISTINCT_SQL = f"""
+WITH dh AS (
+  SELECT DISTINCT event_type AS k,
+         (user_id * 1103515245 + 12345) % 2147483648 AS h
+  FROM events
+),
+r AS (
+  SELECT k, h, row_number() OVER (PARTITION BY k ORDER BY h) AS rn
+  FROM dh
+),
+sk AS (
+  SELECT k, max(h) AS hk, count(*) AS n_kept
+  FROM r WHERE rn <= {KMV_K} GROUP BY k
+)
+SELECT k AS event_type, CAST(n_kept AS BIGINT) AS n_kept,
+       CASE WHEN n_kept < {KMV_K} THEN CAST(n_kept AS BIGINT)
+            ELSE CAST(floor(({KMV_K - 1})
+                   / ((hk + 1) / {float(2.0**31)}) + 0.5) AS BIGINT)
+       END AS est_distinct
+FROM sk
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -938,7 +963,7 @@ QUERIES = {
     "agg_equiwidth_histogram": (equiwidth_histogram, EQUIWIDTH_HISTOGRAM_SQL),
     "agg_equidepth_histogram": (equidepth_histogram, EQUIDEPTH_HISTOGRAM_SQL),
     "agg_approx_topk": (approx_topk_event_types, APPROX_TOPK_SQL),
-    "agg_kmv_distinct": (kmv_distinct, None),
+    "agg_kmv_distinct": (kmv_distinct, KMV_DISTINCT_SQL),
     "agg_bitmap_distinct": (bitmap_distinct_customers, BITMAP_DISTINCT_SQL),
     "agg_sample_estimate": (sample_estimate, SAMPLE_ESTIMATE_SQL),
 }

@@ -130,10 +130,15 @@ def test_kmv_estimate_within_bound_and_merge_exact(spark):
         else:
             assert abs(est[k] - e) / e < 0.38, (k, est[k], e)
 
-    # merge exactness on raw hash sets
+    # merge exactness on raw hash sets (portable LCG, same as the op)
     hashes = sorted(
         r["h"]
-        for r in ev.select(F.xxhash64("user_id").alias("h")).distinct().collect()
+        for r in ev.select(
+            ((F.col("user_id") * 1_103_515_245 + 12_345) % 2_147_483_648)
+            .alias("h")
+        )
+        .distinct()
+        .collect()
     )
     half_a = sorted(h for h in hashes if h % 2 == 0)[: agg.KMV_K]
     half_b = sorted(h for h in hashes if h % 2 != 0)[: agg.KMV_K]
