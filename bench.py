@@ -139,6 +139,9 @@ HEADLINE = [
     "win_rolling_distinct_users",
     "join_market_basket",
     "join_geo_gridblock",
+    "ts_theil_sen",
+    "diag_ab_chi_square",
+    "emb_pca_top_component",
 ]
 
 

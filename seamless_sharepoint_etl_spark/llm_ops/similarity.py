@@ -1143,6 +1143,77 @@ ORDER BY dim
 """
 
 
+def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding space — the whitening /
+    anisotropy-diagnosis primitive (a dominant component means the
+    space wastes capacity on one direction; its loading says which
+    dims).
+
+    The 100 TB shape is NOT an iterative power method over the corpus:
+    for dim d ≪ n the whole problem collapses to the d×d Gram matrix,
+    accumulated in ONE Arrow-batched pass — ``mapInPandas`` emits a
+    (count, Σx, flattened XᵀX) partial per batch (numpy ``x.T @ x``,
+    BLAS-backed), partials reduce to one row per partition before the
+    driver sums the ≤|partitions| rows (a stat frontier), and the 64×64
+    eigendecomposition costs microseconds driver-side. No corpus
+    shuffle at all — the only traffic is d²-sized partials. Rows-only
+    (eigendecomposition is not SQL); the pytest gate compares against
+    numpy PCA of the fully collected matrix (eigenvalue ≈, |cos| of
+    loadings ≈ 1) and the ppm outputs absorb partial-sum float-order
+    jitter.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = io.load_table_parallel(spark, sf_dir, "embeddings").select("embedding")
+
+    def gram(batches):
+        for pdf in batches:
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            if len(x) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "n": [len(x)],
+                    "s": [x.sum(axis=0).tolist()],
+                    "g": [(x.T @ x).ravel().tolist()],
+                }
+            )
+
+    parts = e.mapInPandas(
+        gram, "n BIGINT, s ARRAY<DOUBLE>, g ARRAY<DOUBLE>"
+    ).collect()
+    n = sum(p["n"] for p in parts)
+    d = int(round(len(parts[0]["g"]) ** 0.5))
+    s = np.zeros(d)
+    g = np.zeros((d, d))
+    for p in parts:
+        s += np.array(p["s"])
+        g += np.array(p["g"]).reshape(d, d)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    w, v = np.linalg.eigh(cov)
+    top = v[:, -1] * (1 if v[int(np.argmax(np.abs(v[:, -1]))), -1] >= 0 else -1)
+    ppm = lambda x: int(np.floor(x * 1_000_000 + 0.5))  # noqa: E731
+    row = [
+        (
+            int(n),
+            int(d),
+            ppm(float(w[-1])),
+            ppm(float(w[-1] / w.sum())),
+            int(np.argmax(np.abs(top)) + 1),
+            ppm(float(top[int(np.argmax(np.abs(top)))])),
+        )
+    ]
+    return spark.createDataFrame(
+        row,
+        "n_vectors BIGINT, dim BIGINT, top_eig_ppm BIGINT,"
+        " explained_ppm BIGINT, top_dim BIGINT, top_loading_ppm BIGINT",
+    )
+
+
 QUERIES = {
     "sim_brute_force_topk": (brute_force_topk, BRUTE_FORCE_SQL),
     "sim_embedding_neardup": (embedding_neardup, EMBEDDING_NEARDUP_SQL),
@@ -1157,4 +1228,5 @@ QUERIES = {
     "sim_pq_topk": (pq_topk, None),
     "sim_rerank_two_stage": (rerank_two_stage, None),
     "sim_filtered_topk": (filtered_topk, FILTERED_TOPK_SQL),
+    "emb_pca_top_component": (pca_top_component, None),
 }

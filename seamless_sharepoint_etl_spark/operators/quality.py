@@ -235,6 +235,88 @@ FROM j
 """
 
 
+# --- experimentation: 2x2 chi-square -------------------------------
+
+
+def ab_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B conversion significance: split users into two cohorts by
+    key parity, outcome = "ever fired a purchase event", and compute
+    the 2×2 chi-square statistic χ² = N·(ad−bc)² / ((a+b)(c+d)(a+c)
+    (b+d)) — the experimentation readout every event pipeline serves.
+
+    Shape: one user-level aggregate (the only corpus shuffle: events →
+    per-user converted flag), then ONE global 1-row aggregate of four
+    conditional counts; the statistic is arithmetic over four BIGINTs.
+    The single double division happens on identical integers in both
+    engines, floored to ppm. Overflow headroom: (ad−bc)² stays in
+    BIGINT up to ~3 B users per cell — past that, compute in
+    proportions. The pytest gate cross-checks against scipy-free
+    textbook arithmetic.
+    """
+    ev = io.load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv")
+    )
+    counts = users.agg(
+        F.count(F.when((F.col("user_id") % 2 == 0) & (F.col("conv") == 1), 1)).alias("a"),
+        F.count(F.when((F.col("user_id") % 2 == 0) & (F.col("conv") == 0), 1)).alias("b"),
+        F.count(F.when((F.col("user_id") % 2 == 1) & (F.col("conv") == 1), 1)).alias("c"),
+        F.count(F.when((F.col("user_id") % 2 == 1) & (F.col("conv") == 0), 1)).alias("d"),
+    )
+    num = (
+        (F.col("a") + F.col("b") + F.col("c") + F.col("d"))
+        * (F.col("a") * F.col("d") - F.col("b") * F.col("c"))
+        * (F.col("a") * F.col("d") - F.col("b") * F.col("c"))
+    )
+    den = (
+        (F.col("a") + F.col("b"))
+        * (F.col("c") + F.col("d"))
+        * (F.col("a") + F.col("c"))
+        * (F.col("b") + F.col("d"))
+    )
+    return counts.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.when(den == 0, F.lit(0).cast("long"))  # degenerate margin: no test
+        .otherwise(
+            F.floor(
+                num.cast("double") / den.cast("double") * 1_000_000
+                + F.lit(0.5)
+            ).cast("long")
+        )
+        .alias("chi2_ppm"),
+    )
+
+
+AB_CHI_SQUARE_SQL = """
+WITH u AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+),
+t AS (
+  SELECT count(*) FILTER (user_id % 2 = 0 AND conv = 1) AS a,
+         count(*) FILTER (user_id % 2 = 0 AND conv = 0) AS b,
+         count(*) FILTER (user_id % 2 = 1 AND conv = 1) AS c,
+         count(*) FILTER (user_id % 2 = 1 AND conv = 0) AS d
+  FROM u
+)
+SELECT a, b, c, d,
+       CASE WHEN (a + b) * (c + d) * (a + c) * (b + d) = 0
+            THEN CAST(0 AS BIGINT)
+       ELSE CAST(floor(CAST((a + b + c + d) * (a * d - b * c)
+                            * (a * d - b * c) AS DOUBLE)
+                  / CAST((a + b) * (c + d) * (a + c) * (b + d) AS DOUBLE)
+                  * 1000000 + 0.5) AS BIGINT)
+       END AS chi2_ppm
+FROM t
+"""
+
+
 QUERIES = {
     "diag_referential_integrity": (
         referential_integrity,
@@ -242,4 +324,5 @@ QUERIES = {
     ),
     "diag_psi_drift": (psi_drift, PSI_DRIFT_SQL),
     "diag_join_cardinality": (join_cardinality, JOIN_CARDINALITY_SQL),
+    "diag_ab_chi_square": (ab_chi_square, AB_CHI_SQUARE_SQL),
 }

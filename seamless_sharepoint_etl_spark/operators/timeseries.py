@@ -697,6 +697,88 @@ WHERE n >= 10
 """
 
 
+def theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per event type — the median of all
+    pairwise daily-revenue slopes, the estimator that shrugs off the
+    outlier days OLS (``ts_trend_slope``) gets dragged by (breakdown
+    point 29% vs 0%).
+
+    Exactness discipline: slopes are scaled integers — slope_e6 =
+    (Δcents·10⁶) div Δdays — so the C(n,2) pair set and its LOWER
+    MEDIAN (element ⌈m/2⌉ of the sorted slopes, a fixed deterministic
+    pick) are bit-identical across engines; no float enters the plan.
+    Shape: the daily aggregate carries the one corpus shuffle; each
+    type's calendar-bounded series collects to an array and explodes
+    its own pairs in-array (same posting discipline as the basket
+    miner — C(730,2) ≈ 266k pairs per type at worst, map-side), then
+    one percentile-free rank pick per type. At 100 TB the pair count
+    depends on the CALENDAR, not the corpus.
+    """
+    ev = io.load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+            "cents"
+        )
+    )
+    per = daily.groupBy("event_type").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("d"), F.col("cents")))
+        ).alias("pts")
+    )
+    pairs = per.select(
+        "event_type",
+        F.size("pts").alias("n_days"),
+        F.explode(
+            F.expr(
+                "flatten(transform(pts, (a, i) ->"
+                " transform(slice(pts, i + 2, size(pts)), b ->"
+                " ((b.cents - a.cents) * 1000000L)"
+                " div datediff(b.d, a.d))))"
+            )
+        ).alias("slope_e6"),
+    )
+    w = Window.partitionBy("event_type").orderBy("slope_e6")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "m", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+        )
+        .filter(F.expr("rn = (m + 1) div 2"))
+        .select("event_type", "n_days", F.col("slope_e6").alias("median_slope_e6"))
+        .orderBy("event_type")
+    )
+
+
+THEIL_SEN_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.event_type,
+         CAST((b.cents - a.cents) * 1000000 // (b.d - a.d) AS BIGINT)
+           AS slope_e6
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.d < b.d
+),
+nd AS (SELECT event_type, count(*) AS n_days FROM daily GROUP BY 1),
+r AS (
+  SELECT event_type, slope_e6,
+         row_number() OVER (PARTITION BY event_type ORDER BY slope_e6) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS m
+  FROM pairs
+)
+SELECT r.event_type, nd.n_days, slope_e6 AS median_slope_e6
+FROM r JOIN nd ON nd.event_type = r.event_type
+WHERE rn = (m + 1) // 2
+ORDER BY r.event_type
+"""
+
+
 def trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type OLS trend of daily revenue — the monitoring primitive
     behind "is this series drifting": slope of daily cents on day
@@ -842,6 +924,7 @@ QUERIES = {
     "ts_ewma": (ewma_per_user, EWMA_SQL),
     "ts_holt_linear": (holt_linear, HOLT_LINEAR_SQL),
     "ts_cusum_changepoint": (cusum_changepoint, CUSUM_SQL),
+    "ts_theil_sen": (theil_sen_slope, THEIL_SEN_SQL),
     "ts_linear_interpolate": (linear_interpolate, LINEAR_INTERPOLATE_SQL),
     "ts_daily_zscore_anomalies": (daily_zscore_anomalies, DAILY_ZSCORE_SQL),
     "ts_lttb_downsample": (lttb_downsample, None),

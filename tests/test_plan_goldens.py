@@ -156,6 +156,10 @@ GOLDEN_QUERIES = [
     "join_market_basket",
     "join_geo_gridblock",
     "win_rolling_distinct_users",
+    # wave 7: Theil-Sen pairs explode in-array off the daily aggregate
+    # (never a daily self-join); chi-square is two aggregates, no join
+    "ts_theil_sen",
+    "diag_ab_chi_square",
 ]
 
 _EXCHANGE_KIND = re.compile(

@@ -699,6 +699,102 @@ def test_geo_gridblock_is_nonvacuous_and_within_radius(spark):
     assert r["n_customers_matched"] <= r["n_pairs"]
 
 
+def test_ab_chi_square_matches_textbook_arithmetic(spark):
+    """diag_ab_chi_square: recompute χ² from the returned contingency
+    cells with plain Python floats — the in-plan expression must agree
+    to the same ppm floor, and the cells must cover every user."""
+    import math
+
+    from conftest import SF_DIR
+
+    from seamless_sharepoint_etl_spark import io
+    from seamless_sharepoint_etl_spark.operators import quality
+
+    r = quality.ab_chi_square(spark, SF_DIR).first()
+    a, b, c, d = r["a"], r["b"], r["c"], r["d"]
+    n_users = (
+        io.load_table(spark, SF_DIR, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert a + b + c + d == n_users
+    den = (a + b) * (c + d) * (a + c) * (b + d)
+    want = (
+        0
+        if den == 0
+        else math.floor((a + b + c + d) * (a * d - b * c) ** 2 / den * 1e6 + 0.5)
+    )
+    assert r["chi2_ppm"] == want
+
+
+def test_theil_sen_median_is_a_real_pair_slope(spark):
+    """ts_theil_sen: the reported median must equal the lower median of
+    the exact pairwise-slope multiset recomputed in Python for one
+    event type."""
+    from conftest import SF_DIR
+
+    from seamless_sharepoint_etl_spark import io
+    from seamless_sharepoint_etl_spark.operators import timeseries as ts
+    from pyspark.sql import functions as FF
+
+    got = {
+        r["event_type"]: r["median_slope_e6"]
+        for r in ts.theil_sen_slope(spark, SF_DIR).collect()
+    }
+    et = sorted(got)[0]
+    daily = (
+        io.load_table(spark, SF_DIR, "events")
+        .filter(FF.col("event_type") == et)
+        .groupBy(FF.to_date("ts").alias("d"))
+        .agg(
+            FF.sum(
+                FF.floor(FF.col("value") * 100 + FF.lit(0.5)).cast("long")
+            ).alias("cents")
+        )
+        .collect()
+    )
+    pts = sorted((r["d"], r["cents"]) for r in daily)
+    slopes = []
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            dd = (pts[j][0] - pts[i][0]).days
+            num = (pts[j][1] - pts[i][1]) * 1_000_000
+            q = abs(num) // dd  # truncate-toward-zero like both engines
+            slopes.append(q if num >= 0 else -q)
+    slopes.sort()
+    assert got[et] == slopes[(len(slopes) + 1) // 2 - 1]
+
+
+def test_pca_top_component_matches_full_numpy(spark):
+    """emb_pca_top_component: the distributed Gram-accumulation result
+    must match numpy PCA of the fully collected matrix — eigenvalue to
+    1e-6 relative and loading direction to |cos| ≈ 1."""
+    import numpy as np
+
+    from conftest import SF_DIR
+
+    from seamless_sharepoint_etl_spark import io
+    from seamless_sharepoint_etl_spark.llm_ops import similarity as sim
+
+    got = sim.pca_top_component(spark, SF_DIR).first()
+    x = np.asarray(
+        [
+            np.asarray(r["embedding"], dtype=np.float64)
+            for r in io.load_table(spark, SF_DIR, "embeddings")
+            .select("embedding")
+            .collect()
+        ]
+    )
+    cov = np.cov(x, rowvar=False, bias=True)
+    w, v = np.linalg.eigh(cov)
+    assert got["n_vectors"] == len(x) and got["dim"] == x.shape[1]
+    assert abs(got["top_eig_ppm"] / 1e6 - w[-1]) / w[-1] < 1e-4
+    top = v[:, -1]
+    assert got["top_dim"] == int(np.argmax(np.abs(top))) + 1
+    assert abs(abs(top[got["top_dim"] - 1]) - abs(got["top_loading_ppm"]) / 1e6) < 1e-4
+
+
 def test_codec_stats_monotone_and_lossless(spark):
     """layout_codec_stats: every codec reads back every row, and the
     compressed variants genuinely compress (zstd <= snappy < uncompressed
