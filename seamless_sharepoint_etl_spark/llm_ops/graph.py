@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .. import io
+from .. import io, portable
 from .similarity import EMBEDDING_NEARDUP_SQL, embedding_neardup
 
 
@@ -209,9 +209,6 @@ def kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BFS_MAX_ROUNDS = 64
-_BFS_A = 1_103_515_245
-_BFS_C = 12_345
-_BFS_M = 2_147_483_648
 
 
 def bfs_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -236,7 +233,7 @@ def bfs_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = d.filter(F.col("n") > 0).select(
         "n",
-        ((F.col("n") * _BFS_A + _BFS_C) % _BFS_M % F.col("n")).alias("parent"),
+        (portable.lcg31(F.col("n")) % F.col("n")).alias("parent"),
     ).localCheckpoint(eager=True)
     frontier = d.filter(F.col("n") == 0).select(
         "n", F.lit(0).cast("long").alias("depth")
@@ -275,7 +272,7 @@ WITH RECURSIVE walk AS (
   FROM documents d
   JOIN walk w
     ON d.doc_id > 0
-   AND (d.doc_id * {_BFS_A} + {_BFS_C}) % {_BFS_M} % d.doc_id = w.n
+   AND {portable.lcg31_sql("d.doc_id")} % d.doc_id = w.n
 )
 SELECT depth, count(*) AS n_nodes, min(n) AS min_node
 FROM walk GROUP BY depth ORDER BY depth

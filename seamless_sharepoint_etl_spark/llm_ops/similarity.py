@@ -1168,23 +1168,38 @@ def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = io.load_table_parallel(spark, sf_dir, "embeddings").select("embedding")
 
     def gram(batches):
+        # accumulate across ALL of the partition's Arrow batches and
+        # emit ONE partial — yielding per batch would collect
+        # |batches| × d² doubles to the driver instead of the
+        # ≤|partitions| stat frontier the docstring promises (review)
+        n_acc, s_acc, g_acc = 0, None, None
         for pdf in batches:
             x = np.asarray(
                 [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
             )
             if len(x) == 0:
                 continue
+            n_acc += len(x)
+            s_acc = x.sum(axis=0) if s_acc is None else s_acc + x.sum(axis=0)
+            g_acc = x.T @ x if g_acc is None else g_acc + x.T @ x
+        if n_acc:
             yield pd.DataFrame(
                 {
-                    "n": [len(x)],
-                    "s": [x.sum(axis=0).tolist()],
-                    "g": [(x.T @ x).ravel().tolist()],
+                    "n": [n_acc],
+                    "s": [s_acc.tolist()],
+                    "g": [g_acc.ravel().tolist()],
                 }
             )
 
     parts = e.mapInPandas(
         gram, "n BIGINT, s ARRAY<DOUBLE>, g ARRAY<DOUBLE>"
     ).collect()
+    schema = (
+        "n_vectors BIGINT, dim BIGINT, top_eig_ppm BIGINT,"
+        " explained_ppm BIGINT, top_dim BIGINT, top_loading_ppm BIGINT"
+    )
+    if not parts:  # empty relation: emit empty, don't crash the frontier
+        return spark.createDataFrame([], schema)
     n = sum(p["n"] for p in parts)
     d = int(round(len(parts[0]["g"]) ** 0.5))
     s = np.zeros(d)
@@ -1207,11 +1222,7 @@ def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
             ppm(float(top[int(np.argmax(np.abs(top)))])),
         )
     ]
-    return spark.createDataFrame(
-        row,
-        "n_vectors BIGINT, dim BIGINT, top_eig_ppm BIGINT,"
-        " explained_ppm BIGINT, top_dim BIGINT, top_loading_ppm BIGINT",
-    )
+    return spark.createDataFrame(row, schema)
 
 
 QUERIES = {

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .. import io
+from .. import io, portable
 
 
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -842,7 +842,7 @@ def kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     union).
     """
     ev = io.load_table(spark, sf_dir, "events")
-    h = (F.col("user_id") * 1_103_515_245 + 12_345) % F.lit(2_147_483_648)
+    h = portable.lcg31(F.col("user_id"))
     distinct_h = (
         ev.select(F.col("event_type").alias("k"), h.alias("h")).distinct()
     )
@@ -867,7 +867,7 @@ def kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 KMV_DISTINCT_SQL = f"""
 WITH dh AS (
   SELECT DISTINCT event_type AS k,
-         (user_id * 1103515245 + 12345) % 2147483648 AS h
+         {portable.lcg31_sql("user_id")} AS h
   FROM events
 ),
 r AS (

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .. import io
+from .. import io, portable
 from . import bloom
 
 
@@ -636,11 +636,15 @@ def market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets hold ≤7 items, so the explode factor is ≤21 and map-side);
     the only shuffles are the basket collect and the (pa,pb) pair
     count. Per-part basket counts come from the same basket relation
-    and broadcast into the lift expression; lift stays exact-integer:
-    lift_bp = support·n_baskets·10⁴ div (cₐ·c_b). A 100 TB catalog
-    would cap per-basket arity the same way MAX_POSTING caps shingle
-    postings. Top-{BASKET_TOP} by (support, pair) is
-    TakeOrderedAndProject.
+    and broadcast into the lift expression; lift_bp =
+    ⌊support·n_baskets·10⁴ / (cₐ·c_b)⌋ computed in DOUBLE — int64
+    looked exact but support·n_baskets·10⁴ overflows BIGINT past ~1e7
+    baskets and ANSI turns that into a query-killing error (review);
+    doubles are exact below 2^53 and both engines floor the same IEEE
+    quotient, so parity holds while large corpora degrade gracefully
+    instead of crashing. A 100 TB catalog would cap per-basket arity
+    the same way MAX_POSTING caps shingle postings. Top-{BASKET_TOP}
+    by (support, pair) is TakeOrderedAndProject.
     """
     li = io.load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
@@ -676,9 +680,10 @@ def market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pa",
             "pb",
             "support",
-            F.expr(f"(support * {n_baskets}L * 10000) div (ca * cb)").alias(
-                "lift_bp"
-            ),
+            F.expr(
+                f"CAST(floor(CAST(support AS DOUBLE) * {n_baskets}"
+                " * 10000 / (CAST(ca AS DOUBLE) * cb)) AS BIGINT)"
+            ).alias("lift_bp"),
         )
         .orderBy(F.col("support").desc(), "pa", "pb")
         .limit(BASKET_TOP)
@@ -698,8 +703,8 @@ sup AS (
 pc AS (SELECT l_partkey AS part, count(*) AS c FROM b GROUP BY 1),
 n AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM b)
 SELECT pa, pb, support,
-       CAST((support * n_baskets * 10000) // (ca.c * cb.c) AS BIGINT)
-         AS lift_bp
+       CAST(floor(CAST(support AS DOUBLE) * n_baskets * 10000
+                  / (CAST(ca.c AS DOUBLE) * cb.c)) AS BIGINT) AS lift_bp
 FROM sup
 CROSS JOIN n
 JOIN pc ca ON ca.part = pa
@@ -726,8 +731,8 @@ def geo_gridblock_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline as the near-dup family.
     """
     def pos(df, key):
-        h = (F.col(key) * 1_103_515_245 + 12_345) % 2_147_483_648
-        h2 = (F.col(key) * 69_069 + 1) % 2_147_483_648
+        h = portable.lcg31(F.col(key))
+        h2 = portable.lcg31b(F.col(key))
         return df.select(
             F.col(key).alias("id"),
             (h % 180_000_001 - 90_000_000).alias("lat"),
@@ -789,17 +794,17 @@ def geo_gridblock_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 GEO_GRIDBLOCK_SQL = f"""
 WITH c AS (
   SELECT c_custkey AS cid,
-         (c_custkey * 1103515245 + 12345) % 2147483648 % 180000001
+         {portable.lcg31_sql("c_custkey")} % 180000001
            - 90000000 AS lat,
-         (c_custkey * 69069 + 1) % 2147483648 % 360000001
+         {portable.lcg31b_sql("c_custkey")} % 360000001
            - 180000000 AS lon
   FROM customer
 ),
 s AS (
   SELECT s_suppkey AS sid,
-         (s_suppkey * 1103515245 + 12345) % 2147483648 % 180000001
+         {portable.lcg31_sql("s_suppkey")} % 180000001
            - 90000000 AS lat,
-         (s_suppkey * 69069 + 1) % 2147483648 % 360000001
+         {portable.lcg31b_sql("s_suppkey")} % 360000001
            - 180000000 AS lon
   FROM supplier
 ),

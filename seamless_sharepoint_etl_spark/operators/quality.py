@@ -246,11 +246,13 @@ def ab_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: one user-level aggregate (the only corpus shuffle: events →
     per-user converted flag), then ONE global 1-row aggregate of four
-    conditional counts; the statistic is arithmetic over four BIGINTs.
-    The single double division happens on identical integers in both
-    engines, floored to ppm. Overflow headroom: (ad−bc)² stays in
-    BIGINT up to ~3 B users per cell — past that, compute in
-    proportions. The pytest gate cross-checks against scipy-free
+    conditional counts. The statistic is computed in DOUBLE from the
+    four counts — int64 products look tempting but den ≈ n⁴/16
+    overflows BIGINT past ~110k users and ANSI mode turns that into a
+    query-killing ARITHMETIC_OVERFLOW (caught by review); doubles are
+    exact for counts < 2^53 per cell and both engines make identical
+    IEEE decisions on identical inputs, so the ppm floor still
+    hash-matches. The pytest gate cross-checks against scipy-free
     textbook arithmetic.
     """
     ev = io.load_table(spark, sf_dir, "events")
@@ -265,17 +267,10 @@ def ab_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when((F.col("user_id") % 2 == 1) & (F.col("conv") == 1), 1)).alias("c"),
         F.count(F.when((F.col("user_id") % 2 == 1) & (F.col("conv") == 0), 1)).alias("d"),
     )
-    num = (
-        (F.col("a") + F.col("b") + F.col("c") + F.col("d"))
-        * (F.col("a") * F.col("d") - F.col("b") * F.col("c"))
-        * (F.col("a") * F.col("d") - F.col("b") * F.col("c"))
-    )
-    den = (
-        (F.col("a") + F.col("b"))
-        * (F.col("c") + F.col("d"))
-        * (F.col("a") + F.col("c"))
-        * (F.col("b") + F.col("d"))
-    )
+    a, b = F.col("a").cast("double"), F.col("b").cast("double")
+    c, d = F.col("c").cast("double"), F.col("d").cast("double")
+    num = (a + b + c + d) * (a * d - b * c) * (a * d - b * c)
+    den = (a + b) * (c + d) * (a + c) * (b + d)
     return counts.select(
         "a",
         "b",
@@ -283,10 +278,7 @@ def ab_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d",
         F.when(den == 0, F.lit(0).cast("long"))  # degenerate margin: no test
         .otherwise(
-            F.floor(
-                num.cast("double") / den.cast("double") * 1_000_000
-                + F.lit(0.5)
-            ).cast("long")
+            F.floor(num / den * 1_000_000 + F.lit(0.5)).cast("long")
         )
         .alias("chi2_ppm"),
     )
@@ -306,12 +298,16 @@ t AS (
   FROM u
 )
 SELECT a, b, c, d,
-       CASE WHEN (a + b) * (c + d) * (a + c) * (b + d) = 0
+       CASE WHEN (CAST(a AS DOUBLE) + b) * (CAST(c AS DOUBLE) + d)
+                 * (CAST(a AS DOUBLE) + c) * (CAST(b AS DOUBLE) + d) = 0
             THEN CAST(0 AS BIGINT)
-       ELSE CAST(floor(CAST((a + b + c + d) * (a * d - b * c)
-                            * (a * d - b * c) AS DOUBLE)
-                  / CAST((a + b) * (c + d) * (a + c) * (b + d) AS DOUBLE)
-                  * 1000000 + 0.5) AS BIGINT)
+       ELSE CAST(floor(
+              (CAST(a AS DOUBLE) + b + c + d)
+              * (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c)
+              * (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c)
+              / ((CAST(a AS DOUBLE) + b) * (CAST(c AS DOUBLE) + d)
+                 * (CAST(a AS DOUBLE) + c) * (CAST(b AS DOUBLE) + d))
+              * 1000000 + 0.5) AS BIGINT)
        END AS chi2_ppm
 FROM t
 """

@@ -22,7 +22,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .. import io
+from .. import io, portable
 
 
 def _stage_dir(sf_dir: str, what: str) -> str:
@@ -480,12 +480,6 @@ GROUP BY event_type ORDER BY event_type
 
 
 GEN_N = 100_000
-# 31-bit LCG constants: id*A tops out near 2^47, far from BIGINT
-# overflow — Spark 4 runs ANSI mode, where a 64-bit-wrapping mix would
-# THROW, and a wrap would also silently diverge from DuckDB's HUGEINT
-_GEN_A = 1_103_515_245
-_GEN_C = 12_345
-_GEN_M = 2**31
 
 
 def range_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -503,7 +497,7 @@ def range_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     df = spark.range(GEN_N).select(
         F.col("id"),
-        ((F.col("id") * _GEN_A + _GEN_C) % _GEN_M).alias("h"),
+        portable.lcg31(F.col("id")).alias("h"),
     )
     return (
         df.select(
@@ -522,7 +516,7 @@ def range_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 RANGE_GENERATOR_SQL = f"""
 WITH g AS (
-  SELECT ((range * {_GEN_A} + {_GEN_C}) % {_GEN_M}) AS h
+  SELECT {portable.lcg31_sql("range")} AS h
   FROM range({GEN_N})
 )
 SELECT CAST(h % 7 AS BIGINT) AS category,

@@ -131,12 +131,11 @@ def test_kmv_estimate_within_bound_and_merge_exact(spark):
             assert abs(est[k] - e) / e < 0.38, (k, est[k], e)
 
     # merge exactness on raw hash sets (portable LCG, same as the op)
+    from seamless_sharepoint_etl_spark import portable
+
     hashes = sorted(
         r["h"]
-        for r in ev.select(
-            ((F.col("user_id") * 1_103_515_245 + 12_345) % 2_147_483_648)
-            .alias("h")
-        )
+        for r in ev.select(portable.lcg31(F.col("user_id")).alias("h"))
         .distinct()
         .collect()
     )

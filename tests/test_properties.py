@@ -488,8 +488,16 @@ def test_frontier_ops_survive_empty_inputs(spark, tmp_path):
             "n_chars": pd.Series([], dtype="int64"),
         }
     ).to_parquet(os.path.join(d, "documents.parquet"))
+    pd.DataFrame(
+        {
+            "vec_id": pd.Series([], dtype="int64"),
+            "embedding": pd.Series([], dtype="object"),
+            "label": pd.Series([], dtype="int32"),
+        }
+    ).to_parquet(os.path.join(d, "embeddings.parquet"))
 
     from seamless_sharepoint_etl_spark.llm_ops import graph
+    from seamless_sharepoint_etl_spark.llm_ops import similarity as sim
     from seamless_sharepoint_etl_spark.operators import aggregates, quality
 
     assert aggregates.equidepth_histogram(spark, d).count() == 0
@@ -497,6 +505,7 @@ def test_frontier_ops_survive_empty_inputs(spark, tmp_path):
     card = quality.join_cardinality(spark, d).first()
     assert card["n_common_keys"] == 0 and card["predicted_rows"] is None
     assert graph.bfs_depth(spark, d).count() == 0
+    assert sim.pca_top_component(spark, d).count() == 0
 
 
 def test_holt_linear_matches_sequential_recurrence(spark):
