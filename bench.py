@@ -142,6 +142,7 @@ HEADLINE = [
     "ts_theil_sen",
     "diag_ab_chi_square",
     "emb_pca_top_component",
+    "text_unicode_nfc",
 ]
 
 

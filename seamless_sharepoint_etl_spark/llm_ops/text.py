@@ -1368,8 +1368,84 @@ FROM c ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Unicode NFC normalization (canonical-form dedup prerequisite)
+# ---------------------------------------------------------------------------
+
+_NFC_SUFFIX = " cafe\u0301"  # decomposed e + U+0301 combining acute
+
+
+def unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC canonicalization — the normalization every exact
+    dedup / tokenizer MUST run first: visually identical strings with
+    different codepoint sequences (composed é vs e+◌́) hash apart and
+    silently survive dedup. The fixture is ASCII, so a decomposed
+    suffix is appended deterministically in BOTH engines; NFC then
+    recomposes it, shrinking the codepoint count — the digest of the
+    normalized text proves Python's ``unicodedata.normalize`` and
+    DuckDB's ``nfc_normalize`` implement the same Unicode tables.
+
+    Spark has no built-in NFC, so the normalize step is an
+    Arrow-batched ``mapInPandas`` (the correct seam for any
+    codepoint-table transform); everything else — payload build,
+    lengths, md5 over UTF-8 bytes — is JVM-side. Map-side only, zero
+    shuffles before the final ORDER BY.
+    """
+    import pandas as pd
+
+    d = io.load_table_parallel(spark, sf_dir, "documents")
+    payload = d.select(
+        "doc_id",
+        F.concat(F.coalesce("text", F.lit("")), F.lit(_NFC_SUFFIX)).alias(
+            "raw"
+        ),
+    )
+
+    def norm(batches):
+        import unicodedata
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "raw": pdf["raw"],
+                    "nfc": [
+                        unicodedata.normalize("NFC", s) for s in pdf["raw"]
+                    ],
+                }
+            )
+
+    out = payload.mapInPandas(
+        norm, "doc_id BIGINT, raw STRING, nfc STRING"
+    )
+    return out.select(
+        "doc_id",
+        F.length("raw").cast("bigint").alias("len_raw"),
+        F.length("nfc").cast("bigint").alias("len_nfc"),
+        (F.length("raw") - F.length("nfc")).cast("bigint").alias("n_composed"),
+        F.md5(F.encode("nfc", "utf-8")).alias("nfc_digest"),
+    ).orderBy("doc_id")
+
+
+UNICODE_NFC_SQL = f"""
+WITH p AS (
+  SELECT doc_id,
+         coalesce(text, '') || ' cafe' || chr(769) AS raw
+  FROM documents
+),
+n AS (SELECT doc_id, raw, nfc_normalize(raw) AS nfc FROM p)
+SELECT doc_id,
+       CAST(length(raw) AS BIGINT) AS len_raw,
+       CAST(length(nfc) AS BIGINT) AS len_nfc,
+       CAST(length(raw) - length(nfc) AS BIGINT) AS n_composed,
+       md5(nfc) AS nfc_digest
+FROM n ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": (token_stats, TOKEN_STATS_SQL),
+    "text_unicode_nfc": (unicode_nfc, UNICODE_NFC_SQL),
     "text_url_canonicalize": (url_canonicalize, URL_CANONICALIZE_SQL),
     "text_token_entropy": (token_entropy, TOKEN_ENTROPY_SQL),
     "text_phrase_search": (phrase_search, PHRASE_SEARCH_SQL),

@@ -804,6 +804,22 @@ def test_pca_top_component_matches_full_numpy(spark):
     assert abs(abs(top[got["top_dim"] - 1]) - abs(got["top_loading_ppm"]) / 1e6) < 1e-4
 
 
+def test_unicode_nfc_recomposes_exactly_one_char(spark):
+    """text_unicode_nfc: the planted decomposed suffix must shrink by
+    EXACTLY one codepoint per doc (e+◌́ → é) and nothing else in the
+    ASCII fixture may change."""
+    from conftest import SF_DIR
+
+    from seamless_sharepoint_etl_spark.llm_ops import text as text_ops
+
+    rows = text_ops.unicode_nfc(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_composed"] == 1
+        assert r["len_nfc"] == r["len_raw"] - 1
+        assert len(r["nfc_digest"]) == 32
+
+
 def test_codec_stats_monotone_and_lossless(spark):
     """layout_codec_stats: every codec reads back every row, and the
     compressed variants genuinely compress (zstd <= snappy < uncompressed
