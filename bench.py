@@ -107,6 +107,7 @@ HEADLINE = [
     "ts_lttb_downsample",
     "sim_filtered_topk",
     "ts_trend_slope",
+    "ts_mom_growth",
     "win_pattern_consecutive",
     # round-3 session 3: the suite-completing TPC-H shapes (widest
     # tree, decorrelated MIN, outer-join distribution), BM25 lexical

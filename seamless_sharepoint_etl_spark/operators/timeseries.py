@@ -917,8 +917,76 @@ def lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hourly.groupBy("event_type").applyInPandas(lttb, out_schema)
 
 
+def mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth per order status — the lag-based
+    KPI readout every revenue dashboard runs (monthly rollup, previous
+    month via lag, delta, growth rate).
+
+    Provenance: SURVEY.md §2 Tier B temporal analytics; the reference
+    syncs timestamped order rows (bin/copy-seamless-to-sharepoint.rb)
+    and this is the first readout a consumer builds on them.
+
+    Exactness: revenue is summed in integer cents
+    (floor(price·100 + 0.5) — same IEEE ops both engines on identical
+    doubles), and the growth rate is pure integer arithmetic,
+    (delta·10⁴) div prev, where Spark `div` and DuckDB `//` both
+    truncate toward zero — no float division to flap (NOTES trap 1).
+
+    Scale posture: the monthly rollup is one map-side-combined
+    groupBy to (status × months) rows — a few thousand rows at any
+    corpus size — so the lag window over that tiny relation is free.
+    The shuffle is on the AGGREGATED relation, never the fact table.
+    """
+    o = io.load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.col("o_orderstatus").alias("status"),
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("month"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+        .alias("rev_cents")
+    )
+    w = Window.partitionBy("status").orderBy("month")
+    return (
+        monthly.withColumn("prev_cents", F.lag("rev_cents").over(w))
+        .select(
+            "status",
+            "month",
+            "rev_cents",
+            "prev_cents",
+            (F.col("rev_cents") - F.col("prev_cents")).alias("delta_cents"),
+            F.expr(
+                "(rev_cents - prev_cents) * 10000 div prev_cents"
+            ).alias("growth_bp"),
+        )
+        .orderBy("status", "month")
+    )
+
+
+MOM_GROWTH_SQL = """
+WITH monthly AS (
+  SELECT o_orderstatus AS status,
+         CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_cents
+  FROM orders GROUP BY 1, 2
+),
+lagged AS (
+  SELECT status, month, CAST(rev_cents AS BIGINT) AS rev_cents,
+         CAST(lag(rev_cents) OVER (PARTITION BY status ORDER BY month)
+              AS BIGINT) AS prev_cents
+  FROM monthly
+)
+-- every output CAST to BIGINT: DuckDB SUM(BIGINT) is HUGEINT (int128)
+-- and the driver's value-hash is dtype-sensitive (round-2 repr-fail)
+SELECT status, month, rev_cents, prev_cents,
+       rev_cents - prev_cents AS delta_cents,
+       (rev_cents - prev_cents) * 10000 // prev_cents AS growth_bp
+FROM lagged ORDER BY status, month
+"""
+
+
 QUERIES = {
     "ts_resample_ffill": (resample_ffill, RESAMPLE_FFILL_SQL),
+    "ts_mom_growth": (mom_growth, MOM_GROWTH_SQL),
     "ts_scd2_intervals": (scd2_intervals, SCD2_SQL),
     "ts_interval_overlap_join": (interval_overlap_join, _interval_overlap_sql()),
     "ts_ewma": (ewma_per_user, EWMA_SQL),
