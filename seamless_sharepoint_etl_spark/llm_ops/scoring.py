@@ -1,0 +1,374 @@
+"""Model-style document scoring over `documents` (north-star tier).
+
+Provenance: SURVEY.md §2 Tier B extension — the quality-classifier /
+novelty / fingerprint trio every pretraining curation stack runs after
+the rule-based filters (Gopher rules, reputation) and before sampling:
+
+  hashed linear classifier — fastText-style inference: hashed unigram
+      + bigram features, a deterministic weight table, averaged score.
+      This is the shape of "run the quality classifier over the
+      corpus": at 100 TB it is a PURE PER-ROW PROJECTION — zero
+      shuffles, zero joins, the weight lookup is integer arithmetic
+      inlined into codegen (a real model would broadcast its weight
+      array; the plan shape is identical).
+  n-gram novelty — fraction of a doc's distinct 5-gram shingles that
+      appear in NO other document: the memorization/boilerplate signal
+      dual to dedup (novelty 10000 bp = fully original; low novelty =
+      template spam). Rides the session shingle cache; two 8-byte-key
+      shuffles, one per-doc join.
+  winnowing fingerprint — Schleimer/Wilkerson/Aiken MOSS winnowing:
+      k-gram rolling hashes, window-min selection; the guarantee is
+      any shared substring of length k+w-1 = 11 contributes a shared
+      fingerprint. Per-row array lambdas only (no shuffle); the
+      fingerprint SET is what a plagiarism/contamination index would
+      invert. Digest/min/max/count outputs are order-independent, so
+      the whole operator is exactly SQL-oracled.
+
+All three are exact integer / fixed-point arithmetic end-to-end —
+bit-reproducible across engines (NOTES traps 1, 9, 19 respected:
+no float rounding at tie boundaries, no engine avg(), no bracket
+indexing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import io, portable
+from .dedup import _hashed_shingles, _SHINGLES_SQL
+
+# ---------------------------------------------------------------------------
+# Hashed linear classifier (fastText-style inference)
+# ---------------------------------------------------------------------------
+
+CLS_P = 1_000_000_007  # polynomial-fold modulus (same as the CMS hash)
+CLS_BUCKETS = 256  # feature-hash width
+CLS_BIGRAM_MIX = 8_191  # combine adjacent token hashes into bigram features
+
+# Deterministic weight for bucket b: LCG-mix the bucket id, map into
+# [-1000, 1000] milli-units. A trained model would broadcast its weight
+# vector; the deterministic table keeps the operator exactly oracled
+# while exercising the identical plan shape (per-feature weight lookup
+# folded into the row projection).
+def _w_expr(engine_hash: str) -> str:
+    """Weight-lookup text for a hash expression (identical both engines)."""
+    bucket = f"(({engine_hash}) % {CLS_BUCKETS})"
+    return f"(({portable.lcg31_sql(bucket)}) % 2001 - 1000)"
+
+
+# ASCII-printable token filter: ascii()/codepoint arithmetic is only
+# portable for single-byte chars, so non-ASCII tokens are excluded from
+# the feature set (not from the doc) on BOTH engines.
+# coalesce NULL text to '' (ADVICE r2 precedent: NULL text is an
+# in-scope input) — '' splits to [''] which the 1+-char filter drops,
+# so NULL and empty docs both land in the n_feats = 0 'empty' branch.
+_CLS_TOKS_SPARK = "filter(split(coalesce(text, ''), ' '), t -> t rlike '^[ -~]+$')"
+_CLS_TOKS_DUCK = (
+    "list_filter(string_split(coalesce(text, ''), ' '),"
+    " t -> regexp_matches(t, '^[ -~]+$'))"
+)
+
+_CLS_HASHES_SPARK = (
+    f"transform({_CLS_TOKS_SPARK}, t -> aggregate(transform(split(t, ''),"
+    f" c -> ascii(c)), 0L, (acc, x) -> (acc * 31 + x) % {CLS_P}))"
+)
+_CLS_HASHES_DUCK = (
+    f"list_transform({_CLS_TOKS_DUCK}, t -> list_reduce(list_prepend("
+    "CAST(0 AS BIGINT), list_transform(string_split(t, ''),"
+    f" c -> CAST(ascii(c) AS BIGINT))), (acc, x) -> (acc * 31 + x) % {CLS_P}))"
+)
+
+
+def hashed_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FastText-style hashed linear classifier inference per document.
+
+    Features: polynomial-31 token hashes (unigrams) plus combined
+    adjacent-hash bigrams, each mapped to one of 256 buckets; the
+    bucket weight is deterministic integer arithmetic. Score is the
+    feature-averaged weight in milli-units; verdict thresholds at 0.
+
+    Scale: per-row array lambdas only — the whole operator is one
+    WholeStageCodegen projection over the scan, no exchange anywhere.
+    A trained 2M-bucket model swaps the weight expression for a
+    broadcast array lookup; nothing else changes.
+    """
+    d = io.load_table_parallel(spark, sf_dir, "documents")
+    uni_w = _w_expr("x")
+    big_h = f"(a * {CLS_BIGRAM_MIX} + b) % {CLS_P}"
+    hs = F.expr(_CLS_HASHES_SPARK)
+    n_uni = F.size(hs)
+    uni_sum = F.expr(
+        f"aggregate({_CLS_HASHES_SPARK}, 0L, (acc, x) -> acc + {uni_w})"
+    )
+    # bigrams: zip the hash array with itself shifted by one; zip_with
+    # pads the tail with NULL, which the CASE filters out — safe on
+    # 0- and 1-token docs (NOTES trap 12: no descending sequence()).
+    bi_pairs = (
+        f"zip_with({_CLS_HASHES_SPARK}, slice({_CLS_HASHES_SPARK}, 2,"
+        f" greatest(size({_CLS_HASHES_SPARK}), 1)),"
+        " (a, b) -> CASE WHEN b IS NULL THEN NULL"
+        f" ELSE {big_h} END)"
+    )
+    bi_hashes = f"filter({bi_pairs}, x -> x IS NOT NULL)"
+    bi_sum = F.expr(f"aggregate({bi_hashes}, 0L, (acc, x) -> acc + {_w_expr('x')})")
+    n_bi = F.expr(f"size({bi_hashes})")
+
+    n_feats = (n_uni + n_bi).cast("long")
+    score_sum = uni_sum + bi_sum
+    score_milli = F.when(n_feats == 0, F.lit(0).cast("long")).otherwise(
+        F.floor(score_sum.cast("double") / n_feats).cast("long")
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        n_feats.alias("n_feats"),
+        score_milli.alias("score_milli"),
+        F.when(n_feats == 0, F.lit("empty"))
+        .when(score_milli >= 0, F.lit("keep"))
+        .otherwise(F.lit("drop"))
+        .alias("verdict"),
+    )
+
+
+HASHED_LINEAR_CLASSIFIER_SQL = f"""
+WITH feat AS (
+  SELECT doc_id, lang, {_CLS_HASHES_DUCK} AS hs
+  FROM documents
+),
+big AS (
+  SELECT doc_id, lang, hs,
+         CASE WHEN len(hs) >= 2 THEN
+           list_transform(range(1, len(hs)),
+             i -> (hs[i] * {CLS_BIGRAM_MIX} + hs[i + 1]) % {CLS_P})
+         ELSE [] END AS bh
+  FROM feat
+),
+scored AS (
+  SELECT doc_id, lang,
+         CAST(len(hs) + len(bh) AS BIGINT) AS n_feats,
+         list_sum(list_transform(hs, x -> {_w_expr('x')}))
+           + list_sum(list_transform(bh, x -> {_w_expr('x')})) AS s
+  FROM big
+)
+SELECT doc_id, lang, n_feats,
+       CASE WHEN n_feats = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(floor(CAST(s AS DOUBLE) / n_feats) AS BIGINT)
+       END AS score_milli,
+       CASE WHEN n_feats = 0 THEN 'empty'
+            WHEN floor(CAST(s AS DOUBLE) / n_feats) >= 0 THEN 'keep'
+            ELSE 'drop' END AS verdict
+FROM scored
+"""
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty (corpus-uniqueness scoring)
+# ---------------------------------------------------------------------------
+
+
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: share of its distinct 5-gram shingles
+    found in no other document (basis points).
+
+    Rides the session shingle cache (8-byte hashed keys). Shape: one
+    groupBy on the shingle hash (cnt == 1 ⇒ the shingle's single
+    posting names its only document), one per-doc count, one per-doc
+    join back to the corpus — every exchange is keyed by an 8-byte
+    hash or doc_id. Hash-collision risk is the standard accepted error
+    of hashed-shingle dedup (same posture as dedup_ngram_jaccard).
+    """
+    sh = _hashed_shingles(spark, sf_dir)  # (doc_id, n_sh, h), distinct per doc
+    uniq = (
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min("doc_id").alias("only_doc"))
+        .filter(F.col("cnt") == 1)
+        .groupBy("only_doc")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+        .withColumnRenamed("only_doc", "doc_id")
+    )
+    totals = sh.select("doc_id", "n_sh").distinct()
+    return (
+        totals.join(uniq, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_sh",
+            F.coalesce("n_unique", F.lit(0)).cast("long").alias("n_unique"),
+            F.floor(
+                F.lit(10000.0)
+                * F.coalesce("n_unique", F.lit(0))
+                / F.col("n_sh")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("novelty_bp"),
+        )
+    )
+
+
+NGRAM_NOVELTY_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+uniq AS (
+  SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS one
+  FROM (SELECT shingle, min(doc_id) AS doc_id
+        FROM sh GROUP BY shingle HAVING count(*) = 1)
+  GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_sh,
+       CAST(coalesce(u.one, 0) AS BIGINT) AS n_unique,
+       CAST(floor(10000.0 * coalesce(u.one, 0) / t.n_sh + 0.5) AS BIGINT)
+         AS novelty_bp
+FROM tot t LEFT JOIN uniq u ON t.doc_id = u.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS)
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 8  # char-gram length
+WINNOW_W = 4  # winnowing window: guarantee threshold t = k + w - 1 = 11
+WINNOW_B = 131  # polynomial base
+WINNOW_M = 2_147_483_648  # 2^31
+
+# gram hash at 1-based position i: explicit 8-term positional
+# polynomial (no recurrence — every gram is independent, so the whole
+# array is one parallel transform; max term sum ≈ 1e17, well inside
+# BIGINT for ANSI mode).
+# CAST each code point to BIGINT before the multiply: coefficients
+# below 2^31 parse as INT literals, and ANSI INT×INT throws on the
+# (frequent) 127 × 131^4 overflow instead of widening.
+_GRAM_TERMS = " + ".join(
+    f"CAST(ascii(substring(s, i + {j}, 1)) AS BIGINT)"
+    f" * {WINNOW_B ** (WINNOW_K - 1 - j)}"
+    for j in range(WINNOW_K)
+)
+_GRAM_TERMS_DUCK = " + ".join(
+    f"CAST(ascii(substr(s, CAST(i + {j} AS INTEGER), 1)) AS BIGINT)"
+    f" * {WINNOW_B ** (WINNOW_K - 1 - j)}"
+    for j in range(WINNOW_K)
+)
+
+
+def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing fingerprints per document.
+
+    Lowercase, collapse whitespace, ASCII-sanitize (byte==char on both
+    engines), then hash every 8-char gram with a positional polynomial
+    and keep the minimum hash of every 4-gram window — any substring
+    match of length ≥ 11 chars between two documents is guaranteed to
+    share a fingerprint. Outputs are order-independent reductions of
+    the fingerprint set (count / modular sum / min / max), so the
+    operator is exactly oracled despite DuckDB's unordered
+    list_distinct.
+
+    Scale: pure per-row array lambdas — no exchange. The (doc_id,
+    fingerprint) inverted index a contamination checker needs is one
+    explode away and shuffles 8-byte keys.
+    """
+    d = io.load_table_parallel(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.expr(
+            "regexp_replace(regexp_replace(lower(coalesce(text, '')),"
+            " '[^ -~]', '?'), ' +', ' ')"
+        ).alias("s"),
+    )
+    sized = base.select(
+        "doc_id",
+        "s",
+        F.expr(f"greatest(length(s) - {WINNOW_K - 1}, 0)").alias("n_grams"),
+    )
+    hashed = sized.select(
+        "doc_id",
+        "n_grams",
+        F.expr(f"greatest(n_grams - {WINNOW_W - 1}, 0)").alias("n_windows"),
+        F.expr(
+            f"CASE WHEN n_grams > 0 THEN transform(sequence(1, n_grams),"
+            f" i -> ({_GRAM_TERMS}) % {WINNOW_M})"
+            " ELSE array() END"
+        ).alias("hs"),
+    )
+    sel = hashed.select(
+        "doc_id",
+        "n_grams",
+        "n_windows",
+        F.expr(
+            "CASE WHEN n_windows > 0 THEN array_distinct("
+            "transform(sequence(1, n_windows),"
+            f" j -> array_min(slice(hs, j, {WINNOW_W}))))"
+            " ELSE array() END"
+        ).alias("fps"),
+    )
+    return sel.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_windows").cast("long").alias("n_windows"),
+        F.expr("CAST(size(fps) AS BIGINT)").alias("n_fp"),
+        F.expr(
+            f"aggregate(fps, 0L, (acc, x) -> (acc + x) % {WINNOW_M})"
+        ).alias("fp_digest"),
+        F.expr("coalesce(array_min(fps), -1L)").alias("fp_min"),
+        F.expr("coalesce(array_max(fps), -1L)").alias("fp_max"),
+    )
+
+
+def _winnow_sql() -> str:
+    s = (
+        "regexp_replace(regexp_replace(lower(coalesce(text, '')),"
+        " '[^ -~]', '?', 'g'), ' +', ' ', 'g')"
+    )
+    n_grams = f"greatest(length(s) - {WINNOW_K - 1}, 0)"
+    hashes = (
+        f"list_transform(range(1, CAST(n_grams AS BIGINT) + 1),"
+        f" i -> ({_GRAM_TERMS_DUCK}) % {WINNOW_M})"
+    )
+    m_sel = f"greatest(n_grams - {WINNOW_W - 1}, 0)"
+    mins = (
+        f"list_transform(range(1, CAST(n_windows AS BIGINT) + 1),"
+        f" j -> list_aggregate(hs[CAST(j AS INTEGER):"
+        f"CAST(j + {WINNOW_W - 1} AS INTEGER)], 'min'))"
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, {s} AS s FROM documents
+),
+sized AS (
+  SELECT doc_id, s, {n_grams} AS n_grams FROM base
+),
+hashed AS (
+  SELECT doc_id, n_grams, {m_sel} AS n_windows,
+         CASE WHEN n_grams > 0 THEN {hashes} ELSE [] END AS hs
+  FROM sized
+),
+sel AS (
+  SELECT doc_id, n_grams, n_windows,
+         CASE WHEN n_windows > 0 THEN list_distinct({mins})
+              ELSE [] END AS fps
+  FROM hashed
+)
+SELECT doc_id,
+       CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(n_windows AS BIGINT) AS n_windows,
+       CAST(len(fps) AS BIGINT) AS n_fp,
+       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), fps),
+                        (acc, x) -> (acc + x) % {WINNOW_M}) AS BIGINT)
+         AS fp_digest,
+       CAST(coalesce(list_aggregate(fps, 'min'), -1) AS BIGINT) AS fp_min,
+       CAST(coalesce(list_aggregate(fps, 'max'), -1) AS BIGINT) AS fp_max
+FROM sel
+"""
+
+
+WINNOW_FINGERPRINT_SQL = _winnow_sql()
+
+
+QUERIES = {
+    "text_hashed_linear_classifier": (
+        hashed_linear_classifier,
+        HASHED_LINEAR_CLASSIFIER_SQL,
+    ),
+    "text_ngram_novelty": (ngram_novelty, NGRAM_NOVELTY_SQL),
+    "text_winnow_fingerprint": (winnow_fingerprint, WINNOW_FINGERPRINT_SQL),
+}

@@ -36,7 +36,7 @@ def _collect() -> dict[str, Entry]:
     from .functions import scalar, udfs
     from .sources import formats, rest
     from .streaming import windows as stream_windows
-    from .llm_ops import curation, dedup, graph, multimodal, similarity, text
+    from .llm_ops import curation, dedup, graph, multimodal, scoring, similarity, text
 
     registry: dict[str, Entry] = {
         "flagship_incremental_load": (
@@ -66,6 +66,7 @@ def _collect() -> dict[str, Entry]:
         curation,
         multimodal,
         graph,
+        scoring,
     ):
         overlap = registry.keys() & mod.QUERIES.keys()
         if overlap:

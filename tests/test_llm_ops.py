@@ -952,3 +952,111 @@ def test_kcore_matches_exact_python_peel(spark):
     for v, d in got.items():
         assert d == sum(1 for u in adj[v] if u in alive)
         assert d >= graph.KCORE_K
+
+
+def test_winnow_guarantee_shared_substring_shares_fingerprint(spark, tmp_path):
+    """The winnowing guarantee: two documents sharing a substring of
+    length >= k + w - 1 (= 11 chars after normalization) must share at
+    least one fingerprint — that is the property MOSS is built on."""
+    import os
+
+    import pandas as pd
+
+    from seamless_sharepoint_etl_spark.llm_ops import scoring
+
+    shared = "common phrase kernel"  # 20 chars >> 11
+    d = str(tmp_path / "winnow")
+    os.makedirs(d)
+    pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                f"left padding {shared} and more",
+                f"{shared} totally different tail here",
+                "no overlap with the others at all",
+            ],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [40, 40, 33],
+        }
+    ).to_parquet(os.path.join(d, "documents.parquet"))
+    # recompute the fingerprint SETS (the registry query only emits
+    # order-independent reductions) via the same module expressions
+    base = scoring.winnow_fingerprint(spark, d).collect()
+    by_doc = {r["doc_id"]: r for r in base}
+    assert all(r["n_fp"] > 0 for r in base)
+    # set-level check through the digest algebra is not enough; rebuild
+    # the sets with a one-off explode of the same plan
+    from pyspark.sql import functions as F
+
+    from seamless_sharepoint_etl_spark import io as eio
+
+    docs = eio.load_table(spark, d, "documents")
+    s = (
+        "regexp_replace(regexp_replace(lower(coalesce(text, '')),"
+        " '[^ -~]', '?'), ' +', ' ')"
+    )
+    k, w, M = scoring.WINNOW_K, scoring.WINNOW_W, scoring.WINNOW_M
+    from seamless_sharepoint_etl_spark.llm_ops.scoring import _GRAM_TERMS
+
+    fps = (
+        docs.selectExpr("doc_id", f"{s} AS s")
+        .selectExpr("doc_id", "s", f"greatest(length(s) - {k - 1}, 0) AS n")
+        .selectExpr(
+            "doc_id",
+            f"transform(sequence(1, greatest(n, 1)), i -> ({_GRAM_TERMS}) % {M}) AS hs",
+            f"greatest(n - {w - 1}, 0) AS m",
+        )
+        .selectExpr(
+            "doc_id",
+            f"explode(array_distinct(transform(sequence(1, greatest(m, 1)),"
+            f" j -> array_min(slice(hs, j, {w}))))) AS fp",
+        )
+        .collect()
+    )
+    sets: dict[int, set] = {}
+    for r in fps:
+        sets.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert sets[0] & sets[1], "shared 20-char substring must share a fingerprint"
+    # digest consistency between the two formulations
+    for doc_id, fset in sets.items():
+        assert by_doc[doc_id]["n_fp"] == len(fset)
+        assert by_doc[doc_id]["fp_digest"] == sum(fset) % M
+
+
+def test_classifier_and_winnow_survive_degenerate_docs(spark, tmp_path):
+    """NULL / empty / 1-char / non-ASCII docs flow through the scoring
+    trio without ANSI crashes, and the classifier's 'empty' branch
+    fires exactly for feature-less docs."""
+    import os
+
+    import pandas as pd
+
+    from seamless_sharepoint_etl_spark.llm_ops import scoring
+
+    d = str(tmp_path / "degen_scoring")
+    os.makedirs(d)
+    pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": ["x", "", None, "héllo wörld", "plain ascii text here"],
+            "lang": ["en"] * 5,
+            "source": ["s"] * 5,
+            "n_chars": [1, 0, 0, 11, 21],
+        }
+    ).to_parquet(os.path.join(d, "documents.parquet"))
+
+    cls = {r["doc_id"]: r for r in scoring.hashed_linear_classifier(spark, d).collect()}
+    assert len(cls) == 5
+    assert cls[1]["verdict"] == "empty" and cls[1]["n_feats"] == 0
+    assert cls[2]["verdict"] == "empty" and cls[2]["n_feats"] == 0
+    # non-ASCII tokens are excluded from features, not from the doc
+    assert cls[3]["n_feats"] == 0 and cls[3]["verdict"] == "empty"
+    assert cls[4]["n_feats"] > 0 and cls[4]["verdict"] in ("keep", "drop")
+
+    win = {r["doc_id"]: r for r in scoring.winnow_fingerprint(spark, d).collect()}
+    assert len(win) == 5
+    for doc_id in (0, 1, 2):  # shorter than k: zero grams, sentinel mins
+        assert win[doc_id]["n_fp"] == 0
+        assert win[doc_id]["fp_min"] == -1 and win[doc_id]["fp_digest"] == 0
+    assert win[4]["n_fp"] > 0
