@@ -279,9 +279,112 @@ FROM walk GROUP BY depth ORDER BY depth
 """
 
 
+# ---------------------------------------------------------------------------
+# Link prediction: common-neighbor Jaccard over non-edges
+# ---------------------------------------------------------------------------
+
+LINKPRED_TOP = 20
+
+
+def jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 predicted links of the near-dup graph: non-adjacent
+    vector pairs ranked by neighborhood Jaccard |N(a)∩N(b)| /
+    |N(a)∪N(b)| — the "these two docs near-match the same things but
+    not (yet) each other" probe that surfaces borderline duplicates a
+    fixed cosine threshold just missed.
+
+    Shape: undirected adjacency → two-hop join on the shared neighbor
+    (the SAME wedge relation the triangle census builds), hash agg on
+    the (a, b) pair, LEFT ANTI against the edge set, broadcast degree
+    join, TakeOrderedAndProject top-k. Every exchange is keyed by a
+    vertex id or an (a, b) pair — Σ deg² work, never |V|². The ratio
+    is one double division of exact BIGINTs floored onto the bp grid;
+    (jaccard, a, b) is a total order, so the top-k is deterministic.
+    """
+    e = _edges(spark, sf_dir)
+    e.persist()
+    adj = e.select(F.col("id_lo").alias("v"), F.col("id_hi").alias("w")).unionAll(
+        e.select(F.col("id_hi").alias("v"), F.col("id_lo").alias("w"))
+    )
+    n1 = adj.select("v", F.col("w").alias("a"))
+    n2 = adj.select("v", F.col("w").alias("b"))
+    pairs = (
+        n1.join(n2, "v")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    non_edges = pairs.join(
+        e,
+        (pairs.a == e.id_lo) & (pairs.b == e.id_hi),
+        "left_anti",
+    )
+    deg = adj.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    j = (
+        non_edges.join(
+            F.broadcast(deg.select(F.col("v").alias("a"), F.col("d").alias("da"))),
+            "a",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("v").alias("b"), F.col("d").alias("db"))),
+            "b",
+        )
+    )
+    return (
+        j.select(
+            "a",
+            "b",
+            "cn",
+            "da",
+            "db",
+            F.floor(
+                F.col("cn").cast("double")
+                / (F.col("da") + F.col("db") - F.col("cn"))
+                * 10000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("jaccard_bp"),
+        )
+        .orderBy(F.desc("jaccard_bp"), F.asc("a"), F.asc("b"))
+        .limit(LINKPRED_TOP)
+    )
+
+
+JACCARD_LINK_PREDICTION_SQL = f"""
+WITH edges AS (SELECT id_lo, id_hi FROM ({EMBEDDING_NEARDUP_SQL})),
+adj AS (
+  SELECT id_lo AS v, id_hi AS w FROM edges
+  UNION ALL SELECT id_hi, id_lo FROM edges
+),
+pairs AS (
+  SELECT n1.w AS a, n2.w AS b, count(*) AS cn
+  FROM adj n1 JOIN adj n2 ON n1.v = n2.v AND n1.w < n2.w
+  GROUP BY n1.w, n2.w
+),
+non_edges AS (
+  SELECT * FROM pairs p
+  WHERE NOT EXISTS (SELECT 1 FROM edges e
+                    WHERE e.id_lo = p.a AND e.id_hi = p.b)
+),
+deg AS (SELECT v, count(*) AS d FROM adj GROUP BY v)
+SELECT p.a, p.b, CAST(p.cn AS BIGINT) AS cn,
+       CAST(da.d AS BIGINT) AS da, CAST(db.d AS BIGINT) AS db,
+       CAST(floor(CAST(p.cn AS DOUBLE) / (da.d + db.d - p.cn) * 10000 + 0.5)
+            AS BIGINT) AS jaccard_bp
+FROM non_edges p
+JOIN deg da ON da.v = p.a
+JOIN deg db ON db.v = p.b
+ORDER BY jaccard_bp DESC, p.a, p.b
+LIMIT {LINKPRED_TOP}
+"""
+
+
+
 QUERIES = {
     "graph_triangle_stats": (triangle_stats, TRIANGLE_STATS_SQL),
     "graph_degree_histogram": (degree_histogram, DEGREE_HISTOGRAM_SQL),
     "graph_kcore": (kcore, None),
     "graph_bfs_depth": (bfs_depth, BFS_DEPTH_SQL),
+    "graph_jaccard_linkpred": (jaccard_link_prediction, JACCARD_LINK_PREDICTION_SQL),
 }

@@ -1225,6 +1225,62 @@ def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(row, schema)
 
 
+def silhouette_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster cosine silhouette proxy over the IVF partition: for
+    every vector, margin = cos(x, own centroid) − max cos(x, other
+    centroid); per cluster report size, mean/min margin (bp) and the
+    misrouted count (margin < 0 — possible because the cached index
+    keeps the centroid table one Lloyd half-step ahead of the
+    assignment). This is the clustering-quality readout (tight & far =
+    high margin) run before trusting SemDeDup pruning or stratified
+    sampling on a new embedding space.
+
+    Shape: one broadcast of the 16-row centroid table, one NLIST-way
+    per-vector expansion (the same fan-out IVF routing pays), one
+    groupBy vec_id, one groupBy bucket. Per-row margins quantize to
+    integer bp BEFORE the per-cluster mean, so aggregation order never
+    moves the result (NOTES trap 1). Rows-only: k-means is not
+    SQL-expressible; the pytest gate recomputes margins in numpy.
+    """
+    buckets, cent = _ivf_index(spark, sf_dir)
+    e = io.load_table_parallel(spark, sf_dir, "embeddings")
+    v = (
+        e.select("vec_id", _dbl("embedding").alias("v"))
+        .join(buckets, "vec_id")
+    )
+    cb = cent.select(F.col("bucket").alias("cb"), "cv")
+    cos = _dot(F.col("v"), F.col("cv")) / (_norm(F.col("v")) * _norm(F.col("cv")))
+    scored = v.crossJoin(F.broadcast(cb)).select(
+        "vec_id",
+        "bucket",
+        F.col("cb"),
+        cos.alias("c"),
+    )
+    per_vec = scored.groupBy("vec_id", "bucket").agg(
+        F.max(F.when(F.col("cb") == F.col("bucket"), F.col("c"))).alias("a"),
+        F.max(F.when(F.col("cb") != F.col("bucket"), F.col("c"))).alias("b"),
+    )
+    margins = per_vec.select(
+        "bucket",
+        F.floor((F.col("a") - F.col("b")) * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("margin_bp"),
+    )
+    return (
+        margins.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.expr("sum(margin_bp) div count(*)").alias("mean_margin_bp"),
+            F.min("margin_bp").alias("min_margin_bp"),
+            F.sum(F.when(F.col("margin_bp") < 0, 1).otherwise(0)).alias(
+                "n_misrouted"
+            ),
+        )
+        .orderBy("bucket")
+    )
+
+
+
 QUERIES = {
     "sim_brute_force_topk": (brute_force_topk, BRUTE_FORCE_SQL),
     "sim_embedding_neardup": (embedding_neardup, EMBEDDING_NEARDUP_SQL),
@@ -1240,4 +1296,5 @@ QUERIES = {
     "sim_rerank_two_stage": (rerank_two_stage, None),
     "sim_filtered_topk": (filtered_topk, FILTERED_TOPK_SQL),
     "emb_pca_top_component": (pca_top_component, None),
+    "emb_silhouette_margin": (silhouette_margin, None),
 }

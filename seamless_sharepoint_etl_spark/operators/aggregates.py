@@ -941,6 +941,160 @@ ORDER BY l_returnflag
 """
 
 
+KMV_SET_A = "click"
+KMV_SET_B = "purchase"
+
+
+def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch-style set algebra on KMV sketches: estimate the
+    union and INTERSECTION cardinality of two user sets (click vs
+    purchase audiences) from their bottom-K hash sketches — the
+    operation HLL cannot do and the reason KMV sketches exist.
+
+    Estimator: union sketch = bottom-K of the merged value sets; its
+    K-th value estimates |A∪B| exactly as in agg_kmv_distinct; the
+    fraction of union-sketch members present in BOTH input sketches
+    estimates Jaccard, and intersection = jaccard × union. The exact
+    intersection (one bool_and aggregate over users) rides along so
+    the sketch error is visible in the output, CMS-style.
+
+    Shape: one distinct pass over the filtered events, three ≤K-row
+    windows, scalar joins — at 100 TB the only data-sized work is the
+    distinct (map-side partial); sketches are 64-row relations and
+    every estimator input is deterministic portable-LCG integer
+    arithmetic, so the whole thing is exactly SQL-oracled.
+    """
+    ev = io.load_table(spark, sf_dir, "events")
+    h = portable.lcg31(F.col("user_id"))
+    dh = (
+        ev.filter(F.col("event_type").isin(KMV_SET_A, KMV_SET_B))
+        .select(F.col("event_type").alias("k"), h.alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("k").orderBy("h")
+    sk = dh.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= KMV_K)
+    # union sketch: bottom-K of the union of the two sketches' values —
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    # heaps + driver merge), not a single-task global window
+    sku = sk.select("h").distinct().orderBy("h").limit(KMV_K)
+    in_a = sk.filter(F.col("k") == KMV_SET_A).select("h")
+    in_b = sk.filter(F.col("k") == KMV_SET_B).select("h")
+    both = sku.join(in_a, "h", "left_semi").join(in_b, "h", "left_semi")
+
+    def est(rel):
+        return rel.agg(
+            F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("hk")
+        ).select(
+            F.when(
+                F.col("n_kept") < KMV_K, F.col("n_kept").cast("long")
+            )
+            .otherwise(
+                F.floor(
+                    F.lit(KMV_K - 1)
+                    / ((F.col("hk") + 1).cast("double") / F.lit(2.0**31))
+                    + F.lit(0.5)
+                ).cast("long")
+            )
+            .alias("est")
+        )
+
+    est_a = est(in_a).withColumnRenamed("est", "est_a")
+    est_b = est(in_b).withColumnRenamed("est", "est_b")
+    est_u = est(sku).withColumnRenamed("est", "est_union")
+    n_u = sku.agg(F.count(F.lit(1)).alias("n_union_kept"))
+    n_both = both.agg(F.count(F.lit(1)).alias("n_both"))
+    exact = (
+        ev.filter(F.col("event_type").isin(KMV_SET_A, KMV_SET_B))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("event_type") == KMV_SET_A, 1).otherwise(0)).alias("a"),
+            F.max(F.when(F.col("event_type") == KMV_SET_B, 1).otherwise(0)).alias("b"),
+        )
+        .filter((F.col("a") == 1) & (F.col("b") == 1))
+        .agg(F.count(F.lit(1)).alias("exact_intersection"))
+    )
+    row = (
+        est_a.crossJoin(est_b)
+        .crossJoin(est_u)
+        .crossJoin(n_u)
+        .crossJoin(n_both)
+        .crossJoin(exact)
+    )
+    return row.select(
+        "est_a",
+        "est_b",
+        "est_union",
+        "n_both",
+        F.expr("n_both * 10000 div n_union_kept").alias("jaccard_est_bp"),
+        F.floor(
+            F.col("n_both").cast("double") / F.col("n_union_kept") * F.col("est_union")
+            + F.lit(0.5)
+        ).cast("long").alias("est_intersection"),
+        "exact_intersection",
+    )
+
+
+KMV_SET_OPS_SQL = f"""
+WITH dh AS (
+  SELECT DISTINCT event_type AS k, {portable.lcg31_sql("user_id")} AS h
+  FROM events WHERE event_type IN ('{KMV_SET_A}', '{KMV_SET_B}')
+),
+sk AS (
+  SELECT k, h FROM (
+    SELECT k, h, row_number() OVER (PARTITION BY k ORDER BY h) AS rn FROM dh
+  ) WHERE rn <= {KMV_K}
+),
+sku AS (
+  SELECT h FROM (
+    SELECT h, row_number() OVER (ORDER BY h) AS rn
+    FROM (SELECT DISTINCT h FROM sk)
+  ) WHERE rn <= {KMV_K}
+),
+in_a AS (SELECT h FROM sk WHERE k = '{KMV_SET_A}'),
+in_b AS (SELECT h FROM sk WHERE k = '{KMV_SET_B}'),
+both_h AS (
+  SELECT h FROM sku
+  WHERE h IN (SELECT h FROM in_a) AND h IN (SELECT h FROM in_b)
+),
+est_a AS (
+  SELECT CASE WHEN count(*) < {KMV_K} THEN CAST(count(*) AS BIGINT)
+              ELSE CAST(floor(({KMV_K - 1})
+                     / ((max(h) + 1) / {float(2.0**31)}) + 0.5) AS BIGINT)
+         END AS est_a FROM in_a
+),
+est_b AS (
+  SELECT CASE WHEN count(*) < {KMV_K} THEN CAST(count(*) AS BIGINT)
+              ELSE CAST(floor(({KMV_K - 1})
+                     / ((max(h) + 1) / {float(2.0**31)}) + 0.5) AS BIGINT)
+         END AS est_b FROM in_b
+),
+est_u AS (
+  SELECT count(*) AS n_union_kept,
+         CASE WHEN count(*) < {KMV_K} THEN CAST(count(*) AS BIGINT)
+              ELSE CAST(floor(({KMV_K - 1})
+                     / ((max(h) + 1) / {float(2.0**31)}) + 0.5) AS BIGINT)
+         END AS est_union FROM sku
+),
+nb AS (SELECT count(*) AS n_both FROM both_h),
+ex AS (
+  SELECT CAST(count(*) AS BIGINT) AS exact_intersection FROM (
+    SELECT user_id
+    FROM events WHERE event_type IN ('{KMV_SET_A}', '{KMV_SET_B}')
+    GROUP BY user_id
+    HAVING max(CASE WHEN event_type = '{KMV_SET_A}' THEN 1 ELSE 0 END) = 1
+       AND max(CASE WHEN event_type = '{KMV_SET_B}' THEN 1 ELSE 0 END) = 1
+  )
+)
+SELECT est_a, est_b, est_union,
+       CAST(n_both AS BIGINT) AS n_both,
+       n_both * 10000 // n_union_kept AS jaccard_est_bp,
+       CAST(floor(CAST(n_both AS DOUBLE) / n_union_kept * est_union + 0.5)
+            AS BIGINT) AS est_intersection,
+       exact_intersection
+FROM est_a, est_b, est_u, nb, ex
+"""
+
+
 QUERIES = {
     "agg_pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
     "agg_multikey_distinct": (multikey_distinct, MULTIKEY_DISTINCT_SQL),
@@ -966,4 +1120,5 @@ QUERIES = {
     "agg_kmv_distinct": (kmv_distinct, KMV_DISTINCT_SQL),
     "agg_bitmap_distinct": (bitmap_distinct_customers, BITMAP_DISTINCT_SQL),
     "agg_sample_estimate": (sample_estimate, SAMPLE_ESTIMATE_SQL),
+    "agg_kmv_set_ops": (kmv_set_ops, KMV_SET_OPS_SQL),
 }

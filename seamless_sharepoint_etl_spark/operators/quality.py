@@ -313,6 +313,71 @@ FROM t
 """
 
 
+# ---------------------------------------------------------------------------
+# Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+# Expected Benford proportions in ppm, precomputed once in Python and
+# embedded as LITERALS in both plans — computing log10() inside each
+# engine would tie the oracle to two libm implementations (NOTES trap
+# 1's sibling); a shared constant cannot drift.
+BENFORD_EXP_PPM = [301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757]
+
+
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order totals vs
+    Benford's law — the classic books-level fraud/synthesis screen
+    (fabricated amounts over-sample middle digits).
+
+    Exact pipeline: cents = floor(price·100 + 0.5) per row, first
+    digit = leading character of the cents integer (every total is
+    ≥ $1, so cents ≥ 100 and the lead digit is significant), observed
+    share in ppm by integer division. One 9-group hash aggregate over
+    the scan — at 100 TB this is a map-side-combined rollup with a
+    9-row exchange, nothing else.
+    """
+    o = io.load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    d = o.select(
+        F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit")
+    )
+    counts = d.groupBy("digit").agg(F.count(F.lit(1)).alias("observed"))
+    total = counts.agg(F.sum("observed").alias("total"))
+    exp = F.array(*[F.lit(v) for v in BENFORD_EXP_PPM])
+    j = counts.crossJoin(F.broadcast(total))
+    obs_ppm = F.expr("observed * 1000000 div total")
+    exp_ppm_col = F.element_at(exp, F.col("digit")).cast("long")
+    return j.select(
+        "digit",
+        "observed",
+        obs_ppm.alias("obs_ppm"),
+        exp_ppm_col.alias("exp_ppm"),
+        (obs_ppm - exp_ppm_col).alias("delta_ppm"),
+    ).orderBy("digit")
+
+
+_BENFORD_CASE = " ".join(
+    "WHEN {d} THEN {v}".format(d=i + 1, v=v)
+    for i, v in enumerate(BENFORD_EXP_PPM)
+)
+
+BENFORD_DIGIT_AUDIT_SQL = """
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INTEGER) AS digit
+  FROM orders
+), counts AS (
+  SELECT digit, count(*) AS observed FROM digits GROUP BY digit
+), tot AS (SELECT CAST(sum(observed) AS BIGINT) AS total FROM counts)
+SELECT digit, CAST(observed AS BIGINT) AS observed,
+       observed * 1000000 // total AS obs_ppm,
+       CAST(CASE digit {case} END AS BIGINT) AS exp_ppm,
+       observed * 1000000 // total - CASE digit {case} END AS delta_ppm
+FROM counts, tot
+ORDER BY digit
+""".format(case=_BENFORD_CASE)
+
+
 QUERIES = {
     "diag_referential_integrity": (
         referential_integrity,
@@ -321,4 +386,5 @@ QUERIES = {
     "diag_psi_drift": (psi_drift, PSI_DRIFT_SQL),
     "diag_join_cardinality": (join_cardinality, JOIN_CARDINALITY_SQL),
     "diag_ab_chi_square": (ab_chi_square, AB_CHI_SQUARE_SQL),
+    "diag_benford_digit_audit": (benford_digit_audit, BENFORD_DIGIT_AUDIT_SQL),
 }

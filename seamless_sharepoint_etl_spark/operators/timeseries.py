@@ -984,6 +984,181 @@ FROM lagged ORDER BY status, month
 """
 
 
+# ---------------------------------------------------------------------------
+# Seasonal decomposition (day-of-week profile)
+# ---------------------------------------------------------------------------
+
+
+def seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal profile of daily revenue per event type —
+    the seasonal-naive decomposition a KPI dashboard runs before any
+    anomaly logic (Monday dips are seasonality, not incidents).
+
+    Exactness discipline: per-row cent quantization then integer sums
+    (the daily_zscore pattern — no float summation order anywhere);
+    per-DOW and overall means are integer `div`; the seasonal ratio is
+    one double division of exact BIGINTs floored onto the bp grid.
+    DOW convention: ISO 1=Mon..7=Sun (Spark `weekday()+1` ==
+    DuckDB `isodow`). Shape: one (type, day) rollup shuffle, one
+    (type, dow) rollup, one broadcast join of the 5-row per-type
+    totals — a 100 TB events table reduces at the first rollup.
+    """
+    ev = io.load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.sum(cents).alias("day_cents"))
+    dowd = daily.groupBy(
+        "event_type", (F.expr("weekday(d)") + 1).alias("dow")
+    ).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("day_cents").alias("dow_cents"),
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum("day_cents").alias("all_cents"),
+    )
+    j = dowd.join(F.broadcast(tot), "event_type")
+    mean_dow = F.expr("dow_cents div n_days")
+    mean_all = F.expr("all_cents div n_all")
+    return j.select(
+        "event_type",
+        "dow",
+        "n_days",
+        mean_dow.alias("mean_dow_cents"),
+        (mean_dow - mean_all).alias("seasonal_delta_cents"),
+        F.floor(
+            mean_dow.cast("double") / mean_all * 10000 + F.lit(0.5)
+        ).cast("long").alias("seasonal_ratio_bp"),
+    ).orderBy("event_type", "dow")
+
+
+SEASONAL_DECOMPOSE_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS day_cents
+  FROM events GROUP BY event_type, d
+), dowd AS (
+  SELECT event_type, isodow(d) AS dow, count(*) AS n_days,
+         CAST(sum(day_cents) AS BIGINT) AS dow_cents
+  FROM daily GROUP BY event_type, isodow(d)
+), tot AS (
+  SELECT event_type, count(*) AS n_all,
+         CAST(sum(day_cents) AS BIGINT) AS all_cents
+  FROM daily GROUP BY event_type
+)
+SELECT d.event_type, CAST(d.dow AS INTEGER) AS dow,
+       CAST(d.n_days AS BIGINT) AS n_days,
+       d.dow_cents // d.n_days AS mean_dow_cents,
+       d.dow_cents // d.n_days - t.all_cents // t.n_all
+         AS seasonal_delta_cents,
+       CAST(floor(CAST(d.dow_cents // d.n_days AS DOUBLE)
+                  / (t.all_cents // t.n_all) * 10000 + 0.5) AS BIGINT)
+         AS seasonal_ratio_bp
+FROM dowd d JOIN tot t USING (event_type)
+ORDER BY event_type, dow
+"""
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation (row-lag ACF over the observed daily series)
+# ---------------------------------------------------------------------------
+
+ACF_LAGS = (1, 2, 3)
+
+
+def acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of daily revenue per event type at lags 1-3 —
+    the seasonality/persistence probe behind forecast-model choice
+    (high acf1 = momentum; acf7 spike = weekly cycle).
+
+    Deterministic variant: residuals are centered on the TRUNCATED
+    integer mean (Sy div n) so every product is an exact BIGINT —
+    full-precision mean centering would put n²-scaled products beyond
+    BIGINT at large SF. The ACF denominator is the full-series
+    residual energy (standard estimator). Row-lag semantics: lag k
+    means k OBSERVED days back (documented; the fixture grid is
+    gap-free). Shape: one (type, day) rollup, one per-type window
+    (partition-parallel across types), one final per-type aggregate.
+    """
+    ev = io.load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.sum(cents).alias("y"))
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("sum(y) div count(*)").alias("mean_trunc"),
+    )
+    r = daily.join(F.broadcast(m), "event_type").select(
+        "event_type", "d", "n", (F.col("y") - F.col("mean_trunc")).alias("r")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    lagged = r.select(
+        "event_type",
+        "n",
+        "r",
+        *[F.lag("r", k).over(w).alias(f"r{k}") for k in ACF_LAGS],
+    )
+    num = [
+        F.sum(
+            F.when(F.col(f"r{k}").isNotNull(), F.col("r") * F.col(f"r{k}"))
+            .otherwise(F.lit(0))
+        ).alias(f"num{k}")
+        for k in ACF_LAGS
+    ]
+    agg = lagged.groupBy("event_type", "n").agg(
+        F.sum(F.col("r") * F.col("r")).alias("den"), *num
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        *[
+            F.floor(
+                F.col(f"num{k}").cast("double") / F.col("den") * 10000
+                + F.lit(0.5)
+            ).cast("long").alias(f"acf{k}_bp")
+            for k in ACF_LAGS
+        ],
+    ).orderBy("event_type")
+
+
+ACF_LAGS_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY event_type, d
+), m AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(y) AS BIGINT) // count(*) AS mean_trunc
+  FROM daily GROUP BY event_type
+), r AS (
+  SELECT daily.event_type, d, n, y - mean_trunc AS r
+  FROM daily JOIN m USING (event_type)
+), lagged AS (
+  SELECT event_type, n, r,
+         lag(r, 1) OVER (PARTITION BY event_type ORDER BY d) AS r1,
+         lag(r, 2) OVER (PARTITION BY event_type ORDER BY d) AS r2,
+         lag(r, 3) OVER (PARTITION BY event_type ORDER BY d) AS r3
+  FROM r
+), agg AS (
+  SELECT event_type, n,
+         CAST(sum(r * r) AS BIGINT) AS den,
+         CAST(sum(CASE WHEN r1 IS NOT NULL THEN r * r1 ELSE 0 END) AS BIGINT) AS num1,
+         CAST(sum(CASE WHEN r2 IS NOT NULL THEN r * r2 ELSE 0 END) AS BIGINT) AS num2,
+         CAST(sum(CASE WHEN r3 IS NOT NULL THEN r * r3 ELSE 0 END) AS BIGINT) AS num3
+  FROM lagged GROUP BY event_type, n
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST(floor(CAST(num1 AS DOUBLE) / den * 10000 + 0.5) AS BIGINT) AS acf1_bp,
+       CAST(floor(CAST(num2 AS DOUBLE) / den * 10000 + 0.5) AS BIGINT) AS acf2_bp,
+       CAST(floor(CAST(num3 AS DOUBLE) / den * 10000 + 0.5) AS BIGINT) AS acf3_bp
+FROM agg ORDER BY event_type
+"""
+
+
+
 QUERIES = {
     "ts_resample_ffill": (resample_ffill, RESAMPLE_FFILL_SQL),
     "ts_mom_growth": (mom_growth, MOM_GROWTH_SQL),
@@ -997,4 +1172,6 @@ QUERIES = {
     "ts_daily_zscore_anomalies": (daily_zscore_anomalies, DAILY_ZSCORE_SQL),
     "ts_lttb_downsample": (lttb_downsample, None),
     "ts_trend_slope": (trend_slope, TREND_SLOPE_SQL),
+    "ts_seasonal_decompose": (seasonal_decompose, SEASONAL_DECOMPOSE_SQL),
+    "ts_acf_lags": (acf_lags, ACF_LAGS_SQL),
 }

@@ -1060,3 +1060,44 @@ def test_classifier_and_winnow_survive_degenerate_docs(spark, tmp_path):
         assert win[doc_id]["n_fp"] == 0
         assert win[doc_id]["fp_min"] == -1 and win[doc_id]["fp_digest"] == 0
     assert win[4]["n_fp"] > 0
+
+
+def test_silhouette_margin_matches_numpy(spark):
+    """emb_silhouette_margin must agree with a direct numpy
+    recomputation of cosine margins against the same cached centroids
+    (±1 bp on means for summation-order rounding; counts exact)."""
+    import numpy as np
+
+    from seamless_sharepoint_etl_spark import io as eio
+    from seamless_sharepoint_etl_spark.llm_ops import similarity
+
+    got = {r["bucket"]: r for r in similarity.silhouette_margin(spark, SF_DIR).collect()}
+    buckets, cent = similarity._ivf_index(spark, SF_DIR)
+    assign = {r["vec_id"]: r["bucket"] for r in buckets.collect()}
+    cents = {r["bucket"]: np.array(r["cv"]) for r in cent.collect()}
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in eio.load_table(spark, SF_DIR, "embeddings").collect()
+    }
+    per_bucket: dict[int, list[int]] = {}
+    for vid, x in emb.items():
+        b = assign[vid]
+        xn = np.linalg.norm(x)
+        cos = {
+            cb: float(x @ c / (xn * np.linalg.norm(c))) for cb, c in cents.items()
+        }
+        a = cos[b]
+        other = max(v for cb, v in cos.items() if cb != b)
+        per_bucket.setdefault(b, []).append(
+            int(np.floor((a - other) * 10000 + 0.5))
+        )
+    assert set(got) == set(per_bucket)
+    for b, ms in per_bucket.items():
+        r = got[b]
+        assert r["n_vecs"] == len(ms)
+        assert r["n_misrouted"] == sum(1 for m in ms if m < 0)
+        # Spark `div` truncates toward zero; mirror it
+        s = sum(ms)
+        expect_mean = int(s / len(ms)) if s >= 0 else -int(-s / len(ms))
+        assert abs(r["mean_margin_bp"] - expect_mean) <= 1, (b, r, expect_mean)
+        assert abs(r["min_margin_bp"] - min(ms)) <= 1
