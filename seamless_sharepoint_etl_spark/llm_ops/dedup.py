@@ -22,7 +22,7 @@ Four tiers, matching the standard pretraining-dedup ladder:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import io
@@ -832,12 +832,122 @@ ORDER BY doc_id
 """
 
 
+def cc_twophase(
+    spark: SparkSession, sf_dir: str, max_rounds: int = 30
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    contractions — the MapReduce-native CC algorithm whose round count
+    is O(log² n) in the WORST case, vs min-label propagation's
+    O(diameter) (`neardup_clusters`). On a 100 TB corpus with a
+    pathological chain-shaped cluster, label propagation needs one
+    full round per hop; star contraction collapses chains
+    exponentially — this is the variant to reach for when the
+    component structure is unknown.
+
+    Each phase is two vertex-keyed exchanges (a per-vertex min window
+    + an edge re-emit); per-round `localCheckpoint` truncates the
+    iterative lineage (NOTES trap 16). Convergence = the canonical
+    edge set is a fixpoint of both phases, detected by (count, modular
+    digest) stability; the backstop raises rather than returning a
+    partial contraction. Rows-only (genuinely iterative); the pytest
+    gate proves the partition EQUALS `neardup_clusters`' output —
+    two independent algorithms agreeing on every cluster.
+    """
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_lo", "doc_hi")
+    edges = (
+        pairs.select(F.col("doc_lo").alias("lo"), F.col("doc_hi").alias("hi"))
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def digest(e: DataFrame):
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("lo") * 1_000_003 + F.col("hi")) % 2_147_483_647).alias(
+                "dg"
+            ),
+        ).collect()[0]
+        return (row["n"], row["dg"])
+
+    def both_dirs(e: DataFrame) -> DataFrame:
+        return e.select(F.col("lo").alias("u"), F.col("hi").alias("v")).unionByName(
+            e.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        )
+
+    prev = digest(edges)
+    for _round in range(max_rounds):
+        # large-star: every neighbor v > u links to m = min(N(u) ∪ {u})
+        wu = Window.partitionBy("u")
+        adj = both_dirs(edges).withColumn(
+            "m", F.least(F.min("v").over(wu), F.col("u"))
+        )
+        e1 = (
+            adj.filter(F.col("v") > F.col("u"))
+            .select(F.col("m").alias("lo"), F.col("v").alias("hi"))
+            .filter(F.col("lo") != F.col("hi"))
+            .distinct()
+        )
+        # small-star: neighbors v <= u (and u itself) link to m
+        adj2 = both_dirs(e1).withColumn(
+            "m", F.least(F.min("v").over(wu), F.col("u"))
+        )
+        low = adj2.filter(F.col("v") < F.col("u")).select(
+            F.col("m").alias("lo"), F.col("v").alias("hi")
+        )
+        self_link = adj2.select(F.col("m").alias("lo"), F.col("u").alias("hi"))
+        e2 = (
+            low.unionByName(self_link)
+            .filter(F.col("lo") != F.col("hi"))
+            .select(
+                F.least("lo", "hi").alias("lo"), F.greatest("lo", "hi").alias("hi")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        edges = e2
+        cur = digest(edges)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"cc_twophase did not converge in {max_rounds} rounds — "
+            "raise max_rounds (star contraction is O(log² n) rounds)"
+        )
+    labels = (
+        both_dirs(edges)
+        .groupBy("u")
+        .agg(F.min("v").alias("min_v"))
+        .select(
+            F.col("u").alias("doc_id"),
+            F.least(F.col("min_v"), F.col("u")).alias("label"),
+        )
+    )
+    return (
+        labels.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.array_join(F.array_sort(F.collect_list("doc_id")), "|").alias(
+                "members_joined"
+            ),
+        )
+        .select(
+            F.col("label").alias("canonical_doc_id"),
+            "cluster_size",
+            "members_joined",
+        )
+    )
+
+
+
 QUERIES = {
     "dedup_exact_normalized": (exact_dedup, EXACT_DEDUP_SQL),
     "dedup_ngram_jaccard": (ngram_jaccard_pairs, NGRAM_JACCARD_SQL),
     "dedup_minhash_lsh": (minhash_lsh_pairs, None),
     "dedup_simhash": (simhash_fingerprints, None),
     "dedup_neardup_clusters": (neardup_clusters, None),
+    "dedup_cc_twophase": (cc_twophase, None),
     "dedup_minhash_mllib": (minhash_lsh_mllib, None),
     "dedup_cdc_chunking": (cdc_chunk_stats, None),
     "dedup_repeated_spans": (repeated_spans, REPEATED_SPANS_SQL),

@@ -1281,6 +1281,85 @@ def silhouette_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+RECALL_NPROBES = (1, 2, 3)
+
+
+def ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k curve of the IVF index against exact brute-force truth,
+    one row per nprobe setting — the evaluation harness every ANN
+    deployment runs before picking its latency/recall operating point.
+
+    Reuses the cached bucketed base table; the probe ranking is
+    recomputed WITH its rank retained (the serving router hard-codes
+    NPROBE and drops it). Per setting: score only the probed buckets,
+    take top-k, count overlaps with the exact top-k via a semi-join on
+    (query, cand). Cost is Σ_p p/NLIST of one query-batch scan — the
+    curve costs about as much as three serving passes, nothing is
+    quadratic. Rows-only (k-means index); pytest gates monotone recall
+    in nprobe and agreement with the serving-path recall at NPROBE.
+    """
+    _probes, cand = _ivf_probes_and_candidates(spark, sf_dir)
+    _buckets, cent_named = _ivf_index(spark, sf_dir)
+    e = io.load_table_parallel(spark, sf_dir, "embeddings")
+    q = (
+        e.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+        .select(F.col("vec_id").alias("query_id"), _dbl("embedding").alias("qv"))
+        .withColumn("qn", _norm(F.col("qv")))
+    )
+    cent = cent_named.select("bucket", "cv")
+    qc = q.crossJoin(F.broadcast(cent)).select(
+        "query_id",
+        "qv",
+        "qn",
+        "bucket",
+        (
+            _dot(F.col("qv"), F.col("cv"))
+            / (_norm(F.col("qv")) * _norm(F.col("cv")))
+        ).alias("ccos"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("bucket"))
+    ranked = qc.withColumn("pr", F.row_number().over(wq)).select(
+        "query_id", "qv", "qn", "bucket", "pr"
+    )
+    ranked = ranked.persist()
+    truth = (
+        brute_force_topk(spark, sf_dir).select("query_id", "cand_id").persist()
+    )
+    n_queries = q.count()
+    cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    curves = []
+    for p in RECALL_NPROBES:
+        top = (
+            ranked.filter(F.col("pr") <= p)
+            .join(cand, "bucket")
+            .filter(F.col("query_id") != F.col("cand_id"))
+            .select("query_id", "cand_id", cos.alias("cos"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+        )
+        hits = (
+            top.join(truth, ["query_id", "cand_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("h"))
+        )
+        curves.append(
+            hits.agg(
+                F.lit(p).alias("nprobe"),
+                F.lit(n_queries).alias("n_queries"),
+                F.expr(f"sum(h) * 10000 div ({n_queries} * {TOP_K})").alias(
+                    "mean_recall_bp"
+                ),
+                F.expr(f"min(h) * 10000 div {TOP_K}").alias("min_query_recall_bp"),
+            )
+        )
+    out = curves[0]
+    for c in curves[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("nprobe")
+
+
+
 QUERIES = {
     "sim_brute_force_topk": (brute_force_topk, BRUTE_FORCE_SQL),
     "sim_embedding_neardup": (embedding_neardup, EMBEDDING_NEARDUP_SQL),
@@ -1297,4 +1376,5 @@ QUERIES = {
     "sim_filtered_topk": (filtered_topk, FILTERED_TOPK_SQL),
     "emb_pca_top_component": (pca_top_component, None),
     "emb_silhouette_margin": (silhouette_margin, None),
+    "sim_ann_recall_curve": (ann_recall_curve, None),
 }

@@ -1095,6 +1095,129 @@ FROM est_a, est_b, est_u, nb, ex
 """
 
 
+# RFM band edges (business policy constants, shared by both engines —
+# fixed bands rather than quantiles keep the operator a pure per-row
+# projection after one customer rollup; quantile banding would need a
+# global distribution pass like agg_equidepth_histogram).
+RFM_R_EDGES = (60, 180, 365, 730)  # days: <=60 scores 5 ... >730 scores 1
+RFM_F_EDGES = (20, 13, 8, 4)  # orders: >=20 scores 5 ... <4 scores 1
+RFM_M_EDGES = (400_000_000, 250_000_000, 150_000_000, 50_000_000)  # cents
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation over orders: recency (days since last
+    order, anchored at the corpus max date), frequency (order count),
+    monetary (lifetime cents), each banded 1-5 by fixed thresholds,
+    rolled up per segment — the classic CRM cube.
+
+    Exact end-to-end: per-row cent quantization then integer sums, day
+    arithmetic on DATEs, band edges are shared literals. Shape: one
+    customer rollup (map-side partial), a broadcast 1-row anchor join,
+    a per-row CASE banding, one <=125-row segment rollup.
+    """
+    o = io.load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    cust = o.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_d"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(cents).alias("mon"),
+    )
+    ref = o.agg(F.max(F.to_date("o_orderdate")).alias("ref_d"))
+    j = cust.crossJoin(F.broadcast(ref)).withColumn(
+        "rec", F.datediff("ref_d", "last_d").cast("long")
+    )
+    r1, r2, r3, r4 = RFM_R_EDGES
+    f1, f2, f3, f4 = RFM_F_EDGES
+    m1, m2, m3, m4 = RFM_M_EDGES
+    r_score = (
+        F.when(F.col("rec") <= r1, 5)
+        .when(F.col("rec") <= r2, 4)
+        .when(F.col("rec") <= r3, 3)
+        .when(F.col("rec") <= r4, 2)
+        .otherwise(1)
+    )
+    f_score = (
+        F.when(F.col("freq") >= f1, 5)
+        .when(F.col("freq") >= f2, 4)
+        .when(F.col("freq") >= f3, 3)
+        .when(F.col("freq") >= f4, 2)
+        .otherwise(1)
+    )
+    m_score = (
+        F.when(F.col("mon") >= m1, 5)
+        .when(F.col("mon") >= m2, 4)
+        .when(F.col("mon") >= m3, 3)
+        .when(F.col("mon") >= m4, 2)
+        .otherwise(1)
+    )
+    scored = j.select(
+        r_score.alias("r_score"),
+        f_score.alias("f_score"),
+        m_score.alias("m_score"),
+        "mon",
+        "rec",
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("mon").alias("total_cents"),
+            F.min("rec").alias("min_recency_days"),
+            F.max("rec").alias("max_recency_days"),
+        )
+        .withColumn(
+            "segment",
+            F.concat_ws(
+                "",
+                F.col("r_score").cast("string"),
+                F.col("f_score").cast("string"),
+                F.col("m_score").cast("string"),
+            ),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+RFM_SEGMENTS_SQL = f"""
+WITH cust AS (
+  SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_d,
+         count(*) AS freq,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS mon
+  FROM orders GROUP BY o_custkey
+),
+ref AS (SELECT max(CAST(o_orderdate AS DATE)) AS ref_d FROM orders),
+scored AS (
+  SELECT CASE WHEN datediff('day', last_d, ref_d) <= {RFM_R_EDGES[0]} THEN 5
+              WHEN datediff('day', last_d, ref_d) <= {RFM_R_EDGES[1]} THEN 4
+              WHEN datediff('day', last_d, ref_d) <= {RFM_R_EDGES[2]} THEN 3
+              WHEN datediff('day', last_d, ref_d) <= {RFM_R_EDGES[3]} THEN 2
+              ELSE 1 END AS r_score,
+         CASE WHEN freq >= {RFM_F_EDGES[0]} THEN 5
+              WHEN freq >= {RFM_F_EDGES[1]} THEN 4
+              WHEN freq >= {RFM_F_EDGES[2]} THEN 3
+              WHEN freq >= {RFM_F_EDGES[3]} THEN 2
+              ELSE 1 END AS f_score,
+         CASE WHEN mon >= {RFM_M_EDGES[0]} THEN 5
+              WHEN mon >= {RFM_M_EDGES[1]} THEN 4
+              WHEN mon >= {RFM_M_EDGES[2]} THEN 3
+              WHEN mon >= {RFM_M_EDGES[3]} THEN 2
+              ELSE 1 END AS m_score,
+         mon, CAST(datediff('day', last_d, ref_d) AS BIGINT) AS rec
+  FROM cust, ref
+)
+SELECT r_score, f_score, m_score,
+       count(*) AS n_customers,
+       CAST(sum(mon) AS BIGINT) AS total_cents,
+       min(rec) AS min_recency_days,
+       max(rec) AS max_recency_days,
+       concat(CAST(r_score AS VARCHAR), CAST(f_score AS VARCHAR),
+              CAST(m_score AS VARCHAR)) AS segment
+FROM scored GROUP BY r_score, f_score, m_score
+ORDER BY r_score, f_score, m_score
+"""
+
+
 QUERIES = {
     "agg_pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
     "agg_multikey_distinct": (multikey_distinct, MULTIKEY_DISTINCT_SQL),
@@ -1121,4 +1244,5 @@ QUERIES = {
     "agg_bitmap_distinct": (bitmap_distinct_customers, BITMAP_DISTINCT_SQL),
     "agg_sample_estimate": (sample_estimate, SAMPLE_ESTIMATE_SQL),
     "agg_kmv_set_ops": (kmv_set_ops, KMV_SET_OPS_SQL),
+    "agg_rfm_segments": (rfm_segments, RFM_SEGMENTS_SQL),
 }

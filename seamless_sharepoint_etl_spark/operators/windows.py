@@ -677,7 +677,135 @@ FROM counts ORDER BY from_type, to_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Multi-touch attribution (linear, 7-day lookback)
+# ---------------------------------------------------------------------------
+
+ATTR_WINDOW_US = 7 * 86_400 * 1_000_000
+
+
+def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value is split
+    equally across the user's clicks in the preceding 7 days; no
+    clicks → the 'direct' channel. The marketing-analytics op behind
+    every "which day's traffic drove revenue" report.
+
+    Exact-conservation discipline: the split is integer cents via
+    `div`, the remainder goes to the LAST touch (row_number over
+    (ts, event_id) — a total order), so Σ attributed == Σ purchase
+    cents bit-exactly (pytest-gated, and the oracle re-derives the
+    identical allocation). Shape: one user-keyed equi-join with the
+    range predicate as join residual (never a cross join), per-purchase
+    windows keyed by the purchase id (high-cardinality partition —
+    parallel), one (channel, day) rollup. All timestamp arithmetic on
+    microsecond integers (the sessionize idiom).
+    """
+    e = io.load_table(spark, sf_dir, "events")
+    base = e.select(
+        "user_id",
+        "event_id",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+        "event_type",
+        "value",
+        F.to_date("ts").alias("d"),
+    )
+    p = base.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("event_id").alias("p_id"),
+        F.col("ts_us").alias("p_us"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("p_cents"),
+        F.col("d").alias("p_day"),
+    )
+    c = base.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("event_id").alias("c_id"),
+        F.col("ts_us").alias("c_us"),
+        F.col("d").alias("c_day"),
+    )
+    touched = p.join(
+        c,
+        (p.user_id == c.user_id)
+        & (c.c_us <= p.p_us)
+        & (c.c_us > p.p_us - ATTR_WINDOW_US),
+        "left",
+    ).select(p.user_id, "p_id", "p_us", "p_cents", "p_day", "c_id", "c_us", "c_day")
+    wp = Window.partitionBy("p_id")
+    wrank = wp.orderBy(F.desc("c_us"), F.desc("c_id"))
+    alloc = (
+        touched.withColumn("n", F.count("c_id").over(wp))
+        .withColumn("rn", F.row_number().over(wrank))
+        .select(
+            F.when(F.col("c_id").isNull(), F.lit("direct"))
+            .otherwise(F.lit("click"))
+            .alias("channel"),
+            F.when(F.col("c_id").isNull(), F.col("p_day"))
+            .otherwise(F.col("c_day"))
+            .alias("day"),
+            "p_id",
+            F.when(F.col("c_id").isNull(), F.col("p_cents"))
+            .otherwise(
+                F.expr("p_cents div n")
+                + F.when(F.col("rn") == 1, F.expr("p_cents % n")).otherwise(0)
+            )
+            .alias("attr_cents"),
+        )
+    )
+    return (
+        alloc.groupBy("channel", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.countDistinct("p_id").alias("n_conversions"),
+            F.sum("attr_cents").alias("attributed_cents"),
+        )
+        .orderBy("channel", "day")
+    )
+
+
+ATTRIBUTION_LINEAR_SQL = f"""
+WITH base AS (
+  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+         event_type, value, CAST(ts AS DATE) AS d
+  FROM events
+),
+p AS (
+  SELECT user_id, event_id AS p_id, ts_us AS p_us,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS p_cents, d AS p_day
+  FROM base WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, event_id AS c_id, ts_us AS c_us, d AS c_day
+  FROM base WHERE event_type = 'click'
+),
+touched AS (
+  SELECT p.user_id, p_id, p_us, p_cents, p_day, c_id, c_us, c_day
+  FROM p LEFT JOIN c
+    ON p.user_id = c.user_id
+   AND c.c_us <= p.p_us AND c.c_us > p.p_us - {ATTR_WINDOW_US}
+),
+alloc AS (
+  SELECT CASE WHEN c_id IS NULL THEN 'direct' ELSE 'click' END AS channel,
+         CASE WHEN c_id IS NULL THEN p_day ELSE c_day END AS day,
+         p_id,
+         CASE WHEN c_id IS NULL THEN p_cents
+              ELSE p_cents // count(c_id) OVER (PARTITION BY p_id)
+                   + CASE WHEN row_number() OVER
+                            (PARTITION BY p_id ORDER BY c_us DESC, c_id DESC) = 1
+                          THEN p_cents % count(c_id) OVER (PARTITION BY p_id)
+                          ELSE 0 END
+         END AS attr_cents
+  FROM touched
+)
+SELECT channel, day,
+       count(*) AS n_touches,
+       CAST(count(DISTINCT p_id) AS BIGINT) AS n_conversions,
+       CAST(sum(attr_cents) AS BIGINT) AS attributed_cents
+FROM alloc GROUP BY channel, day
+ORDER BY channel, day
+"""
+
+
 QUERIES = {
+    "win_attribution_linear": (attribution_linear, ATTRIBUTION_LINEAR_SQL),
     "win_topn_per_group": (topn_per_group, TOPN_PER_GROUP_SQL),
     "win_rank_dense_ntile": (rank_dense_ntile, RANK_DENSE_NTILE_SQL),
     "win_lag_lead_deltas": (lag_lead_deltas, LAG_LEAD_SQL),

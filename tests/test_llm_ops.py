@@ -1101,3 +1101,40 @@ def test_silhouette_margin_matches_numpy(spark):
         expect_mean = int(s / len(ms)) if s >= 0 else -int(-s / len(ms))
         assert abs(r["mean_margin_bp"] - expect_mean) <= 1, (b, r, expect_mean)
         assert abs(r["min_margin_bp"] - min(ms)) <= 1
+
+
+def test_cc_twophase_equals_label_propagation(spark):
+    """Two independent CC algorithms (large-star/small-star contraction
+    vs min-label propagation) must produce the IDENTICAL partition of
+    the near-dup graph — set equality over (canonical, members)."""
+    from seamless_sharepoint_etl_spark.llm_ops import dedup
+
+    a = {
+        (r["canonical_doc_id"], r["cluster_size"], r["members_joined"])
+        for r in dedup.cc_twophase(spark, SF_DIR).collect()
+    }
+    b = {
+        (r["canonical_doc_id"], r["cluster_size"], r["members_joined"])
+        for r in dedup.neardup_clusters(spark, SF_DIR).collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_ann_recall_curve_monotone(spark):
+    """Recall must not decrease as nprobe grows, every row must see the
+    same query set, and at the serving setting (nprobe = NPROBE) mean
+    recall must clearly beat the scan-fraction baseline."""
+    from seamless_sharepoint_etl_spark.llm_ops import similarity
+
+    rows = sorted(
+        similarity.ann_recall_curve(spark, SF_DIR).collect(),
+        key=lambda r: r["nprobe"],
+    )
+    assert [r["nprobe"] for r in rows] == list(similarity.RECALL_NPROBES)
+    assert len({r["n_queries"] for r in rows}) == 1
+    recalls = [r["mean_recall_bp"] for r in rows]
+    assert recalls == sorted(recalls), recalls
+    # nprobe=3 scans 3/16 ≈ 1875 bp of the data; recall must beat it
+    assert recalls[-1] >= 3000, recalls
+    for r in rows:
+        assert 0 <= r["min_query_recall_bp"] <= r["mean_recall_bp"]
