@@ -144,6 +144,20 @@ HEADLINE = [
     "diag_ab_chi_square",
     "emb_pca_top_component",
     "text_unicode_nfc",
+    # round-3 session 5: zero-shuffle classifier inference, winnowing
+    # fingerprints, shingle-spine novelty, attribution's residual-range
+    # join, RFM rollup, KMV set algebra, seasonal/ACF rollups, wedge
+    # link prediction
+    "text_hashed_linear_classifier",
+    "text_winnow_fingerprint",
+    "text_ngram_novelty",
+    "win_attribution_linear",
+    "agg_rfm_segments",
+    "agg_kmv_set_ops",
+    "ts_seasonal_decompose",
+    "ts_acf_lags",
+    "diag_benford_digit_audit",
+    "graph_jaccard_linkpred",
 ]
 
 

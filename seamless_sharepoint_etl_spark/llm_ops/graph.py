@@ -381,10 +381,106 @@ LIMIT {LINKPRED_TOP}
 
 
 
+def label_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the ground-truth LABEL partition over the
+    near-dup graph — "do the labels align with similarity structure":
+    Q = (4m·Σe_c − Σd_c²) / 4m², where e_c counts intra-label edges,
+    d_c sums label-class degrees, m counts edges. Q > 0 means near-dups
+    concentrate within labels (expected for a sane embedding space);
+    Q ≈ 0 means labels are independent of the graph.
+
+    Exactness: the closed form is pure BIGINT arithmetic over three
+    counts, floored onto the ppm grid in one double division — fully
+    SQL-oracled, unusual for a graph-quality metric. Shape: one edge
+    relation, two broadcast label joins, vertex-keyed degree rollup —
+    nothing quadratic. Magnitude guard: 4m² ≤ 9e18 needs m ≤ 1.5e9
+    edges; beyond that pre-divide by m (documented, not hit at any
+    fixture SF).
+    """
+    e = _edges(spark, sf_dir)
+    e.persist()
+    lab = io.load_table_parallel(spark, sf_dir, "embeddings").select(
+        "vec_id", "label"
+    )
+    la = lab.select(F.col("vec_id").alias("id_lo"), F.col("label").alias("l_lo"))
+    lb = lab.select(F.col("vec_id").alias("id_hi"), F.col("label").alias("l_hi"))
+    labeled = e.join(F.broadcast(la), "id_lo").join(F.broadcast(lb), "id_hi")
+    m_intra = labeled.agg(
+        F.count(F.lit(1)).alias("m_edges"),
+        F.sum(F.when(F.col("l_lo") == F.col("l_hi"), 1).otherwise(0)).alias(
+            "intra_edges"
+        ),
+    )
+    deg = (
+        e.select(F.col("id_lo").alias("v"))
+        .unionAll(e.select(F.col("id_hi").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    dsq = (
+        deg.join(
+            F.broadcast(lab.select(F.col("vec_id").alias("v"), "label")), "v"
+        )
+        .groupBy("label")
+        .agg(F.sum("d").alias("d_c"))
+        .agg(F.sum(F.col("d_c") * F.col("d_c")).alias("sum_dc_sq"))
+    )
+    return m_intra.crossJoin(dsq).select(
+        "m_edges",
+        "intra_edges",
+        "sum_dc_sq",
+        F.floor(
+            (
+                4 * F.col("m_edges") * F.col("intra_edges")
+                - F.col("sum_dc_sq")
+            ).cast("double")
+            / (4.0 * F.col("m_edges") * F.col("m_edges"))
+            * 1000000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("modularity_ppm"),
+    )
+
+
+LABEL_MODULARITY_SQL = f"""
+WITH edges AS (SELECT id_lo, id_hi FROM ({EMBEDDING_NEARDUP_SQL})),
+lab AS (SELECT vec_id, label FROM embeddings),
+labeled AS (
+  SELECT e.id_lo, e.id_hi, la.label AS l_lo, lb.label AS l_hi
+  FROM edges e JOIN lab la ON la.vec_id = e.id_lo
+               JOIN lab lb ON lb.vec_id = e.id_hi
+),
+mi AS (
+  SELECT count(*) AS m_edges,
+         CAST(sum(CASE WHEN l_lo = l_hi THEN 1 ELSE 0 END) AS BIGINT)
+           AS intra_edges
+  FROM labeled
+),
+deg AS (
+  SELECT v, count(*) AS d
+  FROM (SELECT id_lo AS v FROM edges UNION ALL SELECT id_hi FROM edges)
+  GROUP BY v
+),
+dsq AS (
+  SELECT CAST(sum(d_c * d_c) AS BIGINT) AS sum_dc_sq
+  FROM (SELECT label, CAST(sum(d) AS BIGINT) AS d_c
+        FROM deg JOIN lab ON lab.vec_id = deg.v GROUP BY label)
+)
+SELECT CAST(m_edges AS BIGINT) AS m_edges, intra_edges, sum_dc_sq,
+       CAST(floor(CAST(4 * m_edges * intra_edges - sum_dc_sq AS DOUBLE)
+                  / (4.0 * m_edges * m_edges) * 1000000 + 0.5) AS BIGINT)
+         AS modularity_ppm
+FROM mi, dsq
+"""
+
+
+
 QUERIES = {
     "graph_triangle_stats": (triangle_stats, TRIANGLE_STATS_SQL),
     "graph_degree_histogram": (degree_histogram, DEGREE_HISTOGRAM_SQL),
     "graph_kcore": (kcore, None),
     "graph_bfs_depth": (bfs_depth, BFS_DEPTH_SQL),
     "graph_jaccard_linkpred": (jaccard_link_prediction, JACCARD_LINK_PREDICTION_SQL),
+    "graph_label_modularity": (label_modularity, LABEL_MODULARITY_SQL),
 }

@@ -32,7 +32,7 @@ indexing).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import io, portable
@@ -364,6 +364,139 @@ FROM sel
 WINNOW_FINGERPRINT_SQL = _winnow_sql()
 
 
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction
+# ---------------------------------------------------------------------------
+
+RAKE_TOP = 20
+RAKE_STOPWORDS = ("the", "a", "of")  # shared with text.STOPWORDS
+
+
+def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE (Rapid Automatic Keyword Extraction) over the corpus:
+    candidate phrases are maximal token runs between stopwords; each
+    word scores deg(w)/freq(w) (deg = Σ length of phrases containing
+    it); a phrase scores the sum of its word scores; top-20 phrases.
+
+    Exactness: word scores are pre-quantized to INTEGER micro-units
+    ((deg·10⁶) div freq) so the per-phrase sum is an order-free BIGINT
+    sum — summing float ratios in groupBy order would flap the ulp at
+    rounding boundaries. Shape: positional token explode → one doc-keyed
+    window pass (stopword prefix count = phrase id, phrase length) →
+    vocabulary rollup → broadcast word-score join → phrase rollup →
+    TakeOrderedAndProject. At 100 TB the vocabulary table follows the
+    PMI posture (broadcast at fixture scale, shuffle-join fallback
+    beyond broadcast limits); deg·10⁶ needs deg ≤ 9e12 — pre-divide
+    deg by 1000 beyond that corpus size.
+    """
+    d = io.load_table_parallel(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.coalesce(F.col("text"), F.lit("")), " ")).alias(
+            "pos", "token"
+        ),
+    ).filter(F.col("token") != "")
+    is_stop = F.col("token").isin(*RAKE_STOPWORDS)
+    wpre = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = toks.select(
+        "doc_id",
+        "pos",
+        "token",
+        F.sum(is_stop.cast("long")).over(wpre).alias("pid"),
+        is_stop.alias("stop"),
+    )
+    members = marked.filter(~F.col("stop")).drop("stop")
+    wp = Window.partitionBy("doc_id", "pid")
+    memlen = members.withColumn("plen", F.count(F.lit(1)).over(wp))
+    wscore = (
+        memlen.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg"))
+        .select("token", F.expr("deg * 1000000 div freq").alias("sw"))
+    )
+    phrases = (
+        memlen.join(F.broadcast(wscore), "token")
+        .groupBy("doc_id", "pid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                    lambda s: s["token"],
+                ),
+                "_",
+            ).alias("phrase"),
+            F.count(F.lit(1)).alias("plen"),
+            F.sum("sw").alias("score_micro"),
+        )
+    )
+    return (
+        phrases.groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            # identical wherever the phrase occurs (word scores are
+            # corpus-level and the length is the phrase's own)
+            F.min("score_micro").alias("score_micro"),
+            F.min("plen").alias("n_words"),
+        )
+        .orderBy(F.desc("score_micro"), F.asc("phrase"))
+        .limit(RAKE_TOP)
+    )
+
+
+_RAKE_STOPLIST = ", ".join(f"'{s}'" for s in RAKE_STOPWORDS)
+
+RAKE_KEYWORDS_SQL = f"""
+WITH ts AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ts FROM documents
+),
+toks AS (
+  SELECT doc_id, u.pos AS pos, u.tok AS token
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(ts) + 1),
+                      i -> struct_pack(pos := i, tok := ts[i]))) AS u
+        FROM ts)
+  WHERE u.tok <> ''
+),
+marked AS (
+  SELECT doc_id, pos, token,
+         sum(CASE WHEN token IN ({_RAKE_STOPLIST}) THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING)
+           AS pid
+  FROM toks
+),
+members AS (
+  SELECT doc_id, pos, token, pid FROM marked
+  WHERE token NOT IN ({_RAKE_STOPLIST})
+),
+memlen AS (
+  SELECT *, count(*) OVER (PARTITION BY doc_id, pid) AS plen FROM members
+),
+wscore AS (
+  SELECT token,
+         CAST(sum(plen) AS BIGINT) * 1000000 // count(*) AS sw
+  FROM memlen GROUP BY token
+),
+phrases AS (
+  SELECT m.doc_id, m.pid,
+         string_agg(m.token, '_' ORDER BY m.pos) AS phrase,
+         count(*) AS plen,
+         CAST(sum(w.sw) AS BIGINT) AS score_micro
+  FROM memlen m JOIN wscore w USING (token)
+  GROUP BY m.doc_id, m.pid
+)
+SELECT phrase,
+       count(*) AS n_occurrences,
+       min(score_micro) AS score_micro,
+       CAST(min(plen) AS BIGINT) AS n_words
+FROM phrases GROUP BY phrase
+ORDER BY score_micro DESC, phrase
+LIMIT {RAKE_TOP}
+"""
+
+
 QUERIES = {
     "text_hashed_linear_classifier": (
         hashed_linear_classifier,
@@ -371,4 +504,5 @@ QUERIES = {
     ),
     "text_ngram_novelty": (ngram_novelty, NGRAM_NOVELTY_SQL),
     "text_winnow_fingerprint": (winnow_fingerprint, WINNOW_FINGERPRINT_SQL),
+    "text_rake_keywords": (rake_keywords, RAKE_KEYWORDS_SQL),
 }

@@ -397,6 +397,44 @@ def sql_gateway_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(PORTABLE_GSETS_SQL)
 
 
+# Third gateway surface: the window-function dialect a BI tool emits —
+# ROWS frames, lag with an explicit default, percent_rank, row_number —
+# verbatim in both engines. Revenue is exact integer cents (trap 1);
+# the window sum is CAST back to BIGINT because DuckDB widens window
+# sums to HUGEINT exactly like plain sums (round-2 repr-fail class);
+# percent_rank's (rank−1)/(n−1) is one IEEE division of small ints,
+# deterministic on both engines, floored onto the bp grid.
+PORTABLE_WINDOW_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+)
+SELECT event_type, d, cents,
+       CAST(sum(cents) OVER (PARTITION BY event_type ORDER BY d
+                             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS trailing7_cents,
+       lag(cents, 1, CAST(0 AS BIGINT))
+         OVER (PARTITION BY event_type ORDER BY d) AS prev_cents,
+       CAST(floor(percent_rank()
+                    OVER (PARTITION BY event_type ORDER BY cents, d)
+                  * 10000 + 0.5) AS BIGINT) AS pr_bp,
+       row_number() OVER (PARTITION BY event_type ORDER BY cents DESC, d)
+         AS rev_rank
+FROM daily
+ORDER BY event_type, d
+"""
+
+
+def sql_gateway_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One portable window-function statement executed VERBATIM by both
+    engines (see PORTABLE_WINDOW_SQL) — frames, lag defaults,
+    percent_rank, row_number over the daily rollup; Spark runs both
+    window passes on the one event_type shuffle."""
+    io.register_sql_views(spark, sf_dir)
+    return spark.sql(PORTABLE_WINDOW_SQL)
+
+
 QUERIES = {
     "rel_project_filter_predicates": (project_filter_predicates, PROJECT_FILTER_SQL),
     "rel_project_derived_like": (project_derived_like, PROJECT_DERIVED_SQL),
@@ -410,4 +448,5 @@ QUERIES = {
         sql_gateway_grouping_sets,
         PORTABLE_GSETS_SQL,
     ),
+    "sql_gateway_window": (sql_gateway_window, PORTABLE_WINDOW_SQL),
 }

@@ -160,6 +160,30 @@ GOLDEN_QUERIES = [
     # (never a daily self-join); chi-square is two aggregates, no join
     "ts_theil_sen",
     "diag_ab_chi_square",
+    # session 5: the hashed classifier must stay a ZERO-exchange
+    # per-row projection (its whole point); winnowing likewise; novelty
+    # keeps 8-byte-key shuffles off the cached shingle spine; Benford
+    # is one 9-group rollup + broadcast total; attribution keeps the
+    # user-keyed equi-join with the range predicate as residual (never
+    # a cartesian); RFM is one rollup + broadcast anchor; link
+    # prediction must not plan a BNLJ anywhere
+    "text_hashed_linear_classifier",
+    "text_winnow_fingerprint",
+    "text_ngram_novelty",
+    "diag_benford_digit_audit",
+    "win_attribution_linear",
+    "agg_rfm_segments",
+    "graph_jaccard_linkpred",
+    "ts_seasonal_decompose",
+    "ts_acf_lags",
+    "agg_kmv_set_ops",
+    # session 5 wave 2: the verbatim window statement keeps BOTH window
+    # passes on one event_type shuffle; modularity is counts + broadcast
+    # label joins (no BNLJ); RAKE keeps one doc-keyed window pass with
+    # the vocabulary join broadcast
+    "sql_gateway_window",
+    "graph_label_modularity",
+    "text_rake_keywords",
 ]
 
 _EXCHANGE_KIND = re.compile(
