@@ -826,6 +826,126 @@ FROM p
 """
 
 
+# ---------------------------------------------------------------------------
+# Nearest-event as-of join (bidirectional, bounded)
+# ---------------------------------------------------------------------------
+
+NEAREST_WINDOW_US = 30 * 60 * 1_000_000  # ±30 min
+
+
+def asof_nearest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-click join: for every purchase, the user's temporally
+    NEAREST click within ±30 minutes — both directions, unlike the
+    backward-only `join_asof_last_click` — ties broken toward the
+    earlier click. The sensor-fusion / clickstream shape ("align each
+    reading with the closest calibration sample").
+
+    Never a theta join: one user-keyed sort carries the last click
+    backward (rows UNBOUNDED PRECEDING..CURRENT) and the next click
+    forward (CURRENT..UNBOUNDED FOLLOWING) as IGNORE-NULLS window
+    values over the SAME exchange, then a per-row CASE picks the
+    nearer side. Cost at 100 TB = exactly one shuffle of the two
+    event types, two window passes on it. All arithmetic on
+    microsecond integers; fully SQL-oracled.
+    """
+    e = io.load_table(spark, sf_dir, "events")
+    base = e.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "event_id",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    cs = F.when(
+        F.col("event_type") == "click", F.struct("ts_us", "event_id")
+    )
+    tagged = base.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        "event_type",
+        F.last(cs, ignorenulls=True)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("back"),
+        F.first(cs, ignorenulls=True)
+        .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+        .alias("fwd"),
+    )
+    p = tagged.filter(F.col("event_type") == "purchase")
+    d_back = F.col("ts_us") - F.col("back.ts_us")
+    d_fwd = F.col("fwd.ts_us") - F.col("ts_us")
+    back_ok = F.col("back").isNotNull() & (d_back <= NEAREST_WINDOW_US)
+    fwd_ok = F.col("fwd").isNotNull() & (d_fwd <= NEAREST_WINDOW_US)
+    pick_back = back_ok & (~fwd_ok | (d_back <= d_fwd))
+    pick_fwd = fwd_ok & ~pick_back
+    # -1 sentinels instead of NULLs: NULL cells sort/hash differently
+    # through value canonicalizers (the ndarray-crash lesson's cousin)
+    return p.select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.coalesce(
+            F.when(pick_back, F.col("back.event_id")).when(
+                pick_fwd, F.col("fwd.event_id")
+            ),
+            F.lit(-1).cast("long"),
+        ).alias("click_id"),
+        F.coalesce(
+            F.when(pick_back, d_back).when(pick_fwd, d_fwd),
+            F.lit(-1).cast("long"),
+        ).alias("abs_delta_us"),
+        F.when(pick_back, F.lit("back"))
+        .when(pick_fwd, F.lit("fwd"))
+        .otherwise(F.lit("none"))
+        .alias("direction"),
+    ).orderBy("user_id", "purchase_id")
+
+
+ASOF_NEAREST_SQL = f"""
+WITH base AS (
+  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+         event_type
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+tagged AS (
+  SELECT user_id, event_id, ts_us, event_type,
+         last_value(CASE WHEN event_type = 'click'
+                         THEN struct_pack(ts_us := ts_us, event_id := event_id)
+                    END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS back,
+         first_value(CASE WHEN event_type = 'click'
+                          THEN struct_pack(ts_us := ts_us, event_id := event_id)
+                     END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fwd
+  FROM base
+),
+p AS (
+  SELECT user_id, event_id, ts_us,
+         back, fwd,
+         ts_us - back.ts_us AS d_back,
+         fwd.ts_us - ts_us AS d_fwd,
+         back IS NOT NULL AND ts_us - back.ts_us <= {NEAREST_WINDOW_US} AS back_ok,
+         fwd IS NOT NULL AND fwd.ts_us - ts_us <= {NEAREST_WINDOW_US} AS fwd_ok
+  FROM tagged WHERE event_type = 'purchase'
+)
+SELECT user_id, event_id AS purchase_id,
+       coalesce(CASE WHEN back_ok AND (NOT fwd_ok OR d_back <= d_fwd)
+                       THEN back.event_id
+                     WHEN fwd_ok THEN fwd.event_id END,
+                CAST(-1 AS BIGINT)) AS click_id,
+       coalesce(CASE WHEN back_ok AND (NOT fwd_ok OR d_back <= d_fwd)
+                       THEN d_back
+                     WHEN fwd_ok THEN d_fwd END,
+                CAST(-1 AS BIGINT)) AS abs_delta_us,
+       CASE WHEN back_ok AND (NOT fwd_ok OR d_back <= d_fwd) THEN 'back'
+            WHEN fwd_ok THEN 'fwd'
+            ELSE 'none' END AS direction
+FROM p
+ORDER BY user_id, purchase_id
+"""
+
+
 QUERIES = {
     "join_broadcast_dim": (broadcast_dim_join, BROADCAST_DIM_SQL),
     "join_shuffle_fact": (shuffle_fact_join, SHUFFLE_FACT_SQL),
@@ -844,4 +964,5 @@ QUERIES = {
     "join_auto_skew_remedy": (auto_skew_join, AUTO_SKEW_JOIN_SQL),
     "join_market_basket": (market_basket, MARKET_BASKET_SQL),
     "join_geo_gridblock": (geo_gridblock_join, GEO_GRIDBLOCK_SQL),
+    "join_asof_nearest": (asof_nearest_join, ASOF_NEAREST_SQL),
 }

@@ -127,3 +127,15 @@ def test_rest_topn_pushdown_no_spark_sort(spark):
     plan = _plan(spark, "src_rest_topn_pushdown")
     assert "TakeOrderedAndProject" not in plan
     assert "Sort " not in plan and "GlobalLimit" not in plan
+
+
+def test_linkpred_no_nested_loop(spark):
+    """graph_jaccard_linkpred sits on the shared cached edge relation,
+    so its golden would be cache-state-dependent (trap 14); assert the
+    scale property directly: vertex-keyed joins only — no
+    BroadcastNestedLoopJoin, no cartesian — and a TakeOrderedAndProject
+    top-k (never a global sort)."""
+    plan = _plan(spark, "graph_jaccard_linkpred")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan

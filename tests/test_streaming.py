@@ -364,3 +364,31 @@ def test_stream_upsert_out_of_order_batches_keep_latest(spark, tmp_path):
     assert got[1] == (2, ts(10))
     # user 7: 09:00 arrived after 08:00 and IS newer -> replaces
     assert got[7] == (11, ts(9))
+
+
+def test_tws_user_counter_agrees_or_gates_honestly(spark, tmp_path):
+    """Spark 4's transformWithStateInPandas twin of the stateful
+    counter: when the protobuf transport is available the two stateful
+    APIs must agree on every final per-user state; in this container
+    the dependency is absent and the job must fail with the clear
+    ImportError (not a hang or a silent empty result)."""
+    import pytest
+
+    from seamless_sharepoint_etl_spark.streaming import jobs
+
+    src = jobs.prepare_stream_source(spark, SF_DIR, str(tmp_path / "src"))
+    if not jobs.transform_with_state_available():
+        with pytest.raises(ImportError, match="protobuf"):
+            jobs.run_tws_user_counter(spark, src, str(tmp_path / "cp"))
+        return
+    import pyspark.sql.functions as F
+
+    tws = jobs.run_tws_user_counter(spark, src, str(tmp_path / "cp"))
+    old = jobs.run_stateful_user_counter(spark, src, str(tmp_path / "cp2"))
+    final = lambda df: {  # noqa: E731
+        r["user_id"]: (r["n"], r["t"])
+        for r in df.groupBy("user_id")
+        .agg(F.max("n_events").alias("n"), F.max("total_value").alias("t"))
+        .collect()
+    }
+    assert final(tws) == final(old)
