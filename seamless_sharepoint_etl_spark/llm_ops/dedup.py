@@ -861,21 +861,21 @@ def cc_twophase(
         .localCheckpoint(eager=True)
     )
 
-    def digest(e: DataFrame):
-        row = e.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum((F.col("lo") * 1_000_003 + F.col("hi")) % 2_147_483_647).alias(
-                "dg"
-            ),
-        ).collect()[0]
-        return (row["n"], row["dg"])
-
     def both_dirs(e: DataFrame) -> DataFrame:
         return e.select(F.col("lo").alias("u"), F.col("hi").alias("v")).unionByName(
             e.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
         )
 
-    prev = digest(edges)
+    def converged(prev_e: DataFrame, cur_e: DataFrame) -> bool:
+        # EXACT set equality, not a digest: a hash-collision false
+        # positive would bypass the backstop and return a partially
+        # contracted clustering with no error. Rows are distinct, so
+        # equal counts + empty one-sided difference ⇒ equal sets; both
+        # inputs are localCheckpointed, so each side costs one scan.
+        if prev_e.count() != cur_e.count():
+            return False
+        return cur_e.exceptAll(prev_e).limit(1).count() == 0
+
     for _round in range(max_rounds):
         # large-star: every neighbor v > u links to m = min(N(u) ∪ {u})
         wu = Window.partitionBy("u")
@@ -887,6 +887,10 @@ def cc_twophase(
             .select(F.col("m").alias("lo"), F.col("v").alias("hi"))
             .filter(F.col("lo") != F.col("hi"))
             .distinct()
+            # checkpoint: both_dirs(e1) + the e2 union reference this
+            # subtree 4×; uncheckpointed, the large-star window shuffle
+            # re-executes 4× per round
+            .localCheckpoint(eager=True)
         )
         # small-star: neighbors v <= u (and u itself) link to m
         adj2 = both_dirs(e1).withColumn(
@@ -905,11 +909,9 @@ def cc_twophase(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        edges = e2
-        cur = digest(edges)
-        if cur == prev:
+        prev_edges, edges = edges, e2
+        if converged(prev_edges, edges):
             break
-        prev = cur
     else:
         raise RuntimeError(
             f"cc_twophase did not converge in {max_rounds} rounds — "

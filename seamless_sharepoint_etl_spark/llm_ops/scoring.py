@@ -145,10 +145,13 @@ big AS (
   FROM feat
 ),
 scored AS (
+  -- coalesce each side: DuckDB list_sum([]) is NULL, so a one-token
+  -- doc (bh = []) would otherwise score NULL and force-'drop' while
+  -- Spark's 0L-seeded aggregate computes a real score
   SELECT doc_id, lang,
          CAST(len(hs) + len(bh) AS BIGINT) AS n_feats,
-         list_sum(list_transform(hs, x -> {_w_expr('x')}))
-           + list_sum(list_transform(bh, x -> {_w_expr('x')})) AS s
+         coalesce(list_sum(list_transform(hs, x -> {_w_expr('x')})), 0)
+           + coalesce(list_sum(list_transform(bh, x -> {_w_expr('x')})), 0) AS s
   FROM big
 )
 SELECT doc_id, lang, n_feats,
@@ -369,7 +372,9 @@ WINNOW_FINGERPRINT_SQL = _winnow_sql()
 # ---------------------------------------------------------------------------
 
 RAKE_TOP = 20
-RAKE_STOPWORDS = ("the", "a", "of")  # shared with text.STOPWORDS
+# import, don't re-declare: a drifted copy would let RAKE and the
+# text_* quality metrics disagree on what a stopword is
+from .text import STOPWORDS as RAKE_STOPWORDS  # noqa: E402
 
 
 def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:

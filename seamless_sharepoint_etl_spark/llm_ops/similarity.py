@@ -1318,30 +1318,46 @@ def ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ccos"),
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("bucket"))
+    max_p = max(RECALL_NPROBES)
     ranked = qc.withColumn("pr", F.row_number().over(wq)).select(
         "query_id", "qv", "qn", "bucket", "pr"
     )
-    ranked = ranked.persist()
+    # score ONCE at the widest setting with the probe rank retained —
+    # p=1's candidate set is a subset of p=3's, so per-p re-joining
+    # would redo the expensive cosine arithmetic three times
+    cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    scored = (
+        ranked.filter(F.col("pr") <= max_p)
+        .join(cand, "bucket")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", "pr", cos.alias("cos"))
+        .persist()
+    )
     truth = (
         brute_force_topk(spark, sf_dir).select("query_id", "cand_id").persist()
     )
-    n_queries = q.count()
-    cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    qids = q.select("query_id").persist()
+    n_queries = qids.count()
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
     curves = []
     for p in RECALL_NPROBES:
         top = (
-            ranked.filter(F.col("pr") <= p)
-            .join(cand, "bucket")
-            .filter(F.col("query_id") != F.col("cand_id"))
-            .select("query_id", "cand_id", cos.alias("cos"))
+            scored.filter(F.col("pr") <= p)
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= TOP_K)
         )
+        # LEFT join from the full query set: a query whose exact
+        # neighbors all live in unprobed buckets has ZERO hits and
+        # must drag the min to 0, not vanish from it
         hits = (
-            top.join(truth, ["query_id", "cand_id"], "left_semi")
-            .groupBy("query_id")
-            .agg(F.count(F.lit(1)).alias("h"))
+            qids.join(
+                top.join(truth, ["query_id", "cand_id"], "left_semi")
+                .groupBy("query_id")
+                .agg(F.count(F.lit(1)).alias("h")),
+                "query_id",
+                "left",
+            )
+            .select(F.coalesce("h", F.lit(0)).alias("h"))
         )
         curves.append(
             hits.agg(

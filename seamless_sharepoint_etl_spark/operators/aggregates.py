@@ -820,6 +820,27 @@ GROUP BY o_orderpriority
 KMV_K = 64
 
 
+def _kmv_estimate(n_kept, hk):
+    """KMV cardinality estimate as a Column: (K−1)/u_k with u_k the
+    K-th smallest hash mapped to (0, 1], exact-count branch below K.
+    ONE definition feeds both KMV operators (distinct + set algebra) —
+    the same digits previously lived in five places."""
+    u = (hk + 1).cast("double") / F.lit(2.0**31)
+    return (
+        F.when(n_kept < KMV_K, n_kept.cast("long"))
+        .otherwise(F.floor((F.lit(KMV_K - 1) / u) + F.lit(0.5)).cast("long"))
+    )
+
+
+def _kmv_estimate_sql(n_expr: str, hk_expr: str) -> str:
+    """The digit-identical DuckDB/ANSI text for :func:`_kmv_estimate`."""
+    return (
+        f"CASE WHEN {n_expr} < {KMV_K} THEN CAST({n_expr} AS BIGINT) "
+        f"ELSE CAST(floor(({KMV_K - 1}) / (({hk_expr} + 1) / {float(2.0**31)})"
+        " + 0.5) AS BIGINT) END"
+    )
+
+
 def kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (k-minimum-values) distinct-count sketch per event_type —
     the third mergeable-sketch family next to HLL and Count-Min: keep
@@ -853,14 +874,10 @@ def kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k")
         .agg(F.max("h").alias("hk"), F.count(F.lit(1)).alias("n_kept"))
     )
-    # u_k: map the 31-bit hash to (0, 1]; +1 keeps u > 0 for hk = 0
-    u = (F.col("hk") + 1).cast("double") / F.lit(2.0**31)
     return sk.select(
         F.col("k").alias("event_type"),
         "n_kept",
-        F.when(F.col("n_kept") < KMV_K, F.col("n_kept").cast("long"))
-        .otherwise(F.floor((F.lit(KMV_K - 1) / u) + F.lit(0.5)).cast("long"))
-        .alias("est_distinct"),
+        _kmv_estimate(F.col("n_kept"), F.col("hk")).alias("est_distinct"),
     )
 
 
@@ -879,10 +896,7 @@ sk AS (
   FROM r WHERE rn <= {KMV_K} GROUP BY k
 )
 SELECT k AS event_type, CAST(n_kept AS BIGINT) AS n_kept,
-       CASE WHEN n_kept < {KMV_K} THEN CAST(n_kept AS BIGINT)
-            ELSE CAST(floor(({KMV_K - 1})
-                   / ((hk + 1) / {float(2.0**31)}) + 0.5) AS BIGINT)
-       END AS est_distinct
+       {_kmv_estimate_sql("n_kept", "hk")} AS est_distinct
 FROM sk
 """
 
@@ -984,19 +998,7 @@ def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     def est(rel):
         return rel.agg(
             F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("hk")
-        ).select(
-            F.when(
-                F.col("n_kept") < KMV_K, F.col("n_kept").cast("long")
-            )
-            .otherwise(
-                F.floor(
-                    F.lit(KMV_K - 1)
-                    / ((F.col("hk") + 1).cast("double") / F.lit(2.0**31))
-                    + F.lit(0.5)
-                ).cast("long")
-            )
-            .alias("est")
-        )
+        ).select(_kmv_estimate(F.col("n_kept"), F.col("hk")).alias("est"))
 
     est_a = est(in_a).withColumnRenamed("est", "est_a")
     est_b = est(in_b).withColumnRenamed("est", "est_b")
@@ -1057,23 +1059,14 @@ both_h AS (
   WHERE h IN (SELECT h FROM in_a) AND h IN (SELECT h FROM in_b)
 ),
 est_a AS (
-  SELECT CASE WHEN count(*) < {KMV_K} THEN CAST(count(*) AS BIGINT)
-              ELSE CAST(floor(({KMV_K - 1})
-                     / ((max(h) + 1) / {float(2.0**31)}) + 0.5) AS BIGINT)
-         END AS est_a FROM in_a
+  SELECT {_kmv_estimate_sql("count(*)", "max(h)")} AS est_a FROM in_a
 ),
 est_b AS (
-  SELECT CASE WHEN count(*) < {KMV_K} THEN CAST(count(*) AS BIGINT)
-              ELSE CAST(floor(({KMV_K - 1})
-                     / ((max(h) + 1) / {float(2.0**31)}) + 0.5) AS BIGINT)
-         END AS est_b FROM in_b
+  SELECT {_kmv_estimate_sql("count(*)", "max(h)")} AS est_b FROM in_b
 ),
 est_u AS (
   SELECT count(*) AS n_union_kept,
-         CASE WHEN count(*) < {KMV_K} THEN CAST(count(*) AS BIGINT)
-              ELSE CAST(floor(({KMV_K - 1})
-                     / ((max(h) + 1) / {float(2.0**31)}) + 0.5) AS BIGINT)
-         END AS est_union FROM sku
+         {_kmv_estimate_sql("count(*)", "max(h)")} AS est_union FROM sku
 ),
 nb AS (SELECT count(*) AS n_both FROM both_h),
 ex AS (

@@ -352,11 +352,11 @@ def run_tws_user_counter(
     """Per-user running count/value-sum on Spark 4's NEW arbitrary-
     stateful API (`transformWithStateInPandas` + `StatefulProcessor`
     with typed ValueState) — the successor to applyInPandasWithState
-    with composable state variables, timers, and TTL. Requires the
-    RocksDB state-store provider (set here per-query via the writeStream
-    conf scope is not supported — caller's session must set it) and the
-    protobuf package (`transform_with_state_available()`); raises a
-    clear error when the transport dependency is missing.
+    with composable state variables, timers, and TTL. Sets the required
+    RocksDB state-store provider on the session (runtime-settable, read
+    at stream start) and gates on the protobuf transport
+    (`transform_with_state_available()`); raises a clear error when the
+    dependency is missing.
 
     Same semantics as `run_stateful_user_counter`, so the test asserts
     the two stateful APIs agree batch-for-batch when runnable.
@@ -366,6 +366,15 @@ def run_tws_user_counter(
             "transformWithStateInPandas needs the protobuf package "
             "(absent in this container); use run_stateful_user_counter"
         )
+    # transformWithState REQUIRES the RocksDB state store (the default
+    # HDFS-backed provider throws); the conf is runtime-settable and
+    # read at stream start, so set it here rather than hoping the
+    # caller's session did
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
     from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
     class UserAgg(StatefulProcessor):

@@ -1048,11 +1048,33 @@ def test_classifier_and_winnow_survive_degenerate_docs(spark, tmp_path):
 
     cls = {r["doc_id"]: r for r in scoring.hashed_linear_classifier(spark, d).collect()}
     assert len(cls) == 5
+    # one-token doc: exactly one unigram feature, a REAL score — the
+    # DuckDB oracle must agree (list_sum([]) is NULL there; the oracle
+    # coalesces it, which this cross-check pins)
+    assert cls[0]["n_feats"] == 1 and cls[0]["verdict"] in ("keep", "drop")
     assert cls[1]["verdict"] == "empty" and cls[1]["n_feats"] == 0
     assert cls[2]["verdict"] == "empty" and cls[2]["n_feats"] == 0
     # non-ASCII tokens are excluded from features, not from the doc
     assert cls[3]["n_feats"] == 0 and cls[3]["verdict"] == "empty"
     assert cls[4]["n_feats"] > 0 and cls[4]["verdict"] in ("keep", "drop")
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{os.path.join(d, 'documents.parquet')}'"
+    )
+    oracle = {
+        r[0]: (r[2], r[3], r[4])
+        for r in con.sql(scoring.HASHED_LINEAR_CLASSIFIER_SQL).fetchall()
+    }
+    for doc_id, r in cls.items():
+        assert oracle[doc_id] == (
+            r["n_feats"],
+            r["score_milli"],
+            r["verdict"],
+        ), (doc_id, oracle[doc_id], r)
 
     win = {r["doc_id"]: r for r in scoring.winnow_fingerprint(spark, d).collect()}
     assert len(win) == 5
