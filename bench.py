@@ -158,6 +158,12 @@ HEADLINE = [
     "ts_acf_lags",
     "diag_benford_digit_audit",
     "graph_jaccard_linkpred",
+    "win_pareto_abc",
+    "ts_mad_anomalies",
+    "src_csv_corrupt_recovery",
+    "join_asof_nearest",
+    "sql_gateway_window",
+    "text_rake_keywords",
 ]
 
 

@@ -1159,6 +1159,98 @@ FROM agg ORDER BY event_type
 
 
 
+# ---------------------------------------------------------------------------
+# Robust anomaly detection (median absolute deviation)
+# ---------------------------------------------------------------------------
+
+MAD_K_BP = 44_478  # 3 × 1.4826 (normal-consistency constant) in bp
+
+
+def mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily-revenue anomalies per event type: flag days where
+    |x − median| · 10⁴ > 44478 · MAD — the 3σ rule with median/MAD
+    instead of mean/stddev, immune to the anomalies polluting their
+    own threshold (the known failure mode of ts_daily_zscore on short
+    series with big spikes).
+
+    Exactness: daily cents are exact integers; median and MAD come
+    from the exact interpolating percentile (Spark `percentile` ≡
+    DuckDB `quantile_cont`, the agg_percentiles pairing), whose .5
+    midpoints are exactly representable doubles at cent scale — the
+    flag comparison multiplies integers by exact-dyadic doubles, so no
+    1e-6 tolerance is needed. Shape: one daily rollup, two tiny
+    per-type aggregates (second pass for MAD — deviations need the
+    median first), one broadcast join back. At 100 TB the rollup is
+    the only data-sized exchange; the percentile state is per-type
+    daily values (bounded by the calendar).
+    """
+    ev = io.load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.sum(cents).alias("y"))
+    med = daily.groupBy("event_type").agg(
+        F.expr("percentile(y, 0.5)").alias("med")
+    )
+    dev = daily.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("y") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type").withColumn(
+        "is_anomaly",
+        (F.col("adev") * 10000 > F.lit(MAD_K_BP) * F.col("mad")).cast("int"),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("is_anomaly").alias("n_anomalies"),
+        F.floor(F.min("med")).cast("long").alias("median_cents_floor"),
+        F.floor(F.min("mad")).cast("long").alias("mad_cents_floor"),
+        # -1 sentinel: a no-anomaly type must not emit NULL (NULL cells
+        # sort/hash differently through value canonicalizers)
+        F.coalesce(
+            F.max(F.when(F.col("is_anomaly") == 1, F.col("y"))),
+            F.lit(-1).cast("long"),
+        ).alias("max_anomalous_cents"),
+    ).orderBy("event_type")
+
+
+MAD_ANOMALIES_SQL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+med AS (
+  SELECT event_type, quantile_cont(y, 0.5) AS med FROM daily GROUP BY event_type
+),
+dev AS (
+  SELECT daily.event_type, y, abs(y - med) AS adev
+  FROM daily JOIN med USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+  FROM dev GROUP BY event_type
+),
+flagged AS (
+  SELECT dev.event_type, y, adev, mad,
+         CASE WHEN adev * 10000 > {MAD_K_BP} * mad THEN 1 ELSE 0 END
+           AS is_anomaly
+  FROM dev JOIN mad USING (event_type)
+)
+SELECT f.event_type,
+       count(*) AS n_days,
+       CAST(sum(is_anomaly) AS BIGINT) AS n_anomalies,
+       CAST(floor(min(m.med)) AS BIGINT) AS median_cents_floor,
+       CAST(floor(min(f.mad)) AS BIGINT) AS mad_cents_floor,
+       coalesce(max(CASE WHEN is_anomaly = 1 THEN y END),
+                CAST(-1 AS BIGINT)) AS max_anomalous_cents
+FROM flagged f JOIN med m USING (event_type)
+GROUP BY f.event_type ORDER BY f.event_type
+"""
+
+
 QUERIES = {
     "ts_resample_ffill": (resample_ffill, RESAMPLE_FFILL_SQL),
     "ts_mom_growth": (mom_growth, MOM_GROWTH_SQL),
@@ -1174,4 +1266,5 @@ QUERIES = {
     "ts_trend_slope": (trend_slope, TREND_SLOPE_SQL),
     "ts_seasonal_decompose": (seasonal_decompose, SEASONAL_DECOMPOSE_SQL),
     "ts_acf_lags": (acf_lags, ACF_LAGS_SQL),
+    "ts_mad_anomalies": (mad_anomalies, MAD_ANOMALIES_SQL),
 }

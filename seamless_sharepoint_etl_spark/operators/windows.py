@@ -804,8 +804,112 @@ ORDER BY channel, day
 """
 
 
+# ---------------------------------------------------------------------------
+# Pareto / ABC classification (scalable ranked prefix sum)
+# ---------------------------------------------------------------------------
+
+ABC_BUCKETS = 64
+ABC_A_PPM = 800_000  # cumulative share <= 80% → A
+ABC_B_PPM = 950_000  # <= 95% → B, else C
+
+
+def pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification of parts by revenue: rank parts by
+    lifetime revenue, classify by cumulative share (≤80% → A, ≤95% →
+    B, else C), report the class rollup — the inventory-analytics
+    80/20 cut.
+
+    The ranked prefix sum is the trap: a naive cumulative window over
+    (revenue DESC) is one task for the whole table. This uses the
+    two-phase bucketed shape (the sequence-packing/token-budget
+    pattern): value-range bucket per part → 64-row bucket-total
+    relation → cumulative bucket offsets on that tiny relation →
+    within-bucket prefix windows (64-way parallel) + offset. The
+    bucket is a pure function of the revenue value, so bucket-desc
+    order nests exactly inside (revenue DESC, partkey) global order.
+    All arithmetic in exact integer cents / ppm.
+    """
+    li = io.load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    parts = li.groupBy("l_partkey").agg(F.sum(cents).alias("cents"))
+    stats = parts.agg(
+        F.max("cents").alias("maxc"), F.sum("cents").alias("total")
+    )
+    b = parts.crossJoin(F.broadcast(stats)).withColumn(
+        "bucket",
+        F.least(
+            F.lit(ABC_BUCKETS - 1),
+            F.expr(f"cents * {ABC_BUCKETS} div (maxc + 1)"),
+        ),
+    )
+    # persist: both the offsets branch and the ranked join read b;
+    # uncached, Catalyst inlines the lineitem rollup into each branch
+    # and the fact table is scanned twice
+    b = b.persist()
+    btot = b.groupBy("bucket").agg(F.sum("cents").alias("bcents"))
+    wb = Window.orderBy(F.desc("bucket")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # the offsets window runs over ≤64 rows — the documented tiny-
+    # relation exception to the no-global-window rule
+    offsets = btot.select(
+        "bucket", F.coalesce(F.sum("bcents").over(wb), F.lit(0)).alias("offset")
+    )
+    win = Window.partitionBy("bucket").orderBy(
+        F.desc("cents"), F.asc("l_partkey")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = (
+        b.join(F.broadcast(offsets), "bucket")
+        .withColumn("cum", F.sum("cents").over(win) + F.col("offset"))
+        .withColumn("cum_ppm", F.expr("cum * 1000000 div total"))
+        .withColumn(
+            "abc_class",
+            F.when(F.col("cum_ppm") <= ABC_A_PPM, "A")
+            .when(F.col("cum_ppm") <= ABC_B_PPM, "B")
+            .otherwise("C"),
+        )
+    )
+    return (
+        ranked.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("cents").alias("class_cents"),
+            F.min("cum_ppm").alias("min_cum_ppm"),
+            F.max("cum_ppm").alias("max_cum_ppm"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+PARETO_ABC_SQL = f"""
+WITH parts AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM parts),
+ranked AS (
+  SELECT l_partkey, cents,
+         CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM parts
+)
+SELECT CASE WHEN cum * 1000000 // total <= {ABC_A_PPM} THEN 'A'
+            WHEN cum * 1000000 // total <= {ABC_B_PPM} THEN 'B'
+            ELSE 'C' END AS abc_class,
+       count(*) AS n_parts,
+       CAST(sum(cents) AS BIGINT) AS class_cents,
+       min(cum * 1000000 // total) AS min_cum_ppm,
+       max(cum * 1000000 // total) AS max_cum_ppm
+FROM ranked, tot
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "win_attribution_linear": (attribution_linear, ATTRIBUTION_LINEAR_SQL),
+    "win_pareto_abc": (pareto_abc, PARETO_ABC_SQL),
     "win_topn_per_group": (topn_per_group, TOPN_PER_GROUP_SQL),
     "win_rank_dense_ntile": (rank_dense_ntile, RANK_DENSE_NTILE_SQL),
     "win_lag_lead_deltas": (lag_lead_deltas, LAG_LEAD_SQL),

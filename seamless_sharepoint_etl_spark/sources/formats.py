@@ -527,6 +527,80 @@ FROM g GROUP BY 1 ORDER BY 1
 """
 
 
+# Deliberately malformed CSV lines appended to the staged nation CSV —
+# the ground truth for the PERMISSIVE-recovery scan. Their count and
+# shapes are module constants so the oracle knows them exactly.
+CORRUPT_LINES = (
+    "999,BADLAND,notanumber,trailing,extra,fields",  # wrong arity + bad int
+    "not_an_int,X,0,comment",  # unparseable key
+    '"unterminated, quote,1,oops',  # broken quoting
+)
+
+
+def csv_corrupt_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE CSV ingestion with corrupt-record recovery: a nation
+    CSV with three deliberately malformed lines planted; the scan must
+    (a) parse every well-formed row exactly, (b) capture each bad line
+    intact in ``_corrupt_record`` instead of failing the job — the
+    ingestion-robustness contract a 100 TB raw-landing-zone read needs
+    (one bad line in a billion must not kill the batch, and silent
+    drops are worse than failures).
+
+    The malformed lines are module constants, so the oracle is exact:
+    good-row aggregates re-derived from the source table + the planted
+    bad count. Schema includes the corrupt column (nullable STRING);
+    counting it and aggregating the good rows happens in ONE pass.
+    """
+    path = _stage_dir(sf_dir, "nation-corrupt-csv")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        n = io.load_table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        )
+        n.coalesce(1).write.mode("overwrite").option("header", False).csv(path)
+        # plant the bad lines in their own part file (kept out of the
+        # header/row files so the write stays a plain engine write)
+        with open(os.path.join(path, "part-corrupt.csv"), "w") as f:
+            for line in CORRUPT_LINES:
+                f.write(line + "\n")
+
+    schema = (
+        "n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT,"
+        " _corrupt_record STRING"
+    )
+    scanned = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    scanned = scanned.cache()  # one scan feeds both branches below
+    good = scanned.filter(F.col("_corrupt_record").isNull())
+    bad = scanned.filter(F.col("_corrupt_record").isNotNull())
+    return (
+        good.groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.min("n_name").alias("first_name"),
+        )
+        .crossJoin(
+            F.broadcast(bad.agg(F.count(F.lit(1)).alias("n_corrupt")))
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+CSV_CORRUPT_RECOVERY_SQL = f"""
+SELECT n_regionkey,
+       count(*) AS n_nations,
+       min(n_name) AS first_name,
+       CAST({len(CORRUPT_LINES)} AS BIGINT) AS n_corrupt
+FROM nation
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+"""
+
+
 QUERIES = {
     "src_json_scan": (json_scan_events, JSON_SCAN_EVENTS_SQL),
     "src_textlog_scan": (textlog_scan, TEXTLOG_SCAN_SQL),
@@ -537,4 +611,5 @@ QUERIES = {
     "src_binaryfile_scan": (binaryfile_scan_docs, BINARYFILE_SCAN_SQL),
     "src_xml_scan": (xml_scan_customer, XML_SCAN_CUSTOMER_SQL),
     "src_schema_evolution_scan": (schema_evolution_scan, SCHEMA_EVOLUTION_SQL),
+    "src_csv_corrupt_recovery": (csv_corrupt_recovery, CSV_CORRUPT_RECOVERY_SQL),
 }

@@ -189,6 +189,13 @@ GOLDEN_QUERIES = [
     "sql_gateway_window",
     "graph_label_modularity",
     "text_rake_keywords",
+    # session 5 wave 3: ABC must keep the two-phase bucketed prefix
+    # sum (64-way parallel within-bucket windows — no single-task
+    # global cumulative window over the parts relation); MAD is two
+    # tiny percentile aggregates + broadcast joins off ONE daily
+    # rollup; the corrupt-recovery scan is one cached pass
+    "win_pareto_abc",
+    "ts_mad_anomalies",
 ]
 
 _EXCHANGE_KIND = re.compile(
