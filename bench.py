@@ -164,6 +164,8 @@ HEADLINE = [
     "join_asof_nearest",
     "sql_gateway_window",
     "text_rake_keywords",
+    "agg_gini_coefficient",
+    "ts_kaplan_meier",
 ]
 
 

@@ -1211,6 +1211,88 @@ ORDER BY r_score, f_score, m_score
 """
 
 
+GINI_BUCKETS = 64
+
+
+def gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer lifetime revenue — the
+    concentration KPI ("do 20% of customers carry 80% of revenue"),
+    computed from the closed rank form G = (2·Σ rank·x − (n+1)·Σx)
+    / (n·Σx) over ascending-sorted values.
+
+    The global rank is the same single-task trap as the Pareto prefix;
+    the same two-phase escape applies: value-range bucket → 64-row
+    cumulative COUNT offsets → within-bucket row_number + offset.
+    Everything is BIGINT until the final ppm division (whole dollars,
+    not cents, keep Σ rank·x ≤ 1.4e17 at SF 1; beyond SF ~50
+    pre-scale the unit again — documented bound, same class as the
+    chi-square note). Exactly oracled against DuckDB's plain window
+    rank.
+    """
+    o = io.load_table(spark, sf_dir, "orders")
+    dollars = F.floor(F.col("o_totalprice") + F.lit(0.5)).cast("long")
+    cust = o.groupBy("o_custkey").agg(F.sum(dollars).alias("x"))
+    stats = cust.agg(F.max("x").alias("maxx"))
+    b = (
+        cust.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "bucket",
+            F.least(
+                F.lit(GINI_BUCKETS - 1),
+                F.expr(f"x * {GINI_BUCKETS} div (maxx + 1)"),
+            ),
+        )
+        .persist()
+    )
+    bcnt = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("bn"))
+    wb = Window.orderBy(F.asc("bucket")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = bcnt.select(
+        "bucket", F.coalesce(F.sum("bn").over(wb), F.lit(0)).alias("offset")
+    )
+    win = Window.partitionBy("bucket").orderBy(F.asc("x"), F.asc("o_custkey"))
+    ranked = (
+        b.join(F.broadcast(offsets), "bucket")
+        .withColumn("rank", F.row_number().over(win) + F.col("offset"))
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("rank") * F.col("x")).alias("srx"),
+    )
+    return agg.select(
+        "n",
+        "sx",
+        F.floor(
+            (2 * F.col("srx") - (F.col("n") + 1) * F.col("sx")).cast("double")
+            / (F.col("n") * F.col("sx"))
+            * 1000000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("gini_ppm"),
+    )
+
+
+GINI_COEFFICIENT_SQL = """
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(floor(o_totalprice + 0.5) AS BIGINT)) AS BIGINT) AS x
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT x, row_number() OVER (ORDER BY x ASC, o_custkey ASC) AS r FROM cust
+)
+SELECT count(*) AS n,
+       CAST(sum(x) AS BIGINT) AS sx,
+       CAST(floor(CAST(2 * sum(r * x) - (count(*) + 1) * sum(x) AS DOUBLE)
+                  / (count(*) * sum(x)) * 1000000 + 0.5) AS BIGINT)
+         AS gini_ppm
+FROM ranked
+"""
+
+
 QUERIES = {
     "agg_pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
     "agg_multikey_distinct": (multikey_distinct, MULTIKEY_DISTINCT_SQL),
@@ -1238,4 +1320,5 @@ QUERIES = {
     "agg_sample_estimate": (sample_estimate, SAMPLE_ESTIMATE_SQL),
     "agg_kmv_set_ops": (kmv_set_ops, KMV_SET_OPS_SQL),
     "agg_rfm_segments": (rfm_segments, RFM_SEGMENTS_SQL),
+    "agg_gini_coefficient": (gini_coefficient, GINI_COEFFICIENT_SQL),
 }

@@ -1251,6 +1251,117 @@ GROUP BY f.event_type ORDER BY f.event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Kaplan–Meier survival (user churn)
+# ---------------------------------------------------------------------------
+
+KM_CENSOR_DAYS = 3  # still active within the last 3 days → censored
+
+
+def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve of user lifetimes: duration = days
+    between a user's first and last event; users last seen within
+    KM_CENSOR_DAYS of the corpus end are right-CENSORED (still alive),
+    everyone else churned at their last day. S(t) = Π_{tᵢ≤t}
+    (1 − dᵢ/nᵢ) — the estimator that makes censoring honest instead of
+    counting still-active users as churned.
+
+    Shape: one user rollup (the only data-sized exchange), a broadcast
+    1-row anchor, then the whole lifetime distribution is a ≤31-row
+    relation — risk sets via suffix sums and the survival product via
+    a fixed-order array fold (pure IEEE multiplication, no libm, so
+    the ppm floor is bit-identical across engines; DuckDB scalar-
+    accumulator list_reduce is sound — trap 18 breaks only struct
+    state). Output one row per observed churn/censor day.
+    """
+    ev = io.load_table(spark, sf_dir, "events")
+    user = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    anchor = ev.agg(F.max(F.to_date("ts")).alias("dmax"))
+    life = user.crossJoin(F.broadcast(anchor)).select(
+        F.datediff("d1", "d0").cast("long").alias("t"),
+        (F.datediff("dmax", "d1") < KM_CENSOR_DAYS).cast("int").alias("censored"),
+    )
+    per_t = life.groupBy("t").agg(
+        F.sum(F.lit(1) - F.col("censored")).alias("d"),
+        F.sum("censored").alias("c"),
+    )
+    # suffix sums on the ≤31-row duration relation (tiny-relation
+    # exception to the no-global-window rule)
+    wt = Window.orderBy(F.asc("t")).rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    risk = per_t.withColumn("n_at_risk", F.sum(F.col("d") + F.col("c")).over(wt))
+    # survival product: collect the ordered (t, 1 - d/n) factors once
+    # and fold prefixes — deterministic order, pure multiplication
+    factors = risk.select(
+        "t", "d", "c", "n_at_risk",
+        (F.lit(1.0) - F.col("d").cast("double") / F.col("n_at_risk")).alias("f"),
+    )
+    all_f = factors.agg(
+        F.array_sort(F.collect_list(F.struct("t", "f"))).alias("fs")
+    )
+    out = factors.crossJoin(F.broadcast(all_f)).select(
+        "t",
+        "d",
+        "c",
+        "n_at_risk",
+        F.floor(
+            F.expr(
+                "aggregate(filter(fs, s -> s.t <= t), CAST(1.0 AS DOUBLE),"
+                " (acc, s) -> acc * s.f)"
+            )
+            * 1000000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("surv_ppm"),
+    )
+    return out.orderBy("t")
+
+
+KAPLAN_MEIER_SQL = f"""
+WITH user_life AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+  FROM events GROUP BY user_id
+),
+anchor AS (SELECT max(CAST(ts AS DATE)) AS dmax FROM events),
+life AS (
+  SELECT CAST(datediff('day', d0, d1) AS BIGINT) AS t,
+         CASE WHEN datediff('day', d1, dmax) < {KM_CENSOR_DAYS}
+              THEN 1 ELSE 0 END AS censored
+  FROM user_life, anchor
+),
+per_t AS (
+  SELECT t, CAST(sum(1 - censored) AS BIGINT) AS d,
+         CAST(sum(censored) AS BIGINT) AS c
+  FROM life GROUP BY t
+),
+risk AS (
+  SELECT *, CAST(sum(d + c) OVER (ORDER BY t ASC
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+              AS n_at_risk
+  FROM per_t
+),
+factors AS (
+  SELECT t, d, c, n_at_risk,
+         1.0 - CAST(d AS DOUBLE) / n_at_risk AS f
+  FROM risk
+),
+fs AS (
+  SELECT list(struct_pack(t := t, f := f) ORDER BY t) AS fs FROM factors
+)
+SELECT factors.t, d, c, n_at_risk,
+       CAST(floor(list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+              list_transform(list_filter(fs, s -> s.t <= factors.t),
+                             s -> s.f)),
+              (acc, x) -> acc * x) * 1000000 + 0.5) AS BIGINT) AS surv_ppm
+FROM factors, fs
+ORDER BY factors.t
+"""
+
+
 QUERIES = {
     "ts_resample_ffill": (resample_ffill, RESAMPLE_FFILL_SQL),
     "ts_mom_growth": (mom_growth, MOM_GROWTH_SQL),
@@ -1267,4 +1378,5 @@ QUERIES = {
     "ts_seasonal_decompose": (seasonal_decompose, SEASONAL_DECOMPOSE_SQL),
     "ts_acf_lags": (acf_lags, ACF_LAGS_SQL),
     "ts_mad_anomalies": (mad_anomalies, MAD_ANOMALIES_SQL),
+    "ts_kaplan_meier": (kaplan_meier_churn, KAPLAN_MEIER_SQL),
 }

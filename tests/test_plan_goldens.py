@@ -196,6 +196,8 @@ GOLDEN_QUERIES = [
     # rollup; the corrupt-recovery scan is one cached pass
     "win_pareto_abc",
     "ts_mad_anomalies",
+    # Gini reuses the two-phase global-rank machinery — pin it
+    "agg_gini_coefficient",
 ]
 
 _EXCHANGE_KIND = re.compile(
