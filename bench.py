@@ -166,6 +166,7 @@ HEADLINE = [
     "text_rake_keywords",
     "agg_gini_coefficient",
     "ts_kaplan_meier",
+    "win_session_paths",
 ]
 
 

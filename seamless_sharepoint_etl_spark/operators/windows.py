@@ -907,9 +907,117 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Session path analysis (top user journeys)
+# ---------------------------------------------------------------------------
+
+PATH_MAX_STEPS = 5
+PATH_TOP = 15
+
+
+def session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys: the most common event-type paths (first 5
+    steps) across 30-minute-gap sessions — the product-analytics "how
+    do users actually move through the product" readout, with the
+    purchase-bearing flag per path.
+
+    Reuses the sessionizer's microsecond-integer gap logic (same
+    SESSION_GAP_US); the path string is built from an in-array sort of
+    the session's (ts, id, type) triples — deterministic total order,
+    bounded at 5 steps so path cardinality (and string size) stays
+    capped at |types|⁵ regardless of session length. Shape: ONE
+    user-keyed shuffle shared by the gap window and the session
+    rollup, then a path-keyed rollup and TakeOrderedAndProject.
+    """
+    e = io.load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    evs = (
+        e.select(
+            "user_id",
+            "event_id",
+            F.expr("ts_ns div 1000").alias("ts_us"),
+            "event_type",
+        )
+        .withColumn("prev_us", F.lag("ts_us").over(w))
+        .withColumn(
+            "is_new",
+            (
+                F.col("prev_us").isNull()
+                | (F.col("ts_us") - F.col("prev_us") > SESSION_GAP_US)
+            ).cast("long"),
+        )
+        .withColumn(
+            "session_idx",
+            F.sum("is_new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    sess = evs.groupBy("user_id", "session_idx").agg(
+        F.expr(
+            "array_join(slice(transform(array_sort(collect_list("
+            "struct(ts_us, event_id, event_type))), s -> s.event_type),"
+            f" 1, {PATH_MAX_STEPS}), '>')"
+        ).alias("path"),
+        F.max(
+            (F.col("event_type") == "purchase").cast("int")
+        ).alias("converted"),
+    )
+    return (
+        sess.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum("converted").alias("n_converted"),
+        )
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(PATH_TOP)
+    )
+
+
+SESSION_PATHS_SQL = f"""
+WITH evs AS (
+  SELECT user_id, event_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type,
+         lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+           (PARTITION BY user_id
+            ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS prev_us
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_us IS NULL
+                   OR ts_us - prev_us > {{gap}}
+            THEN 1 ELSE 0 END AS is_new
+  FROM evs
+),
+sess AS (
+  SELECT *, CAST(sum(is_new) OVER
+      (PARTITION BY user_id ORDER BY ts_us, event_id
+       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+  FROM flagged
+),
+paths AS (
+  SELECT user_id, session_idx,
+         array_to_string(
+           (list(event_type ORDER BY ts_us, event_id))[1:{PATH_MAX_STEPS}],
+           '>') AS path,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted
+  FROM sess GROUP BY user_id, session_idx
+)
+SELECT path, count(*) AS n_sessions,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(converted) AS BIGINT) AS n_converted
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path ASC
+LIMIT {PATH_TOP}
+"""
+
+
 QUERIES = {
     "win_attribution_linear": (attribution_linear, ATTRIBUTION_LINEAR_SQL),
     "win_pareto_abc": (pareto_abc, PARETO_ABC_SQL),
+    "win_session_paths": (session_paths, SESSION_PATHS_SQL.format(gap=SESSION_GAP_US)),
     "win_topn_per_group": (topn_per_group, TOPN_PER_GROUP_SQL),
     "win_rank_dense_ntile": (rank_dense_ntile, RANK_DENSE_NTILE_SQL),
     "win_lag_lead_deltas": (lag_lead_deltas, LAG_LEAD_SQL),
