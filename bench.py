@@ -167,6 +167,8 @@ HEADLINE = [
     "agg_gini_coefficient",
     "ts_kaplan_meier",
     "win_session_paths",
+    "ts_m4_downsample",
+    "graph_degree_assortativity",
 ]
 
 

@@ -476,6 +476,87 @@ FROM mi, dsq
 
 
 
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the near-dup graph: the Pearson
+    correlation of endpoint degrees over edges (Newman r) — positive r
+    means hub documents near-match other hubs (template families),
+    negative means hubs absorb leaves (boilerplate magnets). The
+    structural complement to the triangle census.
+
+    Closed integer form over the directed edge list (each undirected
+    edge counted both ways, the standard symmetrization): with
+    M = 2m rows of (j, k) endpoint-degree pairs, r = (M·Σjk − Σj·Σk) /
+    (M·Σj² − (Σj)²) — and by symmetry the j and k marginals coincide.
+    Everything is BIGINT until one double division floored onto ppm;
+    fully SQL-oracled. Shape: degree rollup + two broadcast degree
+    joins + one scalar aggregate — no quadratic work. Magnitude: M·Σj²
+    needs Σdeg³ ≲ 9e18 — safe while max-degree³·V stays under BIGINT
+    (the near-dup graph's degrees are bounded by cluster sizes).
+    """
+    e = _edges(spark, sf_dir)
+    e.persist()
+    deg = (
+        e.select(F.col("id_lo").alias("v"))
+        .unionAll(e.select(F.col("id_hi").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("v").alias("id_lo"), F.col("d").alias("dj"))
+    db = deg.select(F.col("v").alias("id_hi"), F.col("d").alias("dk"))
+    pairs = (
+        e.join(F.broadcast(da), "id_lo")
+        .join(F.broadcast(db), "id_hi")
+        .select("dj", "dk")
+    )
+    sym = pairs.unionAll(pairs.select(F.col("dk").alias("dj"), F.col("dj").alias("dk")))
+    agg = sym.agg(
+        F.count(F.lit(1)).alias("m2"),
+        F.sum("dj").alias("sj"),
+        F.sum(F.col("dj") * F.col("dk")).alias("sjk"),
+        F.sum(F.col("dj") * F.col("dj")).alias("sjj"),
+    )
+    num = F.col("m2") * F.col("sjk") - F.col("sj") * F.col("sj")
+    den = F.col("m2") * F.col("sjj") - F.col("sj") * F.col("sj")
+    return agg.select(
+        (F.col("m2") / 2).cast("long").alias("m_edges"),
+        F.when(
+            den != 0,
+            F.floor(num.cast("double") / den * 1000000 + F.lit(0.5)).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("assortativity_ppm"),
+    )
+
+
+DEGREE_ASSORTATIVITY_SQL = f"""
+WITH edges AS (SELECT id_lo, id_hi FROM ({EMBEDDING_NEARDUP_SQL})),
+deg AS (
+  SELECT v, count(*) AS d
+  FROM (SELECT id_lo AS v FROM edges UNION ALL SELECT id_hi FROM edges)
+  GROUP BY v
+),
+pairs AS (
+  SELECT da.d AS dj, db.d AS dk
+  FROM edges e JOIN deg da ON da.v = e.id_lo
+               JOIN deg db ON db.v = e.id_hi
+),
+sym AS (SELECT dj, dk FROM pairs UNION ALL SELECT dk, dj FROM pairs),
+agg AS (
+  SELECT count(*) AS m2, CAST(sum(dj) AS BIGINT) AS sj,
+         CAST(sum(dj * dk) AS BIGINT) AS sjk,
+         CAST(sum(dj * dj) AS BIGINT) AS sjj
+  FROM sym
+)
+SELECT CAST(m2 / 2 AS BIGINT) AS m_edges,
+       CASE WHEN m2 * sjj - sj * sj <> 0
+            THEN CAST(floor(CAST(m2 * sjk - sj * sj AS DOUBLE)
+                            / (m2 * sjj - sj * sj) * 1000000 + 0.5) AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS assortativity_ppm
+FROM agg
+"""
+
+
+
 QUERIES = {
     "graph_triangle_stats": (triangle_stats, TRIANGLE_STATS_SQL),
     "graph_degree_histogram": (degree_histogram, DEGREE_HISTOGRAM_SQL),
@@ -483,4 +564,5 @@ QUERIES = {
     "graph_bfs_depth": (bfs_depth, BFS_DEPTH_SQL),
     "graph_jaccard_linkpred": (jaccard_link_prediction, JACCARD_LINK_PREDICTION_SQL),
     "graph_label_modularity": (label_modularity, LABEL_MODULARITY_SQL),
+    "graph_degree_assortativity": (degree_assortativity, DEGREE_ASSORTATIVITY_SQL),
 }

@@ -1362,6 +1362,87 @@ ORDER BY factors.t
 """
 
 
+# ---------------------------------------------------------------------------
+# M4 visual downsampling
+# ---------------------------------------------------------------------------
+
+M4_BUCKETS = 16
+
+
+def m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsampling per event type: split each series' time range
+    into 16 equal pixel buckets and keep min/max/first/last value per
+    bucket — the error-free line-chart reduction (M4 provably renders
+    the identical pixel line), the exact counterpart to the heuristic
+    LTTB twin (`ts_lttb_downsample`).
+
+    Unlike LTTB (sequential triangle walk → applyInPandas), M4 is a
+    PURE HASH AGGREGATE: bucket = (ts − t₀)·16/(t₁ − t₀ + 1) is a
+    per-row expression off broadcast bounds, and min/max_by give the
+    four anchors in one map-side-combining pass — the shape that
+    downsamples a 100 TB series without any per-key sequential state.
+    Integer cents + microsecond integers throughout; exactly oracled
+    (ties on equal timestamps broken by event_id via min_by/max_by on
+    the (ts, id) struct).
+    """
+    ev = io.load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    base = ev.select(
+        "event_type",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+        "event_id",
+        cents.alias("v"),
+    )
+    bounds = base.groupBy("event_type").agg(
+        F.min("ts_us").alias("t0"), F.max("ts_us").alias("t1")
+    )
+    b = base.join(F.broadcast(bounds), "event_type").withColumn(
+        "bucket",
+        F.expr(f"(ts_us - t0) * {M4_BUCKETS} div (t1 - t0 + 1)"),
+    )
+    # first/last with a composite (ts, id) tie-break via MIN/MAX over a
+    # lexicographically-ordered struct — DuckDB 1.0's min_by only binds
+    # scalar keys, but struct MIN orders field-by-field on both engines
+    keyed = F.struct("ts_us", "event_id", "v")
+    return (
+        b.groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min("v").alias("v_min"),
+            F.max("v").alias("v_max"),
+            F.min(keyed)["v"].alias("v_first"),
+            F.max(keyed)["v"].alias("v_last"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+M4_DOWNSAMPLE_SQL = f"""
+WITH base AS (
+  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events
+),
+bounds AS (
+  SELECT event_type, min(ts_us) AS t0, max(ts_us) AS t1
+  FROM base GROUP BY event_type
+),
+b AS (
+  SELECT base.event_type, ts_us, event_id, v,
+         (ts_us - t0) * {M4_BUCKETS} // (t1 - t0 + 1) AS bucket
+  FROM base JOIN bounds USING (event_type)
+)
+SELECT event_type, bucket,
+       count(*) AS n_points,
+       min(v) AS v_min,
+       max(v) AS v_max,
+       min(struct_pack(a := ts_us, b := event_id, v := v)).v AS v_first,
+       max(struct_pack(a := ts_us, b := event_id, v := v)).v AS v_last
+FROM b GROUP BY event_type, bucket
+ORDER BY event_type, bucket
+"""
+
+
 QUERIES = {
     "ts_resample_ffill": (resample_ffill, RESAMPLE_FFILL_SQL),
     "ts_mom_growth": (mom_growth, MOM_GROWTH_SQL),
@@ -1379,4 +1460,5 @@ QUERIES = {
     "ts_acf_lags": (acf_lags, ACF_LAGS_SQL),
     "ts_mad_anomalies": (mad_anomalies, MAD_ANOMALIES_SQL),
     "ts_kaplan_meier": (kaplan_meier_churn, KAPLAN_MEIER_SQL),
+    "ts_m4_downsample": (m4_downsample, M4_DOWNSAMPLE_SQL),
 }
