@@ -1186,15 +1186,18 @@ def mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = io.load_table(spark, sf_dir, "events")
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    # persist: med, dev, mad, and the final flag all branch off this
+    # rollup — uncached, Catalyst inlines the events scan into each
+    # branch and the fact table is read 4×
     daily = ev.groupBy(
         "event_type", F.to_date("ts").alias("d")
-    ).agg(F.sum(cents).alias("y"))
+    ).agg(F.sum(cents).alias("y")).persist()
     med = daily.groupBy("event_type").agg(
         F.expr("percentile(y, 0.5)").alias("med")
     )
     dev = daily.join(F.broadcast(med), "event_type").withColumn(
         "adev", F.abs(F.col("y") - F.col("med"))
-    )
+    ).persist()
     mad = dev.groupBy("event_type").agg(
         F.expr("percentile(adev, 0.5)").alias("mad")
     )
@@ -1275,10 +1278,13 @@ def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     state). Output one row per observed churn/censor day.
     """
     ev = io.load_table(spark, sf_dir, "events")
+    # persist: the anchor derives from this rollup (max last-day ==
+    # max event day) and the lifetimes read it again — uncached, the
+    # events scan would run once per reference
     user = ev.groupBy("user_id").agg(
         F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
-    )
-    anchor = ev.agg(F.max(F.to_date("ts")).alias("dmax"))
+    ).persist()
+    anchor = user.agg(F.max("d1").alias("dmax"))
     life = user.crossJoin(F.broadcast(anchor)).select(
         F.datediff("d1", "d0").cast("long").alias("t"),
         (F.datediff("dmax", "d1") < KM_CENSOR_DAYS).cast("int").alias("censored"),
@@ -1298,7 +1304,7 @@ def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     factors = risk.select(
         "t", "d", "c", "n_at_risk",
         (F.lit(1.0) - F.col("d").cast("double") / F.col("n_at_risk")).alias("f"),
-    )
+    ).persist()  # referenced by all_f AND the output join
     all_f = factors.agg(
         F.array_sort(F.collect_list(F.struct("t", "f"))).alias("fs")
     )

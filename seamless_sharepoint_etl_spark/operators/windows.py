@@ -362,26 +362,21 @@ FROM assigned GROUP BY 1, 2
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min, in microseconds
 
 
-def sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization via window functions: a new session
-    starts when the gap to the previous event exceeds 30 minutes; the
-    session id is the running count of session starts — the batch
-    sessionizer behind every funnel/engagement metric (the streaming
-    twin is `F.session_window` in streaming/jobs.py).
-
-    All arithmetic runs on MICROsecond integers (ts_ns div 1000) so
-    gap comparisons and orderings are bit-identical to the oracle's
-    micro-resolution timestamps. One shuffle on user_id; both window
-    passes and the final session agg share that partitioning.
-    """
+def _sessionized_events(spark: SparkSession, sf_dir: str, payload: str) -> DataFrame:
+    """Shared 30-min-gap sessionizer: (user_id, event_id, ts_us,
+    <payload>, session_idx) on microsecond integers. ONE definition of
+    session semantics (gap, ordering, tie-break) feeds both the
+    session rollup (`win_sessionize_gap`) and the path analysis
+    (`win_session_paths`) — a drifted copy would let the two disagree
+    on what a session is."""
     e = io.load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    evs = (
+    return (
         e.select(
             "user_id",
             "event_id",
             F.expr("ts_ns div 1000").alias("ts_us"),
-            "value",
+            payload,
         )
         .withColumn("prev_us", F.lag("ts_us").over(w))
         .withColumn(
@@ -398,6 +393,21 @@ def sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via window functions: a new session
+    starts when the gap to the previous event exceeds 30 minutes; the
+    session id is the running count of session starts — the batch
+    sessionizer behind every funnel/engagement metric (the streaming
+    twin is `F.session_window` in streaming/jobs.py).
+
+    All arithmetic runs on MICROsecond integers (ts_ns div 1000) so
+    gap comparisons and orderings are bit-identical to the oracle's
+    micro-resolution timestamps. One shuffle on user_id; both window
+    passes and the final session agg share that partitioning.
+    """
+    evs = _sessionized_events(spark, sf_dir, "value")
     return (
         evs.groupBy("user_id", "session_idx")
         .agg(
@@ -412,11 +422,15 @@ def sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SESSIONIZE_GAP_SQL = f"""
+def _session_ctes_sql(payload: str) -> str:
+    """The oracle-side twin of :func:`_sessionized_events` — the
+    evs/flagged/sess CTE chain with one payload column, shared by both
+    session queries so the two SQL definitions cannot drift."""
+    return f"""
 WITH evs AS (
   SELECT user_id, event_id,
          epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
-         value,
+         {payload},
          lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
            (PARTITION BY user_id
             ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS prev_us
@@ -433,7 +447,10 @@ sess AS (
       (PARTITION BY user_id ORDER BY ts_us, event_id
        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
   FROM flagged
-)
+)"""
+
+
+SESSIONIZE_GAP_SQL = _session_ctes_sql("value") + """
 SELECT user_id, session_idx,
        count(*) AS n_events,
        (max(ts_us) - min(ts_us)) // 1000000 AS duration_secs,
@@ -827,40 +844,43 @@ def pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-bucket prefix windows (64-way parallel) + offset. The
     bucket is a pure function of the revenue value, so bucket-desc
     order nests exactly inside (revenue DESC, partkey) global order.
-    All arithmetic in exact integer cents / ppm.
+    All arithmetic in exact integer WHOLE DOLLARS / ppm — cent units
+    would push cum·10⁶ past BIGINT at SF ≥ ~0.4 (total revenue
+    ~2.3e13 cents at SF 1); dollars keep the product exact to SF ~40,
+    the same magnitude discipline as agg_gini_coefficient.
     """
     li = io.load_table(spark, sf_dir, "lineitem")
-    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
-    parts = li.groupBy("l_partkey").agg(F.sum(cents).alias("cents"))
+    dollars = F.floor(F.col("l_extendedprice") + F.lit(0.5)).cast("long")
+    parts = li.groupBy("l_partkey").agg(F.sum(dollars).alias("rev"))
     stats = parts.agg(
-        F.max("cents").alias("maxc"), F.sum("cents").alias("total")
+        F.max("rev").alias("maxc"), F.sum("rev").alias("total")
     )
     b = parts.crossJoin(F.broadcast(stats)).withColumn(
         "bucket",
         F.least(
             F.lit(ABC_BUCKETS - 1),
-            F.expr(f"cents * {ABC_BUCKETS} div (maxc + 1)"),
+            F.expr(f"rev * {ABC_BUCKETS} div (maxc + 1)"),
         ),
     )
     # persist: both the offsets branch and the ranked join read b;
     # uncached, Catalyst inlines the lineitem rollup into each branch
     # and the fact table is scanned twice
     b = b.persist()
-    btot = b.groupBy("bucket").agg(F.sum("cents").alias("bcents"))
+    btot = b.groupBy("bucket").agg(F.sum("rev").alias("brev"))
     wb = Window.orderBy(F.desc("bucket")).rowsBetween(
         Window.unboundedPreceding, -1
     )
     # the offsets window runs over ≤64 rows — the documented tiny-
     # relation exception to the no-global-window rule
     offsets = btot.select(
-        "bucket", F.coalesce(F.sum("bcents").over(wb), F.lit(0)).alias("offset")
+        "bucket", F.coalesce(F.sum("brev").over(wb), F.lit(0)).alias("offset")
     )
     win = Window.partitionBy("bucket").orderBy(
-        F.desc("cents"), F.asc("l_partkey")
+        F.desc("rev"), F.asc("l_partkey")
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ranked = (
         b.join(F.broadcast(offsets), "bucket")
-        .withColumn("cum", F.sum("cents").over(win) + F.col("offset"))
+        .withColumn("cum", F.sum("rev").over(win) + F.col("offset"))
         .withColumn("cum_ppm", F.expr("cum * 1000000 div total"))
         .withColumn(
             "abc_class",
@@ -873,7 +893,7 @@ def pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.groupBy("abc_class")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
-            F.sum("cents").alias("class_cents"),
+            F.sum("rev").alias("class_rev"),
             F.min("cum_ppm").alias("min_cum_ppm"),
             F.max("cum_ppm").alias("max_cum_ppm"),
         )
@@ -884,22 +904,22 @@ def pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
 PARETO_ABC_SQL = f"""
 WITH parts AS (
   SELECT l_partkey,
-         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
-              AS BIGINT) AS cents
+         CAST(sum(CAST(floor(l_extendedprice + 0.5) AS BIGINT))
+              AS BIGINT) AS rev
   FROM lineitem GROUP BY l_partkey
 ),
-tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM parts),
+tot AS (SELECT CAST(sum(rev) AS BIGINT) AS total FROM parts),
 ranked AS (
-  SELECT l_partkey, cents,
-         CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey
-                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  SELECT l_partkey, rev,
+         CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
   FROM parts
 )
 SELECT CASE WHEN cum * 1000000 // total <= {ABC_A_PPM} THEN 'A'
             WHEN cum * 1000000 // total <= {ABC_B_PPM} THEN 'B'
             ELSE 'C' END AS abc_class,
        count(*) AS n_parts,
-       CAST(sum(cents) AS BIGINT) AS class_cents,
+       CAST(sum(rev) AS BIGINT) AS class_rev,
        min(cum * 1000000 // total) AS min_cum_ppm,
        max(cum * 1000000 // total) AS max_cum_ppm
 FROM ranked, tot
@@ -929,30 +949,7 @@ def session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     user-keyed shuffle shared by the gap window and the session
     rollup, then a path-keyed rollup and TakeOrderedAndProject.
     """
-    e = io.load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    evs = (
-        e.select(
-            "user_id",
-            "event_id",
-            F.expr("ts_ns div 1000").alias("ts_us"),
-            "event_type",
-        )
-        .withColumn("prev_us", F.lag("ts_us").over(w))
-        .withColumn(
-            "is_new",
-            (
-                F.col("prev_us").isNull()
-                | (F.col("ts_us") - F.col("prev_us") > SESSION_GAP_US)
-            ).cast("long"),
-        )
-        .withColumn(
-            "session_idx",
-            F.sum("is_new").over(
-                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
-        )
-    )
+    evs = _sessionized_events(spark, sf_dir, "event_type")
     sess = evs.groupBy("user_id", "session_idx").agg(
         F.expr(
             "array_join(slice(transform(array_sort(collect_list("
@@ -975,27 +972,7 @@ def session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SESSION_PATHS_SQL = f"""
-WITH evs AS (
-  SELECT user_id, event_id,
-         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type,
-         lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
-           (PARTITION BY user_id
-            ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS prev_us
-  FROM events
-),
-flagged AS (
-  SELECT *, CASE WHEN prev_us IS NULL
-                   OR ts_us - prev_us > {{gap}}
-            THEN 1 ELSE 0 END AS is_new
-  FROM evs
-),
-sess AS (
-  SELECT *, CAST(sum(is_new) OVER
-      (PARTITION BY user_id ORDER BY ts_us, event_id
-       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
-  FROM flagged
-),
+SESSION_PATHS_SQL = _session_ctes_sql("event_type") + f""",
 paths AS (
   SELECT user_id, session_idx,
          array_to_string(
@@ -1017,7 +994,7 @@ LIMIT {PATH_TOP}
 QUERIES = {
     "win_attribution_linear": (attribution_linear, ATTRIBUTION_LINEAR_SQL),
     "win_pareto_abc": (pareto_abc, PARETO_ABC_SQL),
-    "win_session_paths": (session_paths, SESSION_PATHS_SQL.format(gap=SESSION_GAP_US)),
+    "win_session_paths": (session_paths, SESSION_PATHS_SQL),
     "win_topn_per_group": (topn_per_group, TOPN_PER_GROUP_SQL),
     "win_rank_dense_ntile": (rank_dense_ntile, RANK_DENSE_NTILE_SQL),
     "win_lag_lead_deltas": (lag_lead_deltas, LAG_LEAD_SQL),

@@ -552,7 +552,12 @@ def csv_corrupt_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     counting it and aggregating the good rows happens in ONE pass.
     """
     path = _stage_dir(sf_dir, "nation-corrupt-csv")
-    marker = os.path.join(path, "_SUCCESS")
+    # dedicated marker written AFTER the corrupt lines are planted:
+    # Spark's own _SUCCESS lands before the manual plant, so a crash in
+    # between would leave a permanently "complete" dir with zero
+    # corrupt rows (the engine-write-plus-extra pattern the other
+    # staged sources in this module use)
+    marker = os.path.join(path, "_corrupt_planted")
     if not os.path.exists(marker):
         n = io.load_table(spark, sf_dir, "nation").select(
             "n_nationkey", "n_name", "n_regionkey"
@@ -563,6 +568,8 @@ def csv_corrupt_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(os.path.join(path, "part-corrupt.csv"), "w") as f:
             for line in CORRUPT_LINES:
                 f.write(line + "\n")
+        with open(marker, "w") as f:
+            f.write("ok\n")
 
     schema = (
         "n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT,"
