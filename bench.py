@@ -169,6 +169,7 @@ HEADLINE = [
     "win_session_paths",
     "ts_m4_downsample",
     "graph_degree_assortativity",
+    "mm_audio_spectral_features",
 ]
 
 

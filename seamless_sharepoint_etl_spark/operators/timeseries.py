@@ -1186,15 +1186,21 @@ def mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = io.load_table(spark, sf_dir, "events")
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
-    # persist: med, dev, mad, and the final flag all branch off this
-    # rollup — uncached, Catalyst inlines the events scan into each
-    # branch and the fact table is read 4×
     daily = ev.groupBy(
         "event_type", F.to_date("ts").alias("d")
-    ).agg(F.sum(cents).alias("y")).persist()
+    ).agg(F.sum(cents).alias("y"))
     med = daily.groupBy("event_type").agg(
         F.expr("percentile(y, 0.5)").alias("med")
     )
+    # persist dev (NOT daily): mad and the flag pass both read it, so
+    # caching here caps the fact scans at the two passes MAD inherently
+    # needs (median before deviations). daily itself must stay
+    # uncached — its canonicalized plan is the SAME daily-cents rollup
+    # half the ts family builds, and Spark's cache manager matches
+    # cached relations by canonical plan, so persisting it hijacks
+    # ts_acf/seasonal/cusum/theil_sen plans (order-dependent golden
+    # flips — the trap-17 variant where YOUR cache rewrites OTHER
+    # queries). dev's med-join subtree is unique to this operator.
     dev = daily.join(F.broadcast(med), "event_type").withColumn(
         "adev", F.abs(F.col("y") - F.col("med"))
     ).persist()

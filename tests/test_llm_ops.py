@@ -1160,3 +1160,44 @@ def test_ann_recall_curve_monotone(spark):
     assert recalls[-1] >= 3000, recalls
     for r in rows:
         assert 0 <= r["min_query_recall_bp"] <= r["mean_recall_bp"]
+
+
+def test_audio_spectral_matches_explicit_dft(spark):
+    """mm_audio_spectral_features must agree with an EXPLICIT DFT
+    recomputation (different algorithm than numpy's FFT) on dominant
+    bin and centroid, and its built-in Parseval witness must be ~0."""
+    import struct
+
+    import numpy as np
+
+    from seamless_sharepoint_etl_spark.llm_ops import multimodal
+
+    rows = {
+        r["doc_id"]: r
+        for r in multimodal.audio_spectral_features(spark, SF_DIR).collect()
+    }
+    payloads = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in multimodal.with_wav_payload(spark, SF_DIR).limit(25).collect()
+    }
+    assert rows and payloads
+    for doc_id, buf in payloads.items():
+        (data_len,) = struct.unpack("<I", buf[40:44])
+        s = np.frombuffer(buf, np.int16, count=data_len // 2, offset=44).astype(
+            np.float64
+        )
+        n = s.size
+        k = np.arange(n // 2 + 1)
+        w = np.exp(-2j * np.pi * np.outer(k, np.arange(n)) / n)  # explicit DFT
+        spec = w @ s
+        mag2 = spec.real**2 + spec.imag**2
+        ac = mag2[1:]
+        dom = int(np.argmax(ac)) + 1
+        centroid = int(
+            np.floor((np.arange(1, mag2.size) * ac).sum() / ac.sum() * 1000 + 0.5)
+        )
+        r = rows[doc_id]
+        assert r["n_bins"] == mag2.size
+        assert r["dominant_bin"] == dom, (doc_id, r["dominant_bin"], dom)
+        assert abs(r["centroid_mbin"] - centroid) <= 1
+        assert r["parseval_err_ppm"] <= 5, (doc_id, r["parseval_err_ppm"])
