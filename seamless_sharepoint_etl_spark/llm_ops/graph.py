@@ -33,6 +33,27 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup(spark, sf_dir).select("id_lo", "id_hi")
 
 
+def _degrees(e: DataFrame, out: str = "d") -> DataFrame:
+    """(v, <out>) undirected degree relation — ONE definition of
+    'degree' (count of incident edges, both endpoint columns) feeding
+    the census, histogram, modularity, and assortativity so the four
+    cannot silently disagree."""
+    return (
+        e.select(F.col("id_lo").alias("v"))
+        .unionAll(e.select(F.col("id_hi").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias(out))
+    )
+
+
+# the oracle-side twin of _degrees — interpolate into each SQL oracle
+_DEG_CTE = """
+  SELECT v, count(*) AS d
+  FROM (SELECT id_lo AS v FROM edges UNION ALL SELECT id_hi FROM edges)
+  GROUP BY v
+"""
+
+
 def triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global triangle census of the near-dup graph: edge/wedge/triangle
     counts plus the transitivity ratio (3×triangles / wedges).
@@ -56,12 +77,7 @@ def triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ac, ["a", "c"], "left_semi")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
-    deg = (
-        e.select(F.col("id_lo").alias("v"))
-        .unionAll(e.select(F.col("id_hi").alias("v")))
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
+    deg = _degrees(e)
     wedge = deg.agg(
         F.count(F.lit(1)).alias("n_vertices"),
         F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges"),
@@ -93,11 +109,7 @@ tri AS (
   WHERE EXISTS (SELECT 1 FROM edges e3
                 WHERE e3.id_lo = e1.id_lo AND e3.id_hi = e2.id_hi)
 ),
-deg AS (
-  SELECT v, count(*) AS d
-  FROM (SELECT id_lo AS v FROM edges UNION ALL SELECT id_hi FROM edges)
-  GROUP BY v
-),
+deg AS ({_DEG_CTE}),
 wedge AS (
   SELECT count(*) AS n_vertices,
          CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges
@@ -119,12 +131,7 @@ def degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle each.
     """
     e = _edges(spark, sf_dir)
-    deg = (
-        e.select(F.col("id_lo").alias("v"))
-        .unionAll(e.select(F.col("id_hi").alias("v")))
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("degree"))
-    )
+    deg = _degrees(e, "degree")
     return (
         deg.groupBy("degree")
         .agg(F.count(F.lit(1)).alias("n_vertices"))
@@ -134,13 +141,9 @@ def degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEGREE_HISTOGRAM_SQL = f"""
 WITH edges AS (SELECT id_lo, id_hi FROM ({EMBEDDING_NEARDUP_SQL})),
-deg AS (
-  SELECT v, count(*) AS degree
-  FROM (SELECT id_lo AS v FROM edges UNION ALL SELECT id_hi FROM edges)
-  GROUP BY v
-)
-SELECT degree, count(*) AS n_vertices
-FROM deg GROUP BY degree ORDER BY degree
+deg AS ({_DEG_CTE})
+SELECT d AS degree, count(*) AS n_vertices
+FROM deg GROUP BY d ORDER BY degree
 """
 
 
@@ -411,12 +414,7 @@ def label_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intra_edges"
         ),
     )
-    deg = (
-        e.select(F.col("id_lo").alias("v"))
-        .unionAll(e.select(F.col("id_hi").alias("v")))
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
+    deg = _degrees(e)
     dsq = (
         deg.join(
             F.broadcast(lab.select(F.col("vec_id").alias("v"), "label")), "v"
@@ -457,11 +455,7 @@ mi AS (
            AS intra_edges
   FROM labeled
 ),
-deg AS (
-  SELECT v, count(*) AS d
-  FROM (SELECT id_lo AS v FROM edges UNION ALL SELECT id_hi FROM edges)
-  GROUP BY v
-),
+deg AS ({_DEG_CTE}),
 dsq AS (
   SELECT CAST(sum(d_c * d_c) AS BIGINT) AS sum_dc_sq
   FROM (SELECT label, CAST(sum(d) AS BIGINT) AS d_c
@@ -495,12 +489,7 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = _edges(spark, sf_dir)
     e.persist()
-    deg = (
-        e.select(F.col("id_lo").alias("v"))
-        .unionAll(e.select(F.col("id_hi").alias("v")))
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
+    deg = _degrees(e)
     da = deg.select(F.col("v").alias("id_lo"), F.col("d").alias("dj"))
     db = deg.select(F.col("v").alias("id_hi"), F.col("d").alias("dk"))
     pairs = (
@@ -508,12 +497,18 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(db), "id_hi")
         .select("dj", "dk")
     )
-    sym = pairs.unionAll(pairs.select(F.col("dk").alias("dj"), F.col("dj").alias("dk")))
-    agg = sym.agg(
-        F.count(F.lit(1)).alias("m2"),
-        F.sum("dj").alias("sj"),
-        F.sum(F.col("dj") * F.col("dk")).alias("sjk"),
-        F.sum(F.col("dj") * F.col("dj")).alias("sjj"),
+    # single pass: by symmetry the both-directions sums are linear in
+    # one-direction sums (m2 = 2·count, Σj = Σdj+Σdk, Σjk = 2·Σdj·dk,
+    # Σj² = Σdj²+Σdk²) — a unionAll would re-execute the whole
+    # edge-scan + degree-join subplan twice for the same numbers
+    agg = pairs.agg(
+        (F.count(F.lit(1)) * 2).alias("m2"),
+        (F.sum("dj") + F.sum("dk")).alias("sj"),
+        (F.sum(F.col("dj") * F.col("dk")) * 2).alias("sjk"),
+        (
+            F.sum(F.col("dj") * F.col("dj"))
+            + F.sum(F.col("dk") * F.col("dk"))
+        ).alias("sjj"),
     )
     num = F.col("m2") * F.col("sjk") - F.col("sj") * F.col("sj")
     den = F.col("m2") * F.col("sjj") - F.col("sj") * F.col("sj")
@@ -530,11 +525,7 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEGREE_ASSORTATIVITY_SQL = f"""
 WITH edges AS (SELECT id_lo, id_hi FROM ({EMBEDDING_NEARDUP_SQL})),
-deg AS (
-  SELECT v, count(*) AS d
-  FROM (SELECT id_lo AS v FROM edges UNION ALL SELECT id_hi FROM edges)
-  GROUP BY v
-),
+deg AS ({_DEG_CTE}),
 pairs AS (
   SELECT da.d AS dj, db.d AS dk
   FROM edges e JOIN deg da ON da.v = e.id_lo

@@ -788,11 +788,19 @@ def audio_spectral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 s = np.frombuffer(
                     buf, np.int16, count=data_len // 2, offset=44
                 ).astype(np.float64)
+                if s.size == 0:
+                    out.append([doc_id, 0, 0, 0, 0])
+                    continue
                 spec = np.fft.rfft(s)
                 mag2 = (spec.real**2 + spec.imag**2)
-                # Parseval for rfft: Σs² == (mag2[0] + mag2[-1] +
-                # 2·Σ mid) / N for even N
-                freq_energy = (mag2[0] + mag2[-1] + 2 * mag2[1:-1].sum()) / s.size
+                # Parseval for rfft, valid for ANY N: every bin except
+                # DC — and, when N is even, the Nyquist bin — has a
+                # mirrored conjugate and counts twice
+                w = np.full(mag2.size, 2.0)
+                w[0] = 1.0
+                if s.size % 2 == 0:
+                    w[-1] = 1.0
+                freq_energy = float((w * mag2).sum()) / s.size
                 time_energy = float((s * s).sum())
                 err_ppm = (
                     0
@@ -809,7 +817,7 @@ def audio_spectral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # exclude DC (bin 0): the text-derived samples are all
                 # positive ASCII codes, so DC always dominates raw
                 ac = mag2[1:]
-                dom = int(np.argmax(ac)) + 1
+                dom = 0 if ac.size == 0 else int(np.argmax(ac)) + 1
                 centroid = (
                     0
                     if ac.sum() == 0

@@ -1192,12 +1192,19 @@ def test_audio_spectral_matches_explicit_dft(spark):
         spec = w @ s
         mag2 = spec.real**2 + spec.imag**2
         ac = mag2[1:]
-        dom = int(np.argmax(ac)) + 1
+        r = rows[doc_id]
+        assert r["n_bins"] == mag2.size
+        assert r["parseval_err_ppm"] <= 5, (doc_id, r["parseval_err_ppm"])
+        if ac.sum() == 0:  # constant clip: sentinel outputs, nothing to rank
+            assert r["dominant_bin"] == 0 and r["centroid_mbin"] == 0
+            continue
+        # tie-robust dominance check: the operator's chosen bin must
+        # carry the DFT's max AC energy to ~1e-6 relative — exact
+        # argmax equality flakes when two bins tie in exact arithmetic
+        # and FFT-vs-DFT rounding splits them differently
+        chosen = ac[r["dominant_bin"] - 1]
+        assert chosen >= ac.max() * (1 - 1e-6), (doc_id, r["dominant_bin"])
         centroid = int(
             np.floor((np.arange(1, mag2.size) * ac).sum() / ac.sum() * 1000 + 0.5)
         )
-        r = rows[doc_id]
-        assert r["n_bins"] == mag2.size
-        assert r["dominant_bin"] == dom, (doc_id, r["dominant_bin"], dom)
         assert abs(r["centroid_mbin"] - centroid) <= 1
-        assert r["parseval_err_ppm"] <= 5, (doc_id, r["parseval_err_ppm"])
