@@ -370,3 +370,48 @@ def test_aqp_sample_hash_matches_and_never_overflows(spark, rows):
         _duck(pdf, f"SELECT k, ln, ((k % 1000003) * 2654435761 + ln * 40503) % {AQP_MOD} AS h FROM t")
     )
     assert got == want
+
+
+# --- winnowing guarantee (generative) --------------------------------
+
+shared_core = st.text(alphabet="xyz", min_size=11, max_size=20)
+padding = st.text(alphabet="ab ", min_size=0, max_size=25)
+
+
+@given(shared_core, padding, padding, padding, padding)
+@SETTINGS
+def test_winnow_guarantee_generative(spark, core, p1, p2, p3, p4):
+    """MOSS guarantee, fuzzed: ANY two documents sharing a substring of
+    length >= k + w - 1 = 11 (after normalization — the core has no
+    spaces so it survives whitespace collapse intact) must share at
+    least one winnowing fingerprint."""
+    from seamless_sharepoint_etl_spark.llm_ops import scoring
+
+    df = spark.createDataFrame(
+        [(0, f"{p1}{core}{p2}"), (1, f"{p3}{core}{p4}")], "doc_id LONG, text STRING"
+    )
+    k, w, M = scoring.WINNOW_K, scoring.WINNOW_W, scoring.WINNOW_M
+    fps = (
+        df.selectExpr(
+            "doc_id",
+            "regexp_replace(regexp_replace(lower(coalesce(text, '')),"
+            " '[^ -~]', '?'), ' +', ' ') AS s",
+        )
+        .selectExpr("doc_id", "s", f"greatest(length(s) - {k - 1}, 0) AS n")
+        .selectExpr(
+            "doc_id",
+            f"transform(sequence(1, greatest(n, 1)),"
+            f" i -> ({scoring._GRAM_TERMS}) % {M}) AS hs",
+            f"greatest(n - {w - 1}, 0) AS m",
+        )
+        .selectExpr(
+            "doc_id",
+            "explode(array_distinct(transform(sequence(1, greatest(m, 1)),"
+            f" j -> array_min(slice(hs, j, {w}))))) AS fp",
+        )
+        .collect()
+    )
+    sets: dict[int, set] = {0: set(), 1: set()}
+    for r in fps:
+        sets[r["doc_id"]].add(r["fp"])
+    assert sets[0] & sets[1], (core, p1, p2, p3, p4)
