@@ -254,22 +254,11 @@ _GRAM_TERMS_DUCK = " + ".join(
 )
 
 
-def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MOSS winnowing fingerprints per document.
-
-    Lowercase, collapse whitespace, ASCII-sanitize (byte==char on both
-    engines), then hash every 8-char gram with a positional polynomial
-    and keep the minimum hash of every 4-gram window — any substring
-    match of length ≥ 11 chars between two documents is guaranteed to
-    share a fingerprint. Outputs are order-independent reductions of
-    the fingerprint set (count / modular sum / min / max), so the
-    operator is exactly oracled despite DuckDB's unordered
-    list_distinct.
-
-    Scale: pure per-row array lambdas — no exchange. The (doc_id,
-    fingerprint) inverted index a contamination checker needs is one
-    explode away and shuffles 8-byte keys.
-    """
+def _winnow_sel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_grams, n_windows, fps): the per-document winnowing
+    fingerprint sets — ONE builder feeding both the per-doc reductions
+    (`text_winnow_fingerprint`) and the cross-document span matcher
+    (`text_winnow_crossdoc`)."""
     d = io.load_table_parallel(spark, sf_dir, "documents")
     base = d.select(
         "doc_id",
@@ -293,7 +282,7 @@ def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE array() END"
         ).alias("hs"),
     )
-    sel = hashed.select(
+    return hashed.select(
         "doc_id",
         "n_grams",
         "n_windows",
@@ -304,6 +293,25 @@ def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE array() END"
         ).alias("fps"),
     )
+
+
+def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing fingerprints per document.
+
+    Lowercase, collapse whitespace, ASCII-sanitize (byte==char on both
+    engines), then hash every 8-char gram with a positional polynomial
+    and keep the minimum hash of every 4-gram window — any substring
+    match of length ≥ 11 chars between two documents is guaranteed to
+    share a fingerprint. Outputs are order-independent reductions of
+    the fingerprint set (count / modular sum / min / max), so the
+    operator is exactly oracled despite DuckDB's unordered
+    list_distinct.
+
+    Scale: pure per-row array lambdas — no exchange. The (doc_id,
+    fingerprint) inverted index a contamination checker needs is one
+    explode away and shuffles 8-byte keys.
+    """
+    sel = _winnow_sel(spark, sf_dir)
     return sel.select(
         "doc_id",
         F.col("n_grams").cast("long").alias("n_grams"),
@@ -502,6 +510,121 @@ LIMIT {RAKE_TOP}
 """
 
 
+WINNOW_MIN_SHARED = 3  # shared fingerprints to call a cross-doc match
+# Stop-fingerprint cap, deliberately TIGHT (not the dedup family's
+# 1000): a fingerprint shared by more than this many docs is corpus
+# boilerplate with no span-match signal, and the pair explode is
+# quadratic per posting — on the shared-vocabulary fixture nearly
+# every common-phrase fingerprint would otherwise post ~all docs and
+# the explode goes O(|corpus|²). MOSS applies the same "too common to
+# mean anything" drop.
+WINNOW_MAX_POSTING = 32
+
+
+def winnow_crossdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document span matching over the winnowing index — the
+    payoff query: document pairs sharing ≥ 3 fingerprints, i.e. at
+    least ~3 distinct ≥11-char substrings in common. This is MOSS's
+    plagiarism report / a contamination checker's span-level evidence,
+    one step past set-level dedup.
+
+    Shape: explode the per-doc fingerprint sets → posting lists per
+    fingerprint (8-byte keys) → in-array pair explode per posting
+    (never a posting self-join) with the same stop-fingerprint cap as
+    the shingle dedup family (a boilerplate fingerprint shared by 10⁶
+    docs must not emit 5·10¹¹ pairs) → one (lo, hi) hash aggregate.
+    Exactly oracled — the fingerprint arithmetic is the shared
+    positional polynomial, and pair order (lo < hi) is canonical.
+    """
+    sel = _winnow_sel(spark, sf_dir)
+    postings = (
+        sel.select("doc_id", F.explode("fps").alias("fp"))
+        .groupBy("fp")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter(
+            (F.size("ds") >= 2) & (F.size("ds") <= WINNOW_MAX_POSTING)
+        )
+    )
+    pairs = postings.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (x, i) ->"
+                " transform(slice(ds, i + 2, size(ds)),"
+                " y -> named_struct('lo', x, 'hi', y))))"
+            )
+        ).alias("p")
+    ).select("p.lo", "p.hi")
+    return (
+        pairs.groupBy("lo", "hi")
+        .agg(F.count(F.lit(1)).alias("n_shared_fp"))
+        .filter(F.col("n_shared_fp") >= WINNOW_MIN_SHARED)
+        .select(
+            F.col("lo").alias("doc_lo"),
+            F.col("hi").alias("doc_hi"),
+            "n_shared_fp",
+        )
+        .orderBy("doc_lo", "doc_hi")
+    )
+
+
+def _winnow_crossdoc_sql() -> str:
+    base = _winnow_sql()
+    # reuse the per-doc fingerprint construction from the reduction
+    # oracle by lifting its `sel` CTE: rebuild the chain here verbatim
+    s = (
+        "regexp_replace(regexp_replace(lower(coalesce(text, '')),"
+        " '[^ -~]', '?', 'g'), ' +', ' ', 'g')"
+    )
+    n_grams = f"greatest(length(s) - {WINNOW_K - 1}, 0)"
+    hashes = (
+        f"list_transform(range(1, CAST(n_grams AS BIGINT) + 1),"
+        f" i -> ({_GRAM_TERMS_DUCK}) % {WINNOW_M})"
+    )
+    m_sel = f"greatest(n_grams - {WINNOW_W - 1}, 0)"
+    mins = (
+        f"list_transform(range(1, CAST(n_windows AS BIGINT) + 1),"
+        f" j -> list_aggregate(hs[CAST(j AS INTEGER):"
+        f"CAST(j + {WINNOW_W - 1} AS INTEGER)], 'min'))"
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, {s} AS s FROM documents
+),
+sized AS (SELECT doc_id, s, {n_grams} AS n_grams FROM base),
+hashed AS (
+  SELECT doc_id, n_grams, {m_sel} AS n_windows,
+         CASE WHEN n_grams > 0 THEN {hashes} ELSE [] END AS hs
+  FROM sized
+),
+sel AS (
+  SELECT doc_id,
+         CASE WHEN n_windows > 0 THEN list_distinct({mins})
+              ELSE [] END AS fps
+  FROM hashed
+),
+postings AS (
+  SELECT fp, list_sort(list(doc_id)) AS ds
+  FROM (SELECT doc_id, unnest(fps) AS fp FROM sel)
+  GROUP BY fp
+  HAVING len(list(doc_id)) BETWEEN 2 AND {WINNOW_MAX_POSTING}
+),
+pairs AS (
+  SELECT u.lo AS lo, u.hi AS hi
+  FROM (SELECT unnest(flatten(list_transform(range(1, len(ds) + 1),
+          i -> list_transform(ds[CAST(i + 1 AS INTEGER):],
+               y -> struct_pack(lo := ds[CAST(i AS INTEGER)], hi := y))))) AS u
+        FROM postings)
+)
+SELECT lo AS doc_lo, hi AS doc_hi, count(*) AS n_shared_fp
+FROM pairs GROUP BY lo, hi
+HAVING count(*) >= {WINNOW_MIN_SHARED}
+ORDER BY doc_lo, doc_hi
+"""
+
+
+WINNOW_CROSSDOC_SQL = _winnow_crossdoc_sql()
+
+
 QUERIES = {
     "text_hashed_linear_classifier": (
         hashed_linear_classifier,
@@ -509,5 +632,6 @@ QUERIES = {
     ),
     "text_ngram_novelty": (ngram_novelty, NGRAM_NOVELTY_SQL),
     "text_winnow_fingerprint": (winnow_fingerprint, WINNOW_FINGERPRINT_SQL),
+    "text_winnow_crossdoc": (winnow_crossdoc, WINNOW_CROSSDOC_SQL),
     "text_rake_keywords": (rake_keywords, RAKE_KEYWORDS_SQL),
 }

@@ -1208,3 +1208,55 @@ def test_audio_spectral_matches_explicit_dft(spark):
             np.floor((np.arange(1, mag2.size) * ac).sum() / ac.sum() * 1000 + 0.5)
         )
         assert abs(r["centroid_mbin"] - centroid) <= 1
+
+
+def test_winnow_crossdoc_pairs_and_posting_cap(spark, tmp_path):
+    """Cross-doc span matcher: two docs sharing a long span surface as
+    a (lo, hi) pair with >= WINNOW_MIN_SHARED shared fingerprints, an
+    unrelated doc never pairs, and a fingerprint posted by more docs
+    than WINNOW_MAX_POSTING is dropped as corpus boilerplate (the cap
+    that keeps the pair explode from going quadratic)."""
+    import os
+
+    import pandas as pd
+
+    from seamless_sharepoint_etl_spark.llm_ops import scoring
+
+    shared = "the quick brown fox jumps over the lazy dog near the riverbank"
+    d = str(tmp_path / "winnow_cross")
+    os.makedirs(d)
+    texts = [
+        f"alpha preamble {shared} omega tail",
+        f"{shared} entirely different continuation text",
+        "nothing in common with anything else here at all",
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": texts,
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(os.path.join(d, "documents.parquet"))
+    rows = scoring.winnow_crossdoc(spark, d).collect()
+    pairs = {(r["doc_lo"], r["doc_hi"]): r["n_shared_fp"] for r in rows}
+    assert (0, 1) in pairs, "60-char shared span must produce a pair"
+    assert pairs[(0, 1)] >= scoring.WINNOW_MIN_SHARED
+    assert all(2 not in p for p in pairs), "unrelated doc must not pair"
+
+    # posting cap: WINNOW_MAX_POSTING + 8 identical docs -> every
+    # fingerprint's posting list exceeds the cap -> zero pairs emitted
+    n = scoring.WINNOW_MAX_POSTING + 8
+    d2 = str(tmp_path / "winnow_cap")
+    os.makedirs(d2)
+    pd.DataFrame(
+        {
+            "doc_id": list(range(n)),
+            "text": [shared] * n,
+            "lang": ["en"] * n,
+            "source": ["s"] * n,
+            "n_chars": [len(shared)] * n,
+        }
+    ).to_parquet(os.path.join(d2, "documents.parquet"))
+    assert scoring.winnow_crossdoc(spark, d2).count() == 0
