@@ -254,11 +254,31 @@ _GRAM_TERMS_DUCK = " + ".join(
 )
 
 
+_WINNOW_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _winnow_sel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_grams, n_windows, fps): the per-document winnowing
     fingerprint sets — ONE builder feeding both the per-doc reductions
     (`text_winnow_fingerprint`) and the cross-document span matcher
-    (`text_winnow_crossdoc`)."""
+    (`text_winnow_crossdoc`). Session-cached (same artifact class as
+    `_token_relation` / `_SHINGLE_CACHE`: at 100 TB the fingerprint
+    index is materialized once per corpus snapshot and every consumer
+    reads it).
+
+    The cache is also a CORRECTNESS-OF-COST fence: without it,
+    CollapseProject inlines the regexp normalization of `s` into every
+    polynomial term of the gram-hash lambda, and on the explode path
+    (crossdoc postings) the expression runs in interpreted eval with no
+    CSE — the full-document regex re-executes 8 × n_grams times per
+    row (observed: a single sf0.01 task pinned >10 min in
+    RegExpReplace.nullSafeEval under BinaryArithmetic.eval).
+    Materializing here evaluates the normalization exactly once per
+    document."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _WINNOW_CACHE.get(key)
+    if cached is not None:
+        return cached
     d = io.load_table_parallel(spark, sf_dir, "documents")
     base = d.select(
         "doc_id",
@@ -282,7 +302,9 @@ def _winnow_sel(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE array() END"
         ).alias("hs"),
     )
-    return hashed.select(
+    from pyspark import StorageLevel
+
+    sel = hashed.select(
         "doc_id",
         "n_grams",
         "n_windows",
@@ -292,7 +314,10 @@ def _winnow_sel(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" j -> array_min(slice(hs, j, {WINNOW_W}))))"
             " ELSE array() END"
         ).alias("fps"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sel.count()  # eager fill: trap 17 (AQE reads cache stats)
+    _WINNOW_CACHE[key] = sel
+    return sel
 
 
 def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:

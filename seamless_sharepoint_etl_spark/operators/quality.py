@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import io
@@ -378,6 +378,367 @@ ORDER BY digit
 """.format(case=_BENFORD_CASE)
 
 
+# ---------------------------------------------------------------------------
+# k-anonymity audit
+# ---------------------------------------------------------------------------
+
+K_ANON_K = 5  # the privacy threshold every release checklist starts at
+
+
+def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the customer table under the quasi-
+    identifier (nationality, market segment, account-balance kilobucket)
+    — the release gate a training-data pipeline runs before shipping
+    any row-level extract: the dataset is k-anonymous iff every QI
+    group holds ≥ k rows.
+
+    Output is the audit summary a privacy reviewer signs off on:
+    total rows, QI group count, the achieved k (min group size), and
+    how many groups / rows sit below the k={K_ANON_K} bar.
+
+    Scale: one hash aggregate on the QI key (map-side combined), then
+    a single-row rollup of the group-size relation — two shuffles, the
+    second over |groups| rows. No windows, no joins.
+    """
+    c = io.load_table(spark, sf_dir, "customer")
+    qi = c.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_kb"),
+    )
+    groups = qi.groupBy("c_nationkey", "c_mktsegment", "bal_kb").agg(
+        F.count(F.lit(1)).alias("gsz")
+    )
+    return groups.agg(
+        F.sum("gsz").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("gsz").cast("long").alias("k_anonymity"),
+        F.count(F.when(F.col("gsz") < K_ANON_K, 1)).cast("long").alias(
+            "n_groups_below_k"
+        ),
+        F.sum(F.when(F.col("gsz") < K_ANON_K, F.col("gsz")).otherwise(0))
+        .cast("long")
+        .alias("n_rows_below_k"),
+    )
+
+
+K_ANONYMITY_SQL = f"""
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_kb,
+         count(*) AS gsz
+  FROM customer GROUP BY 1, 2, 3
+)
+SELECT CAST(sum(gsz) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(min(gsz) AS BIGINT) AS k_anonymity,
+       CAST(count(*) FILTER (gsz < {K_ANON_K}) AS BIGINT) AS n_groups_below_k,
+       CAST(coalesce(sum(gsz) FILTER (gsz < {K_ANON_K}), 0) AS BIGINT)
+         AS n_rows_below_k
+FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov–Smirnov drift test
+# ---------------------------------------------------------------------------
+
+KS_BASE_YEAR = PSI_BASE_YEAR
+KS_CUR_YEAR = PSI_CUR_YEAR
+_KS_BUCKETS = 64
+
+
+def ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic of the order-value
+    distribution, {KS_BASE_YEAR} vs {KS_CUR_YEAR} — the continuous
+    complement to ``diag_psi_drift``'s binned PSI: D = max |F₁−F₂| over
+    the pooled ECDF, sensitive to shape changes PSI's 10 bins smear.
+
+    Integer-exact end-to-end: values are cent-quantized, the ECDFs are
+    cumulative counts, and D·n₁·n₂ = max |cum₁·n₂ − cum₂·n₁| is a pure
+    BIGINT quantity, reported alongside D in basis points by integer
+    division — no float ever enters, so the driver hash cannot flap
+    (NOTES trap 1).
+
+    Scale shape: the pooled ECDF needs a global prefix sum, which is
+    NEVER a single-task ``Window.orderBy`` here — values are bucketed
+    by fixed-width cent range from a 1-row bounds frontier (the
+    ``psi_drift`` pattern), per-bucket totals form a {_KS_BUCKETS}-row
+    relation whose strictly-before offsets come from a triangular
+    self-join (the ``sequence_packing`` pattern), and the exact
+    cumulative runs per-bucket in parallel.
+    """
+    o = io.load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(KS_BASE_YEAR, KS_CUR_YEAR)
+    )
+    c = o.select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        F.year("o_orderdate").alias("y"),
+    )
+    lo, hi, n1, n2 = c.agg(
+        F.min("cents"),
+        F.max("cents"),
+        F.count(F.when(F.col("y") == KS_BASE_YEAR, 1)),
+        F.count(F.when(F.col("y") == KS_CUR_YEAR, 1)),
+    ).first()
+    if lo is None or n1 == 0 or n2 == 0:
+        return spark.createDataFrame(
+            [(int(n1 or 0), int(n2 or 0), 0, 0)],
+            "n1 BIGINT, n2 BIGINT, ks_num BIGINT, ks_d_bp BIGINT",
+        )
+    span = max(hi - lo + 1, 1)
+    g = (
+        c.withColumn(
+            "bkt",
+            F.expr(
+                f"least(((cents - {int(lo)}) * {_KS_BUCKETS})"
+                f" div {int(span)}, {_KS_BUCKETS - 1})"
+            ),
+        )
+        .groupBy("bkt", "cents")
+        .agg(
+            F.count(F.when(F.col("y") == KS_BASE_YEAR, 1)).alias("c1"),
+            F.count(F.when(F.col("y") == KS_CUR_YEAR, 1)).alias("c2"),
+        )
+    )
+    bt = g.groupBy("bkt").agg(F.sum("c1").alias("b1"), F.sum("c2").alias("b2"))
+    prev = bt.select(
+        F.col("bkt").alias("pbkt"), F.col("b1").alias("p1"), F.col("b2").alias("p2")
+    )
+    starts = (
+        bt.join(prev, F.col("pbkt") < F.col("bkt"), "left")
+        .groupBy("bkt")
+        .agg(
+            F.coalesce(F.sum("p1"), F.lit(0)).alias("o1"),
+            F.coalesce(F.sum("p2"), F.lit(0)).alias("o2"),
+        )
+    )
+    w = Window.partitionBy("bkt").orderBy("cents")
+    cum = g.join(F.broadcast(starts), "bkt").select(
+        (F.col("o1") + F.sum("c1").over(w)).alias("cum1"),
+        (F.col("o2") + F.sum("c2").over(w)).alias("cum2"),
+    )
+    return cum.agg(
+        F.max(
+            F.abs(F.col("cum1") * int(n2) - F.col("cum2") * int(n1))
+        ).alias("ks_num"),
+    ).select(
+        F.lit(int(n1)).cast("long").alias("n1"),
+        F.lit(int(n2)).cast("long").alias("n2"),
+        F.col("ks_num").cast("long").alias("ks_num"),
+        F.expr(f"ks_num * 10000 div {int(n1) * int(n2)}").alias("ks_d_bp"),
+    )
+
+
+KS_DRIFT_SQL = f"""
+WITH c AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         year(o_orderdate) AS y
+  FROM orders WHERE year(o_orderdate) IN ({KS_BASE_YEAR}, {KS_CUR_YEAR})
+),
+n AS (
+  SELECT count(*) FILTER (y = {KS_BASE_YEAR}) AS n1,
+         count(*) FILTER (y = {KS_CUR_YEAR}) AS n2
+  FROM c
+),
+g AS (
+  SELECT cents,
+         count(*) FILTER (y = {KS_BASE_YEAR}) AS c1,
+         count(*) FILTER (y = {KS_CUR_YEAR}) AS c2
+  FROM c GROUP BY cents
+),
+cum AS (
+  SELECT sum(c1) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum1,
+         sum(c2) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum2
+  FROM g
+)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS ks_num,
+       CAST(max(abs(cum1 * n2 - cum2 * n1)) * 10000 // (n1 * n2) AS BIGINT)
+         AS ks_d_bp
+FROM cum, n GROUP BY n1, n2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cramér's V categorical association
+# ---------------------------------------------------------------------------
+
+
+def cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association between order priority and order status —
+    the contingency-table readout feature-selection and leakage audits
+    run over categorical pairs (V ≈ 0: independent; V = 1: one column
+    determines the other).
+
+    Determinism recipe (NOTES trap 1 + the ``psi_drift`` precedent):
+    each cell's χ² contribution is computed as (obs·n − rt·ct)²/(n·rt·ct)
+    in DOUBLE from exact integer counts — identical IEEE inputs on both
+    engines — then FLOORED TO PPM PER CELL, and only the resulting
+    integers are summed, so cross-engine float-summation order cannot
+    flap the total. V rides on the integer χ² and is floored to bp.
+
+    Scale: one |r×c|-cell hash aggregate over the scan, margins by a
+    broadcast of the tiny cell relation onto itself — nothing scales
+    with corpus size after the first aggregate.
+    """
+    o = io.load_table(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.col("o_orderpriority").alias("rk"), F.col("o_orderstatus").alias("ck")
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    rows = cells.groupBy("rk").agg(F.sum("obs").alias("rt"))
+    cols = cells.groupBy("ck").agg(F.sum("obs").alias("ct"))
+    tot = cells.agg(
+        F.sum("obs").alias("n"),
+        F.countDistinct("rk").alias("r"),
+        F.countDistinct("ck").alias("c"),
+    )
+    cell_ppm = F.floor(
+        (
+            (F.col("obs").cast("double") * F.col("n") - F.col("rt").cast("double") * F.col("ct"))
+            * (F.col("obs").cast("double") * F.col("n") - F.col("rt").cast("double") * F.col("ct"))
+        )
+        / (F.col("n").cast("double") * F.col("rt") * F.col("ct"))
+        / F.col("n")
+        * 1_000_000
+    ).cast("long")
+    terms = (
+        cells.join(F.broadcast(rows), "rk")
+        .join(F.broadcast(cols), "ck")
+        .crossJoin(F.broadcast(tot))
+        .select("n", "r", "c", cell_ppm.alias("cell_ppm"))
+    )
+    agg = terms.groupBy("n", "r", "c").agg(
+        F.sum("cell_ppm").alias("chi2_ppm")
+    )
+    v_bp = F.floor(
+        F.sqrt(
+            F.col("chi2_ppm").cast("double")
+            / 1_000_000.0
+            / (F.least("r", "c").cast("double") - 1)
+        )
+        * 10000
+    ).cast("long")
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("r").cast("long").alias("n_row_cats"),
+        F.col("c").cast("long").alias("n_col_cats"),
+        F.col("chi2_ppm").cast("long").alias("chi2_over_n_ppm"),
+        v_bp.alias("cramers_v_bp"),
+    )
+
+
+CRAMERS_V_SQL = """
+WITH cells AS (
+  SELECT o_orderpriority AS rk, o_orderstatus AS ck, count(*) AS obs
+  FROM orders GROUP BY 1, 2
+),
+tot AS (
+  SELECT sum(obs) AS n, count(DISTINCT rk) AS r, count(DISTINCT ck) AS c
+  FROM cells
+),
+rmarg AS (SELECT rk, sum(obs) AS rt FROM cells GROUP BY rk),
+cmarg AS (SELECT ck, sum(obs) AS ct FROM cells GROUP BY ck),
+terms AS (
+  SELECT n, r, c,
+         CAST(floor(
+           (CAST(obs AS DOUBLE) * n - CAST(rt AS DOUBLE) * ct)
+           * (CAST(obs AS DOUBLE) * n - CAST(rt AS DOUBLE) * ct)
+           / (CAST(n AS DOUBLE) * rt * ct) / n * 1000000
+         ) AS BIGINT) AS cell_ppm
+  FROM cells
+  JOIN rmarg USING (rk)
+  JOIN cmarg USING (ck)
+  CROSS JOIN tot
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(r AS BIGINT) AS n_row_cats,
+       CAST(c AS BIGINT) AS n_col_cats,
+       CAST(sum(cell_ppm) AS BIGINT) AS chi2_over_n_ppm,
+       CAST(floor(sqrt(CAST(sum(cell_ppm) AS DOUBLE) / 1000000
+                       / (least(r, c) - 1)) * 10000) AS BIGINT)
+         AS cramers_v_bp
+FROM terms GROUP BY n, r, c
+"""
+
+
+# ---------------------------------------------------------------------------
+# Functional-dependency audit
+# ---------------------------------------------------------------------------
+
+# (table, determinant, dependent) — the FD candidates a profiler would
+# nominate for this schema: two true key-dependencies, one hierarchy
+# edge, and three expected violations. Shared by both plans.
+FD_CANDIDATES = [
+    ("orders", "o_orderkey", "o_orderstatus"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("customer", "c_custkey", "c_mktsegment"),
+    ("nation", "n_nationkey", "n_regionkey"),
+    ("lineitem", "l_orderkey", "l_returnflag"),
+    ("part", "p_brand", "p_type"),
+]
+
+
+def functional_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit: for each declared candidate
+    determinant → dependent, does every determinant value map to
+    exactly one dependent value? Schema-discovery 101 — the check that
+    tells you which columns are safe denormalization/partition keys.
+
+    Per candidate: distinct determinant count, number of violating
+    determinants (>1 dependent), the worst fan-out, and a 0/1 holds
+    flag. Scale: each candidate is one map-side-combined aggregate on
+    the determinant key followed by a 1-row rollup; candidates union
+    into one plan and run as independent stages. A full-pairs FD miner
+    would run |cols|² of these — the audit takes an explicit list.
+    """
+    parts = []
+    for table, det, dep in FD_CANDIDATES:
+        t = io.load_table(spark, sf_dir, table).select(det, dep)
+        per_key = t.groupBy(det).agg(F.countDistinct(dep).alias("nd"))
+        parts.append(
+            per_key.agg(
+                F.lit(f"{table}: {det} -> {dep}").alias("candidate"),
+                F.count(F.lit(1)).cast("long").alias("n_keys"),
+                F.count(F.when(F.col("nd") > 1, 1)).cast("long").alias(
+                    "n_violating_keys"
+                ),
+                F.max("nd").cast("long").alias("max_fanout"),
+            )
+        )
+    out = reduce(DataFrame.unionAll, parts)
+    return out.select(
+        "candidate",
+        "n_keys",
+        "n_violating_keys",
+        "max_fanout",
+        F.when(F.col("n_violating_keys") == 0, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("holds"),
+    ).orderBy("candidate")
+
+
+def _fd_sql(table: str, det: str, dep: str) -> str:
+    return f"""
+SELECT '{table}: {det} -> {dep}' AS candidate,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(count(*) FILTER (nd > 1) AS BIGINT) AS n_violating_keys,
+       CAST(max(nd) AS BIGINT) AS max_fanout,
+       CAST(CASE WHEN count(*) FILTER (nd > 1) = 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS holds
+FROM (SELECT {det}, count(DISTINCT {dep}) AS nd FROM {table} GROUP BY {det})
+"""
+
+
+FUNCTIONAL_DEPS_SQL = (
+    "\nUNION ALL\n".join(_fd_sql(*c) for c in FD_CANDIDATES)
+    + "\nORDER BY candidate"
+)
+
+
 QUERIES = {
     "diag_referential_integrity": (
         referential_integrity,
@@ -387,4 +748,8 @@ QUERIES = {
     "diag_join_cardinality": (join_cardinality, JOIN_CARDINALITY_SQL),
     "diag_ab_chi_square": (ab_chi_square, AB_CHI_SQUARE_SQL),
     "diag_benford_digit_audit": (benford_digit_audit, BENFORD_DIGIT_AUDIT_SQL),
+    "diag_k_anonymity": (k_anonymity, K_ANONYMITY_SQL),
+    "diag_ks_drift": (ks_drift, KS_DRIFT_SQL),
+    "diag_cramers_v": (cramers_v, CRAMERS_V_SQL),
+    "diag_functional_deps": (functional_deps, FUNCTIONAL_DEPS_SQL),
 }

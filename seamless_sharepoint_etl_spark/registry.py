@@ -90,76 +90,70 @@ def _collect() -> dict[str, Entry]:
     return ordered
 
 
-# First ~50 = this round's grading window. Round-3 rotation: keep
-# flagship/routing on top (the driver smoke-checks them), then the 43
-# queries with no driver CORRECTNESS row in r1 ∪ r2, then the 5
-# round-2 repr-fail queries whose oracles were cast to driver-hashable
-# types this round (HUGEINT→BIGINT, DECIMAL→DOUBLE). 2+43+5 = 50.
-# Round 4: rotate the round-2-graded families (sources/UDF/streaming/
-# dedup/sim/text/mm) back in so every query has ≥1 green row on record.
+# First ~50 = this round's grading window. Round-4 rotation: the
+# driver has graded 138 distinct queries across r1-r3 (all green);
+# 110 registered queries have no driver row yet. This window is the
+# first 50 of that computed list (NOTES.md documents the derivation:
+# registry keys minus CORRECTNESS_r01 ∪ r02 ∪ r03 keys). Round 5
+# takes the next 50; round 6 the remainder + round-4/5 additions +
+# canary re-grades (flagship, routing).
 _GRADE_FIRST = [
-    "flagship_incremental_load",
-    "routing_1500_split",
-    # relational extras (never graded)
-    "rel_merge_upsert",
-    "rel_snapshot_diff",
-    # aggregate stragglers (never graded)
-    "agg_hll_partial_merge",
-    "agg_mode",
-    "agg_incremental_merge",
-    "agg_equiwidth_histogram",
-    "agg_approx_topk",
-    "agg_bitmap_distinct",
-    # join stragglers (never graded)
-    "join_salted_skew",
-    "join_fuzzy_name_match",
-    # window stragglers (never graded)
-    "win_gaps_islands",
-    "win_funnel_conversion",
-    "win_cohort_retention",
-    "win_sessionize_gap",
-    "win_moving_median",
-    # timeseries family (never graded)
-    "ts_resample_ffill",
-    "ts_scd2_intervals",
-    "ts_interval_overlap_join",
-    "ts_ewma",
-    # layout / diagnostics / misc (never graded)
-    "layout_zorder_stats",
-    "diag_join_key_skew",
-    "fn_table_fingerprint",
-    "udf_scalar_iter_pandas",
-    # sources (never graded)
-    "src_xml_scan",
-    "src_rest_stream_scan",
-    # dedup late additions (never graded)
-    "dedup_cdc_chunking",
-    "dedup_repeated_spans",
-    "dedup_neardup_pagerank",
-    # similarity / embedding tier (never graded)
-    "sim_brp_lsh_topk",
-    "sim_semantic_dedup",
-    "emb_label_knn_accuracy",
-    "emb_centroid_purity",
-    # text / curation family (never graded)
-    "text_token_budget_alloc",
-    "text_cms_heavy_hitters",
-    "text_pmi_collocations",
-    "text_contamination_overlap",
-    "text_unigram_logprob",
-    "text_sequence_packing",
-    "text_gopher_quality_rules",
-    "text_stratified_reservoir",
-    "text_source_reputation",
-    "text_pii_scrub",
-    # multimodal straggler (never graded)
-    "mm_modality_routing",
-    # round-2 repr-fail, oracle dtypes fixed this round
-    "src_csv_scan",
-    "text_fingerprint",
-    "text_corpus_curation",
-    "mm_frame_sample_checksum",
-    "mm_byte_histogram",
+    # SQL gateway surface (round-3 additions)
+    "sql_gateway_topn",
+    "sql_gateway_grouping_sets",
+    "sql_gateway_window",
+    # aggregate additions
+    "agg_equidepth_histogram",
+    "agg_kmv_distinct",
+    "agg_sample_estimate",
+    "agg_kmv_set_ops",
+    "agg_rfm_segments",
+    "agg_gini_coefficient",
+    # OLAP reference suite (TPC-H-shaped q2-q22)
+    "olap_q2_min_cost_supplier",
+    "olap_q3_shipping_priority",
+    "olap_q4_priority_exists",
+    "olap_q5_local_supplier_volume",
+    "olap_q6_forecast_revenue",
+    "olap_q7_nation_volume",
+    "olap_q8_market_share",
+    "olap_q9_product_profit",
+    "olap_q10_returned_items",
+    "olap_q11_important_share",
+    "olap_q12_priority_by_mode",
+    "olap_q13_customer_distribution",
+    "olap_q14_promo_share",
+    "olap_q15_top_supplier",
+    "olap_q16_supplier_variety",
+    "olap_q17_small_qty_revenue",
+    "olap_q18_large_volume_customers",
+    "olap_q19_disjunctive_join",
+    "olap_q20_supplier_quota",
+    "olap_q21_late_suppliers",
+    "olap_q22_dormant_customers",
+    # join additions
+    "join_bloom_prefilter",
+    "join_auto_skew_remedy",
+    "join_market_basket",
+    "join_geo_gridblock",
+    "join_asof_nearest",
+    # window additions
+    "win_attribution_linear",
+    "win_pareto_abc",
+    "win_session_paths",
+    "win_event_transitions",
+    "win_rolling_distinct_users",
+    "win_pattern_consecutive",
+    # timeseries additions
+    "ts_mom_growth",
+    "ts_holt_linear",
+    "ts_cusum_changepoint",
+    "ts_theil_sen",
+    "ts_linear_interpolate",
+    "ts_daily_zscore_anomalies",
+    "ts_lttb_downsample",
+    "ts_trend_slope",
+    "ts_seasonal_decompose",
 ]
 
 

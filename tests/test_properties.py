@@ -880,3 +880,111 @@ def test_lttb_downsample_shape_properties(spark):
         (t, h, c, p) for t, pts in by_type.items() for p, h, c in pts
     ]
     assert sorted(again) == sorted((t, h, c, p) for t, h, c, p in first)
+
+
+def test_k_anonymity_audit_internally_consistent(spark):
+    """diag_k_anonymity: the audit's counters must cohere — total rows
+    equal the table count, k = the true minimum group size under the
+    declared QI, and the below-k tallies bound each other."""
+    from conftest import SF_DIR
+
+    from seamless_sharepoint_etl_spark import io
+    from seamless_sharepoint_etl_spark.operators import quality
+
+    r = quality.k_anonymity(spark, SF_DIR).collect()[0]
+    n_customers = io.load_table(spark, SF_DIR, "customer").count()
+    assert r["n_rows"] == n_customers
+    assert 1 <= r["k_anonymity"]
+    assert r["n_groups_below_k"] <= r["n_groups"]
+    # every below-k group holds between 1 and K-1 rows
+    assert r["n_groups_below_k"] <= r["n_rows_below_k"]
+    assert r["n_rows_below_k"] <= r["n_groups_below_k"] * (quality.K_ANON_K - 1)
+
+
+def test_ks_drift_statistic_bounded_and_exact_vs_python(spark):
+    """diag_ks_drift: D ∈ [0, 1] (bp in [0, 10000]) and the two-phase
+    distributed ECDF must equal a single-process Python KS on the same
+    cent-quantized values."""
+    from conftest import SF_DIR
+
+    from pyspark.sql import functions as F
+
+    from seamless_sharepoint_etl_spark import io
+    from seamless_sharepoint_etl_spark.operators import quality
+
+    r = quality.ks_drift(spark, SF_DIR).collect()[0]
+    assert 0 <= r["ks_d_bp"] <= 10000
+    assert r["ks_num"] <= r["n1"] * r["n2"]
+
+    o = io.load_table(spark, SF_DIR, "orders").select(
+        F.year("o_orderdate").alias("y"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    s1 = sorted(
+        x["v"] for x in o.filter(F.col("y") == quality.KS_BASE_YEAR).collect()
+    )
+    s2 = sorted(
+        x["v"] for x in o.filter(F.col("y") == quality.KS_CUR_YEAR).collect()
+    )
+    assert (len(s1), len(s2)) == (r["n1"], r["n2"])
+    import bisect
+
+    best = 0
+    for v in sorted(set(s1) | set(s2)):
+        c1 = bisect.bisect_right(s1, v)
+        c2 = bisect.bisect_right(s2, v)
+        best = max(best, abs(c1 * len(s2) - c2 * len(s1)))
+    assert best == r["ks_num"]
+
+
+def test_cramers_v_bounded_and_matches_textbook(spark):
+    """diag_cramers_v: V ∈ [0, 1], and the per-cell-floored χ²/n must
+    sit within one floor-step per cell of the textbook float value."""
+    from conftest import SF_DIR
+
+    from seamless_sharepoint_etl_spark import io
+    from seamless_sharepoint_etl_spark.operators import quality
+
+    r = quality.cramers_v(spark, SF_DIR).collect()[0]
+    assert 0 <= r["cramers_v_bp"] <= 10000
+
+    rows = io.load_table(spark, SF_DIR, "orders").collect()
+    from collections import Counter
+
+    cells = Counter((x["o_orderpriority"], x["o_orderstatus"]) for x in rows)
+    rt = Counter()
+    ct = Counter()
+    for (a, b), n in cells.items():
+        rt[a] += n
+        ct[b] += n
+    n = sum(cells.values())
+    chi2_over_n = sum(
+        (obs * n - rt[a] * ct[b]) ** 2 / (n * rt[a] * ct[b]) / n
+        for (a, b), obs in cells.items()
+    )
+    assert r["n"] == n
+    assert r["n_row_cats"] == len(rt) and r["n_col_cats"] == len(ct)
+    # per-cell ppm floors each lose < 1 ppm
+    assert abs(r["chi2_over_n_ppm"] - chi2_over_n * 1_000_000) <= len(cells)
+
+
+def test_functional_deps_keys_hold_and_fanout_coheres(spark):
+    """diag_functional_deps: primary-key determinants must hold; any
+    candidate with max_fanout 1 must hold and vice versa."""
+    from conftest import SF_DIR
+
+    from seamless_sharepoint_etl_spark.operators import quality
+
+    rows = {r["candidate"]: r for r in quality.functional_deps(spark, SF_DIR).collect()}
+    assert len(rows) == len(quality.FD_CANDIDATES)
+    for pk in (
+        "orders: o_orderkey -> o_orderstatus",
+        "customer: c_custkey -> c_mktsegment",
+        "nation: n_nationkey -> n_regionkey",
+    ):
+        assert rows[pk]["holds"] == 1, pk
+        assert rows[pk]["max_fanout"] == 1, pk
+    for r in rows.values():
+        assert (r["holds"] == 1) == (r["max_fanout"] == 1)
+        assert (r["holds"] == 1) == (r["n_violating_keys"] == 0)
+        assert r["n_violating_keys"] <= r["n_keys"]
