@@ -170,6 +170,30 @@ HEADLINE = [
     "ts_m4_downsample",
     "graph_degree_assortativity",
     "mm_audio_spectral_features",
+    # round-4 additions: privacy/drift/association/FD audits, exact
+    # interval-union coverage, OHLC candles, content-keyed splits,
+    # per-node clustering, cross-doc winnowing span matches,
+    # rank-winsorized robust stats, LCP boilerplate, trending top-k
+    "diag_k_anonymity",
+    "diag_ks_drift",
+    "diag_cramers_v",
+    "diag_functional_deps",
+    "ts_ohlc_resample",
+    "ts_interval_union_length",
+    "text_leakage_safe_split",
+    "graph_local_clustering",
+    "text_winnow_crossdoc",
+    "agg_winsorized_stats",
+    "text_source_boilerplate_prefix",
+    "stream_topk_trending",
+    "mm_byte_entropy",
+    "ts_event_study",
+    "agg_bootstrap_ci",
+    "agg_weighted_median",
+    "join_interval_bucketed",
+    "sql_gateway_correlated",
+    "diag_duplicate_rows",
+    "graph_edge_support",
 ]
 
 

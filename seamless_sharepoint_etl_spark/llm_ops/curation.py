@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .. import io
+from .. import io, portable
 from .dedup import _SHINGLES_SQL, _hashed_shingles
 from .text import _token_relation
 
@@ -883,6 +883,181 @@ LIMIT {DSIR_TOP}
 """
 
 
+# ---------------------------------------------------------------------------
+# Leakage-safe train/val/test split
+# ---------------------------------------------------------------------------
+
+# split thresholds on the 0-99 hash grid: 80/10/10
+SPLIT_TRAIN_LT = 80
+SPLIT_VAL_LT = 90
+
+
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-keyed train/val/test assignment: the split hash is
+    computed from each document's NORMALIZED TEXT (lowercased,
+    whitespace-collapsed), not its doc_id, so byte-duplicate documents
+    can never straddle train and test — the leakage bug every naive
+    id-hash split ships. Exact duplicates land in the same split by
+    construction; pairing with the near-dup cluster relation
+    (``dedup_neardup_clusters``) extends the guarantee to near-dups.
+
+    The content key is a 31-bit polynomial char fold (portable LCG
+    grid: both engines reproduce it digit-for-digit), mixed once more
+    through :func:`portable.lcg31` before the 0-99 bucket so adjacent
+    hashes decorrelate. At 100 TB this is a pure per-row projection —
+    zero shuffles in the assignment itself; the summary rollup here
+    (per split: docs, distinct contents, tokens) adds the one
+    aggregate exchange. The scale path hashes the full text exactly
+    like this; nothing is shipped or grouped by raw text.
+    """
+    d = io.load_table_parallel(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.expr(
+            "regexp_replace(lower(coalesce(text, '')), '\\\\s+', ' ')"
+        ).alias("s"),
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+    )
+    # scalar-accumulator char fold (trap 18: struct folds are broken in
+    # the oracle engine; scalar folds are exact on both). Empty text is
+    # guarded: sequence(1, 0) DESCENDS in Spark (trap 12) while the
+    # oracle's range(1, 1) is empty.
+    h = F.expr(
+        "CASE WHEN length(s) = 0 THEN CAST(7 AS BIGINT)"
+        " ELSE aggregate(sequence(1, length(s)), CAST(7 AS BIGINT),"
+        " (acc, i) -> (acc * 131 + ascii(substring(s, i, 1))) % 2147483648)"
+        " END"
+    )
+    assigned = base.select(
+        "doc_id",
+        "n_tokens",
+        portable.lcg31(h).alias("content_key"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "content_key",
+        F.when(F.col("content_key") % 100 < SPLIT_TRAIN_LT, "train")
+        .when(F.col("content_key") % 100 < SPLIT_VAL_LT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("content_key").cast("long").alias("n_contents"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .orderBy("split")
+    )
+
+
+LEAKAGE_SAFE_SPLIT_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g') AS s,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, n_tokens,
+         {portable.lcg31_sql(
+             "list_reduce(list_prepend(CAST(7 AS BIGINT),"
+             " range(1, length(s) + 1)),"
+             " (acc, i) -> (acc * 131 + ascii(substr(s, CAST(i AS INTEGER), 1)))"
+             " % 2147483648)"
+         )} AS content_key
+  FROM base
+),
+assigned AS (
+  SELECT doc_id, n_tokens, content_key,
+         CASE WHEN content_key % 100 < {SPLIT_TRAIN_LT} THEN 'train'
+              WHEN content_key % 100 < {SPLIT_VAL_LT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM hashed
+)
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT content_key) AS BIGINT) AS n_contents,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM assigned GROUP BY split
+ORDER BY split
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-source boilerplate prefix detection
+# ---------------------------------------------------------------------------
+
+
+def source_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest common prefix of every document within a source — the
+    shared-template detector (scraped sites and form exports prepend
+    identical headers; strip-before-train lists start here).
+
+    Uses the order-statistics LCP identity: the common prefix of a
+    string SET equals the common prefix of just its lexicographic MIN
+    and MAX — so the whole corpus reduces with one plain min/max
+    aggregate (map-side combined; the full text never shuffles beyond
+    two exemplar rows per source), and only the per-source pair is
+    char-compared. The char walk is a scalar running-match fold
+    (trap 18: scalar accumulators only), stopped arithmetic-style at
+    the first mismatch; empty strings are guarded (trap 12:
+    ``sequence(1, 0)`` descends in Spark).
+    """
+    d = io.load_table_parallel(spark, sf_dir, "documents")
+    mm = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("text").alias("m1"),
+        F.max("text").alias("m2"),
+    )
+    lcp_len = F.expr(
+        "CASE WHEN least(length(m1), length(m2)) = 0 THEN CAST(0 AS BIGINT)"
+        " ELSE aggregate(sequence(1, least(length(m1), length(m2))),"
+        " CAST(0 AS BIGINT),"
+        " (acc, i) -> CASE WHEN acc = i - 1"
+        " AND substring(m1, i, 1) = substring(m2, i, 1)"
+        " THEN acc + 1 ELSE acc END) END"
+    )
+    return (
+        mm.withColumn("lcp_len", lcp_len)
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "lcp_len",
+            F.expr("substring(m1, 1, least(CAST(lcp_len AS INT), 40))").alias(
+                "lcp_prefix_40"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+SOURCE_BOILERPLATE_SQL = """
+WITH mm AS (
+  SELECT source, count(*) AS n_docs, min(text) AS m1, max(text) AS m2
+  FROM documents GROUP BY source
+),
+walked AS (
+  SELECT source, n_docs,
+         CASE WHEN least(length(m1), length(m2)) = 0 THEN CAST(0 AS BIGINT)
+              ELSE list_reduce(
+                list_prepend(CAST(0 AS BIGINT),
+                             range(1, least(length(m1), length(m2)) + 1)),
+                (acc, i) -> CASE WHEN acc = i - 1
+                            AND substr(m1, CAST(i AS INTEGER), 1)
+                              = substr(m2, CAST(i AS INTEGER), 1)
+                            THEN acc + 1 ELSE acc END) END AS lcp_len,
+         m1
+  FROM mm
+)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs, lcp_len,
+       substr(m1, 1, CAST(least(lcp_len, 40) AS INTEGER)) AS lcp_prefix_40
+FROM walked
+ORDER BY source
+"""
+
+
 QUERIES = {
     "text_contamination_overlap": (contamination_overlap, CONTAMINATION_SQL),
     "text_unigram_logprob": (unigram_logprob, UNIGRAM_LOGPROB_SQL),
@@ -895,4 +1070,9 @@ QUERIES = {
     "text_bigram_logprob": (bigram_logprob, BIGRAM_LOGPROB_SQL),
     "text_dsir_importance": (dsir_importance, DSIR_IMPORTANCE_SQL),
     "text_perplexity_buckets": (perplexity_buckets, PERPLEXITY_BUCKETS_SQL),
+    "text_leakage_safe_split": (leakage_safe_split, LEAKAGE_SAFE_SPLIT_SQL),
+    "text_source_boilerplate_prefix": (
+        source_boilerplate_prefix,
+        SOURCE_BOILERPLATE_SQL,
+    ),
 }

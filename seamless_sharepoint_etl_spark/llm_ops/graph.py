@@ -548,6 +548,147 @@ FROM agg
 
 
 
+def local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex local clustering coefficient of the near-dup graph:
+    cc(v) = 2·t(v) / (d(v)·(d(v)−1)), where t(v) counts triangles
+    through v — the node-level refinement of ``graph_triangle_stats``'s
+    global transitivity. High-cc hubs are template-spam cliques; the
+    per-node readout is what a curation pipeline joins back onto
+    documents to demote them.
+
+    Shape: the same oriented two-hop triangle join as the census, but
+    each closed triangle {a<b<c} is exploded to its three corners and
+    counted per vertex (one 8-byte-key aggregate), then LEFT-joined
+    onto the degree relation so triangle-free vertices keep cc = 0.
+    The coefficient is pure integer arithmetic: 2·t·10⁴ div (d·(d−1))
+    — no float to flap (NOTES trap 1). All exchanges are vertex-keyed;
+    nothing is quadratic in vertices.
+    """
+    e = _edges(spark, sf_dir)
+    e.persist()
+    ab = e.select(F.col("id_lo").alias("a"), F.col("id_hi").alias("b"))
+    bc = e.select(F.col("id_lo").alias("b"), F.col("id_hi").alias("c"))
+    ac = e.select(F.col("id_lo").alias("a"), F.col("id_hi").alias("c"))
+    corners = (
+        ab.join(bc, "b")
+        .join(ac, ["a", "c"], "left_semi")
+        .select(F.explode(F.array("a", "b", "c")).alias("v"))
+    )
+    tri_v = corners.groupBy("v").agg(F.count(F.lit(1)).alias("t"))
+    deg = _degrees(e)
+    return (
+        deg.join(tri_v, "v", "left")
+        .select(
+            "v",
+            F.col("d").cast("long").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0)).cast("long").alias("n_triangles"),
+            F.expr(
+                "CASE WHEN d >= 2 THEN coalesce(t, 0) * 2 * 10000"
+                " div (d * (d - 1)) ELSE 0 END"
+            )
+            .cast("long")
+            .alias("local_cc_bp"),
+        )
+        .orderBy("v")
+    )
+
+
+LOCAL_CLUSTERING_SQL = f"""
+WITH edges AS (SELECT id_lo, id_hi FROM ({EMBEDDING_NEARDUP_SQL})),
+closed AS (
+  SELECT e1.id_lo AS a, e1.id_hi AS b, e2.id_hi AS c
+  FROM edges e1
+  JOIN edges e2 ON e1.id_hi = e2.id_lo
+  WHERE EXISTS (SELECT 1 FROM edges e3
+                WHERE e3.id_lo = e1.id_lo AND e3.id_hi = e2.id_hi)
+),
+tri_v AS (
+  SELECT v, count(*) AS t
+  FROM (SELECT a AS v FROM closed
+        UNION ALL SELECT b FROM closed
+        UNION ALL SELECT c FROM closed)
+  GROUP BY v
+),
+deg AS ({_DEG_CTE})
+SELECT deg.v,
+       CAST(deg.d AS BIGINT) AS degree,
+       CAST(coalesce(tri_v.t, 0) AS BIGINT) AS n_triangles,
+       CAST(CASE WHEN deg.d >= 2
+                 THEN coalesce(tri_v.t, 0) * 2 * 10000 // (deg.d * (deg.d - 1))
+                 ELSE 0 END AS BIGINT) AS local_cc_bp
+FROM deg LEFT JOIN tri_v ON deg.v = tri_v.v
+ORDER BY deg.v
+"""
+
+
+def edge_support_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-support census of the near-dup graph: support(e) = number
+    of triangles containing edge e — the quantity k-truss
+    decomposition peels on (support ≥ k−2), and the edge-level dual of
+    ``graph_local_clustering``. High-support edges sit inside dense
+    near-dup cliques; a truss-based curation keeps one exemplar per
+    truss instead of per component.
+
+    Shape: the oriented two-hop triangle join emits each closed
+    triangle's THREE edges (the wedge pair and the closing edge), one
+    8-byte-key aggregate counts per edge, and a LEFT join against the
+    edge set keeps support-0 edges. Output is the (support → edge
+    count) histogram, so result size is O(max support), not O(edges).
+    """
+    e = _edges(spark, sf_dir)
+    e.persist()
+    ab = e.select(F.col("id_lo").alias("a"), F.col("id_hi").alias("b"))
+    bc = e.select(F.col("id_lo").alias("b"), F.col("id_hi").alias("c"))
+    ac = e.select(F.col("id_lo").alias("a"), F.col("id_hi").alias("c"))
+    closed = ab.join(bc, "b").join(ac, ["a", "c"], "left_semi")
+    tri_edges = (
+        closed.select(F.col("a").alias("lo"), F.col("b").alias("hi"))
+        .unionAll(closed.select(F.col("b").alias("lo"), F.col("c").alias("hi")))
+        .unionAll(closed.select(F.col("a").alias("lo"), F.col("c").alias("hi")))
+        .groupBy("lo", "hi")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    per_edge = e.join(
+        tri_edges,
+        (e.id_lo == tri_edges.lo) & (e.id_hi == tri_edges.hi),
+        "left",
+    ).select(F.coalesce("support", F.lit(0)).alias("support"))
+    return (
+        per_edge.groupBy("support")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+        .select(F.col("support").cast("long").alias("support"), "n_edges")
+        .orderBy("support")
+    )
+
+
+EDGE_SUPPORT_SQL = f"""
+WITH edges AS (SELECT id_lo, id_hi FROM ({EMBEDDING_NEARDUP_SQL})),
+closed AS (
+  SELECT e1.id_lo AS a, e1.id_hi AS b, e2.id_hi AS c
+  FROM edges e1
+  JOIN edges e2 ON e1.id_hi = e2.id_lo
+  WHERE EXISTS (SELECT 1 FROM edges e3
+                WHERE e3.id_lo = e1.id_lo AND e3.id_hi = e2.id_hi)
+),
+tri_edges AS (
+  SELECT lo, hi, count(*) AS support
+  FROM (SELECT a AS lo, b AS hi FROM closed
+        UNION ALL SELECT b, c FROM closed
+        UNION ALL SELECT a, c FROM closed)
+  GROUP BY lo, hi
+),
+per_edge AS (
+  SELECT coalesce(t.support, 0) AS support
+  FROM edges e LEFT JOIN tri_edges t
+    ON e.id_lo = t.lo AND e.id_hi = t.hi
+)
+SELECT CAST(support AS BIGINT) AS support,
+       CAST(count(*) AS BIGINT) AS n_edges
+FROM per_edge GROUP BY support
+ORDER BY support
+"""
+
+
 QUERIES = {
     "graph_triangle_stats": (triangle_stats, TRIANGLE_STATS_SQL),
     "graph_degree_histogram": (degree_histogram, DEGREE_HISTOGRAM_SQL),
@@ -556,4 +697,6 @@ QUERIES = {
     "graph_jaccard_linkpred": (jaccard_link_prediction, JACCARD_LINK_PREDICTION_SQL),
     "graph_label_modularity": (label_modularity, LABEL_MODULARITY_SQL),
     "graph_degree_assortativity": (degree_assortativity, DEGREE_ASSORTATIVITY_SQL),
+    "graph_local_clustering": (local_clustering, LOCAL_CLUSTERING_SQL),
+    "graph_edge_support": (edge_support_histogram, EDGE_SUPPORT_SQL),
 }

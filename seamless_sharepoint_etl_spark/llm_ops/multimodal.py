@@ -852,6 +852,87 @@ def audio_spectral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+ENTROPY_FLAG_PPM = 3_500_000  # > 3.5 of 4 possible nibble bits ⇒ compressed-ish
+
+
+def byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-asset byte-entropy screen: Shannon entropy of the high-nibble
+    distribution (0..4 bits), the standard is-it-already-compressed /
+    is-it-encrypted detector a multimodal ingest runs before wasting
+    CPU on recompression or decode attempts.
+
+    Exactness recipe (the ``diag_cramers_v`` precedent): numpy computes
+    each bin's −p·log₂(p) term in float64 from exact integer counts,
+    FLOORS each term to ppm, and sums the 16 resulting integers — the
+    oracle recomputes the identical per-bin integers from the source
+    text, so no cross-engine float-summation order exists. Same
+    mapInPandas Arrow shape as ``mm_byte_histogram``: one
+    ``np.frombuffer`` + ``bincount`` per row, zero per-byte Python.
+    """
+    p = with_payload(spark, sf_dir).select("doc_id", "payload")
+    schema = "doc_id BIGINT, n_bytes BIGINT, entropy_ppm BIGINT, high_entropy INT"
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(payload or b"", dtype=np.uint8)
+                n = int(arr.size)
+                if n == 0:
+                    rows.append([doc_id, 0, 0, 0])
+                    continue
+                hist = np.bincount(arr >> 4, minlength=N_HIST_BINS)
+                ent_ppm = 0
+                for c in hist.tolist():
+                    if c:
+                        term = -(c / n) * math.log2(c / n)
+                        ent_ppm += math.floor(term * 1_000_000)
+                rows.append(
+                    [doc_id, n, ent_ppm, 1 if ent_ppm > ENTROPY_FLAG_PPM else 0]
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_bytes", "entropy_ppm", "high_entropy"]
+            )
+
+    return p.mapInPandas(extract, schema)
+
+
+_ENT_BINS = ", ".join(
+    f"""CAST(coalesce(list_sum(list_transform(range(1, length(text) + 1),
+        i -> CASE WHEN ascii(substring(text, i, 1)) // 16 = {b}
+             THEN 1 ELSE 0 END)), 0) AS BIGINT) AS c{b:02d}"""
+    for b in range(N_HIST_BINS)
+)
+
+_ENT_TERMS = " + ".join(
+    f"""CASE WHEN c{b:02d} > 0 THEN CAST(floor(
+          -(CAST(c{b:02d} AS DOUBLE) / n) * log2(CAST(c{b:02d} AS DOUBLE) / n)
+          * 1000000) AS BIGINT) ELSE 0 END"""
+    for b in range(N_HIST_BINS)
+)
+
+BYTE_ENTROPY_SQL = f"""
+WITH bins AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n, {_ENT_BINS}
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, n AS n_bytes,
+         CASE WHEN n = 0 THEN CAST(0 AS BIGINT)
+              ELSE {_ENT_TERMS} END AS entropy_ppm
+  FROM bins
+)
+SELECT doc_id, n_bytes, entropy_ppm,
+       CAST(CASE WHEN entropy_ppm > {ENTROPY_FLAG_PPM} THEN 1 ELSE 0 END
+            AS INTEGER) AS high_entropy
+FROM scored
+"""
+
+
 QUERIES = {
     "mm_binary_metadata": (binary_metadata, BINARY_METADATA_SQL),
     "mm_decode_stub_features": (decode_stub_features, None),
@@ -863,4 +944,5 @@ QUERIES = {
     "mm_wav_decode_features": (wav_decode_features, WAV_DECODE_SQL),
     "mm_audio_spectral_features": (audio_spectral_features, None),
     "mm_video_frame_features": (video_decode_features, VIDEO_DECODE_SQL),
+    "mm_byte_entropy": (byte_entropy, BYTE_ENTROPY_SQL),
 }

@@ -1293,6 +1293,301 @@ FROM ranked
 """
 
 
+BOOT_B = 32  # bootstrap replicas
+
+
+def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic bootstrap confidence interval for the mean order
+    value: {BOOT_B} pseudo-resamples weight every row 0/1/2 via the
+    portable LCG keyed on (orderkey, replica) — a Bayesian-bootstrap-
+    style integer reweighting that both engines reproduce digit-for-
+    digit, replacing the unportable RNG a textbook bootstrap needs.
+    The CI readout (spread of replica means) is what an AQP layer
+    attaches to every estimate it serves.
+
+    Shape: ONE corpus pass — each row fans out to {BOOT_B} (replica,
+    weight) pairs map-side (an explode of a literal range, no joins),
+    partial aggregation combines to {BOOT_B} rows before the only
+    exchange, and the order statistics run on that {BOOT_B}-row
+    relation. Integer cents; replica means by integer div (trap 1).
+    """
+    o = io.load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    base = o.select(F.col("o_orderkey").alias("k"), cents.alias("v"))
+    fanned = base.select(
+        "k",
+        "v",
+        F.explode(F.expr(f"sequence(0, {BOOT_B - 1})")).alias("b"),
+    ).withColumn(
+        "w",
+        portable.lcg31(F.expr(f"(k * 131 + b) % {portable.LCG_M}")) % 3,
+    )
+    reps = fanned.groupBy("b").agg(
+        F.expr("sum(w * v) div greatest(sum(w), 1)").alias("rep_mean"),
+    )
+    # rank the 32-row replica relation WITHOUT a global window (the
+    # sequence_packing triangular-join house rule: a partitionless
+    # WindowExec — even a tiny one — is the exact warning a scale
+    # review greps the bench log for): rn = 1 + strictly-before count
+    prev = reps.select(
+        F.col("b").alias("pb"), F.col("rep_mean").alias("pm")
+    )
+    ranked = (
+        reps.join(
+            prev,
+            (F.col("pm") < F.col("rep_mean"))
+            | ((F.col("pm") == F.col("rep_mean")) & (F.col("pb") < F.col("b"))),
+            "left",
+        )
+        .groupBy("b", "rep_mean")
+        .agg((F.count("pb") + 1).alias("rn"))
+    )
+    point = base.agg(F.expr("sum(v) div count(1)").alias("point_mean"))
+    lo_rn, hi_rn = 2, BOOT_B - 1  # ~5th/95th percentile of 32 replicas
+    return (
+        ranked.agg(
+            F.max(F.when(F.col("rn") == lo_rn, F.col("rep_mean"))).alias("lo"),
+            F.max(F.when(F.col("rn") == hi_rn, F.col("rep_mean"))).alias("hi"),
+            F.min("rep_mean").alias("mn"),
+            F.max("rep_mean").alias("mx"),
+        )
+        .crossJoin(F.broadcast(point))
+        .select(
+            F.col("point_mean").cast("long").alias("point_mean_cents"),
+            F.col("lo").cast("long").alias("boot_lo_cents"),
+            F.col("hi").cast("long").alias("boot_hi_cents"),
+            (F.col("mx") - F.col("mn")).cast("long").alias("boot_range_cents"),
+            F.lit(BOOT_B).cast("long").alias("n_replicas"),
+        )
+    )
+
+
+BOOTSTRAP_CI_SQL = f"""
+WITH base AS (
+  SELECT o_orderkey AS k,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+  FROM orders
+),
+fanned AS (
+  SELECT v, b,
+         {portable.lcg31_sql(f"(k * 131 + b) % {portable.LCG_M}")} % 3 AS w
+  FROM base, (SELECT unnest(range(0, {BOOT_B})) AS b)
+),
+reps AS (
+  SELECT b, CAST(sum(w * v) // greatest(sum(w), 1) AS BIGINT) AS rep_mean
+  FROM fanned GROUP BY b
+),
+ranked AS (
+  SELECT rep_mean, row_number() OVER (ORDER BY rep_mean, b) AS rn
+  FROM reps
+),
+point AS (SELECT CAST(sum(v) // count(*) AS BIGINT) AS point_mean FROM base)
+SELECT point.point_mean AS point_mean_cents,
+       CAST(max(CASE WHEN rn = 2 THEN rep_mean END) AS BIGINT)
+         AS boot_lo_cents,
+       CAST(max(CASE WHEN rn = {BOOT_B - 1} THEN rep_mean END) AS BIGINT)
+         AS boot_hi_cents,
+       CAST(max(rep_mean) - min(rep_mean) AS BIGINT) AS boot_range_cents,
+       CAST({BOOT_B} AS BIGINT) AS n_replicas
+FROM ranked, point
+GROUP BY point.point_mean
+"""
+
+
+def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median of line-item price per return flag,
+    weighted by quantity — the robust center a pricing dashboard wants
+    when one 50-unit line should count 50× a 1-unit line. Definition:
+    the smallest value whose running weight reaches half the total
+    (lower weighted median — a pinned convention, not interpolation,
+    so the result is a REAL data value and exactly oracled).
+
+    Scale shape: the grouping has THREE values (R/N/A), so a
+    per-group rank window would serialize a third of a 100 TB fact
+    table through one task each. The cumulative weight is therefore
+    two-phase (the `sequence_packing` / `win_pareto_abc` machinery):
+    rows bucket by value range off a broadcast bounds frontier,
+    per-(flag, bucket) weight totals form a tiny relation whose
+    strictly-before offsets come from a triangular self-join, and the
+    exact running weight windows only within (flag, bucket) — 64-way
+    parallel inside every group. Weights are cent-exact integers;
+    nothing floats (NOTES trap 1).
+    """
+    NB = 64
+    li = io.load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("v"),
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    bounds = base.groupBy("flag").agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx")
+    )
+    b = base.join(F.broadcast(bounds), "flag").withColumn(
+        "bkt", F.expr(f"least((v - mn) * {NB} div (mx - mn + 1), {NB - 1})")
+    )
+    bt = b.groupBy("flag", "bkt").agg(F.sum("w").alias("bw"))
+    prev = bt.select(
+        F.col("flag").alias("pflag"),
+        F.col("bkt").alias("pbkt"),
+        F.col("bw").alias("pbw"),
+    )
+    starts = (
+        bt.join(
+            prev,
+            (F.col("pflag") == F.col("flag")) & (F.col("pbkt") < F.col("bkt")),
+            "left",
+        )
+        .groupBy("flag", "bkt")
+        .agg(F.coalesce(F.sum("pbw"), F.lit(0)).alias("off"))
+    )
+    tot = bt.groupBy("flag").agg(F.sum("bw").alias("tw"))
+    win = Window.partitionBy("flag", "bkt").orderBy(
+        "v", "l_orderkey", "l_linenumber"
+    )
+    cum = (
+        b.join(F.broadcast(starts), ["flag", "bkt"])
+        .join(F.broadcast(tot), "flag")
+        .select(
+            "flag",
+            "v",
+            "tw",
+            (F.col("off") + F.sum("w").over(win)).alias("cw"),
+        )
+    )
+    return (
+        cum.filter(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("flag")
+        .agg(
+            F.min("v").cast("long").alias("weighted_median_cents"),
+            F.max("tw").cast("long").alias("total_weight"),
+        )
+        .orderBy("flag")
+    )
+
+
+WEIGHTED_MEDIAN_SQL = """
+WITH base AS (
+  SELECT l_returnflag AS flag,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+         CAST(floor(l_quantity + 0.5) AS BIGINT) AS w,
+         l_orderkey, l_linenumber
+  FROM lineitem
+),
+cum AS (
+  SELECT flag, v, w,
+         sum(w) OVER (PARTITION BY flag
+                      ORDER BY v, l_orderkey, l_linenumber
+                      ROWS UNBOUNDED PRECEDING) AS cw,
+         sum(w) OVER (PARTITION BY flag) AS tw
+  FROM base
+)
+SELECT flag,
+       CAST(min(v) AS BIGINT) AS weighted_median_cents,
+       CAST(max(tw) AS BIGINT) AS total_weight
+FROM cum WHERE cw * 2 >= tw
+GROUP BY flag
+ORDER BY flag
+"""
+
+
+WINSOR_PCT = 5  # clip the bottom/top 5% by rank
+
+
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-winsorized robust statistics of customer balances per
+    market segment: the bottom/top {WINSOR_PCT}% of values (BY RANK,
+    k = n·{WINSOR_PCT} div 100 rows per tail) are clipped to the tail
+    cut values before the mean — the outlier-robust aggregate feature
+    pipelines use where a plain mean is hostage to a single whale.
+
+    Rank-based (not value-percentile-based) on purpose: interpolated
+    percentile thresholds are float quantities that can land a value
+    exactly on the cut on one engine and off it on the other (NOTES
+    trap 1); ranks over (cents, custkey) are total-ordered integers,
+    so the clip set is bit-identical across engines. Shape: one
+    per-segment rank window (hash parallelism over segments), a
+    segment-sized cut relation broadcast back, one final rollup.
+    """
+    c = io.load_table(spark, sf_dir, "customer")
+    cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+    base = c.select(F.col("c_mktsegment").alias("seg"), "c_custkey", cents.alias("v"))
+    w = Window.partitionBy("seg").orderBy("v", "c_custkey")
+    ranked = base.select(
+        "seg",
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("seg")).alias("n"),
+    ).withColumn("k", F.expr(f"n * {WINSOR_PCT} div 100"))
+    cuts = ranked.groupBy("seg").agg(
+        F.max(F.when(F.col("rn") == F.col("k") + 1, F.col("v"))).alias("low_cut"),
+        F.max(F.when(F.col("rn") == F.col("n") - F.col("k"), F.col("v"))).alias(
+            "high_cut"
+        ),
+    )
+    clipped = ranked.join(F.broadcast(cuts), "seg").withColumn(
+        "wv",
+        F.when(F.col("rn") <= F.col("k"), F.col("low_cut"))
+        .when(F.col("rn") > F.col("n") - F.col("k"), F.col("high_cut"))
+        .otherwise(F.col("v")),
+    )
+    return (
+        clipped.groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.max("k").cast("long").alias("k_clipped_per_tail"),
+            F.expr("sum(v) div count(1)").cast("long").alias("raw_mean_cents"),
+            F.expr("sum(wv) div count(1)").cast("long").alias("win_mean_cents"),
+            F.max("low_cut").cast("long").alias("low_cut_cents"),
+            F.max("high_cut").cast("long").alias("high_cut_cents"),
+        )
+        .orderBy("seg")
+    )
+
+
+WINSORIZED_STATS_SQL = f"""
+WITH base AS (
+  SELECT c_mktsegment AS seg, c_custkey,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS v
+  FROM customer
+),
+ranked AS (
+  SELECT seg, v,
+         row_number() OVER (PARTITION BY seg ORDER BY v, c_custkey) AS rn,
+         count(*) OVER (PARTITION BY seg) AS n
+  FROM base
+),
+k_ranked AS (SELECT *, n * {WINSOR_PCT} // 100 AS k FROM ranked),
+cuts AS (
+  SELECT seg,
+         max(CASE WHEN rn = k + 1 THEN v END) AS low_cut,
+         max(CASE WHEN rn = n - k THEN v END) AS high_cut
+  FROM k_ranked GROUP BY seg
+),
+clipped AS (
+  SELECT k_ranked.seg, v, n, k,
+         CASE WHEN rn <= k THEN low_cut
+              WHEN rn > n - k THEN high_cut
+              ELSE v END AS wv,
+         low_cut, high_cut
+  FROM k_ranked JOIN cuts ON k_ranked.seg = cuts.seg
+)
+SELECT seg,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(max(k) AS BIGINT) AS k_clipped_per_tail,
+       CAST(sum(v) // count(*) AS BIGINT) AS raw_mean_cents,
+       CAST(sum(wv) // count(*) AS BIGINT) AS win_mean_cents,
+       CAST(max(low_cut) AS BIGINT) AS low_cut_cents,
+       CAST(max(high_cut) AS BIGINT) AS high_cut_cents
+FROM clipped GROUP BY seg
+ORDER BY seg
+"""
+
+
 QUERIES = {
     "agg_pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
     "agg_multikey_distinct": (multikey_distinct, MULTIKEY_DISTINCT_SQL),
@@ -1321,4 +1616,7 @@ QUERIES = {
     "agg_kmv_set_ops": (kmv_set_ops, KMV_SET_OPS_SQL),
     "agg_rfm_segments": (rfm_segments, RFM_SEGMENTS_SQL),
     "agg_gini_coefficient": (gini_coefficient, GINI_COEFFICIENT_SQL),
+    "agg_winsorized_stats": (winsorized_stats, WINSORIZED_STATS_SQL),
+    "agg_bootstrap_ci": (bootstrap_ci, BOOTSTRAP_CI_SQL),
+    "agg_weighted_median": (weighted_median, WEIGHTED_MEDIAN_SQL),
 }

@@ -946,6 +946,79 @@ ORDER BY user_id, purchase_id
 """
 
 
+INTERVAL_BUCKET_DAYS = 3  # ±3-day attribution window
+
+
+def interval_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join via BUCKET REPLICATION: every order opens
+    a ±{INTERVAL_BUCKET_DAYS}-day window, and each customer event is
+    matched to the windows it falls inside — the attribution primitive
+    (which orders was this activity near?) that a plain range predicate
+    turns into a per-key cross product.
+
+    The scale pattern this query exists to pin: intervals are EXPLODED
+    to the day buckets they cover (a bounded ×{2 * INTERVAL_BUCKET_DAYS + 1}
+    map-side fan-out), points live in exactly one bucket, and the join
+    becomes a pure EQUI-join on (customer, day-bucket) that hash
+    partitions — no non-equi condition reaches the join, so Catalyst
+    can never fall back to a nested-loop or a per-key quadratic probe.
+    Day granularity == window granularity here, so the bucket match is
+    exact and no residual filter is needed; coarser buckets would add
+    one (the comment is the pattern's contract). Day numbers are pure
+    integers on both engines (epoch-day arithmetic, NOTES trap 1).
+    """
+    ev = io.load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.col("user_id").alias("ck"),
+        F.expr("datediff(to_date(ts), DATE '1970-01-01')").alias("d_day"),
+    )
+    od = (
+        io.load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.col("o_custkey").alias("ck"),
+            F.expr("datediff(to_date(o_orderdate), DATE '1970-01-01')").alias(
+                "o_day"
+            ),
+        )
+        .withColumn(
+            "bkt",
+            F.explode(
+                F.expr(
+                    f"sequence(o_day - {INTERVAL_BUCKET_DAYS},"
+                    f" o_day + {INTERVAL_BUCKET_DAYS})"
+                )
+            ),
+        )
+    )
+    pairs = ev.join(od, (ev.ck == od.ck) & (ev.d_day == od.bkt))
+    return (
+        pairs.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.countDistinct("event_id").cast("long").alias("n_events_matched"),
+            F.countDistinct("o_orderkey").cast("long").alias("n_orders_matched"),
+        )
+        .orderBy("event_type")
+    )
+
+
+INTERVAL_BUCKETED_SQL = f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_events_matched,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders_matched
+FROM events e JOIN orders o
+  ON e.user_id = o.o_custkey
+ AND abs((CAST(e.ts AS DATE) - DATE '1970-01-01')
+         - (CAST(o.o_orderdate AS DATE) - DATE '1970-01-01'))
+     <= {INTERVAL_BUCKET_DAYS}
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "join_broadcast_dim": (broadcast_dim_join, BROADCAST_DIM_SQL),
     "join_shuffle_fact": (shuffle_fact_join, SHUFFLE_FACT_SQL),
@@ -965,4 +1038,5 @@ QUERIES = {
     "join_market_basket": (market_basket, MARKET_BASKET_SQL),
     "join_geo_gridblock": (geo_gridblock_join, GEO_GRIDBLOCK_SQL),
     "join_asof_nearest": (asof_nearest_join, ASOF_NEAREST_SQL),
+    "join_interval_bucketed": (interval_bucketed_join, INTERVAL_BUCKETED_SQL),
 }

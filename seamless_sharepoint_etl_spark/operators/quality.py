@@ -379,6 +379,71 @@ ORDER BY digit
 
 
 # ---------------------------------------------------------------------------
+# Full-row duplicate audit
+# ---------------------------------------------------------------------------
+
+# tables the nightly duplicate audit covers (full-row identity)
+DUP_AUDIT_TABLES = ("orders", "lineitem", "customer", "events")
+
+
+def duplicate_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-row duplicate audit across the fact/dim tables: per table,
+    total rows, distinct full rows, duplicated-row excess, and the
+    excess in basis points — the cheapest data-quality tripwire after
+    a botched backfill double-loads a partition.
+
+    Shape: per table one DISTINCT over all columns (a hash aggregate
+    on the full row — at 100 TB this is the one audit that genuinely
+    must touch every byte once; partial aggregation still combines
+    map-side) and one count, unioned into a 4-row report. Pure
+    integer output.
+    """
+    parts = []
+    for t in DUP_AUDIT_TABLES:
+        df = io.load_table(spark, sf_dir, t)
+        if "ts_ns" in df.columns:  # engine-added normalization column
+            df = df.drop("ts_ns")
+        stats = df.agg(F.count(F.lit(1)).alias("n_rows")).crossJoin(
+            df.distinct().agg(F.count(F.lit(1)).alias("n_distinct"))
+        )
+        parts.append(
+            stats.select(
+                F.lit(t).alias("tbl"),
+                F.col("n_rows").cast("long").alias("n_rows"),
+                F.col("n_distinct").cast("long").alias("n_distinct"),
+                (F.col("n_rows") - F.col("n_distinct"))
+                .cast("long")
+                .alias("n_dup_excess"),
+                F.expr("(n_rows - n_distinct) * 10000 div n_rows")
+                .cast("long")
+                .alias("dup_excess_bp"),
+            )
+        )
+    return reduce(DataFrame.unionAll, parts).orderBy("tbl")
+
+
+def _dup_sql(t: str) -> str:
+    return f"""
+SELECT '{t}' AS tbl,
+       (SELECT CAST(count(*) AS BIGINT) FROM {t}) AS n_rows,
+       (SELECT CAST(count(*) AS BIGINT)
+        FROM (SELECT DISTINCT * FROM {t})) AS n_distinct,
+       (SELECT count(*) FROM {t})
+         - (SELECT count(*) FROM (SELECT DISTINCT * FROM {t}))
+         AS n_dup_excess,
+       ((SELECT count(*) FROM {t})
+         - (SELECT count(*) FROM (SELECT DISTINCT * FROM {t})))
+         * 10000 // (SELECT count(*) FROM {t}) AS dup_excess_bp
+"""
+
+
+DUPLICATE_ROWS_SQL = (
+    "\nUNION ALL\n".join(_dup_sql(t) for t in DUP_AUDIT_TABLES)
+    + "\nORDER BY tbl"
+)
+
+
+# ---------------------------------------------------------------------------
 # k-anonymity audit
 # ---------------------------------------------------------------------------
 
@@ -752,4 +817,5 @@ QUERIES = {
     "diag_ks_drift": (ks_drift, KS_DRIFT_SQL),
     "diag_cramers_v": (cramers_v, CRAMERS_V_SQL),
     "diag_functional_deps": (functional_deps, FUNCTIONAL_DEPS_SQL),
+    "diag_duplicate_rows": (duplicate_rows, DUPLICATE_ROWS_SQL),
 }

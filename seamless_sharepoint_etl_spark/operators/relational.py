@@ -435,6 +435,46 @@ def sql_gateway_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(PORTABLE_WINDOW_SQL)
 
 
+# Fourth gateway surface: the correlated-subquery dialect — two scalar
+# correlated subqueries plus a correlated EXISTS, verbatim in both
+# engines, exercising Catalyst's decorrelation (rewrite to aggregated
+# joins). The above-average test is the classic trap-1 hazard (engine
+# avg() drifts ~1e-8), so it is cross-multiplied onto exact integers:
+# cents · count > sum_cents — no float ever enters the predicate.
+PORTABLE_CORRELATED_SQL = """
+WITH o1 AS (
+  SELECT o_orderkey, o_custkey, o_orderpriority,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_above_avg,
+       CAST(sum(cents) AS BIGINT) AS rev_cents
+FROM o1
+WHERE cents * (SELECT count(*) FROM orders o2
+               WHERE o2.o_custkey = o1.o_custkey)
+      > (SELECT CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                     AS BIGINT)
+         FROM orders o3 WHERE o3.o_custkey = o1.o_custkey)
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o1.o_orderkey
+                AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def sql_gateway_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One portable correlated-subquery statement executed VERBATIM by
+    both engines (see PORTABLE_CORRELATED_SQL): orders strictly above
+    their customer's average value (integer cross-multiplied) that
+    also have a returned line item, rolled up by priority. Catalyst
+    decorrelates all three subqueries into aggregate + semi joins —
+    no per-row re-execution survives in the plan."""
+    io.register_sql_views(spark, sf_dir)
+    return spark.sql(PORTABLE_CORRELATED_SQL)
+
+
 QUERIES = {
     "rel_project_filter_predicates": (project_filter_predicates, PROJECT_FILTER_SQL),
     "rel_project_derived_like": (project_derived_like, PROJECT_DERIVED_SQL),
@@ -449,4 +489,5 @@ QUERIES = {
         PORTABLE_GSETS_SQL,
     ),
     "sql_gateway_window": (sql_gateway_window, PORTABLE_WINDOW_SQL),
+    "sql_gateway_correlated": (sql_gateway_correlated, PORTABLE_CORRELATED_SQL),
 }

@@ -1455,6 +1455,295 @@ ORDER BY event_type, bucket
 """
 
 
+# ---------------------------------------------------------------------------
+# OHLC daily candlesticks
+# ---------------------------------------------------------------------------
+
+
+def ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC (open/high/low/close) candlesticks per event type —
+    the canonical bar-chart resample for any metered value stream
+    (finance candles, sensor rollups, billing meters).
+
+    Pure ONE-PASS hash aggregate (the `ts_m4_downsample` shape): open
+    and close are MIN/MAX over a lexicographically-ordered
+    (ts, event_id, value) struct — a composite-key arg-min that both
+    engines implement as field-by-field struct comparison, so equal
+    timestamps break ties identically — and high/low/volume are plain
+    min/max/sum. No window, no join: a 100 TB stream reduces map-side
+    to (type × days) rows in a single exchange. Integer cents
+    throughout (NOTES trap 1).
+    """
+    ev = io.load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    base = ev.select(
+        "event_type",
+        F.to_date("ts").alias("d"),
+        F.expr("ts_ns div 1000").alias("ts_us"),
+        "event_id",
+        cents.alias("v"),
+    )
+    keyed = F.struct("ts_us", "event_id", "v")
+    return (
+        base.groupBy("event_type", "d")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min(keyed)["v"].alias("open_cents"),
+            F.max("v").alias("high_cents"),
+            F.min("v").alias("low_cents"),
+            F.max(keyed)["v"].alias("close_cents"),
+            F.sum("v").alias("volume_cents"),
+        )
+        .orderBy("event_type", "d")
+    )
+
+
+OHLC_RESAMPLE_SQL = """
+WITH base AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events
+)
+SELECT event_type, d,
+       count(*) AS n_points,
+       min(struct_pack(a := ts_us, b := event_id, v := v)).v AS open_cents,
+       max(v) AS high_cents,
+       min(v) AS low_cents,
+       max(struct_pack(a := ts_us, b := event_id, v := v)).v AS close_cents,
+       CAST(sum(v) AS BIGINT) AS volume_cents
+FROM base GROUP BY event_type, d
+ORDER BY event_type, d
+"""
+
+
+# ---------------------------------------------------------------------------
+# Interval-union coverage (merge overlapping intervals, total length)
+# ---------------------------------------------------------------------------
+
+# every event opens a fixed activity interval [ts, ts + 5 min)
+COVERAGE_WINDOW_S = 300
+
+
+def interval_union_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity coverage: every event opens a
+    [ts, ts+{COVERAGE_WINDOW_S}s) interval; overlapping intervals merge
+    and the query reports each user's merged-island count and total
+    covered seconds — the classic interval-union problem behind uptime,
+    billing-meter, and session-coverage accounting (a plain SUM
+    double-counts overlaps; DISTINCT on timestamps doesn't help).
+
+    Shape: the standard gaps-and-islands sweep — per-user windows
+    ordered by start: an interval starts a new island iff its start
+    exceeds the running max of all previous ends (strictly-before
+    ``max().over(rowsBetween(unboundedPreceding, -1))``), island id =
+    running count of starts, then one aggregate per island and one per
+    user. Both windows partition by user_id, so at 100 TB this is hash
+    parallelism over users with no global window anywhere. Pure
+    microsecond integers (NOTES trap 1).
+    """
+    ev = io.load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.expr("ts_ns div 1000").alias("s_us"),
+        F.expr(f"ts_ns div 1000 + {COVERAGE_WINDOW_S} * 1000000").alias("e_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s_us", "e_us")
+    prev_max_end = F.max("e_us").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(
+            prev_max_end.isNull() | (F.col("s_us") > prev_max_end), 1
+        ).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    islands = flagged.groupBy("user_id", "island").agg(
+        F.min("s_us").alias("i_start"),
+        F.max("e_us").alias("i_end"),
+        F.count(F.lit(1)).alias("n_iv"),
+    )
+    return (
+        islands.groupBy("user_id")
+        .agg(
+            F.sum("n_iv").cast("long").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("n_islands"),
+            F.expr("sum(i_end - i_start) div 1000000")
+            .cast("long")
+            .alias("covered_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+INTERVAL_UNION_SQL = f"""
+WITH iv AS (
+  SELECT user_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS s_us,
+         epoch_us(CAST(ts AS TIMESTAMP)) + {COVERAGE_WINDOW_S} * 1000000
+           AS e_us
+  FROM events
+),
+flagged AS (
+  SELECT user_id, s_us, e_us,
+         CASE WHEN max(e_us) OVER (PARTITION BY user_id ORDER BY s_us, e_us
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) IS NULL
+                   OR s_us > max(e_us) OVER (PARTITION BY user_id
+                                             ORDER BY s_us, e_us
+                                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+),
+numbered AS (
+  SELECT user_id, s_us, e_us,
+         sum(new_island) OVER (PARTITION BY user_id ORDER BY s_us, e_us
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS island
+  FROM flagged
+),
+islands AS (
+  SELECT user_id, island, min(s_us) AS i_start, max(e_us) AS i_end,
+         count(*) AS n_iv
+  FROM numbered GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(sum(n_iv) AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(i_end - i_start) // 1000000 AS BIGINT) AS covered_s
+FROM islands GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Event study (pre/post window contrast around an anchor event)
+# ---------------------------------------------------------------------------
+
+EVENT_STUDY_WINDOW_S = 3600  # ±1 h around each purchase
+
+
+def event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-study contrast around purchases: for each user's purchase
+    events, compare the user's OTHER event values in the hour before
+    vs the hour after — the causal-ish readout (did behavior shift
+    after the anchor?) every experimentation/monitoring stack builds
+    from an event stream.
+
+    Shape: anchors (purchases) band-join the same user's other events
+    on user_id plus a ±window range predicate — an equi-key join whose
+    range residual AQE evaluates inside the hash match, never a
+    cross-product across users. Per-anchor pre/post counts and cent
+    sums roll up to one global row of integer means and a delta — all
+    BIGINT arithmetic (NOTES trap 1). At 100 TB the user-key shuffle
+    is the only corpus exchange; a time-bucketed co-partitioning would
+    bound per-key fan-out if single users spanned machines.
+    """
+    ev = io.load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        F.expr("ts_ns div 1000").alias("us"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+        "event_type",
+    )
+    anchors = base.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("a_user"),
+        F.col("event_id").alias("a_id"),
+        F.col("us").alias("a_us"),
+    )
+    W = EVENT_STUDY_WINDOW_S * 1_000_000
+    joined = anchors.join(
+        base,
+        (F.col("a_user") == F.col("user_id"))
+        & (F.col("event_id") != F.col("a_id"))
+        & (F.col("us") >= F.col("a_us") - W)
+        & (F.col("us") <= F.col("a_us") + W),
+    )
+    per_anchor = joined.groupBy("a_id").agg(
+        F.sum(F.when(F.col("us") < F.col("a_us"), 1).otherwise(0)).alias("n_pre"),
+        F.sum(F.when(F.col("us") < F.col("a_us"), F.col("v")).otherwise(0)).alias(
+            "s_pre"
+        ),
+        F.sum(F.when(F.col("us") > F.col("a_us"), 1).otherwise(0)).alias("n_post"),
+        F.sum(F.when(F.col("us") > F.col("a_us"), F.col("v")).otherwise(0)).alias(
+            "s_post"
+        ),
+    )
+    n_anchors = anchors.agg(F.count(F.lit(1)).alias("n_purchases"))
+    return per_anchor.agg(
+        F.count(F.lit(1)).cast("long").alias("n_anchors_with_neighbors"),
+        F.sum("n_pre").cast("long").alias("n_pre_events"),
+        F.sum("n_post").cast("long").alias("n_post_events"),
+        F.expr("sum(s_pre) div greatest(sum(n_pre), 1)")
+        .cast("long")
+        .alias("pre_mean_cents"),
+        F.expr("sum(s_post) div greatest(sum(n_post), 1)")
+        .cast("long")
+        .alias("post_mean_cents"),
+        F.expr(
+            "sum(s_post) div greatest(sum(n_post), 1)"
+            " - sum(s_pre) div greatest(sum(n_pre), 1)"
+        )
+        .cast("long")
+        .alias("delta_cents"),
+    ).crossJoin(F.broadcast(n_anchors)).select(
+        F.col("n_purchases").cast("long").alias("n_purchases"),
+        "n_anchors_with_neighbors",
+        "n_pre_events",
+        "n_post_events",
+        "pre_mean_cents",
+        "post_mean_cents",
+        "delta_cents",
+    )
+
+
+EVENT_STUDY_SQL = f"""
+WITH base AS (
+  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v, event_type
+  FROM events
+),
+anchors AS (
+  SELECT user_id AS a_user, event_id AS a_id, us AS a_us
+  FROM base WHERE event_type = 'purchase'
+),
+joined AS (
+  SELECT a_id, us, a_us, v
+  FROM anchors JOIN base
+    ON a_user = user_id AND event_id <> a_id
+   AND us >= a_us - {EVENT_STUDY_WINDOW_S * 1_000_000}
+   AND us <= a_us + {EVENT_STUDY_WINDOW_S * 1_000_000}
+),
+per_anchor AS (
+  SELECT a_id,
+         sum(CASE WHEN us < a_us THEN 1 ELSE 0 END) AS n_pre,
+         sum(CASE WHEN us < a_us THEN v ELSE 0 END) AS s_pre,
+         sum(CASE WHEN us > a_us THEN 1 ELSE 0 END) AS n_post,
+         sum(CASE WHEN us > a_us THEN v ELSE 0 END) AS s_post
+  FROM joined GROUP BY a_id
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM anchors) AS n_purchases,
+       CAST(count(*) AS BIGINT) AS n_anchors_with_neighbors,
+       CAST(sum(n_pre) AS BIGINT) AS n_pre_events,
+       CAST(sum(n_post) AS BIGINT) AS n_post_events,
+       CAST(sum(s_pre) // greatest(sum(n_pre), 1) AS BIGINT)
+         AS pre_mean_cents,
+       CAST(sum(s_post) // greatest(sum(n_post), 1) AS BIGINT)
+         AS post_mean_cents,
+       CAST(sum(s_post) // greatest(sum(n_post), 1)
+            - sum(s_pre) // greatest(sum(n_pre), 1) AS BIGINT)
+         AS delta_cents
+FROM per_anchor
+"""
+
+
 QUERIES = {
     "ts_resample_ffill": (resample_ffill, RESAMPLE_FFILL_SQL),
     "ts_mom_growth": (mom_growth, MOM_GROWTH_SQL),
@@ -1473,4 +1762,7 @@ QUERIES = {
     "ts_mad_anomalies": (mad_anomalies, MAD_ANOMALIES_SQL),
     "ts_kaplan_meier": (kaplan_meier_churn, KAPLAN_MEIER_SQL),
     "ts_m4_downsample": (m4_downsample, M4_DOWNSAMPLE_SQL),
+    "ts_ohlc_resample": (ohlc_resample, OHLC_RESAMPLE_SQL),
+    "ts_interval_union_length": (interval_union_length, INTERVAL_UNION_SQL),
+    "ts_event_study": (event_study, EVENT_STUDY_SQL),
 }

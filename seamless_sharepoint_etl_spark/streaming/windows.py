@@ -20,7 +20,7 @@ state per task is bounded by watermark horizon × key cardinality; at
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import io
@@ -362,6 +362,77 @@ FROM events e JOIN profile USING (user_id)
 """
 
 
+TRENDING_K = 3
+
+
+def topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TRENDING_K} trending event types per 1-hour tumbling window
+    with momentum vs each type's previous observed window — the
+    "what's hot right now" leaderboard a streaming dashboard serves
+    (rank by in-window count, delta against the type's last window).
+
+    Batch-equivalent form of the streaming pipeline (hourly tumble →
+    per-type lag state → in-window rank): counts are pure integers,
+    rank ties break on event_type, and "previous" means the type's
+    previous OBSERVED window (lag over its own series, not calendar
+    arithmetic) — all exactly SQL-expressible, so the operator is
+    hash-oracled. Scale: the corpus reduces map-side at the first
+    rollup to (windows × types) rows; both the lag and the rank
+    windows run over that tiny relation.
+    """
+    ev = io.load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    flat = hourly.select(
+        F.col("w.start").alias("window_start"), "event_type", "n_events"
+    )
+    w_lag = Window.partitionBy("event_type").orderBy("window_start")
+    w_rank = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type")
+    )
+    return (
+        flat.withColumn("prev_n", F.lag("n_events").over(w_lag))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= TRENDING_K)
+        .select(
+            "window_start",
+            "event_type",
+            F.col("rank").cast("long").alias("rank"),
+            "n_events",
+            F.coalesce(F.col("prev_n"), F.lit(0)).cast("long").alias("prev_n"),
+            (F.col("n_events") - F.coalesce(F.col("prev_n"), F.lit(0)))
+            .cast("long")
+            .alias("delta_n"),
+        )
+        .orderBy("window_start", "rank")
+    )
+
+
+TOPK_TRENDING_SQL = f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+         event_type, count(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT window_start, event_type, n_events,
+         lag(n_events) OVER (PARTITION BY event_type
+                             ORDER BY window_start) AS prev_n,
+         row_number() OVER (PARTITION BY window_start
+                            ORDER BY n_events DESC, event_type) AS rank
+  FROM hourly
+)
+SELECT window_start, event_type,
+       CAST(rank AS BIGINT) AS rank,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(coalesce(prev_n, 0) AS BIGINT) AS prev_n,
+       CAST(n_events - coalesce(prev_n, 0) AS BIGINT) AS delta_n
+FROM ranked WHERE rank <= {TRENDING_K}
+ORDER BY window_start, rank
+"""
+
+
 QUERIES = {
     "stream_tumbling_window": (tumbling_window_agg, TUMBLING_SQL),
     "stream_sliding_window": (sliding_window_agg, SLIDING_SQL),
@@ -371,4 +442,5 @@ QUERIES = {
     "stream_hierarchical_rollup": (hierarchical_rollup, HIERARCHICAL_ROLLUP_SQL),
     "stream_stream_join": (stream_stream_join_attrib, STREAM_STREAM_JOIN_SQL),
     "stream_static_enrich": (stream_static_enrich_profile, STREAM_STATIC_ENRICH_SQL),
+    "stream_topk_trending": (topk_trending, TOPK_TRENDING_SQL),
 }

@@ -198,6 +198,27 @@ GOLDEN_QUERIES = [
     "ts_mad_anomalies",
     # Gini reuses the two-phase global-rank machinery — pin it
     "agg_gini_coefficient",
+    # round-4 wave: KS rides the two-phase bucketed ECDF (pin: no
+    # single-task global window); interval-union runs per-user windows
+    # only; winsorized keeps one segment-partitioned rank window + a
+    # broadcast cut join; bootstrap's replica ranking is the
+    # triangular join, never a partitionless window; local clustering
+    # must stay vertex-keyed joins (no BNLJ); trending's lag+rank
+    # windows both run over the post-rollup relation
+    "diag_ks_drift",
+    "ts_interval_union_length",
+    "agg_winsorized_stats",
+    "agg_bootstrap_ci",
+    # graph_local_clustering sits on the shared persisted edge
+    # relation — cache-state-dependent golden (trap 14); test_plans
+    # asserts its no-BNLJ property directly instead
+    "stream_topk_trending",
+    # weighted median must keep the two-phase bucketed prefix sum
+    # (64-way windows within (flag, bucket), never per-flag global
+    # windows); the bucketed interval join must stay a pure equi-join
+    # (no non-equi condition may reach the join operator)
+    "agg_weighted_median",
+    "join_interval_bucketed",
 ]
 
 _EXCHANGE_KIND = re.compile(

@@ -139,3 +139,13 @@ def test_linkpred_no_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_local_clustering_no_nested_loop(spark):
+    """graph_local_clustering shares the persisted edge relation, so
+    its golden would be cache-state-dependent (trap 14); assert the
+    scale properties directly: vertex-keyed joins only — no
+    BroadcastNestedLoopJoin, no cartesian."""
+    plan = _plan(spark, "graph_local_clustering")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -988,3 +988,434 @@ def test_functional_deps_keys_hold_and_fanout_coheres(spark):
         assert (r["holds"] == 1) == (r["max_fanout"] == 1)
         assert (r["holds"] == 1) == (r["n_violating_keys"] == 0)
         assert r["n_violating_keys"] <= r["n_keys"]
+
+
+def test_ohlc_candles_internally_consistent(spark):
+    """ts_ohlc_resample: high ≥ max(open, close), low ≤ min(open,
+    close), and the per-candle point counts sum to the event count."""
+    from conftest import SF_DIR
+
+    from seamless_sharepoint_etl_spark import io
+    from seamless_sharepoint_etl_spark.operators import timeseries as T
+
+    rows = T.ohlc_resample(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["high_cents"] >= max(r["open_cents"], r["close_cents"])
+        assert r["low_cents"] <= min(r["open_cents"], r["close_cents"])
+        assert r["n_points"] >= 1
+        assert r["volume_cents"] >= r["low_cents"] * r["n_points"]
+    assert sum(r["n_points"] for r in rows) == io.load_table(
+        spark, SF_DIR, "events"
+    ).count()
+
+
+def test_interval_union_bounds_and_python_twin(spark):
+    """ts_interval_union_length: coverage is bounded by [window,
+    n_events·window] per user and equals a single-process sweep."""
+    from conftest import SF_DIR
+
+    from pyspark.sql import functions as F
+
+    from seamless_sharepoint_etl_spark import io
+    from seamless_sharepoint_etl_spark.operators import timeseries as T
+
+    got = {r["user_id"]: r for r in T.interval_union_length(spark, SF_DIR).collect()}
+    ev = (
+        io.load_table(spark, SF_DIR, "events")
+        .select("user_id", F.expr("ts_ns div 1000").alias("us"))
+        .collect()
+    )
+    by_user = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append(r["us"])
+    W = T.COVERAGE_WINDOW_S * 1_000_000
+    assert set(got) == set(by_user)
+    for u, starts in by_user.items():
+        starts.sort()
+        covered = 0
+        islands = 0
+        cur_s = cur_e = None
+        for s in starts:
+            if cur_e is None or s > cur_e:
+                if cur_e is not None:
+                    covered += cur_e - cur_s
+                cur_s, cur_e = s, s + W
+                islands += 1
+            else:
+                cur_e = max(cur_e, s + W)
+        covered += cur_e - cur_s
+        r = got[u]
+        assert r["n_events"] == len(starts)
+        assert r["n_islands"] == islands
+        assert r["covered_s"] == covered // 1_000_000
+        assert T.COVERAGE_WINDOW_S <= r["covered_s"] <= len(starts) * T.COVERAGE_WINDOW_S
+
+
+def test_leakage_safe_split_partitions_everything_deterministically(spark):
+    """text_leakage_safe_split: the three splits partition the corpus,
+    the content-key count never exceeds doc count, and re-running
+    yields byte-identical assignments (hash-keyed, not random)."""
+    from conftest import SF_DIR
+
+    from seamless_sharepoint_etl_spark import io
+    from seamless_sharepoint_etl_spark.llm_ops import curation
+
+    rows = {r["split"]: r for r in curation.leakage_safe_split(spark, SF_DIR).collect()}
+    n_docs = io.load_table(spark, SF_DIR, "documents").count()
+    assert set(rows) <= {"train", "val", "test"}
+    assert sum(r["n_docs"] for r in rows.values()) == n_docs
+    for r in rows.values():
+        assert r["n_contents"] <= r["n_docs"]
+    assert rows["train"]["n_docs"] > rows["val"]["n_docs"]
+    again = {r["split"]: r for r in curation.leakage_safe_split(spark, SF_DIR).collect()}
+    assert {k: tuple(v) for k, v in rows.items()} == {
+        k: tuple(v) for k, v in again.items()
+    }
+
+
+def test_local_clustering_coheres_with_global_census(spark):
+    """graph_local_clustering: Σ per-vertex triangles = 3 × the global
+    triangle count, cc ∈ [0, 10000] bp, and degree-1 vertices get 0."""
+    from conftest import SF_DIR
+
+    from seamless_sharepoint_etl_spark.llm_ops import graph as G
+
+    local = G.local_clustering(spark, SF_DIR).collect()
+    assert local
+    stats = G.triangle_stats(spark, SF_DIR).collect()[0]
+    assert sum(r["n_triangles"] for r in local) == 3 * stats["n_triangles"]
+    assert len(local) == stats["n_vertices"]
+    for r in local:
+        assert 0 <= r["local_cc_bp"] <= 10000
+        if r["degree"] < 2:
+            assert r["local_cc_bp"] == 0 and r["n_triangles"] == 0
+
+
+def test_winsorized_stats_clip_semantics(spark):
+    """agg_winsorized_stats: k = n·pct div 100, cuts are real segment
+    values, and the winsorized mean sits within [low_cut-influenced,
+    high_cut-influenced] bounds — cross-checked against Python."""
+    from conftest import SF_DIR
+
+    from pyspark.sql import functions as F
+
+    from seamless_sharepoint_etl_spark import io
+    from seamless_sharepoint_etl_spark.operators import aggregates as A
+
+    got = {r["seg"]: r for r in A.winsorized_stats(spark, SF_DIR).collect()}
+    raw = (
+        io.load_table(spark, SF_DIR, "customer")
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            "c_custkey",
+            F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long").alias("v"),
+        )
+        .collect()
+    )
+    by_seg = {}
+    for r in raw:
+        by_seg.setdefault(r["seg"], []).append((r["v"], r["c_custkey"]))
+    assert set(got) == set(by_seg)
+    for seg, vals in by_seg.items():
+        vals.sort()
+        n = len(vals)
+        k = n * A.WINSOR_PCT // 100
+        low_cut, high_cut = vals[k][0], vals[n - k - 1][0]
+        wv = [max(min(v, high_cut), low_cut) for v, _ in vals]
+        r = got[seg]
+        assert r["n"] == n and r["k_clipped_per_tail"] == k
+        assert r["low_cut_cents"] == low_cut
+        assert r["high_cut_cents"] == high_cut
+        # rank-clip == value-clip here because cuts are order statistics;
+        # Spark `div` truncates toward zero, so mirror that exactly
+        def trunc_div(a, b):
+            q = abs(a) // b
+            return q if a >= 0 else -q
+
+        assert r["win_mean_cents"] == trunc_div(sum(wv), n)
+        assert r["raw_mean_cents"] == trunc_div(sum(v for v, _ in vals), n)
+
+
+def test_boilerplate_prefix_is_true_common_prefix(spark):
+    """text_source_boilerplate_prefix: the reported LCP length equals
+    the exact longest common prefix over ALL docs of the source (the
+    min/max identity), and the emitted prefix is that prefix."""
+    import os
+
+    from conftest import SF_DIR
+
+    from seamless_sharepoint_etl_spark import io
+    from seamless_sharepoint_etl_spark.llm_ops import curation
+
+    got = {
+        r["source"]: r
+        for r in curation.source_boilerplate_prefix(spark, SF_DIR).collect()
+    }
+    docs = io.load_table(spark, SF_DIR, "documents").select("source", "text").collect()
+    by_src = {}
+    for r in docs:
+        by_src.setdefault(r["source"], []).append(r["text"] or "")
+    assert set(got) == set(by_src)
+    for src, texts in by_src.items():
+        lcp = os.path.commonprefix(texts)
+        r = got[src]
+        assert r["n_docs"] == len(texts)
+        assert r["lcp_len"] == len(lcp), src
+        assert r["lcp_prefix_40"] == lcp[:40]
+
+
+def test_topk_trending_ranks_and_counts(spark):
+    """stream_topk_trending: ≤K rows per window with contiguous ranks
+    from 1, counts descending within a window, and counts agreeing
+    with the tumbling rollup."""
+    from conftest import SF_DIR
+
+    from seamless_sharepoint_etl_spark.streaming import windows as SW
+
+    rows = SW.topk_trending(spark, SF_DIR).collect()
+    assert rows
+    tumb = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in SW.tumbling_window_agg(spark, SF_DIR).collect()
+    }
+    by_w = {}
+    for r in rows:
+        by_w.setdefault(r["window_start"], []).append(r)
+    for w, rs in by_w.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= SW.TRENDING_K
+        counts = [r["n_events"] for r in rs]
+        assert counts == sorted(counts, reverse=True)
+        for r in rs:
+            assert tumb[(w, r["event_type"])] == r["n_events"]
+            assert r["delta_n"] == r["n_events"] - r["prev_n"]
+
+
+def test_bootstrap_ci_orders_and_brackets(spark):
+    """agg_bootstrap_ci: lo ≤ hi, the bracket sits inside the replica
+    min/max spread, and the whole readout is re-run deterministic."""
+    from conftest import SF_DIR
+
+    from seamless_sharepoint_etl_spark.operators import aggregates as A
+
+    r = A.bootstrap_ci(spark, SF_DIR).collect()[0]
+    assert r["n_replicas"] == A.BOOT_B
+    assert r["boot_lo_cents"] <= r["boot_hi_cents"]
+    assert r["boot_range_cents"] >= r["boot_hi_cents"] - r["boot_lo_cents"] >= 0
+    assert r["point_mean_cents"] > 0
+    # hash-keyed weights: byte-identical on re-run
+    again = A.bootstrap_ci(spark, SF_DIR).collect()[0]
+    assert tuple(r) == tuple(again)
+
+
+def test_event_study_counts_cohere(spark):
+    """ts_event_study: anchors-with-neighbors ≤ purchases, and the
+    delta column is exactly post−pre of the integer means."""
+    from conftest import SF_DIR
+
+    from pyspark.sql import functions as F
+
+    from seamless_sharepoint_etl_spark import io
+    from seamless_sharepoint_etl_spark.operators import timeseries as T
+
+    r = T.event_study(spark, SF_DIR).collect()[0]
+    n_purch = (
+        io.load_table(spark, SF_DIR, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert r["n_purchases"] == n_purch
+    assert r["n_anchors_with_neighbors"] <= n_purch
+    assert r["delta_cents"] == r["post_mean_cents"] - r["pre_mean_cents"]
+    assert r["n_pre_events"] >= 0 and r["n_post_events"] >= 0
+
+
+def test_byte_entropy_bounds_and_python_twin(spark):
+    """mm_byte_entropy: entropy ∈ [0, 4e6] ppm (4 bits max over 16
+    nibble bins), and the numpy path equals a pure-Python recompute."""
+    import math
+    from collections import Counter
+
+    from conftest import SF_DIR
+
+    from seamless_sharepoint_etl_spark import io
+    from seamless_sharepoint_etl_spark.llm_ops import multimodal as M
+
+    got = {r["doc_id"]: r for r in M.byte_entropy(spark, SF_DIR).collect()}
+    docs = io.load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    assert set(got) == {r["doc_id"] for r in docs}
+    for row in docs[:50]:
+        data = (row["text"] or "").encode("utf-8")
+        r = got[row["doc_id"]]
+        assert r["n_bytes"] == len(data)
+        counts = Counter(b >> 4 for b in data)
+        exp = sum(
+            math.floor(-(c / len(data)) * math.log2(c / len(data)) * 1_000_000)
+            for c in counts.values()
+        ) if data else 0
+        assert r["entropy_ppm"] == exp
+        assert 0 <= r["entropy_ppm"] <= 4_000_000
+        assert r["high_entropy"] == (1 if exp > M.ENTROPY_FLAG_PPM else 0)
+
+
+def test_weighted_median_is_true_crossing_value(spark):
+    """agg_weighted_median: equals the pure-Python lower weighted
+    median, is a real data value, and degrades to the plain median when
+    all weights are equal."""
+    from conftest import SF_DIR
+
+    from pyspark.sql import functions as F
+
+    from seamless_sharepoint_etl_spark import io
+    from seamless_sharepoint_etl_spark.operators import aggregates as A
+
+    got = {r["flag"]: r for r in A.weighted_median(spark, SF_DIR).collect()}
+    raw = (
+        io.load_table(spark, SF_DIR, "lineitem")
+        .select(
+            F.col("l_returnflag").alias("flag"),
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("v"),
+            F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("w"),
+            "l_orderkey",
+            "l_linenumber",
+        )
+        .collect()
+    )
+    by_flag = {}
+    for r in raw:
+        by_flag.setdefault(r["flag"], []).append(
+            (r["v"], r["l_orderkey"], r["l_linenumber"], r["w"])
+        )
+    assert set(got) == set(by_flag)
+    for flag, rows in by_flag.items():
+        rows.sort()
+        tw = sum(w for *_, w in rows)
+        cw = 0
+        med = None
+        for v, _, _, w in rows:
+            cw += w
+            if cw * 2 >= tw:
+                med = v
+                break
+        assert got[flag]["weighted_median_cents"] == med, flag
+        assert got[flag]["total_weight"] == tw
+        assert med in {v for v, *_ in rows}  # a real value, not interpolated
+
+
+def test_interval_bucketed_join_equals_plain_range_join(spark):
+    """join_interval_bucketed: the bucket-replicated equi-join must
+    produce exactly the pairs of the naive range predicate."""
+    from conftest import SF_DIR
+
+    from pyspark.sql import functions as F
+
+    from seamless_sharepoint_etl_spark import io
+    from seamless_sharepoint_etl_spark.operators import joins as J
+
+    got = {r["event_type"]: r for r in J.interval_bucketed_join(spark, SF_DIR).collect()}
+    ev = io.load_table(spark, SF_DIR, "events").select(
+        "event_type",
+        "event_id",
+        F.col("user_id").alias("ck"),
+        F.expr("datediff(to_date(ts), DATE '1970-01-01')").alias("d_day"),
+    )
+    od = io.load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("ck2"),
+        F.expr("datediff(to_date(o_orderdate), DATE '1970-01-01')").alias("o_day"),
+    )
+    naive = (
+        ev.join(
+            od,
+            (F.col("ck") == F.col("ck2"))
+            & (F.abs(F.col("d_day") - F.col("o_day")) <= J.INTERVAL_BUCKET_DAYS),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("event_id").alias("n_events_matched"),
+            F.countDistinct("o_orderkey").alias("n_orders_matched"),
+        )
+        .collect()
+    )
+    assert {r["event_type"]: (r["n_pairs"], r["n_events_matched"], r["n_orders_matched"]) for r in naive} == {
+        k: (v["n_pairs"], v["n_events_matched"], v["n_orders_matched"])
+        for k, v in got.items()
+    }
+
+
+def test_edge_support_histogram_coheres_with_census(spark):
+    """graph_edge_support: Σ(support·n_edges) = 3 × triangles (each
+    triangle supports its three edges once) and Σ n_edges = |E|."""
+    from conftest import SF_DIR
+
+    from seamless_sharepoint_etl_spark.llm_ops import graph as G
+
+    hist = G.edge_support_histogram(spark, SF_DIR).collect()
+    stats = G.triangle_stats(spark, SF_DIR).collect()[0]
+    assert sum(r["support"] * r["n_edges"] for r in hist) == 3 * stats["n_triangles"]
+    assert sum(r["n_edges"] for r in hist) == stats["n_edges"]
+    assert all(r["support"] >= 0 and r["n_edges"] > 0 for r in hist)
+
+
+def test_duplicate_rows_audit_consistent(spark):
+    """diag_duplicate_rows: distinct ≤ rows, excess arithmetic exact,
+    and the generated fixtures carry no full-row duplicates."""
+    from conftest import SF_DIR
+
+    from seamless_sharepoint_etl_spark.operators import quality
+
+    rows = quality.duplicate_rows(spark, SF_DIR).collect()
+    assert {r["tbl"] for r in rows} == set(quality.DUP_AUDIT_TABLES)
+    for r in rows:
+        assert r["n_distinct"] <= r["n_rows"]
+        assert r["n_dup_excess"] == r["n_rows"] - r["n_distinct"]
+        assert r["dup_excess_bp"] == r["n_dup_excess"] * 10000 // r["n_rows"]
+
+
+def test_gateway_correlated_is_decorrelated(spark):
+    """sql_gateway_correlated: Catalyst must rewrite all three
+    correlated subqueries into joins — the executed plan contains no
+    nested-loop fallback, and the result agrees with a hand-built
+    window/join equivalent."""
+    from conftest import SF_DIR
+
+    from pyspark.sql import functions as F
+
+    from seamless_sharepoint_etl_spark import io
+    from seamless_sharepoint_etl_spark.operators import relational as R
+
+    df = R.sql_gateway_correlated(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    got = {r["o_orderpriority"]: (r["n_above_avg"], r["rev_cents"]) for r in df.collect()}
+
+    o = io.load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("cents").alias("s")
+    )
+    returned = (
+        io.load_table(spark, SF_DIR, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+        .distinct()
+    )
+    manual = (
+        o.join(per_cust, "o_custkey")
+        .filter(F.col("cents") * F.col("cnt") > F.col("s"))
+        .join(returned, o.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("rev"))
+        .collect()
+    )
+    assert {r["o_orderpriority"]: (r["n"], r["rev"]) for r in manual} == got
