@@ -194,6 +194,8 @@ HEADLINE = [
     "sql_gateway_correlated",
     "diag_duplicate_rows",
     "graph_edge_support",
+    "join_entity_resolution",
+    "layout_ivm_delta_join",
 ]
 
 
@@ -262,6 +264,7 @@ def main() -> None:
         "src_schema_evolution_scan",
         "layout_dynamic_overwrite",
         "layout_codec_stats",
+        "layout_ivm_delta_join",
     ):
         queries[staged](spark, sf_dir).write.format("noop").mode(
             "overwrite"

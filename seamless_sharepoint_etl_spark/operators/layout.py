@@ -558,6 +558,75 @@ TABLE_PROFILE_SQL = "\nUNION ALL\n".join(
 ) + "\nORDER BY column_name"
 
 
+# ---------------------------------------------------------------------------
+# Incremental (delta) maintenance of a materialized join view
+# ---------------------------------------------------------------------------
+
+IVM_DELTA_MOD = 10  # orders with key % 10 == 0 play the CDC delta batch
+
+
+def _ivm_mv_dir(sf_dir: str) -> str:
+    tag = "sf" + sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    return f"/tmp/sse_ivm_mv-{tag}"
+
+
+def ivm_delta_join_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a materialized JOIN view: the
+    orders⋈customer MV is staged as of "yesterday" (all orders except
+    the key%{IVM_DELTA_MOD}==0 batch), today's CDC delta joins ONLY
+    its own rows against the broadcast dimension, and the merged view
+    must equal a full recompute — which is exactly what the oracle
+    checks. This is `agg_incremental_merge`'s JOIN-side sibling: at
+    100 TB the refresh touches |Δ| rows + a broadcast dim, never the
+    fact table (the staged MV is read back, not re-joined).
+
+    Staging is _SUCCESS-idempotent (the compaction/codec pattern);
+    the timed path is MV readback + Δ⋈dim + union + rollup.
+    """
+    import os
+
+    mv_dir = _ivm_mv_dir(sf_dir)
+    cust = io.load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    o = io.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    if not os.path.exists(os.path.join(mv_dir, "_SUCCESS")):
+        base = o.filter(F.col("o_orderkey") % IVM_DELTA_MOD != 0)
+        base.join(F.broadcast(cust), base.o_custkey == cust.c_custkey).select(
+            "o_orderkey", "c_mktsegment", "cents"
+        ).write.mode("overwrite").parquet(mv_dir)
+    delta = o.filter(F.col("o_orderkey") % IVM_DELTA_MOD == 0)
+    delta_mv = delta.join(
+        F.broadcast(cust), delta.o_custkey == cust.c_custkey
+    ).select("o_orderkey", "c_mktsegment", "cents")
+    merged = spark.read.parquet(mv_dir).unionByName(delta_mv)
+    return (
+        merged.groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("rev_cents"),
+        )
+        .orderBy("seg")
+    )
+
+
+IVM_DELTA_JOIN_SQL = """
+SELECT c_mktsegment AS seg,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS rev_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY seg
+"""
+
+
 QUERIES = {
     "layout_zorder_stats": (zorder_stats, ZORDER_STATS_SQL),
     "diag_table_profile": (table_profile, TABLE_PROFILE_SQL),
@@ -567,4 +636,5 @@ QUERIES = {
     "layout_dynamic_overwrite": (dynamic_overwrite_read, DYNAMIC_OVERWRITE_SQL),
     "layout_time_travel_read": (time_travel_read, TIME_TRAVEL_SQL),
     "layout_codec_stats": (codec_stats, None),
+    "layout_ivm_delta_join": (ivm_delta_join_read, IVM_DELTA_JOIN_SQL),
 }
