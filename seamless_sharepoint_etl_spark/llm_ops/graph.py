@@ -215,52 +215,67 @@ BFS_MAX_ROUNDS = 64
 
 
 def bfs_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BFS depth histogram over a synthesized random recursive tree —
-    the hierarchy-traversal operator (org charts, BOM explosion,
+    """Depth histogram of a synthesized random recursive tree — the
+    hierarchy-traversal operator (org charts, BOM explosion,
     reply-thread depth) that SQL expresses as WITH RECURSIVE and Spark
-    (which has no recursive CTE) must run as an iterative frontier
-    join. The DuckDB oracle IS the recursive CTE, so the loop's result
-    is exactly graded, unlike the fixpoint family's rows-only checks.
+    (which has no recursive CTE) must run iteratively. The DuckDB
+    oracle IS the recursive CTE, so the loop's result is exactly
+    graded, unlike the fixpoint family's rows-only checks.
 
     Tree: node n>0 gets parent = lcg(n) % n (strictly smaller, so the
-    graph is acyclic and rooted at 0); expected depth is O(log n). Each
-    BFS round joins the (child, parent) edge relation against the
-    current frontier on the parent key and assigns depth+1; rounds are
-    ``localCheckpoint(eager=True)`` (NOTES trap 16). At 100 TB every
-    round is one hash join keyed by parent id — the Pregel message
-    shape — and the frontier never exceeds a level's width. A round cap
-    raises rather than returning a truncated traversal.
+    graph is acyclic and rooted at 0); expected depth is Θ(log n) but
+    the loop must tolerate any depth. Algorithm: POINTER DOUBLING
+    (path halving), not level-by-level frontier BFS — each round every
+    node's ancestor pointer jumps to its ancestor's ancestor and the
+    accumulated distance adds, so convergence takes ⌈log₂ depth⌉
+    rounds instead of depth rounds (round 3 measured the frontier
+    version at ~29 sequential rounds / 10 s at sf0.1; doubling runs
+    the same result in 5-6 rounds). Each round is ONE self-join of the
+    state relation keyed by ancestor id + a `localCheckpoint` (NOTES
+    trap 16). At 100 TB the trade is explicit: doubling does
+    O(n log d) join work in O(log d) driver-synchronized rounds, vs
+    the frontier's O(n) total work in O(d) rounds — round overhead
+    (scheduling, checkpoint barriers) dominates real clusters, so
+    log-rounds wins. A round cap raises rather than returning a
+    truncated traversal.
     """
     d = io.load_table_parallel(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("n")
     )
-    edges = d.filter(F.col("n") > 0).select(
+    # state: ancestor pointer + accumulated distance; the root points
+    # at itself with distance 0, so a converged pointer is a fixpoint
+    # of the doubling join (anc=0 joins the root row and gains +0).
+    state = d.select(
         "n",
-        (portable.lcg31(F.col("n")) % F.col("n")).alias("parent"),
+        F.when(F.col("n") > 0, portable.lcg31(F.col("n")) % F.col("n"))
+        .otherwise(F.lit(0))
+        .alias("anc"),
+        F.when(F.col("n") > 0, F.lit(1)).otherwise(F.lit(0))
+        .cast("long")
+        .alias("dist"),
     ).localCheckpoint(eager=True)
-    frontier = d.filter(F.col("n") == 0).select(
-        "n", F.lit(0).cast("long").alias("depth")
-    ).localCheckpoint(eager=True)
-    levels = [frontier]
     for _ in range(BFS_MAX_ROUNDS):
-        nxt = (
-            edges.join(
-                frontier.select(F.col("n").alias("parent"), "depth"), "parent"
+        hop = state.select(
+            F.col("n").alias("anc"),
+            F.col("anc").alias("anc2"),
+            F.col("dist").alias("d2"),
+        )
+        state = (
+            state.join(hop, "anc")
+            .select(
+                "n",
+                F.col("anc2").alias("anc"),
+                (F.col("dist") + F.col("d2")).alias("dist"),
             )
-            .select("n", (F.col("depth") + 1).alias("depth"))
             .localCheckpoint(eager=True)
         )
-        if nxt.isEmpty():
+        if state.filter(F.col("anc") != 0).isEmpty():
             break
-        levels.append(nxt)
-        frontier = nxt
     else:
-        raise RuntimeError(f"BFS exceeded {BFS_MAX_ROUNDS} rounds")
-    from functools import reduce
-
-    all_nodes = reduce(DataFrame.unionAll, levels)
+        raise RuntimeError(f"pointer doubling exceeded {BFS_MAX_ROUNDS} rounds")
     return (
-        all_nodes.groupBy("depth")
+        state.select("n", F.col("dist").alias("depth"))
+        .groupBy("depth")
         .agg(F.count(F.lit(1)).alias("n_nodes"), F.min("n").alias("min_node"))
         .orderBy("depth")
     )

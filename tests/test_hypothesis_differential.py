@@ -415,3 +415,150 @@ def test_winnow_guarantee_generative(spark, core, p1, p2, p3, p4):
     for r in fps:
         sets[r["doc_id"]].add(r["fp"])
     assert sets[0] & sets[1], (core, p1, p2, p3, p4)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-50, max_value=50),  # value (ties likely)
+            st.integers(min_value=0, max_value=9),  # weight incl. zero
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@SETTINGS
+def test_lower_weighted_median_crossing_matches(spark, pairs):
+    """agg_weighted_median's semantic core: the lower weighted median
+    (first value whose running weight reaches half the total, total
+    order (v, idx)) must agree between a Spark window, a DuckDB
+    window, and a pure-Python sweep — including zero weights and heavy
+    value ties."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    pdf = pd.DataFrame(
+        {
+            "v": pd.array([v for v, _ in pairs], dtype="int64"),
+            "w": pd.array([w for _, w in pairs], dtype="int64"),
+            "i": pd.array(range(len(pairs)), dtype="int64"),
+        }
+    )
+    tw = int(pdf["w"].sum())
+    if tw == 0:
+        return  # degenerate: no weight anywhere — median undefined
+    win = Window.orderBy("v", "i").rowsBetween(Window.unboundedPreceding, 0)
+    got = (
+        spark.createDataFrame(pdf)
+        .withColumn("cw", F.sum("w").over(win))
+        .filter(F.col("cw") * 2 >= tw)
+        .agg(F.min("v"))
+        .collect()[0][0]
+    )
+    want_duck = _duck(
+        pdf,
+        f"""SELECT min(v) FROM (
+              SELECT v, sum(w) OVER (ORDER BY v, i
+                                     ROWS UNBOUNDED PRECEDING) AS cw
+              FROM t) WHERE cw * 2 >= {tw}""",
+    )[0][0]
+    rows = sorted(zip(pdf["v"], pdf["i"], pdf["w"]))
+    cw = 0
+    want_py = None
+    for v, _, w in rows:
+        cw += w
+        if cw * 2 >= tw:
+            want_py = v
+            break
+    assert got == want_duck == want_py
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=10),
+    st.integers(min_value=1, max_value=8),
+)
+@SETTINGS
+def test_interval_union_sweep_matches(spark, starts, width):
+    """ts_interval_union_length's semantic core: merged-island count
+    and covered length of [s, s+width) intervals — running-max window
+    sweep in Spark vs a Python line sweep, with touching intervals
+    (s == prev end) merging in both (strict `>` starts a new island)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    pdf = pd.DataFrame({"s": pd.array(sorted(starts), dtype="int64")})
+    pdf["e"] = pdf["s"] + width
+    w = Window.orderBy("s", "e")
+    prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = (
+        spark.createDataFrame(pdf)
+        .withColumn(
+            "ni",
+            F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0),
+        )
+        .withColumn("isl", F.sum("ni").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    got = (
+        flagged.groupBy("isl")
+        .agg(F.min("s").alias("a"), F.max("e").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("b") - F.col("a")).alias("len"))
+        .collect()[0]
+    )
+    cur_s = cur_e = None
+    n = covered = 0
+    for s in sorted(starts):
+        if cur_e is None or s > cur_e:
+            if cur_e is not None:
+                covered += cur_e - cur_s
+            cur_s, cur_e = s, s + width
+            n += 1
+        else:
+            cur_e = max(cur_e, s + width)
+    covered += cur_e - cur_s
+    assert (got["n"], got["len"]) == (n, covered)
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=20), min_size=1, max_size=10),
+    st.lists(st.integers(min_value=0, max_value=20), min_size=1, max_size=10),
+)
+@SETTINGS
+def test_integer_ks_statistic_matches(spark, s1, s2):
+    """diag_ks_drift's semantic core: the integer KS numerator
+    max|cum₁·n₂ − cum₂·n₁| over pooled distinct values — Spark
+    grouped-cumulative form vs a Python bisect ECDF, with heavy
+    ties across and within samples."""
+    import bisect
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    n1, n2 = len(s1), len(s2)
+    pdf = pd.DataFrame(
+        {
+            "v": pd.array(s1 + s2, dtype="int64"),
+            "y": pd.array([1] * n1 + [2] * n2, dtype="int64"),
+        }
+    )
+    g = (
+        spark.createDataFrame(pdf)
+        .groupBy("v")
+        .agg(
+            F.count(F.when(F.col("y") == 1, 1)).alias("c1"),
+            F.count(F.when(F.col("y") == 2, 1)).alias("c2"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    got = (
+        g.select(
+            (F.sum("c1").over(w) * n2 - F.sum("c2").over(w) * n1).alias("d")
+        )
+        .agg(F.max(F.abs(F.col("d"))))
+        .collect()[0][0]
+    )
+    a, b = sorted(s1), sorted(s2)
+    want = max(
+        abs(bisect.bisect_right(a, v) * n2 - bisect.bisect_right(b, v) * n1)
+        for v in sorted(set(s1) | set(s2))
+    )
+    assert got == want
