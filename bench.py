@@ -314,15 +314,13 @@ def main() -> None:
     # full map.
     line_payload = dict(payload)
     line_payload["detail"] = "BENCH_FULL.json"
-    ranked = sorted(timings.items(), key=lambda kv: -kv[1])
     kept: dict[str, float] = {}
-    for name, secs in ranked:
+    line_payload["queries"] = kept  # alias: the loop mutates kept in place
+    for name, secs in sorted(timings.items(), key=lambda kv: -kv[1]):
         kept[name] = secs
-        line_payload["queries"] = kept
         if len(json.dumps(line_payload, separators=(",", ":"))) > 1700:
             del kept[name]
             break
-    line_payload["queries"] = kept
     line = json.dumps(line_payload, separators=(",", ":"))
     assert len(line) <= 1900, f"bench JSON line too long: {len(line)}"
     print(line)

@@ -863,11 +863,17 @@ def byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness recipe (the ``diag_cramers_v`` precedent): numpy computes
     each bin's −p·log₂(p) term in float64 from exact integer counts,
-    FLOORS each term to ppm, and sums the 16 resulting integers — the
-    oracle recomputes the identical per-bin integers from the source
-    text, so no cross-engine float-summation order exists. Same
-    mapInPandas Arrow shape as ``mm_byte_histogram``: one
-    ``np.frombuffer`` + ``bincount`` per row, zero per-byte Python.
+    FLOORS each term to ppm, and sums the 16 resulting integers — no
+    cross-engine float-SUMMATION order exists. Residual hazard, stated
+    honestly: log2 is transcendental (not correctly rounded like
+    +,·,/,√), so the recipe additionally assumes CPython's and the
+    oracle engine's libm agree — true here (same glibc; spot-verified
+    on ~19k (count, n) pairs), and a 1-ulp divergence on another
+    platform could flip a term sitting exactly on a ppm boundary. The
+    ``diag_benford_digit_audit`` pattern (precomputed shared literals)
+    is the escape hatch if that ever bites. Same mapInPandas Arrow
+    shape as ``mm_byte_histogram``: one ``np.frombuffer`` +
+    ``bincount`` per row, zero per-byte Python.
     """
     p = with_payload(spark, sf_dir).select("doc_id", "payload")
     schema = "doc_id BIGINT, n_bytes BIGINT, entropy_ppm BIGINT, high_entropy INT"

@@ -186,7 +186,7 @@ def partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
 
-    tag = "sf" + sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    tag = _sf_tag(sf_dir)
     stage = f"/tmp/sse_part_orders-{tag}"
     if not os.path.exists(os.path.join(stage, "_SUCCESS")):
         (
@@ -218,12 +218,20 @@ ORDER BY order_day
 """
 
 
+def _sf_tag(sf_dir: str) -> str:
+    """Filesystem tag for per-fixture /tmp staging dirs — ONE home for
+    the naming convention every staged layout artifact shares (six
+    call sites; a drifted copy would silently mix staged artifacts
+    across fixtures)."""
+    return "sf" + sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+
+
 FRAG_FILES = 64  # the planted small-file problem
 COMPACT_TARGET_BYTES = 4 * 1024 * 1024  # target file size after compaction
 
 
 def _compaction_dirs(sf_dir: str) -> tuple[str, str]:
-    tag = "sf" + sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    tag = _sf_tag(sf_dir)
     return f"/tmp/sse_frag_events-{tag}", f"/tmp/sse_compact_events-{tag}"
 
 
@@ -320,7 +328,7 @@ def dynamic_overwrite_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
 
-    tag = "sf" + sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    tag = _sf_tag(sf_dir)
     stage = f"/tmp/sse_dynpart_orders-{tag}"
     marker = os.path.join(stage, "_RERUN_DONE")
     om = F.date_format("o_orderdate", "yyyy-MM")
@@ -363,7 +371,7 @@ TT_MONTH = "1995-03"
 def timetravel_root(sf_dir: str) -> str:
     """Staging root for the time-travel sink — shared with the pytest
     gate so the operator and its test can't drift apart."""
-    tag = "sf" + sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    tag = _sf_tag(sf_dir)
     return f"/tmp/sse_timetravel-{tag}"
 
 
@@ -442,7 +450,7 @@ def codec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
 
-    tag = "sf" + sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    tag = _sf_tag(sf_dir)
     d = (
         io.load_table(spark, sf_dir, "documents")
         .orderBy("doc_id")
@@ -566,7 +574,7 @@ IVM_DELTA_MOD = 10  # orders with key % 10 == 0 play the CDC delta batch
 
 
 def _ivm_mv_dir(sf_dir: str) -> str:
-    tag = "sf" + sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    tag = _sf_tag(sf_dir)
     return f"/tmp/sse_ivm_mv-{tag}"
 
 

@@ -549,9 +549,12 @@ def ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("y") == KS_CUR_YEAR, 1)),
     ).first()
     if lo is None or n1 == 0 or n2 == 0:
+        # one-sided or empty input: KS is undefined — emit ZERO rows,
+        # matching the oracle's `WHERE n1 > 0 AND n2 > 0` guard (a
+        # fabricated row here would diverge from the SQL twin, and the
+        # main path's `div (n1·n2)` would throw under ANSI)
         return spark.createDataFrame(
-            [(int(n1 or 0), int(n2 or 0), 0, 0)],
-            "n1 BIGINT, n2 BIGINT, ks_num BIGINT, ks_d_bp BIGINT",
+            [], "n1 BIGINT, n2 BIGINT, ks_num BIGINT, ks_d_bp BIGINT"
         )
     span = max(hi - lo + 1, 1)
     g = (
@@ -623,7 +626,9 @@ SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
        CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS ks_num,
        CAST(max(abs(cum1 * n2 - cum2 * n1)) * 10000 // (n1 * n2) AS BIGINT)
          AS ks_d_bp
-FROM cum, n GROUP BY n1, n2
+FROM cum, n
+WHERE n1 > 0 AND n2 > 0
+GROUP BY n1, n2
 """
 
 

@@ -1517,3 +1517,36 @@ def test_ivm_delta_join_merge_equals_recompute(spark):
         .collect()
     )
     assert {r["seg"]: (r["n"], r["rev"]) for r in full} == got
+
+
+def test_ks_drift_one_sided_inputs_emit_zero_rows(spark, tmp_path):
+    """diag_ks_drift degenerate contract (review fix): when either
+    year's sample is empty, BOTH the Spark plan and the oracle emit
+    zero rows — a fabricated summary row on one side would break the
+    driver's hash compare."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from seamless_sharepoint_etl_spark.operators import quality
+
+    d = str(tmp_path)
+    t = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2], pa.int64()),
+            "o_custkey": pa.array([1, 1], pa.int64()),
+            "o_orderstatus": ["O", "F"],
+            "o_totalprice": [10.0, 20.0],
+            "o_orderdate": pa.array(
+                pd.to_datetime(["1995-01-01", "1995-06-01"]), pa.timestamp("ms")
+            ),
+            "o_orderpriority": ["1-URGENT", "1-URGENT"],
+        }
+    )
+    pq.write_table(t, f"{d}/orders.parquet")
+    assert quality.ks_drift(spark, d).count() == 0
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW orders AS SELECT * FROM '{d}/orders.parquet'")
+    assert len(con.sql(quality.KS_DRIFT_SQL).fetchall()) == 0
+    con.close()
