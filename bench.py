@@ -196,6 +196,7 @@ HEADLINE = [
     "graph_edge_support",
     "join_entity_resolution",
     "layout_ivm_delta_join",
+    "text_source_overlap",
 ]
 
 

@@ -1058,6 +1058,90 @@ ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# Cross-source shingle overlap (corpus-level contamination matrix)
+# ---------------------------------------------------------------------------
+
+
+def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair contamination matrix: distinct word-5-gram Jaccard
+    between every pair of SOURCES — the corpus-level dual of the
+    per-document dedup family (which crawl snapshots / dumps are
+    near-copies of each other decides what to drop wholesale before
+    any per-doc work).
+
+    Shape: rides the session shingle cache; (source, shingle) distinct
+    collapse, posting list per shingle over SOURCES (bounded by
+    |sources|, so the in-array pair explode is |sources|²-bounded per
+    key — no stop-shingle cap needed, unlike per-doc postings), one
+    pair hash-agg, broadcast per-source totals. All exchanges carry
+    8-byte shingle keys. Jaccard in integer bp (NOTES trap 1); hashed
+    shingles vs the oracle's string shingles share counts modulo the
+    standard ~|sh|²/2⁶⁴ collision risk the dedup family accepts.
+    """
+    sh = _hashed_shingles(spark, sf_dir)
+    src = io.load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    ss = sh.join(src, "doc_id").select("source", "h").distinct()
+    counts = ss.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    posting = (
+        ss.groupBy("h")
+        .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
+        .filter(F.size("srcs") >= 2)
+    )
+    pairs = posting.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(srcs, (x, i) ->"
+                " transform(slice(srcs, i + 2, size(srcs)),"
+                " y -> named_struct('a', x, 'b', y))))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    inter = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_shared"))
+    ca = counts.select(F.col("source").alias("a"), F.col("n").alias("n_a"))
+    cb = counts.select(F.col("source").alias("b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(ca), "a")
+        .join(F.broadcast(cb), "b")
+        .select(
+            F.col("a").alias("src_a"),
+            F.col("b").alias("src_b"),
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.expr("n_shared * 10000 div (n_a + n_b - n_shared)")
+            .cast("long")
+            .alias("jaccard_bp"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+SOURCE_OVERLAP_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+ss AS (
+  SELECT DISTINCT d.source, sh.shingle
+  FROM sh JOIN documents d USING (doc_id)
+),
+counts AS (SELECT source, count(*) AS n FROM ss GROUP BY source),
+inter AS (
+  SELECT x.source AS src_a, y.source AS src_b, count(*) AS n_shared
+  FROM ss x JOIN ss y ON x.shingle = y.shingle AND x.source < y.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b,
+       CAST(n_shared AS BIGINT) AS n_shared,
+       CAST(ca.n AS BIGINT) AS n_a,
+       CAST(cb.n AS BIGINT) AS n_b,
+       CAST(n_shared * 10000 // (ca.n + cb.n - n_shared) AS BIGINT)
+         AS jaccard_bp
+FROM inter
+JOIN counts ca ON ca.source = src_a
+JOIN counts cb ON cb.source = src_b
+ORDER BY src_a, src_b
+"""
+
+
 QUERIES = {
     "text_contamination_overlap": (contamination_overlap, CONTAMINATION_SQL),
     "text_unigram_logprob": (unigram_logprob, UNIGRAM_LOGPROB_SQL),
@@ -1075,4 +1159,5 @@ QUERIES = {
         source_boilerplate_prefix,
         SOURCE_BOILERPLATE_SQL,
     ),
+    "text_source_overlap": (source_overlap, SOURCE_OVERLAP_SQL),
 }

@@ -1550,3 +1550,30 @@ def test_ks_drift_one_sided_inputs_emit_zero_rows(spark, tmp_path):
     con.sql(f"CREATE VIEW orders AS SELECT * FROM '{d}/orders.parquet'")
     assert len(con.sql(quality.KS_DRIFT_SQL).fetchall()) == 0
     con.close()
+
+
+def test_source_overlap_symmetric_bounds(spark):
+    """text_source_overlap: Jaccard ∈ [0, 10000] bp, shared ≤ min(nₐ,
+    n_b), every pair ordered src_a < src_b exactly once, and totals
+    agree with the per-source distinct-shingle counts."""
+    from conftest import SF_DIR
+
+    from seamless_sharepoint_etl_spark.llm_ops import curation, dedup
+
+    rows = curation.source_overlap(spark, SF_DIR).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r["src_a"] < r["src_b"]
+        assert (r["src_a"], r["src_b"]) not in seen
+        seen.add((r["src_a"], r["src_b"]))
+        assert 0 < r["n_shared"] <= min(r["n_a"], r["n_b"])
+        assert 0 <= r["jaccard_bp"] <= 10000
+        assert r["jaccard_bp"] == r["n_shared"] * 10000 // (
+            r["n_a"] + r["n_b"] - r["n_shared"]
+        )
+    # n_a is consistent across every row mentioning that source
+    per_src = {}
+    for r in rows:
+        for s, n in ((r["src_a"], r["n_a"]), (r["src_b"], r["n_b"])):
+            assert per_src.setdefault(s, n) == n
