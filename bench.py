@@ -197,6 +197,8 @@ HEADLINE = [
     "join_entity_resolution",
     "layout_ivm_delta_join",
     "text_source_overlap",
+    "ts_bollinger_breakouts",
+    "ts_seasonal_residual_anomalies",
 ]
 
 

@@ -1744,6 +1744,180 @@ FROM per_anchor
 """
 
 
+# ---------------------------------------------------------------------------
+# Bollinger-band breakouts (rolling mean ± 2σ, integer-exact test)
+# ---------------------------------------------------------------------------
+
+BOLL_WINDOW = 7  # trailing days incl. current
+
+
+def bollinger_breakouts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days whose revenue breaks out of its trailing-{BOLL_WINDOW}-day
+    Bollinger band (mean ± 2σ) per event type — the volatility-scaled
+    breakout alert dashboards layer over any metered series.
+
+    The band test never computes σ: |x−µ| > 2σ is cross-multiplied to
+    (x·n − s)² > 4·(n·s₂ − s²) over the frame's exact integer sums
+    (x, s = Σcents, s₂ = Σcents² — per-row cent quantization first,
+    NOTES trap 1), so the flag set is bit-reproducible; the magnitudes
+    stay under BIGINT because the frame is {BOLL_WINDOW} days of cent
+    sums (squares ≤ ~5·10¹⁵ at 100× fixture scale — the docstring
+    contract a wider frame must re-check). One (type, day) rollup
+    shuffle; both window passes ride one type-keyed sort.
+    """
+    ev = io.load_table(spark, sf_dir, "events")
+    cents_row = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.sum(cents_row).alias("x")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-(BOLL_WINDOW - 1), 0)
+    )
+    framed = daily.select(
+        "event_type",
+        "d",
+        "x",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("s"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("s2"),
+    ).filter(F.col("n") == BOLL_WINDOW)
+    lhs = (F.col("x") * F.col("n") - F.col("s")) * (
+        F.col("x") * F.col("n") - F.col("s")
+    )
+    rhs = 4 * (F.col("n") * F.col("s2") - F.col("s") * F.col("s"))
+    return (
+        framed.filter(lhs > rhs)
+        .select(
+            "event_type",
+            "d",
+            F.col("x").alias("day_cents"),
+            F.expr("s div n").cast("long").alias("band_mean_cents"),
+            (lhs - rhs).cast("long").alias("breach_sq_margin"),
+        )
+        .orderBy("event_type", "d")
+    )
+
+
+BOLLINGER_SQL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+framed AS (
+  SELECT event_type, d, x,
+         count(*) OVER w AS n,
+         CAST(sum(x) OVER w AS BIGINT) AS s,
+         CAST(sum(x * x) OVER w AS BIGINT) AS s2
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN {BOLL_WINDOW - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, d, x AS day_cents,
+       s // n AS band_mean_cents,
+       CAST((x * n - s) * (x * n - s)
+            - 4 * (n * s2 - s * s) AS BIGINT) AS breach_sq_margin
+FROM framed
+WHERE n = {BOLL_WINDOW}
+  AND (x * n - s) * (x * n - s) > 4 * (n * s2 - s * s)
+ORDER BY event_type, d
+"""
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-residual anomalies (deseasonalize, then robust flag)
+# ---------------------------------------------------------------------------
+
+
+def seasonal_residual_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days anomalous AFTER removing day-of-week seasonality: residual
+    r = daily cents − the type's integer DOW mean (the
+    `ts_seasonal_decompose` profile), flagged when |r−µᵣ| > 2.5σᵣ —
+    the detector that stops Monday dips from paging as incidents,
+    which the raw-cohort `ts_daily_zscore_anomalies` cannot do.
+
+    Exactness: residuals and their Σr/Σr² are exact BIGINTs; the 2.5σ
+    test is cross-multiplied to 4·(r·n−Σr)² > 25·(n·Σr²−(Σr)²) and
+    evaluated in DOUBLE from those exact integers (products exceed
+    BIGINT at corpus scale; identical int→double conversions and IEEE
+    multiplies on both engines — the `diag_cramers_v` discipline).
+    Shape: one (type, day) rollup, one 7-row-per-type DOW rollup
+    broadcast back, one per-type stats rollup broadcast back — the
+    corpus reduces at the first aggregate.
+    """
+    ev = io.load_table(spark, sf_dir, "events")
+    cents_row = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.sum(cents_row).alias("x")
+    )
+    dowd = daily.groupBy(
+        "event_type", (F.expr("weekday(d)") + 1).alias("dow")
+    ).agg(
+        F.count(F.lit(1)).alias("nd"), F.sum("x").alias("sx")
+    ).select(
+        "event_type", "dow", F.expr("sx div nd").alias("dow_mean")
+    )
+    resid = daily.select(
+        "event_type", "d", (F.expr("weekday(d)") + 1).alias("dow"), "x"
+    ).join(F.broadcast(dowd), ["event_type", "dow"]).select(
+        "event_type", "d", "dow", "x", (F.col("x") - F.col("dow_mean")).alias("r")
+    )
+    stats = resid.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r").alias("sr"),
+        F.sum(F.col("r") * F.col("r")).alias("sr2"),
+    )
+    j = resid.join(F.broadcast(stats), "event_type")
+    dev = (F.col("r") * F.col("n") - F.col("sr")).cast("double")
+    spread = (
+        F.col("n") * F.col("sr2") - F.col("sr") * F.col("sr")
+    ).cast("double")
+    return (
+        j.filter(4 * dev * dev > 25 * spread)
+        .select(
+            "event_type",
+            "d",
+            F.col("dow").cast("long").alias("dow"),
+            F.col("x").alias("day_cents"),
+            F.col("r").cast("long").alias("residual_cents"),
+        )
+        .orderBy("event_type", "d")
+    )
+
+
+SEASONAL_RESIDUAL_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+dowd AS (
+  SELECT event_type, isodow(d) AS dow,
+         CAST(sum(x) AS BIGINT) // count(*) AS dow_mean
+  FROM daily GROUP BY event_type, isodow(d)
+),
+resid AS (
+  SELECT daily.event_type, d, isodow(d) AS dow, x, x - dow_mean AS r
+  FROM daily JOIN dowd
+    ON daily.event_type = dowd.event_type AND isodow(d) = dowd.dow
+),
+stats AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(r) AS BIGINT) AS sr,
+         CAST(sum(r * r) AS BIGINT) AS sr2
+  FROM resid GROUP BY event_type
+)
+SELECT resid.event_type, d, CAST(dow AS BIGINT) AS dow,
+       x AS day_cents, CAST(r AS BIGINT) AS residual_cents
+FROM resid JOIN stats ON resid.event_type = stats.event_type
+WHERE 4 * CAST(r * n - sr AS DOUBLE) * CAST(r * n - sr AS DOUBLE)
+      > 25 * CAST(n * sr2 - sr * sr AS DOUBLE)
+ORDER BY resid.event_type, d
+"""
+
+
 QUERIES = {
     "ts_resample_ffill": (resample_ffill, RESAMPLE_FFILL_SQL),
     "ts_mom_growth": (mom_growth, MOM_GROWTH_SQL),
@@ -1765,4 +1939,9 @@ QUERIES = {
     "ts_ohlc_resample": (ohlc_resample, OHLC_RESAMPLE_SQL),
     "ts_interval_union_length": (interval_union_length, INTERVAL_UNION_SQL),
     "ts_event_study": (event_study, EVENT_STUDY_SQL),
+    "ts_bollinger_breakouts": (bollinger_breakouts, BOLLINGER_SQL),
+    "ts_seasonal_residual_anomalies": (
+        seasonal_residual_anomalies,
+        SEASONAL_RESIDUAL_SQL,
+    ),
 }

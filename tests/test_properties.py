@@ -1577,3 +1577,84 @@ def test_source_overlap_symmetric_bounds(spark):
     for r in rows:
         for s, n in ((r["src_a"], r["n_a"]), (r["src_b"], r["n_b"])):
             assert per_src.setdefault(s, n) == n
+
+
+def _daily_cents(spark, sf):
+    from pyspark.sql import functions as F
+
+    from seamless_sharepoint_etl_spark import io
+
+    rows = (
+        io.load_table(spark, sf, "events")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).alias("x")
+        )
+        .collect()
+    )
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append((r["d"], r["x"]))
+    for v in by_type.values():
+        v.sort()
+    return by_type
+
+
+def test_bollinger_breakouts_match_python_sweep(spark):
+    """ts_bollinger_breakouts: the flagged set equals a pure-Python
+    trailing-window sweep with the identical integer test."""
+    from conftest import SF_DIR
+
+    from seamless_sharepoint_etl_spark.operators import timeseries as T
+
+    got = {
+        (r["event_type"], r["d"]): (r["day_cents"], r["band_mean_cents"])
+        for r in T.bollinger_breakouts(spark, SF_DIR).collect()
+    }
+    want = {}
+    W = T.BOLL_WINDOW
+    for t, series in _daily_cents(spark, SF_DIR).items():
+        xs = [x for _, x in series]
+        for i in range(W - 1, len(series)):
+            frame = xs[i - W + 1 : i + 1]
+            n, s, s2 = len(frame), sum(frame), sum(v * v for v in frame)
+            x = xs[i]
+            if (x * n - s) ** 2 > 4 * (n * s2 - s * s):
+                q = abs(s) // n
+                want[(t, series[i][0])] = (x, q if s >= 0 else -q)
+    assert got == want
+
+
+def test_seasonal_residual_anomalies_match_python(spark):
+    """ts_seasonal_residual_anomalies: flags equal a Python recompute
+    of the DOW-deseasonalized 2.5σ test (double-from-exact-ints, the
+    same arithmetic as both engines)."""
+    from conftest import SF_DIR
+
+    from seamless_sharepoint_etl_spark.operators import timeseries as T
+
+    got = {
+        (r["event_type"], r["d"]): r["residual_cents"]
+        for r in T.seasonal_residual_anomalies(spark, SF_DIR).collect()
+    }
+    want = {}
+    for t, series in _daily_cents(spark, SF_DIR).items():
+        by_dow = {}
+        for d, x in series:
+            by_dow.setdefault(d.isoweekday(), []).append(x)
+        dow_mean = {
+            k: (abs(sum(v)) // len(v) if sum(v) >= 0 else -(abs(sum(v)) // len(v)))
+            for k, v in by_dow.items()
+        }
+        rs = [(d, x, x - dow_mean[d.isoweekday()]) for d, x in series]
+        n = len(rs)
+        sr = sum(r for _, _, r in rs)
+        sr2 = sum(r * r for _, _, r in rs)
+        for d, x, r in rs:
+            if 4 * float(r * n - sr) * float(r * n - sr) > 25 * float(
+                n * sr2 - sr * sr
+            ):
+                want[(t, d)] = r
+    assert got == want
