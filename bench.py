@@ -199,6 +199,8 @@ HEADLINE = [
     "text_source_overlap",
     "ts_bollinger_breakouts",
     "ts_seasonal_residual_anomalies",
+    "win_time_to_convert",
+    "agg_brand_movers",
 ]
 
 

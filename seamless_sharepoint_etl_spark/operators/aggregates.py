@@ -1293,6 +1293,105 @@ FROM ranked
 """
 
 
+MOVERS_Y1, MOVERS_Y2 = 1995, 1996
+
+
+def brand_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period market movers: per part brand, shipped
+    revenue in {MOVERS_Y1} vs {MOVERS_Y2}, the delta, growth in bp,
+    and the RANK SHIFT between the two league tables — the "who's
+    gaining share" readout every commercial dashboard leads with.
+
+    Integer cents throughout; growth by truncating integer division
+    (trap 1). Ranks over the ≤|brands| rollup come from the triangular
+    strictly-before join (the house rule — even a 25-row global
+    ``row_number`` window would print the partitionless-WindowExec
+    warning a scale review greps for). One fact shuffle (brand-year
+    rollup after a broadcast part join); everything after is
+    brand-cardinality work.
+    """
+    li = io.load_table(spark, sf_dir, "lineitem")
+    p = io.load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    base = (
+        li.filter(F.year("l_shipdate").isin(MOVERS_Y1, MOVERS_Y2))
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("p_brand", F.year("l_shipdate").alias("y"), cents.alias("v"))
+    )
+    per = base.groupBy("p_brand").agg(
+        F.sum(F.when(F.col("y") == MOVERS_Y1, F.col("v")).otherwise(0)).alias(
+            "rev1"
+        ),
+        F.sum(F.when(F.col("y") == MOVERS_Y2, F.col("v")).otherwise(0)).alias(
+            "rev2"
+        ),
+    )
+
+    def _rank(df: DataFrame, col: str, out: str) -> DataFrame:
+        carried = list(df.columns)
+        prev = df.select(
+            F.col("p_brand").alias("pb"), F.col(col).alias("pv")
+        )
+        return (
+            df.join(
+                prev,
+                (F.col("pv") > F.col(col))
+                | ((F.col("pv") == F.col(col)) & (F.col("pb") < F.col("p_brand"))),
+                "left",
+            )
+            .groupBy(*carried)
+            .agg((F.count("pb") + 1).alias(out))
+        )
+
+    ranked = _rank(_rank(per, "rev1", "rank1"), "rev2", "rank2")
+    return ranked.select(
+        "p_brand",
+        F.col("rev1").cast("long").alias("rev1_cents"),
+        F.col("rev2").cast("long").alias("rev2_cents"),
+        (F.col("rev2") - F.col("rev1")).cast("long").alias("delta_cents"),
+        F.expr(
+            "CASE WHEN rev1 > 0 THEN (rev2 - rev1) * 10000 div rev1"
+            " ELSE CAST(NULL AS BIGINT) END"
+        ).alias("growth_bp"),
+        F.col("rank1").cast("long").alias("rank1"),
+        F.col("rank2").cast("long").alias("rank2"),
+        (F.col("rank1") - F.col("rank2")).cast("long").alias("rank_gain"),
+    ).orderBy("p_brand")
+
+
+BRAND_MOVERS_SQL = f"""
+WITH base AS (
+  SELECT p_brand, year(l_shipdate) AS y,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE year(l_shipdate) IN ({MOVERS_Y1}, {MOVERS_Y2})
+),
+per AS (
+  SELECT p_brand,
+         CAST(coalesce(sum(CASE WHEN y = {MOVERS_Y1} THEN v END), 0) AS BIGINT)
+           AS rev1,
+         CAST(coalesce(sum(CASE WHEN y = {MOVERS_Y2} THEN v END), 0) AS BIGINT)
+           AS rev2
+  FROM base GROUP BY p_brand
+),
+ranked AS (
+  SELECT p_brand, rev1, rev2,
+         row_number() OVER (ORDER BY rev1 DESC, p_brand) AS rank1,
+         row_number() OVER (ORDER BY rev2 DESC, p_brand) AS rank2
+  FROM per
+)
+SELECT p_brand, rev1 AS rev1_cents, rev2 AS rev2_cents,
+       rev2 - rev1 AS delta_cents,
+       CASE WHEN rev1 > 0 THEN (rev2 - rev1) * 10000 // rev1
+            ELSE NULL END AS growth_bp,
+       CAST(rank1 AS BIGINT) AS rank1,
+       CAST(rank2 AS BIGINT) AS rank2,
+       CAST(rank1 - rank2 AS BIGINT) AS rank_gain
+FROM ranked
+ORDER BY p_brand
+"""
+
+
 BOOT_B = 32  # bootstrap replicas
 
 
@@ -1619,4 +1718,5 @@ QUERIES = {
     "agg_winsorized_stats": (winsorized_stats, WINSORIZED_STATS_SQL),
     "agg_bootstrap_ci": (bootstrap_ci, BOOTSTRAP_CI_SQL),
     "agg_weighted_median": (weighted_median, WEIGHTED_MEDIAN_SQL),
+    "agg_brand_movers": (brand_movers, BRAND_MOVERS_SQL),
 }

@@ -991,6 +991,74 @@ LIMIT {PATH_TOP}
 """
 
 
+def time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution: hours from each user's FIRST
+    view to their first SUBSEQUENT purchase, histogrammed — the
+    time-to-convert readout growth teams track next to the funnel's
+    step counts (`win_funnel_conversion` says how many convert; this
+    says how long it takes).
+
+    Exact microsecond integers end-to-end: first-view and
+    first-purchase-after-view are conditional MIN aggregates over ONE
+    user-keyed rollup (no window, no self-join), latency buckets by
+    integer division. Users who never view or never purchase after
+    viewing fall out via the NULL-strict filter on both engines.
+    """
+    ev = io.load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id", "event_type", F.expr("ts_ns div 1000").alias("us")
+    )
+    per_user = base.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("us"))).alias("v0")
+    )
+    j = base.join(F.broadcast(per_user), "user_id")
+    conv = j.groupBy("user_id").agg(
+        F.max("v0").alias("v0"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("us") > F.col("v0")),
+                F.col("us"),
+            )
+        ).alias("p0"),
+    )
+    lat = conv.filter(
+        F.col("v0").isNotNull() & F.col("p0").isNotNull()
+    ).select(
+        F.expr("(p0 - v0) div 3600000000").cast("long").alias("ttc_hours")
+    )
+    return (
+        lat.groupBy("ttc_hours")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("ttc_hours")
+    )
+
+
+TIME_TO_CONVERT_SQL = """
+WITH base AS (
+  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events
+),
+v AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN us END) AS v0
+  FROM base GROUP BY user_id
+),
+conv AS (
+  SELECT base.user_id,
+         max(v0) AS v0,
+         min(CASE WHEN event_type = 'purchase' AND us > v0 THEN us END) AS p0
+  FROM base JOIN v ON base.user_id = v.user_id
+  GROUP BY base.user_id
+)
+SELECT CAST((p0 - v0) // 3600000000 AS BIGINT) AS ttc_hours,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM conv
+WHERE v0 IS NOT NULL AND p0 IS NOT NULL
+GROUP BY ttc_hours
+ORDER BY ttc_hours
+"""
+
+
 QUERIES = {
     "win_attribution_linear": (attribution_linear, ATTRIBUTION_LINEAR_SQL),
     "win_pareto_abc": (pareto_abc, PARETO_ABC_SQL),
@@ -1012,4 +1080,5 @@ QUERIES = {
     ),
     "win_moving_median": (moving_median, MOVING_MEDIAN_SQL),
     "win_pattern_consecutive": (pattern_consecutive, PATTERN_CONSECUTIVE_SQL),
+    "win_time_to_convert": (time_to_convert, TIME_TO_CONVERT_SQL),
 }

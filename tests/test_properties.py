@@ -1658,3 +1658,64 @@ def test_seasonal_residual_anomalies_match_python(spark):
             ):
                 want[(t, d)] = r
     assert got == want
+
+
+def test_time_to_convert_histogram_matches_python(spark):
+    """win_time_to_convert: the latency histogram equals a pure-Python
+    first-view → first-later-purchase sweep; buckets non-negative."""
+    from conftest import SF_DIR
+
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from seamless_sharepoint_etl_spark import io
+    from seamless_sharepoint_etl_spark.operators import windows as W
+
+    got = {
+        r["ttc_hours"]: r["n_users"]
+        for r in W.time_to_convert(spark, SF_DIR).collect()
+    }
+    ev = (
+        io.load_table(spark, SF_DIR, "events")
+        .select("user_id", "event_type", F.expr("ts_ns div 1000").alias("us"))
+        .collect()
+    )
+    by_user = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append((r["event_type"], r["us"]))
+    want = Counter()
+    for evs in by_user.values():
+        views = [us for t, us in evs if t == "view"]
+        if not views:
+            continue
+        v0 = min(views)
+        purch = [us for t, us in evs if t == "purchase" and us > v0]
+        if not purch:
+            continue
+        want[(min(purch) - v0) // 3_600_000_000] += 1
+    assert got == dict(want)
+    assert all(k >= 0 for k in got)
+
+
+def test_brand_movers_ranks_are_permutations(spark):
+    """agg_brand_movers: both rank columns are 1..n permutations
+    consistent with revenue order, and delta/growth arithmetic holds."""
+    from conftest import SF_DIR
+
+    from seamless_sharepoint_etl_spark.operators import aggregates as A
+
+    rows = A.brand_movers(spark, SF_DIR).collect()
+    n = len(rows)
+    assert sorted(r["rank1"] for r in rows) == list(range(1, n + 1))
+    assert sorted(r["rank2"] for r in rows) == list(range(1, n + 1))
+    by_rank1 = sorted(rows, key=lambda r: r["rank1"])
+    assert [r["rev1_cents"] for r in by_rank1] == sorted(
+        (r["rev1_cents"] for r in rows), reverse=True
+    )
+    for r in rows:
+        assert r["delta_cents"] == r["rev2_cents"] - r["rev1_cents"]
+        assert r["rank_gain"] == r["rank1"] - r["rank2"]
+        if r["rev1_cents"] > 0:
+            q = abs(r["delta_cents"]) * 10000 // r["rev1_cents"]
+            assert r["growth_bp"] == (q if r["delta_cents"] >= 0 else -q)
