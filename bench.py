@@ -201,6 +201,10 @@ HEADLINE = [
     "ts_seasonal_residual_anomalies",
     "win_time_to_convert",
     "agg_brand_movers",
+    "graph_pagerank_exact",
+    "dedup_minhash_estimate",
+    "agg_target_encoding",
+    "diag_l_diversity",
 ]
 
 

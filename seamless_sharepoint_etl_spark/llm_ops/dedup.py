@@ -943,6 +943,182 @@ def cc_twophase(
 
 
 
+# ---------------------------------------------------------------------------
+# Exactly-oracled MinHash Jaccard estimator
+# ---------------------------------------------------------------------------
+
+# Portable MinHash family: shingles hash with the polynomial-31 char
+# fold (the CMS/winnow arithmetic both engines reproduce bit-for-bit),
+# then K affine "permutations" (a·h + b) mod P with P prime and a < P,
+# which are BIJECTIONS on [0, P) — so equal signature components imply
+# an actual shared shingle hash, and the whole estimator is
+# deterministic integer arithmetic on BOTH engines.
+MH_EST_P = 1_000_000_007
+MH_EST_SEEDS = [
+    (31, 7), (131, 89), (313, 211), (1009, 499),
+    (2003, 701), (3001, 997), (4001, 1201), (5003, 1499),
+    (6007, 1801), (7001, 2099), (8009, 2399), (9001, 2699),
+    (10007, 2999), (11003, 3299), (12007, 3593), (13001, 3889),
+]
+MH_EST_MIN_MATCH = 8  # ≥ half the components agree → estimate ≥ 0.5
+
+_MH_HASH_SPARK = (
+    "aggregate(transform(split(shingle, ''), c -> ascii(c)), 0L,"
+    f" (acc, x) -> (acc * 31 + x) % {MH_EST_P})"
+)
+_MH_HASH_DUCK = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+    " list_transform(string_split(shingle, ''), c -> CAST(ascii(c) AS BIGINT))),"
+    f" (acc, x) -> (acc * 31 + x) % {MH_EST_P})"
+)
+
+
+def minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash Jaccard ESTIMATES next to the exact Jaccard they
+    estimate — the sketch-accuracy audit of the dedup pipeline, and the
+    exactly-SQL-oracled sibling of the rows-only ``dedup_minhash_lsh``
+    (whose xxhash64 family DuckDB cannot replay; this one's portable
+    polynomial family it can).
+
+    For every pair agreeing on ≥ {MH_EST_MIN_MATCH} of {K} signature
+    components, emit the component-agreement estimate and the exact
+    shingle Jaccard, both in integer basis points. Because each affine
+    map is a bijection on [0, P), agreeing components imply a genuinely
+    shared shingle, so every emitted pair has n_inter ≥ 1 and both
+    engines produce the identical pair set.
+
+    Scale shape: signatures are ONE map-side-combining groupBy over the
+    (doc, shingle-hash) relation (the shuffle carries 16 longs per doc
+    per partition); candidate pairs come from a component-keyed
+    self-join of the K·|docs| signature-component relation (the LSH
+    banding shape with band size 1); the exact-verify pass joins
+    postings restricted to candidate docs only — the
+    ``minhash_lsh_pairs`` verify plan. Nothing touches non-candidate
+    documents.
+    """
+    sh = _shingles_df(spark, sf_dir).select(
+        "doc_id", F.expr(_MH_HASH_SPARK).alias("ph")
+    )
+    psh = sh.distinct()
+    K = len(MH_EST_SEEDS)
+    mins = [
+        F.min((F.col("ph") * F.lit(a) + F.lit(b)) % F.lit(MH_EST_P)).alias(f"s{k}")
+        for k, (a, b) in enumerate(MH_EST_SEEDS)
+    ]
+    sig = psh.groupBy("doc_id").agg(*mins)
+    comp = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(k).alias("k"), F.col(f"s{k}").alias("sv"))
+                    for k in range(K)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "c.k", "c.sv")
+    ca, cb = comp.alias("ca"), comp.alias("cb")
+    pairs = (
+        ca.join(
+            cb,
+            (F.col("ca.k") == F.col("cb.k"))
+            & (F.col("ca.sv") == F.col("cb.sv"))
+            & (F.col("ca.doc_id") < F.col("cb.doc_id")),
+        )
+        .groupBy(
+            F.col("ca.doc_id").alias("doc_lo"), F.col("cb.doc_id").alias("doc_hi")
+        )
+        .agg(F.count(F.lit(1)).alias("match_k"))
+        .filter(F.col("match_k") >= MH_EST_MIN_MATCH)
+        .persist()  # referenced 3× below (two doc filters + the final join)
+    )
+    sizes = psh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    lo_sh = psh.join(
+        F.broadcast(pairs.select(F.col("doc_lo").alias("doc_id")).distinct()),
+        "doc_id",
+        "left_semi",
+    ).select(F.col("doc_id").alias("doc_lo"), "ph")
+    hi_sh = psh.join(
+        F.broadcast(pairs.select(F.col("doc_hi").alias("doc_id")).distinct()),
+        "doc_id",
+        "left_semi",
+    ).select(F.col("doc_id").alias("doc_hi"), "ph")
+    inter = (
+        lo_sh.join(hi_sh, "ph")
+        .join(F.broadcast(pairs), ["doc_lo", "doc_hi"])
+        .groupBy("doc_lo", "doc_hi", "match_k")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sz_lo = sizes.select(F.col("doc_id").alias("doc_lo"), F.col("n_sh").alias("n_lo"))
+    sz_hi = sizes.select(F.col("doc_id").alias("doc_hi"), F.col("n_sh").alias("n_hi"))
+    return (
+        inter.join(F.broadcast(sz_lo), "doc_lo")
+        .join(F.broadcast(sz_hi), "doc_hi")
+        .select(
+            "doc_lo",
+            "doc_hi",
+            F.col("match_k").cast("long").alias("match_k"),
+            F.expr(f"match_k * 10000 div {K}").cast("long").alias("est_bp"),
+            F.expr("n_inter * 10000 div (n_lo + n_hi - n_inter)")
+            .cast("long")
+            .alias("jaccard_bp"),
+            F.expr(
+                f"abs(match_k * 10000 div {K}"
+                " - n_inter * 10000 div (n_lo + n_hi - n_inter))"
+            )
+            .cast("long")
+            .alias("err_bp"),
+        )
+        .orderBy("doc_lo", "doc_hi")
+    )
+
+
+def _minhash_estimate_sql() -> str:
+    K = len(MH_EST_SEEDS)
+    seed_rows = ", ".join(
+        f"({k}, {a}, {b})" for k, (a, b) in enumerate(MH_EST_SEEDS)
+    )
+    return f"""
+WITH sh AS ({_SHINGLES_SQL}),
+psh AS (SELECT DISTINCT doc_id, {_MH_HASH_DUCK} AS ph FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM psh GROUP BY doc_id),
+comp AS (
+  SELECT doc_id, k, min((ph * a + b) % {MH_EST_P}) AS sv
+  FROM psh CROSS JOIN (VALUES {seed_rows}) AS seeds(k, a, b)
+  GROUP BY doc_id, k
+),
+pairs AS (
+  SELECT ca.doc_id AS doc_lo, cb.doc_id AS doc_hi, count(*) AS match_k
+  FROM comp ca JOIN comp cb
+    ON ca.k = cb.k AND ca.sv = cb.sv AND ca.doc_id < cb.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) >= {MH_EST_MIN_MATCH}
+),
+inter AS (
+  SELECT p.doc_lo, p.doc_hi, p.match_k, count(*) AS n_inter
+  FROM pairs p
+  JOIN psh x ON x.doc_id = p.doc_lo
+  JOIN psh y ON y.doc_id = p.doc_hi AND y.ph = x.ph
+  GROUP BY 1, 2, 3
+)
+SELECT i.doc_lo, i.doc_hi,
+       CAST(i.match_k AS BIGINT) AS match_k,
+       CAST(i.match_k * 10000 // {K} AS BIGINT) AS est_bp,
+       CAST(i.n_inter * 10000 // (sa.n_sh + sb.n_sh - i.n_inter) AS BIGINT)
+         AS jaccard_bp,
+       CAST(abs(i.match_k * 10000 // {K}
+                - i.n_inter * 10000 // (sa.n_sh + sb.n_sh - i.n_inter))
+            AS BIGINT) AS err_bp
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_lo
+JOIN sizes sb ON sb.doc_id = i.doc_hi
+ORDER BY i.doc_lo, i.doc_hi
+"""
+
+
+MINHASH_ESTIMATE_SQL = _minhash_estimate_sql()
+
+
 QUERIES = {
     "dedup_exact_normalized": (exact_dedup, EXACT_DEDUP_SQL),
     "dedup_ngram_jaccard": (ngram_jaccard_pairs, NGRAM_JACCARD_SQL),
@@ -956,4 +1132,5 @@ QUERIES = {
     "dedup_neardup_pagerank": (neardup_pagerank, None),
     "dedup_containment": (containment_pairs, CONTAINMENT_SQL),
     "dedup_bloom_incremental": (bloom_incremental_dedup, BLOOM_INCREMENTAL_SQL),
+    "dedup_minhash_estimate": (minhash_estimate, MINHASH_ESTIMATE_SQL),
 }

@@ -704,6 +704,94 @@ ORDER BY support
 """
 
 
+# ---------------------------------------------------------------------------
+# Exactly-oracled PageRank (fixed-iteration, integer ppm)
+# ---------------------------------------------------------------------------
+
+PR_ITERS = 4
+PR_TOP = 25
+_PR_BASE = 150_000  # (1 − d) · 10⁶ with d = 0.85
+_PR_DAMP = 85  # d numerator (denominator 100 folded into the div)
+
+
+def pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the (undirected) near-dup graph in
+    EXACT integer parts-per-million — the exactly-SQL-oracled sibling of
+    the rows-only ``dedup_neardup_pagerank`` fixpoint (which converges
+    in floats and can only be property-gated). Pinning the iteration
+    count and doing every transfer as BIGINT arithmetic
+    (rᵗ⁺¹(v) = {_PR_BASE} + Σ_neighbors (rᵗ(u)·{_PR_DAMP}) div (100·deg(u)))
+    makes the result bit-reproducible, so DuckDB replays the same four
+    rounds as chained CTEs and the driver hash-matches it — the
+    ``graph_bfs_depth`` / ``join_entity_resolution`` precedent extended
+    to a NUMERIC iterative algorithm.
+
+    Scale shape: each round is one vertex-keyed equi-join (ranks onto
+    the edge list) + one vertex-keyed hash aggregate — the textbook
+    distributed-PageRank plan. The edge relation is persisted once (the
+    graph-family policy); ranks are O(vertices) rows of three BIGINTs.
+    Four unrolled rounds keep the lineage shallow enough that no
+    checkpoint is needed (the 40-round float fixpoint in dedup.py is
+    where localCheckpoint becomes mandatory — NOTES trap 16).
+    """
+    e = _edges(spark, sf_dir)
+    e.persist()
+    bidir = e.select(
+        F.col("id_lo").alias("src"), F.col("id_hi").alias("dst")
+    ).unionAll(e.select(F.col("id_hi").alias("src"), F.col("id_lo").alias("dst")))
+    deg = bidir.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).select(
+        F.col("src").alias("v"), "deg"
+    )
+    rel = deg.select("v", "deg", F.lit(1_000_000).cast("long").alias("r"))
+    for _ in range(PR_ITERS):
+        contrib = bidir.join(rel, bidir.src == rel.v).select(
+            F.col("dst").alias("v"),
+            F.expr(f"(r * {_PR_DAMP}) div (100 * deg)").alias("c"),
+        )
+        inflow = contrib.groupBy("v").agg(F.sum("c").alias("cin"))
+        rel = deg.join(inflow, "v", "left").select(
+            "v",
+            "deg",
+            (F.lit(_PR_BASE) + F.coalesce("cin", F.lit(0))).cast("long").alias("r"),
+        )
+    return (
+        rel.select("v", F.col("r").alias("pagerank_ppm"))
+        .orderBy(F.desc("pagerank_ppm"), "v")
+        .limit(PR_TOP)
+    )
+
+
+def _pagerank_sql() -> str:
+    rounds = []
+    for i in range(PR_ITERS):
+        rounds.append(
+            f"""r{i + 1} AS (
+  SELECT d.v, d.deg,
+         CAST({_PR_BASE} + coalesce(sum((p.r * {_PR_DAMP}) // (100 * p.deg)), 0)
+              AS BIGINT) AS r
+  FROM deg d
+  LEFT JOIN bidir b ON b.dst = d.v
+  LEFT JOIN r{i} p ON p.v = b.src
+  GROUP BY d.v, d.deg
+)"""
+        )
+    return f"""
+WITH edges AS (SELECT id_lo, id_hi FROM ({EMBEDDING_NEARDUP_SQL})),
+bidir AS (SELECT id_lo AS src, id_hi AS dst FROM edges
+          UNION ALL SELECT id_hi, id_lo FROM edges),
+deg AS (SELECT src AS v, count(*) AS deg FROM bidir GROUP BY src),
+r0 AS (SELECT v, deg, CAST(1000000 AS BIGINT) AS r FROM deg),
+{", ".join(rounds)}
+SELECT v, r AS pagerank_ppm
+FROM r{PR_ITERS}
+ORDER BY pagerank_ppm DESC, v
+LIMIT {PR_TOP}
+"""
+
+
+PAGERANK_EXACT_SQL = _pagerank_sql()
+
+
 QUERIES = {
     "graph_triangle_stats": (triangle_stats, TRIANGLE_STATS_SQL),
     "graph_degree_histogram": (degree_histogram, DEGREE_HISTOGRAM_SQL),
@@ -714,4 +802,5 @@ QUERIES = {
     "graph_degree_assortativity": (degree_assortativity, DEGREE_ASSORTATIVITY_SQL),
     "graph_local_clustering": (local_clustering, LOCAL_CLUSTERING_SQL),
     "graph_edge_support": (edge_support_histogram, EDGE_SUPPORT_SQL),
+    "graph_pagerank_exact": (pagerank_exact, PAGERANK_EXACT_SQL),
 }

@@ -1795,6 +1795,78 @@ ORDER BY seg
 """
 
 
+def target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of the customer market segment
+    against order value — the feature-engineering primitive a training
+    pipeline uses to turn a categorical column into a numeric feature
+    WITHOUT leaking each row's own label into its feature:
+    enc(row) = mean(target of the segment's OTHER rows)
+             = (Σ_segment − x) / (n_segment − 1).
+
+    Exact integers end-to-end: targets are cent-quantized, the encoding
+    is reported in centi-cents via one BIGINT division
+    (100·(Σ − x)) div (n − 1) — no engine mean() ever runs (NOTES
+    trap 1), and a single-member segment encodes NULL rather than a
+    fabricated prior.
+
+    Scale shape: one broadcast dim join (orders ⋈ customer — at 100 TB
+    AQE picks shuffle-hash if the dim outgrows the broadcast cap), one
+    map-side-combined 5-row segment rollup broadcast back onto the fact
+    rows, zero windows. The per-row output IS the training feature
+    column, so result size = fact size by design.
+    """
+    o = io.load_table(spark, sf_dir, "orders")
+    c = io.load_table(spark, sf_dir, "customer")
+    rows = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        o.o_custkey == c.c_custkey,
+    ).select(
+        "o_orderkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("price_cents"),
+    )
+    seg = rows.groupBy("segment").agg(
+        F.sum("price_cents").alias("seg_sum"),
+        F.count(F.lit(1)).alias("seg_n"),
+    )
+    return (
+        rows.join(F.broadcast(seg), "segment")
+        .select(
+            "o_orderkey",
+            "segment",
+            "price_cents",
+            F.when(
+                F.col("seg_n") > 1,
+                F.expr("(100 * (seg_sum - price_cents)) div (seg_n - 1)"),
+            )
+            .cast("long")
+            .alias("loo_enc_cc"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+TARGET_ENCODING_SQL = """
+WITH rows_ AS (
+  SELECT o_orderkey, c_mktsegment AS segment,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+seg AS (
+  SELECT segment, sum(price_cents) AS seg_sum, count(*) AS seg_n
+  FROM rows_ GROUP BY segment
+)
+SELECT o_orderkey, r.segment, price_cents,
+       CASE WHEN seg_n > 1
+            THEN CAST((100 * (seg_sum - price_cents)) // (seg_n - 1) AS BIGINT)
+            END AS loo_enc_cc
+FROM rows_ r JOIN seg ON r.segment = seg.segment
+ORDER BY o_orderkey
+"""
+
+
 QUERIES = {
     "agg_pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
     "agg_multikey_distinct": (multikey_distinct, MULTIKEY_DISTINCT_SQL),
@@ -1827,4 +1899,5 @@ QUERIES = {
     "agg_bootstrap_ci": (bootstrap_ci, BOOTSTRAP_CI_SQL),
     "agg_weighted_median": (weighted_median, WEIGHTED_MEDIAN_SQL),
     "agg_brand_movers": (brand_movers, BRAND_MOVERS_SQL),
+    "agg_target_encoding": (target_encoding, TARGET_ENCODING_SQL),
 }

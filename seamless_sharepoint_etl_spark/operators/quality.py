@@ -809,6 +809,72 @@ FUNCTIONAL_DEPS_SQL = (
 )
 
 
+L_DIV_L = 3  # distinct-sensitive-values bar per QI group
+
+
+def l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit of the customer table — the companion gate to
+    ``diag_k_anonymity``: a QI group can be large (k-anonymous) yet
+    still leak if every member shares the SAME sensitive value, so the
+    release bar is the number of DISTINCT sensitive values per QI
+    group. QI = (nation, balance kilobucket) — the k-anonymity QI minus
+    the audited column — and the sensitive attribute is the market
+    segment (the column a re-identification would reveal).
+
+    Output: achieved l (min distinct sensitive per group), group
+    count, and how many groups / rows sit below l = {L_DIV_L}.
+
+    Scale: one QI×sensitive pre-collapse (map-side combined), one QI
+    rollup of the collapsed relation, one single-row summary — the
+    count-distinct never expands values because the pre-collapse makes
+    it a plain count. Same two-shuffle shape as k_anonymity.
+    """
+    c = io.load_table(spark, sf_dir, "customer")
+    qi_sens = (
+        c.select(
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_kb"),
+            "c_mktsegment",
+        )
+        .groupBy("c_nationkey", "bal_kb", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    groups = qi_sens.groupBy("c_nationkey", "bal_kb").agg(
+        F.count(F.lit(1)).alias("l_val"), F.sum("n").alias("gsz")
+    )
+    return groups.agg(
+        F.sum("gsz").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("l_val").cast("long").alias("l_diversity"),
+        F.count(F.when(F.col("l_val") < L_DIV_L, 1)).cast("long").alias(
+            "n_groups_below_l"
+        ),
+        F.sum(F.when(F.col("l_val") < L_DIV_L, F.col("gsz")).otherwise(0))
+        .cast("long")
+        .alias("n_rows_below_l"),
+    )
+
+
+L_DIVERSITY_SQL = f"""
+WITH qs AS (
+  SELECT c_nationkey, CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_kb,
+         c_mktsegment, count(*) AS n
+  FROM customer GROUP BY 1, 2, 3
+),
+g AS (
+  SELECT c_nationkey, bal_kb, count(*) AS l_val, sum(n) AS gsz
+  FROM qs GROUP BY 1, 2
+)
+SELECT CAST(sum(gsz) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(min(l_val) AS BIGINT) AS l_diversity,
+       CAST(count(*) FILTER (l_val < {L_DIV_L}) AS BIGINT) AS n_groups_below_l,
+       CAST(coalesce(sum(gsz) FILTER (l_val < {L_DIV_L}), 0) AS BIGINT)
+         AS n_rows_below_l
+FROM g
+"""
+
+
 QUERIES = {
     "diag_referential_integrity": (
         referential_integrity,
@@ -823,4 +889,5 @@ QUERIES = {
     "diag_cramers_v": (cramers_v, CRAMERS_V_SQL),
     "diag_functional_deps": (functional_deps, FUNCTIONAL_DEPS_SQL),
     "diag_duplicate_rows": (duplicate_rows, DUPLICATE_ROWS_SQL),
+    "diag_l_diversity": (l_diversity, L_DIVERSITY_SQL),
 }

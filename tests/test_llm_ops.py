@@ -1260,3 +1260,64 @@ def test_winnow_crossdoc_pairs_and_posting_cap(spark, tmp_path):
         }
     ).to_parquet(os.path.join(d2, "documents.parquet"))
     assert scoring.winnow_crossdoc(spark, d2).count() == 0
+
+
+def test_pagerank_exact_matches_python_rounds(spark):
+    """graph_pagerank_exact: the fixed-iteration integer recurrence is
+    bit-reproducible, so an independent sequential Python replay of the
+    same four rounds must agree EXACTLY on every returned rank — the
+    kcore/bfs re-computation precedent for a numeric iterative op."""
+    from collections import defaultdict
+
+    from seamless_sharepoint_etl_spark.llm_ops import graph
+
+    edges = [
+        (r["id_lo"], r["id_hi"]) for r in graph._edges(spark, SF_DIR).collect()
+    ]
+    adj = defaultdict(list)
+    for a, b in edges:
+        adj[a].append(b)
+        adj[b].append(a)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    r = {v: 1_000_000 for v in adj}
+    for _ in range(graph.PR_ITERS):
+        nxt = {}
+        for v in adj:
+            inflow = sum((r[u] * graph._PR_DAMP) // (100 * deg[u]) for u in adj[v])
+            nxt[v] = graph._PR_BASE + inflow
+        r = nxt
+    expect = sorted(r.items(), key=lambda kv: (-kv[1], kv[0]))[: graph.PR_TOP]
+    got = [
+        (row["v"], row["pagerank_ppm"])
+        for row in graph.pagerank_exact(spark, SF_DIR).collect()
+    ]
+    assert got == expect
+
+
+def test_minhash_estimate_covers_exact_pairs_and_is_sound(spark):
+    """dedup_minhash_estimate: (a) every exact near-dup pair
+    (Jaccard >= 0.8 from dedup_ngram_jaccard) must be recalled by the
+    half-signature agreement gate on this fixture; (b) every emitted
+    pair must have a genuinely shared shingle (jaccard_bp > 0 — the
+    affine-bijection guarantee); (c) the estimate must be within the
+    K=16 binomial envelope of the exact value for recalled exact
+    pairs (|err| <= 4/16 of scale)."""
+    from seamless_sharepoint_etl_spark.llm_ops import dedup
+
+    est = {
+        (r["doc_lo"], r["doc_hi"]): r
+        for r in dedup.minhash_estimate(spark, SF_DIR).collect()
+    }
+    assert est, "fixture must produce candidate pairs"
+    exact = {
+        (r["doc_lo"], r["doc_hi"])
+        for r in dedup.ngram_jaccard_pairs(spark, SF_DIR).collect()
+    }
+    assert exact, "fixture must contain exact near-dup pairs"
+    missed = exact - set(est)
+    assert not missed, f"exact pairs missed by the estimator: {missed}"
+    for key, r in est.items():
+        assert r["jaccard_bp"] > 0, f"{key} emitted without a shared shingle"
+        assert 0 <= r["est_bp"] <= 10000
+    for key in exact:
+        assert est[key]["err_bp"] <= 2500, (key, est[key]["err_bp"])

@@ -1719,3 +1719,42 @@ def test_brand_movers_ranks_are_permutations(spark):
         if r["rev1_cents"] > 0:
             q = abs(r["delta_cents"]) * 10000 // r["rev1_cents"]
             assert r["growth_bp"] == (q if r["delta_cents"] >= 0 else -q)
+
+
+def test_l_diversity_consistent_with_k_anonymity(spark):
+    """diag_l_diversity: counters cohere with the sibling audit — the
+    customer row total matches diag_k_anonymity's, l is between 1 and
+    the number of market segments, and below-l tallies are bounded by
+    the group count / row total."""
+    from seamless_sharepoint_etl_spark.operators import quality
+
+    ld = quality.l_diversity(spark, SF).collect()[0]
+    ka = quality.k_anonymity(spark, SF).collect()[0]
+    assert ld["n_rows"] == ka["n_rows"]
+    assert 1 <= ld["l_diversity"] <= 5
+    assert 0 <= ld["n_groups_below_l"] <= ld["n_groups"]
+    assert 0 <= ld["n_rows_below_l"] <= ld["n_rows"]
+    # coarser QI (one column fewer) can only merge groups
+    assert ld["n_groups"] <= ka["n_groups"]
+
+
+def test_target_encoding_loo_identity(spark):
+    """agg_target_encoding: replaying the leave-one-out definition on
+    the collected rows must reproduce every encoding exactly — and no
+    row's feature may depend on its own target (shifting one row's
+    price changes that row's target but not its own encoding formula
+    applied to the others' sum)."""
+    from collections import defaultdict
+
+    from seamless_sharepoint_etl_spark.operators import aggregates
+
+    rows = aggregates.target_encoding(spark, SF).collect()
+    seg_sum = defaultdict(int)
+    seg_n = defaultdict(int)
+    for r in rows:
+        seg_sum[r["segment"]] += r["price_cents"]
+        seg_n[r["segment"]] += 1
+    for r in rows:
+        s, n = seg_sum[r["segment"]], seg_n[r["segment"]]
+        expect = (100 * (s - r["price_cents"])) // (n - 1) if n > 1 else None
+        assert r["loo_enc_cc"] == expect
