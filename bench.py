@@ -205,6 +205,8 @@ HEADLINE = [
     "dedup_minhash_estimate",
     "agg_target_encoding",
     "diag_l_diversity",
+    "ts_purged_walkforward_split",
+    "diag_mutual_information",
 ]
 
 

@@ -999,7 +999,10 @@ def minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingles_df(spark, sf_dir).select(
         "doc_id", F.expr(_MH_HASH_SPARK).alias("ph")
     )
-    psh = sh.distinct()
+    # persisted: referenced by the signature pass AND the exact-verify
+    # pass — without it the interpreted polynomial char fold runs twice
+    # over the corpus (plan-unique projection, so trap 21 cannot bite)
+    psh = sh.distinct().persist()
     K = len(MH_EST_SEEDS)
     mins = [
         F.min((F.col("ph") * F.lit(a) + F.lit(b)) % F.lit(MH_EST_P)).alias(f"s{k}")

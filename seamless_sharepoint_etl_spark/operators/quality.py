@@ -33,7 +33,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .. import io
+from .. import io, portable
 
 # (child_table, child_key, parent_table, parent_key) — every FK edge of
 # the schema. Shared by the Spark plan and the generated oracle SQL so
@@ -875,6 +875,85 @@ FROM g
 """
 
 
+def mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between order priority and order status —
+    the feature-relevance / column-dependence audit in bits, the
+    information-theoretic sibling of ``diag_cramers_v``:
+    MI = Σ_cells p(x,y) · log2( p(x,y) / (p(x)·p(y)) ).
+
+    The transcendental is the portable FIXED-POINT log
+    (``portable.fxlog2_steps``): pure BIGINT squaring digit-extraction,
+    bit-identical across engines BY CONSTRUCTION — this query is
+    exactly hash-oracled with zero libm exposure, closing the residual
+    hazard ``mm_byte_entropy`` / ``diag_benford_digit_audit`` document.
+    Per cell the log argument is the exact rational
+    (n_xy·N)/(n_x·n_y); cell terms n_xy·fxlog2 are BIGINTs summed
+    exactly; one final division scales to micro-bits. Domain headroom:
+    n_xy·N < 2^43 (≈ N < 3 M rows at fixture shape — pre-scale the
+    ratio for larger corpora, noted in portable.py).
+
+    Scale shape: one map-side-combined (|X|·|Y|)-cell rollup of the
+    fact table; margins and totals derive from the CELLS (≤15 rows),
+    never from a second fact scan; the 50-step fxlog2 chain is a
+    per-row projection over those 15 rows. One fact shuffle total.
+    """
+    o = io.load_table(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.col("o_orderpriority").alias("x"), F.col("o_orderstatus").alias("y")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    cells = cells.persist()
+    nx = cells.groupBy("x").agg(F.sum("c").alias("cx"))
+    ny = cells.groupBy("y").agg(F.sum("c").alias("cy"))
+    tot = cells.agg(F.sum("c").alias("n"))
+    base = (
+        cells.join(F.broadcast(nx), "x")
+        .join(F.broadcast(ny), "y")
+        .join(F.broadcast(tot))
+        .select("c", "n", (F.col("c") * F.col("n")).alias("a"), (F.col("cx") * F.col("cy")).alias("b"))
+    )
+    for name, expr in portable.fxlog2_steps("div"):
+        base = base.withColumn(name, F.expr(expr))
+    return base.agg(
+        F.max("n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.expr(
+            f"CAST((sum(c * fxlog2) * 1000000) div (max(n) * {1 << portable.FXLOG2_FRAC_BITS}) AS BIGINT)"
+        ).alias("mi_micro_bits"),
+    )
+
+
+def _mutual_information_sql() -> str:
+    steps = portable.fxlog2_steps("//")
+    ctes = []
+    prev = "base"
+    for j, (name, expr) in enumerate(steps):
+        ctes.append(f"s{j} AS (SELECT *, {expr} AS {name} FROM {prev})")
+        prev = f"s{j}"
+    return f"""
+WITH cells AS (
+  SELECT o_orderpriority AS x, o_orderstatus AS y, count(*) AS c
+  FROM orders GROUP BY 1, 2
+),
+nx AS (SELECT x, sum(c) AS cx FROM cells GROUP BY x),
+ny AS (SELECT y, sum(c) AS cy FROM cells GROUP BY y),
+tot AS (SELECT sum(c) AS n FROM cells),
+base AS (
+  SELECT c, n, c * n AS a, cx * cy AS b
+  FROM cells JOIN nx USING (x) JOIN ny USING (y) CROSS JOIN tot
+),
+{", ".join(ctes)}
+SELECT CAST(max(n) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST((sum(c * fxlog2) * 1000000)
+            // (max(n) * {1 << portable.FXLOG2_FRAC_BITS}) AS BIGINT)
+         AS mi_micro_bits
+FROM {prev}
+"""
+
+
+MUTUAL_INFORMATION_SQL = _mutual_information_sql()
+
+
 QUERIES = {
     "diag_referential_integrity": (
         referential_integrity,
@@ -890,4 +969,5 @@ QUERIES = {
     "diag_functional_deps": (functional_deps, FUNCTIONAL_DEPS_SQL),
     "diag_duplicate_rows": (duplicate_rows, DUPLICATE_ROWS_SQL),
     "diag_l_diversity": (l_diversity, L_DIVERSITY_SQL),
+    "diag_mutual_information": (mutual_information, MUTUAL_INFORMATION_SQL),
 }

@@ -1918,6 +1918,102 @@ ORDER BY resid.event_type, d
 """
 
 
+PURGED_FOLDS = 5
+PURGED_EMBARGO_MONTHS = 1  # gap between train end and test start
+_PURGED_YEARS_PER_FOLD = 1  # each fold's test window is 12 months
+
+
+def purged_walkforward_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward (expanding-window) cross-validation split with an
+    embargo — the time-series analog of ``text_leakage_safe_split``:
+    fold k trains on everything BEFORE its test year minus an embargo
+    month, tests on the year itself, and the embargo rows between them
+    belong to NEITHER side, so trailing features computed on train rows
+    can never overlap the test window (the purged-CV rule from the
+    financial-ML literature).
+
+    Everything is exact month-index arithmetic (year·12 + month, BIGINT)
+    off a 1-row min-month frontier cross-joined onto the facts; the
+    fold table is {PURGED_FOLDS} literal broadcast rows, so classifying
+    every (row, fold) combination is a constant-factor row explode
+    followed by a CASE — no window, no self-join. The output is the
+    per-fold audit (train/embargo/test/future row counts) a pipeline
+    logs before training. One fact scan, one map-side-combined
+    (folds·4)-group aggregate. Exactly oracled.
+    """
+    o = io.load_table(spark, sf_dir, "orders").select(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("long")
+        .alias("m")
+    )
+    anchor = o.agg(F.min("m").alias("m0"))
+    folds = spark.createDataFrame(
+        [(k,) for k in range(PURGED_FOLDS)], "fold long"
+    )
+    span = 12 * _PURGED_YEARS_PER_FOLD
+    classified = (
+        o.join(F.broadcast(anchor))
+        .join(F.broadcast(folds))
+        .select(
+            "fold",
+            F.expr(
+                f"""CASE
+                  WHEN m <  m0 + (fold + 1) * {span} - {PURGED_EMBARGO_MONTHS}
+                    THEN 'train'
+                  WHEN m <  m0 + (fold + 1) * {span} THEN 'embargo'
+                  WHEN m <  m0 + (fold + 2) * {span} THEN 'test'
+                  ELSE 'future' END"""
+            ).alias("part"),
+        )
+    )
+    return (
+        classified.groupBy("fold")
+        .agg(
+            F.count(F.when(F.col("part") == "train", 1)).cast("long").alias("n_train"),
+            F.count(F.when(F.col("part") == "embargo", 1))
+            .cast("long")
+            .alias("n_embargo"),
+            F.count(F.when(F.col("part") == "test", 1)).cast("long").alias("n_test"),
+            F.count(F.when(F.col("part") == "future", 1))
+            .cast("long")
+            .alias("n_future"),
+        )
+        .orderBy("fold")
+    )
+
+
+def _purged_split_sql() -> str:
+    span = 12 * _PURGED_YEARS_PER_FOLD
+    fold_rows = ", ".join(f"({k})" for k in range(PURGED_FOLDS))
+    return f"""
+WITH m_ AS (
+  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS m
+  FROM orders
+),
+anchor AS (SELECT min(m) AS m0 FROM m_),
+folds AS (SELECT * FROM (VALUES {fold_rows}) AS f(fold)),
+classified AS (
+  SELECT fold,
+         CASE
+           WHEN m <  m0 + (fold + 1) * {span} - {PURGED_EMBARGO_MONTHS}
+             THEN 'train'
+           WHEN m <  m0 + (fold + 1) * {span} THEN 'embargo'
+           WHEN m <  m0 + (fold + 2) * {span} THEN 'test'
+           ELSE 'future' END AS part
+  FROM m_ CROSS JOIN anchor CROSS JOIN folds
+)
+SELECT CAST(fold AS BIGINT) AS fold,
+       CAST(count(*) FILTER (part = 'train') AS BIGINT) AS n_train,
+       CAST(count(*) FILTER (part = 'embargo') AS BIGINT) AS n_embargo,
+       CAST(count(*) FILTER (part = 'test') AS BIGINT) AS n_test,
+       CAST(count(*) FILTER (part = 'future') AS BIGINT) AS n_future
+FROM classified GROUP BY fold ORDER BY fold
+"""
+
+
+PURGED_SPLIT_SQL = _purged_split_sql()
+
+
 QUERIES = {
     "ts_resample_ffill": (resample_ffill, RESAMPLE_FFILL_SQL),
     "ts_mom_growth": (mom_growth, MOM_GROWTH_SQL),
@@ -1944,4 +2040,5 @@ QUERIES = {
         seasonal_residual_anomalies,
         SEASONAL_RESIDUAL_SQL,
     ),
+    "ts_purged_walkforward_split": (purged_walkforward_split, PURGED_SPLIT_SQL),
 }

@@ -46,3 +46,77 @@ def lcg31b(col: Column) -> Column:
 def lcg31b_sql(expr: str) -> str:
     """The digit-identical DuckDB/ANSI text for :func:`lcg31b`."""
     return f"({expr} * {LCG2_A} + {LCG2_C}) % {LCG_M}"
+
+
+# ---------------------------------------------------------------------------
+# Portable fixed-point binary logarithm
+# ---------------------------------------------------------------------------
+#
+# fxlog2(a, b) ≈ log2(a / b) · 2^FXLOG2_FRAC_BITS for BIGINT a, b ≥ 1,
+# computed with PURE integer arithmetic — multiply, truncating integer
+# division, comparisons, and the minimal-binary-string length both
+# engines expose as `length(bin(x))` (verified digit-identical). The
+# classic digit-extraction scheme: normalize the q20 fixed-point ratio
+# to [1, 2), then each squaring step yields one fraction bit. Because
+# every operation is exact integer arithmetic, the result is
+# bit-identical across engines BY CONSTRUCTION — unlike log()/log2(),
+# whose libm implementations are not correctly rounded and may differ
+# by an ulp (the residual hazard mm_byte_entropy / diag_benford have
+# to document). The value is an approximation of log2 (truncation bias
+# ≲ 2^-10 of a bit), but the METRIC is defined as this algorithm, so
+# cross-engine agreement is exact, not probabilistic.
+#
+# Domain: a, b ≥ 1 and a·2^20 < 2^63 (a < 2^43) and a·2^20 ≥ b
+# (ratio ≥ 2^-20). Callers with wider ranges must pre-scale.
+
+FXLOG2_FRAC_BITS = 16
+_FX_ONE = 1 << 20  # q20 mantissa scale
+
+
+def fxlog2_steps(div: str, a: str = "a", b: str = "b") -> list[tuple[str, str]]:
+    """Sequential (column_name, expression) pairs computing
+    ``fxlog2`` ≈ log2(a/b)·2^{FXLOG2_FRAC_BITS} from columns `a`, `b`.
+
+    `div` is the engine's truncating integer-division token (Spark
+    ``div``, DuckDB ``//`` — both truncate toward zero, verified).
+    Apply as chained withColumn calls (Spark) or a generated CTE chain
+    (SQL); each expression references only earlier names, so the two
+    renderings are the same arithmetic by construction.
+    """
+    pabs_ladder = " ".join(
+        f"WHEN {k} THEN CAST({1 << k} AS BIGINT)" for k in range(46)
+    )
+    steps: list[tuple[str, str]] = [
+        ("fx_q", f"({a} * {_FX_ONE}) {div} {b}"),
+        ("fx_e", "length(bin(fx_q)) - 21"),
+        ("fx_pabs", f"CASE abs(fx_e) {pabs_ladder} END"),
+        (
+            "fx_v0",
+            f"CASE WHEN fx_e >= 0 THEN fx_q {div} fx_pabs"
+            " ELSE fx_q * fx_pabs END",
+        ),
+        ("fx_f0", "CAST(0 AS BIGINT)"),
+    ]
+    for i in range(FXLOG2_FRAC_BITS):
+        steps.append((f"fx_w{i}", f"(fx_v{i} * fx_v{i}) {div} {_FX_ONE}"))
+        steps.append(
+            (
+                f"fx_v{i + 1}",
+                f"CASE WHEN fx_w{i} >= {2 * _FX_ONE} THEN fx_w{i} {div} 2"
+                f" ELSE fx_w{i} END",
+            )
+        )
+        steps.append(
+            (
+                f"fx_f{i + 1}",
+                f"fx_f{i} * 2 + CASE WHEN fx_w{i} >= {2 * _FX_ONE}"
+                " THEN 1 ELSE 0 END",
+            )
+        )
+    steps.append(
+        (
+            "fxlog2",
+            f"fx_e * {1 << FXLOG2_FRAC_BITS} + fx_f{FXLOG2_FRAC_BITS}",
+        )
+    )
+    return steps

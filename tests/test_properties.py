@@ -1758,3 +1758,71 @@ def test_target_encoding_loo_identity(spark):
         s, n = seg_sum[r["segment"]], seg_n[r["segment"]]
         expect = (100 * (s - r["price_cents"])) // (n - 1) if n > 1 else None
         assert r["loo_enc_cc"] == expect
+
+
+def test_mutual_information_close_to_float_mi(spark):
+    """diag_mutual_information: the fixed-point-log MI must sit within
+    a milli-bit of the float64 textbook MI (the fxlog2 truncation bias
+    is ≲ 2^-10 bits per cell), and must be non-negative."""
+    import math
+    from collections import Counter
+
+    from seamless_sharepoint_etl_spark import io
+    from seamless_sharepoint_etl_spark.operators import quality
+
+    r = quality.mutual_information(spark, SF).collect()[0]
+    rows = (
+        io.load_table(spark, SF, "orders")
+        .select("o_orderpriority", "o_orderstatus")
+        .collect()
+    )
+    n = len(rows)
+    cxy = Counter((x, y) for x, y in rows)
+    cx = Counter(x for x, _ in rows)
+    cy = Counter(y for _, y in rows)
+    mi = sum(
+        (c / n) * math.log2(c * n / (cx[x] * cy[y])) for (x, y), c in cxy.items()
+    )
+    assert r["n_rows"] == n
+    assert r["n_cells"] == len(cxy)
+    assert r["mi_micro_bits"] >= 0
+    assert abs(r["mi_micro_bits"] / 1_000_000 - mi) < 1e-3
+
+
+def test_purged_split_partitions_and_monotone(spark):
+    """ts_purged_walkforward_split: every fold's four parts partition
+    the order table exactly; train size strictly grows with the fold
+    index (expanding window); the embargo is bounded by one month of
+    rows; and a Python replay of the month arithmetic agrees."""
+    from collections import Counter
+
+    from seamless_sharepoint_etl_spark import io
+    from seamless_sharepoint_etl_spark.operators import timeseries as ts
+
+    folds = {r["fold"]: r for r in ts.purged_walkforward_split(spark, SF).collect()}
+    months = [
+        r["o_orderdate"].year * 12 + r["o_orderdate"].month - 1
+        for r in io.load_table(spark, SF, "orders").select("o_orderdate").collect()
+    ]
+    n = len(months)
+    m0 = min(months)
+    span = 12 * ts._PURGED_YEARS_PER_FOLD
+    for k, r in folds.items():
+        assert r["n_train"] + r["n_embargo"] + r["n_test"] + r["n_future"] == n
+        parts = Counter()
+        for m in months:
+            if m < m0 + (k + 1) * span - ts.PURGED_EMBARGO_MONTHS:
+                parts["train"] += 1
+            elif m < m0 + (k + 1) * span:
+                parts["embargo"] += 1
+            elif m < m0 + (k + 2) * span:
+                parts["test"] += 1
+            else:
+                parts["future"] += 1
+        assert r["n_train"] == parts["train"]
+        assert r["n_embargo"] == parts["embargo"]
+        assert r["n_test"] == parts["test"]
+        assert r["n_future"] == parts["future"]
+    sizes = [folds[k]["n_train"] for k in sorted(folds)]
+    assert sizes == sorted(sizes)
+    assert sizes[0] < sizes[-1]
