@@ -207,6 +207,8 @@ HEADLINE = [
     "diag_l_diversity",
     "ts_purged_walkforward_split",
     "diag_mutual_information",
+    "dedup_simhash_portable",
+    "dedup_estimator_pr",
 ]
 
 

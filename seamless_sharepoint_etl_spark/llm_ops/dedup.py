@@ -1122,6 +1122,158 @@ ORDER BY i.doc_lo, i.doc_hi
 MINHASH_ESTIMATE_SQL = _minhash_estimate_sql()
 
 
+SIMHASH_PORT_BITS = 16
+
+
+def simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{SIMHASH_PORT_BITS}-bit SimHash built ENTIRELY from portable
+    integer arithmetic — the exactly-SQL-oracled sibling of the
+    rows-only ``dedup_simhash`` (whose xxhash64 bits DuckDB cannot
+    replay). Token hashes are the polynomial-31 char fold mod P; bit j
+    is extracted with (h div 2^j) % 2 (no engine-specific bit
+    operators); the sign aggregation and fingerprint assembly are plain
+    sums and CASEs, so the driver hash-matches every fingerprint.
+
+    Scale shape: identical to the xxhash64 twin — one exploded
+    (doc, token-hash) relation, one map-side-combined groupBy carrying
+    {SIMHASH_PORT_BITS} small ints per doc per partition, zero joins.
+    """
+    d = io.load_table_parallel(spark, sf_dir, "documents")
+    poly = (
+        "aggregate(transform(split(tok, ''), c -> ascii(c)), 0L,"
+        f" (acc, x) -> (acc * 31 + x) % {MH_EST_P})"
+    )
+    h = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).select("doc_id", F.expr(poly).alias("h"))
+    bit_sums = [
+        F.sum(F.expr(f"((h div {1 << j}) % 2) * 2 - 1")).alias(f"s{j}")
+        for j in range(SIMHASH_PORT_BITS)
+    ]
+    per_doc = h.groupBy("doc_id").agg(*bit_sums)
+    fp = None
+    for j in range(SIMHASH_PORT_BITS):
+        bit = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return per_doc.select(
+        "doc_id",
+        fp.cast("long").alias(f"simhash{SIMHASH_PORT_BITS}"),
+        (fp % 256).cast("long").alias("bucket8"),
+    ).orderBy("doc_id")
+
+
+def _simhash_portable_sql() -> str:
+    poly = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        " list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT))),"
+        f" (acc, x) -> (acc * 31 + x) % {MH_EST_P})"
+    )
+    sums = ", ".join(
+        f"sum(((h // {1 << j}) % 2) * 2 - 1) AS s{j}"
+        for j in range(SIMHASH_PORT_BITS)
+    )
+    fp = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END"
+        for j in range(SIMHASH_PORT_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+hashed AS (SELECT doc_id, {poly} AS h FROM toks),
+s AS (SELECT doc_id, {sums} FROM hashed GROUP BY doc_id)
+SELECT doc_id,
+       CAST({fp} AS BIGINT) AS simhash{SIMHASH_PORT_BITS},
+       CAST(({fp}) % 256 AS BIGINT) AS bucket8
+FROM s ORDER BY doc_id
+"""
+
+
+SIMHASH_PORTABLE_SQL = _simhash_portable_sql()
+
+
+EST_PR_THRESHOLD_BP = 7000  # predicted near-dup: estimate ≥ 0.70
+
+
+def estimator_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of the MinHash estimator against exact-Jaccard
+    truth — the sketch-evaluation readout a pipeline checks before
+    trusting an approximate dedup pass at full scale: predicted =
+    ``dedup_minhash_estimate`` pairs with estimate ≥ {EST_PR_THRESHOLD_BP} bp,
+    truth = ``dedup_ngram_jaccard`` pairs (exact J ≥ 0.8). Confusion
+    counts and integer-bp precision/recall, all exactly oracled (both
+    inputs are themselves exactly-oracled relations — the estimator
+    because its hash family is portable, the truth by construction).
+
+    Scale shape: a full-outer join of two already-tiny pair relations
+    (both ride the session shingle caches); the fact-sized work happens
+    once inside the cached inputs.
+    """
+    pred = minhash_estimate(spark, sf_dir).filter(
+        F.col("est_bp") >= EST_PR_THRESHOLD_BP
+    ).select("doc_lo", "doc_hi", F.lit(1).alias("p"))
+    truth = ngram_jaccard_pairs(spark, sf_dir).select(
+        "doc_lo", "doc_hi", F.lit(1).alias("t")
+    )
+    conf = pred.join(truth, ["doc_lo", "doc_hi"], "full_outer")
+    return conf.agg(
+        F.count(F.when(F.col("p").isNotNull(), 1)).cast("long").alias("n_pred"),
+        F.count(F.when(F.col("t").isNotNull(), 1)).cast("long").alias("n_truth"),
+        F.count(F.when(F.col("p").isNotNull() & F.col("t").isNotNull(), 1))
+        .cast("long")
+        .alias("tp"),
+        F.count(F.when(F.col("p").isNotNull() & F.col("t").isNull(), 1))
+        .cast("long")
+        .alias("fp"),
+        F.count(F.when(F.col("p").isNull() & F.col("t").isNotNull(), 1))
+        .cast("long")
+        .alias("fn"),
+    ).select(
+        "n_pred",
+        "n_truth",
+        "tp",
+        "fp",
+        "fn",
+        F.expr("CASE WHEN n_pred > 0 THEN tp * 10000 div n_pred ELSE 0 END")
+        .cast("long")
+        .alias("precision_bp"),
+        F.expr("CASE WHEN n_truth > 0 THEN tp * 10000 div n_truth ELSE 0 END")
+        .cast("long")
+        .alias("recall_bp"),
+    )
+
+
+ESTIMATOR_PR_SQL = f"""
+WITH pred AS (
+  SELECT doc_lo, doc_hi FROM ({MINHASH_ESTIMATE_SQL})
+  WHERE est_bp >= {EST_PR_THRESHOLD_BP}
+),
+truth AS (
+  SELECT doc_lo, doc_hi FROM ({NGRAM_JACCARD_SQL})
+),
+conf AS (
+  SELECT coalesce(p.doc_lo, t.doc_lo) AS doc_lo,
+         p.doc_lo IS NOT NULL AS is_p, t.doc_lo IS NOT NULL AS is_t
+  FROM pred p FULL OUTER JOIN truth t
+    ON p.doc_lo = t.doc_lo AND p.doc_hi = t.doc_hi
+),
+agg AS (
+  SELECT CAST(count(*) FILTER (is_p) AS BIGINT) AS n_pred,
+         CAST(count(*) FILTER (is_t) AS BIGINT) AS n_truth,
+         CAST(count(*) FILTER (is_p AND is_t) AS BIGINT) AS tp,
+         CAST(count(*) FILTER (is_p AND NOT is_t) AS BIGINT) AS fp,
+         CAST(count(*) FILTER (NOT is_p AND is_t) AS BIGINT) AS fn
+  FROM conf
+)
+SELECT n_pred, n_truth, tp, fp, fn,
+       CAST(CASE WHEN n_pred > 0 THEN tp * 10000 // n_pred ELSE 0 END
+            AS BIGINT) AS precision_bp,
+       CAST(CASE WHEN n_truth > 0 THEN tp * 10000 // n_truth ELSE 0 END
+            AS BIGINT) AS recall_bp
+FROM agg
+"""
+
+
 QUERIES = {
     "dedup_exact_normalized": (exact_dedup, EXACT_DEDUP_SQL),
     "dedup_ngram_jaccard": (ngram_jaccard_pairs, NGRAM_JACCARD_SQL),
@@ -1136,4 +1288,6 @@ QUERIES = {
     "dedup_containment": (containment_pairs, CONTAINMENT_SQL),
     "dedup_bloom_incremental": (bloom_incremental_dedup, BLOOM_INCREMENTAL_SQL),
     "dedup_minhash_estimate": (minhash_estimate, MINHASH_ESTIMATE_SQL),
+    "dedup_simhash_portable": (simhash_portable, SIMHASH_PORTABLE_SQL),
+    "dedup_estimator_pr": (estimator_pr, ESTIMATOR_PR_SQL),
 }

@@ -1321,3 +1321,39 @@ def test_minhash_estimate_covers_exact_pairs_and_is_sound(spark):
         assert 0 <= r["est_bp"] <= 10000
     for key in exact:
         assert est[key]["err_bp"] <= 2500, (key, est[key]["err_bp"])
+
+
+def test_simhash_portable_neardups_close_in_hamming(spark):
+    """dedup_simhash_portable: fingerprints are deterministic and the
+    exact near-dup pairs (Jaccard >= 0.8) land within small Hamming
+    distance — the property that makes prefix bucketing work."""
+    from seamless_sharepoint_etl_spark.llm_ops import dedup
+
+    fp = {
+        r["doc_id"]: r[f"simhash{dedup.SIMHASH_PORT_BITS}"]
+        for r in dedup.simhash_portable(spark, SF_DIR).collect()
+    }
+    assert all(0 <= v < (1 << dedup.SIMHASH_PORT_BITS) for v in fp.values())
+    pairs = [
+        (r["doc_lo"], r["doc_hi"])
+        for r in dedup.ngram_jaccard_pairs(spark, SF_DIR).collect()
+    ]
+    assert pairs
+    for lo, hi in pairs:
+        ham = bin(fp[lo] ^ fp[hi]).count("1")
+        assert ham <= 4, (lo, hi, ham)
+
+
+def test_estimator_pr_confusion_identities_and_fixture_quality(spark):
+    """dedup_estimator_pr: confusion counts must satisfy the partition
+    identities, and on this fixture (near-exact duplicate pairs) the
+    0.70-estimate gate must recover the 0.80-exact truth almost
+    perfectly."""
+    from seamless_sharepoint_etl_spark.llm_ops import dedup
+
+    r = dedup.estimator_pr(spark, SF_DIR).collect()[0]
+    assert r["tp"] + r["fp"] == r["n_pred"]
+    assert r["tp"] + r["fn"] == r["n_truth"]
+    assert r["n_truth"] > 0
+    assert r["recall_bp"] >= 9000
+    assert r["precision_bp"] >= 9000
