@@ -267,6 +267,7 @@ def main() -> None:
     from seamless_sharepoint_etl_spark.llm_ops import text as text_ops
 
     dedup_ops._hashed_shingles(spark, sf_dir).count()
+    dedup_ops._portable_shingles(spark, sf_dir)  # eager inside
     text_ops._token_relation(spark, sf_dir).count()
     # Staged-layout queries (compaction, schema evolution, dynamic
     # overwrite): their one-time /tmp staging writes are layout
