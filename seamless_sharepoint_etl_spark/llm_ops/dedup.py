@@ -1154,18 +1154,20 @@ def simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators); the sign aggregation and fingerprint assembly are plain
     sums and CASEs, so the driver hash-matches every fingerprint.
 
-    Scale shape: identical to the xxhash64 twin — one exploded
-    (doc, token-hash) relation, one map-side-combined groupBy carrying
-    {SIMHASH_PORT_BITS} small ints per doc per partition, zero joins.
+    Scale shape: identical to the xxhash64 twin — the session token
+    spine (``text._TOKEN_CACHE``; this query's exploded-token subtree
+    canonicalizes to it anyway, so consuming it explicitly keeps the
+    plan cache-state-independent — trap 21), one map-side-combined
+    groupBy carrying {SIMHASH_PORT_BITS} small ints per doc per
+    partition, zero joins.
     """
-    d = io.load_table_parallel(spark, sf_dir, "documents")
+    from .text import _token_relation
+
     poly = (
-        "aggregate(transform(split(tok, ''), c -> ascii(c)), 0L,"
+        "aggregate(transform(split(token, ''), c -> ascii(c)), 0L,"
         f" (acc, x) -> (acc * 31 + x) % {MH_EST_P})"
     )
-    h = d.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
-    ).select("doc_id", F.expr(poly).alias("h"))
+    h = _token_relation(spark, sf_dir).select("doc_id", F.expr(poly).alias("h"))
     bit_sums = [
         F.sum(F.expr(f"((h div {1 << j}) % 2) * 2 - 1")).alias(f"s{j}")
         for j in range(SIMHASH_PORT_BITS)

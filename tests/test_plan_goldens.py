@@ -219,6 +219,20 @@ GOLDEN_QUERIES = [
     # (no non-equi condition may reach the join operator)
     "agg_weighted_median",
     "join_interval_bucketed",
+    # round-4 session 2: the rebuilt exact percentiles must keep the
+    # bucket-pruned rank window (one Union scan pair, no multiset
+    # aggregate); target encoding is two broadcast joins + one rollup
+    # (no window); l-diversity and the purged split are pure hash-agg
+    # chains; MI keeps margins off the cells (one fact shuffle) with
+    # the fxlog2 chain as per-row projection; portable SimHash is one
+    # groupBy, zero joins. (pagerank/minhash_estimate/estimator_pr sit
+    # on session caches - trap 14 - and are property-asserted in
+    # test_plans instead.)
+    "agg_target_encoding",
+    "diag_l_diversity",
+    "diag_mutual_information",
+    "ts_purged_walkforward_split",
+    "dedup_simhash_portable",
 ]
 
 _EXCHANGE_KIND = re.compile(

@@ -149,3 +149,37 @@ def test_local_clustering_no_nested_loop(spark):
     plan = _plan(spark, "graph_local_clustering")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pagerank_exact_no_nested_loop_and_no_window(spark):
+    """graph_pagerank_exact shares the persisted edge relation (golden
+    would be cache-state-dependent, trap 14); assert the scale shape
+    directly: four vertex-keyed join+aggregate rounds — no
+    BroadcastNestedLoopJoin, no cartesian, no window anywhere, and the
+    top-k is TakeOrderedAndProject, never a global sort."""
+    plan = _plan(spark, "graph_pagerank_exact")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_minhash_estimate_no_nested_loop(spark):
+    """dedup_minhash_estimate sits on the session portable-shingle
+    cache (golden would be cache-state-dependent, trap 14); assert the
+    scale shape directly: component-keyed equi-joins and broadcast
+    candidate joins only — no BroadcastNestedLoopJoin, no cartesian."""
+    plan = _plan(spark, "dedup_minhash_estimate")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_percentiles_no_multiset_aggregate(spark):
+    """agg_percentiles (rebuilt round 4): per-task state must be a
+    counter, never a group's value multiset — the `percentile`/`median`
+    aggregate expressions must not appear; the rank window must
+    partition by (flag, metric, bucket), never run partitionless."""
+    plan = _plan(spark, "agg_percentiles")
+    assert "percentile(" not in plan.lower()
+    assert "median(" not in plan.lower()  # qty_median the COLUMN is fine
+    assert "row_number" in plan
