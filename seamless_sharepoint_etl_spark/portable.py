@@ -62,9 +62,13 @@ def lcg31b_sql(expr: str) -> str:
 # bit-identical across engines BY CONSTRUCTION — unlike log()/log2(),
 # whose libm implementations are not correctly rounded and may differ
 # by an ulp (the residual hazard mm_byte_entropy / diag_benford have
-# to document). The value is an approximation of log2 (truncation bias
-# ≲ 2^-10 of a bit), but the METRIC is defined as this algorithm, so
-# cross-engine agreement is exact, not probabilistic.
+# to document). The value is an approximation of log2 — truncation
+# bias ≈ 1.44/q + 2^-17 where q = (a·2^20) div b, i.e. ≲ 2^-17 of a
+# bit for ratios ≥ 1 and degrading as the ratio shrinks below 1 (a
+# ratio of 2^-k keeps only ~20-k mantissa bits) — but the METRIC is
+# defined as this algorithm, so cross-engine agreement is exact, not
+# probabilistic. Weight tiny-ratio terms by tiny masses (as MI does)
+# or pre-scale if small-ratio precision matters.
 #
 # Domain: a, b ≥ 1 and a·2^20 < 2^63 (a < 2^43) and a·2^20 ≥ b
 # (ratio ≥ 2^-20). Callers with wider ranges must pre-scale.

@@ -562,3 +562,111 @@ def test_integer_ks_statistic_matches(spark, s1, s2):
         for v in sorted(set(s1) | set(s2))
     )
     assert got == want
+
+
+# agg_percentiles was rebuilt (round 4) from the multiset `percentile`
+# aggregate to domain-fixed-bucket rank selection with driver-side
+# offsets and integer-cent interpolation. The fixture exercises one
+# smooth distribution; the edges that can actually break the rank
+# machinery are degenerate ones: every value equal (mn == mx, one
+# bucket), exactly two values at opposite bucket extremes, n == 1 and
+# n == 2 groups (interpolation at the boundary), and values straddling
+# a 2^16-cent bucket edge so lo/hi ranks land in DIFFERENT buckets.
+lineitem_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["A", "N", "R"]),
+        st.one_of(
+            st.just(12345),  # a repeated constant → mn == mx groups
+            st.integers(min_value=1, max_value=9),  # tiny values, bucket 0
+            st.integers(min_value=65530, max_value=65540),  # 2^16 edge
+            st.integers(min_value=1, max_value=500_000),  # broad
+        ),
+        st.integers(min_value=1, max_value=50),  # quantity
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+@given(lineitem_strategy)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_exact_percentiles_bucketed_rank_matches_quantile_cont(spark, rows):
+    import os
+    import tempfile
+
+    from seamless_sharepoint_etl_spark.operators import aggregates
+
+    d = tempfile.mkdtemp()
+    pd.DataFrame(
+        {
+            "l_orderkey": range(1, len(rows) + 1),
+            "l_linenumber": [1] * len(rows),
+            "l_returnflag": [f for f, _c, _q in rows],
+            "l_extendedprice": [c / 100.0 for _f, c, _q in rows],
+            "l_quantity": [float(q) for *_rest, q in rows],
+        }
+    ).to_parquet(os.path.join(d, "lineitem.parquet"))
+    _run_vs_oracle(
+        spark,
+        d,
+        "lineitem",
+        aggregates.exact_percentiles,
+        aggregates.EXACT_PERCENTILES_SQL,
+    )
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=1 << 42),
+            st.integers(min_value=1, max_value=1 << 42),
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_fxlog2_cross_engine_and_accuracy(spark, pairs):
+    """portable.fxlog2_steps: Spark and DuckDB must agree BIT-FOR-BIT
+    on random (a, b) across the documented domain (pure integer
+    arithmetic — any divergence is a portability bug), and the value
+    must approximate log2(a/b) within the truncation bound — ~1.44/q
+    absolute (the q20 representation of the RATIO carries the error,
+    so precision degrades as the ratio shrinks below 1) plus 2^-9 from
+    the 16 extracted bits."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from seamless_sharepoint_etl_spark import portable
+
+    # keep inside the documented domain: a·2^20 < 2^63 and a·2^20 ≥ b
+    pairs = [(a, b) for a, b in pairs if a * (1 << 20) >= b]
+    if not pairs:
+        return
+    pdf = pd.DataFrame(pairs, columns=["a", "b"]).astype("int64")
+    sdf = spark.createDataFrame(pdf)
+    for name, expr in portable.fxlog2_steps("div"):
+        sdf = sdf.withColumn(name, F.expr(expr))
+    got = [(r["a"], r["b"], r["fxlog2"]) for r in sdf.select("a", "b", "fxlog2").collect()]
+    con = duckdb.connect()
+    con.register("t", pdf)
+    sql, prev = "WITH base AS (SELECT a, b FROM t)", "base"
+    for j, (name, expr) in enumerate(portable.fxlog2_steps("//")):
+        sql += f", s{j} AS (SELECT *, {expr} AS {name} FROM {prev})"
+        prev = f"s{j}"
+    want = con.sql(f"{sql} SELECT a, b, fxlog2 FROM {prev}").fetchall()
+    con.close()
+    assert sorted(got) == sorted([tuple(r) for r in want])
+    for a, b, v in got:
+        q = max(1, (a * (1 << 20)) // b)
+        bound = 1.5 / q + 1 / 512
+        assert abs(v / (1 << portable.FXLOG2_FRAC_BITS) - math.log2(a / b)) < bound
