@@ -1611,16 +1611,20 @@ def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the grouping has THREE values (R/N/A), so a
     per-group rank window would serialize a third of a 100 TB fact
-    table through one task each. The cumulative weight is therefore
-    two-phase (the `sequence_packing` / `win_pareto_abc` machinery):
-    rows bucket by value range off a broadcast bounds frontier,
-    per-(flag, bucket) weight totals form a tiny relation whose
-    strictly-before offsets come from a triangular self-join, and the
-    exact running weight windows only within (flag, bucket) — 64-way
-    parallel inside every group. Weights are cent-exact integers;
-    nothing floats (NOTES trap 1).
+    table through one task each. Instead (the rebuilt
+    `agg_percentiles` machinery): rows bucket by a DOMAIN-FIXED
+    order-preserving width (cents div 2^16 — bucket count bounded by
+    the price domain, not the row count), the per-(flag, bucket)
+    weight totals are COLLECTED in one action (a few hundred scalar
+    rows; the earlier triangular-self-join variant re-executed the
+    whole scan chain per reference — 10+ FileScans, measured on the
+    percentile twin), the CROSSING bucket per flag is found
+    driver-side, and only those ≤3 buckets flow into the running
+    window. Weights are cent-exact integers; nothing floats (NOTES
+    trap 1). Ordering by v alone is sufficient: if the half-weight
+    crossing lands inside a block of equal values, that value IS the
+    lower weighted median regardless of intra-block row order.
     """
-    NB = 64
     li = io.load_table(spark, sf_dir, "lineitem")
     base = li.select(
         F.col("l_returnflag").alias("flag"),
@@ -1628,43 +1632,30 @@ def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("v"),
         F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("w"),
-        "l_orderkey",
-        "l_linenumber",
+    ).withColumn("bkt", F.expr(f"v div {1 << 16}"))
+    bt = sorted(
+        (r["flag"], r["bkt"], r["bw"])
+        for r in base.groupBy("flag", "bkt").agg(F.sum("w").alias("bw")).collect()
     )
-    bounds = base.groupBy("flag").agg(
-        F.min("v").alias("mn"), F.max("v").alias("mx")
+    tw = {}
+    for f, _bk, bw in bt:
+        tw[f] = tw.get(f, 0) + bw
+    crossing, acc = [], {}
+    for f, bk, bw in bt:
+        before = acc.get(f, 0)
+        acc[f] = before + bw
+        # the crossing bucket: running weight reaches half inside it
+        if before * 2 < tw[f] <= acc[f] * 2:
+            crossing.append((f, bk, before, tw[f]))
+    starts = spark.createDataFrame(
+        crossing, "flag string, bkt long, off long, tw long"
     )
-    b = base.join(F.broadcast(bounds), "flag").withColumn(
-        "bkt", F.expr(f"least((v - mn) * {NB} div (mx - mn + 1), {NB - 1})")
-    )
-    bt = b.groupBy("flag", "bkt").agg(F.sum("w").alias("bw"))
-    prev = bt.select(
-        F.col("flag").alias("pflag"),
-        F.col("bkt").alias("pbkt"),
-        F.col("bw").alias("pbw"),
-    )
-    starts = (
-        bt.join(
-            prev,
-            (F.col("pflag") == F.col("flag")) & (F.col("pbkt") < F.col("bkt")),
-            "left",
-        )
-        .groupBy("flag", "bkt")
-        .agg(F.coalesce(F.sum("pbw"), F.lit(0)).alias("off"))
-    )
-    tot = bt.groupBy("flag").agg(F.sum("bw").alias("tw"))
-    win = Window.partitionBy("flag", "bkt").orderBy(
-        "v", "l_orderkey", "l_linenumber"
-    )
-    cum = (
-        b.join(F.broadcast(starts), ["flag", "bkt"])
-        .join(F.broadcast(tot), "flag")
-        .select(
-            "flag",
-            "v",
-            "tw",
-            (F.col("off") + F.sum("w").over(win)).alias("cw"),
-        )
+    win = Window.partitionBy("flag", "bkt").orderBy("v")
+    cum = base.join(F.broadcast(starts), ["flag", "bkt"]).select(
+        "flag",
+        "v",
+        "tw",
+        (F.col("off") + F.sum("w").over(win)).alias("cw"),
     )
     return (
         cum.filter(F.col("cw") * 2 >= F.col("tw"))
