@@ -183,3 +183,29 @@ def test_percentiles_no_multiset_aggregate(spark):
     assert "percentile(" not in plan.lower()
     assert "median(" not in plan.lower()  # qty_median the COLUMN is fine
     assert "row_number" in plan
+
+
+def test_registry_wide_plan_audit(spark):
+    """Every registered query's executed plan is swept for the three
+    structural scale smells (cartesian product, non-scalar BNLJ,
+    ordered-but-unpartitioned window) by tools/plan_audit.py; every
+    acceptable occurrence is a REVIEWED allowlist entry with a reason.
+    A new smell anywhere in the 282-query registry fails here, not on
+    a cluster."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), os.pardir, "tools")
+    )
+    from plan_audit import ALLOWLIST, audit_plan
+
+    from seamless_sharepoint_etl_spark import registry
+
+    findings = []
+    for name, fn in registry.queries().items():
+        plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        for smell in audit_plan(plan):
+            if (name, smell) not in ALLOWLIST:
+                findings.append((name, smell))
+    assert not findings, f"un-allowlisted plan smells: {findings}"
