@@ -221,6 +221,10 @@ GROUP BY o_orderpriority
 
 # (metric, output column, percentile point ×100) — qty rides the same
 # machinery as price by scaling to integer "centi-units" (qty*100)
+# max candidate rows per target after refinement; module-level so the
+# loop is testable (tests shrink it to force multi-pass refinement)
+_PCTL_TASK_BOUND = 1 << 18
+
 _PCTL_POINTS = [
     ("price", "p25", 25),
     ("price", "p50", 50),
@@ -247,23 +251,32 @@ def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
          triangular self-join would re-execute the whole scan chain
          per reference: 16 FileScans, measured; a broadcast-bounds
          variant costs a third Spark action, also measured);
-      2. running offsets + target ranks are computed driver-side, and
-         only buckets CONTAINING a target rank (≈15 of ~200) survive
-         into the exact-rank window, which partitions by (group,
-         bucket) — parallel within every group, no single-task window;
+      2. running offsets + target ranks are computed driver-side; each
+         target rank then owns a candidate value RANGE that is
+         ITERATIVELY REFINED (re-bucket the range 256-ways, collect the
+         tiny sub-count frontier, keep the sub-range containing the
+         rank) until it holds ≤ 2^18 rows — each refinement pass costs
+         one cheap filtered aggregate and multiplies the reduction, so
+         three passes bound any 100 TB group; at fixture scale the
+         level-0 buckets are already below the bound and the loop never
+         runs;
       3. the ≤2 bracketing order statistics per percentile point are
-         pulled by a broadcast equi-join on rank (15 target rows), and
-         the linear interpolation happens in exact integer cents:
-         value = (100·v_lo + m·(v_hi − v_lo)) / 10⁴ where
-         m = p·100·(n−1) mod 100 — the result lands EXACTLY on the
-         4-decimal grid, so DuckDB's float `round(quantile_cont(…),4)`
-         agrees bit-for-bit (its ulp-level error cannot cross a
-         midpoint 5·10⁻⁵ away; NOTES trap 1 is structurally avoided).
+         then the (rk − off)-th smallest values inside PROVABLY-BOUNDED
+         candidate sets (a per-target row_number window whose input the
+         loop capped), and the linear interpolation happens in exact
+         integer cents: value = (100·v_lo + m·(v_hi − v_lo)) / 10⁴
+         where m = p·100·(n−1) mod 100 — the result lands EXACTLY on
+         the 4-decimal grid, so DuckDB's float
+         `round(quantile_cont(…),4)` agrees bit-for-bit (its ulp-level
+         error cannot cross a midpoint 5·10⁻⁵ away; NOTES trap 1 is
+         structurally avoided).
 
-    Scale: one wide shuffle of narrow (group, metric, v) rows + two
-    tiny broadcast joins; per-task state is a row_number counter, not
-    a multiset. The t-digest twin (`agg_approx_percentile`) remains
-    the single-pass approximate path.
+    Scale: one wide shuffle of narrow (group, metric, v) rows + tiny
+    broadcast joins; per-task state is a row_number counter over a
+    ≤2^18-row input GUARANTEED by the refinement loop — not a multiset,
+    and not "1/200th of the table" hoping that's small. The t-digest
+    twin (`agg_approx_percentile`) remains the single-pass approximate
+    path.
     """
     li = io.load_table(spark, sf_dir, "lineitem")
 
@@ -272,8 +285,6 @@ def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_returnflag").alias("flag"),
             F.lit(metric).alias("metric"),
             cents.cast("long").alias("v"),
-            "l_orderkey",
-            "l_linenumber",
         )
 
     base = proj(
@@ -299,7 +310,8 @@ def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f, me, bk, bc in bt:
         offs[(f, me, bk)] = (acc.get((f, me), 0), bc)
         acc[(f, me)] = acc.get((f, me), 0) + bc
-    # target ranks (1-based) per percentile point, from exact counts
+    # target ranks (1-based) per percentile point, from exact counts;
+    # each target = (tid, flag, metric, pname, m, rank, which)
     trows = []
     for (f, me), n in acc.items():
         for metric, pname, p100 in _PCTL_POINTS:
@@ -307,35 +319,80 @@ def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             idxn = p100 * (n - 1)
             lo, m = divmod(idxn, 100)
-            trows.append((f, me, pname, m, lo + 1, "lo"))
+            trows.append([len(trows), f, me, pname, m, lo + 1, "lo"])
             if m > 0:
-                trows.append((f, me, pname, m, lo + 2, "hi"))
+                trows.append([len(trows), f, me, pname, m, lo + 2, "hi"])
+    # initial candidate range per target: the level-0 bucket containing
+    # its rank — [lo_v, hi_v) value range, `off` rows strictly below it
+    width0 = {"price": 1 << 16, "qty": 100}
+    ranges = {}  # tid -> [lo_v, hi_v, off, cnt]
+    for tid, f, me, _pn, _m, rk, _w in trows:
+        for (bf, bme, bk), (off, cnt) in offs.items():
+            if bf == f and bme == me and off < rk <= off + cnt:
+                w = width0[me]
+                ranges[tid] = [bk * w, (bk + 1) * w, off, cnt]
+                break
+    # refinement loop: re-bucket each oversized range 256-ways, keep
+    # the sub-range containing the rank. Reduction is ×256 per pass
+    # (down to width 1, where all candidate rows share one value), so
+    # the loop is O(log_256(domain)) ≤ 3 passes at any data scale.
+    while True:
+        todo = {
+            tid: r
+            for tid, r in ranges.items()
+            if r[3] > _PCTL_TASK_BOUND and r[1] - r[0] > 1
+        }
+        if not todo:
+            break
+        rdf = spark.createDataFrame(
+            [
+                (tid, *next(t[1:3] for t in trows if t[0] == tid), r[0], r[1],
+                 max(1, (r[1] - r[0]) // 256))
+                for tid, r in todo.items()
+            ],
+            "tid long, flag string, metric string, lo_v long, hi_v long, w long",
+        )
+        sub = (
+            base.join(F.broadcast(rdf), ["flag", "metric"])
+            .filter((F.col("v") >= F.col("lo_v")) & (F.col("v") < F.col("hi_v")))
+            .groupBy("tid", F.expr("(v - lo_v) div w").alias("sb"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        per_tid: dict = {}
+        for r in sub:
+            per_tid.setdefault(r["tid"], []).append((r["sb"], r["c"]))
+        for tid, subs in per_tid.items():
+            lo_v, hi_v, off, _ = ranges[tid]
+            w = max(1, (hi_v - lo_v) // 256)
+            rk = next(t[5] for t in trows if t[0] == tid)
+            run = off
+            for sb, c in sorted(subs):
+                if run < rk <= run + c:
+                    ranges[tid] = [
+                        lo_v + sb * w,
+                        min(hi_v, lo_v + (sb + 1) * w),
+                        run,
+                        c,
+                    ]
+                    break
+                run += c
     targets = spark.createDataFrame(
-        trows, "flag string, metric string, pname string, m long, rk long, which string"
+        [
+            (tid, f, me, pn, m, rk, wh, *ranges[tid][:3])
+            for tid, f, me, pn, m, rk, wh in trows
+        ],
+        "tid long, flag string, metric string, pname string, m long,"
+        " rk long, which string, lo_v long, hi_v long, off long",
     )
-    # only buckets that CONTAIN a target rank need the window pass —
-    # everything else is filtered out at the scan (≈4% of rows survive)
-    wanted = {
-        (f, me, bk)
-        for f, me, bk in offs
-        for tf, tme, _, _, rk, _ in trows
-        if tf == f and tme == me and offs[(f, me, bk)][0] < rk <= offs[(f, me, bk)][0] + offs[(f, me, bk)][1]
-    }
-    starts = spark.createDataFrame(
-        [(f, me, bk, offs[(f, me, bk)][0]) for f, me, bk in sorted(wanted)],
-        "flag string, metric string, bkt long, off long",
+    win = Window.partitionBy("tid").orderBy("v")
+    hit = (
+        base.join(F.broadcast(targets), ["flag", "metric"])
+        .filter((F.col("v") >= F.col("lo_v")) & (F.col("v") < F.col("hi_v")))
+        .select("tid", "flag", "pname", "m", "which", "v", "rk", "off")
+        .withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == F.col("rk") - F.col("off"))
     )
-
-    win = Window.partitionBy("flag", "metric", "bkt").orderBy(
-        "v", "l_orderkey", "l_linenumber"
-    )
-    ranked = b.join(F.broadcast(starts), ["flag", "metric", "bkt"]).select(
-        "flag",
-        "metric",
-        "v",
-        (F.col("off") + F.row_number().over(win)).alias("rk"),
-    )
-    hit = ranked.join(F.broadcast(targets), ["flag", "metric", "rk"])
     per_point = (
         hit.groupBy("flag", "pname")
         .agg(
@@ -1619,11 +1676,15 @@ def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows; the earlier triangular-self-join variant re-executed the
     whole scan chain per reference — 10+ FileScans, measured on the
     percentile twin), the CROSSING bucket per flag is found
-    driver-side, and only those ≤3 buckets flow into the running
-    window. Weights are cent-exact integers; nothing floats (NOTES
-    trap 1). Ordering by v alone is sufficient: if the half-weight
-    crossing lands inside a block of equal values, that value IS the
-    lower weighted median regardless of intra-block row order.
+    driver-side and ITERATIVELY REFINED 256-ways until it holds ≤
+    `_PCTL_TASK_BOUND` rows (×256 reduction per cheap filtered-count
+    pass — the exact_percentiles loop, so the final running window's
+    input is provably bounded at any data scale; at fixture scale the
+    loop never runs). Weights are cent-exact integers; nothing floats
+    (NOTES trap 1). Ordering by v alone is sufficient: if the
+    half-weight crossing lands inside a block of equal values, that
+    value IS the lower weighted median regardless of intra-block row
+    order.
     """
     li = io.load_table(spark, sf_dir, "lineitem")
     base = li.select(
@@ -1634,28 +1695,75 @@ def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("w"),
     ).withColumn("bkt", F.expr(f"v div {1 << 16}"))
     bt = sorted(
-        (r["flag"], r["bkt"], r["bw"])
-        for r in base.groupBy("flag", "bkt").agg(F.sum("w").alias("bw")).collect()
+        (r["flag"], r["bkt"], r["bw"], r["bn"])
+        for r in base.groupBy("flag", "bkt")
+        .agg(F.sum("w").alias("bw"), F.count(F.lit(1)).alias("bn"))
+        .collect()
     )
     tw = {}
-    for f, _bk, bw in bt:
+    for f, _bk, bw, _bn in bt:
         tw[f] = tw.get(f, 0) + bw
-    crossing, acc = [], {}
-    for f, bk, bw in bt:
+    # crossing bucket per flag: running weight reaches half inside it.
+    # ranges: flag -> [lo_v, hi_v, weight_below, rows_in_range]
+    ranges, acc = {}, {}
+    for f, bk, bw, bn in bt:
         before = acc.get(f, 0)
         acc[f] = before + bw
-        # the crossing bucket: running weight reaches half inside it
         if before * 2 < tw[f] <= acc[f] * 2:
-            crossing.append((f, bk, before, tw[f]))
+            ranges[f] = [bk * (1 << 16), (bk + 1) * (1 << 16), before, bn]
+    while True:
+        todo = {
+            f: r
+            for f, r in ranges.items()
+            if r[3] > _PCTL_TASK_BOUND and r[1] - r[0] > 1
+        }
+        if not todo:
+            break
+        rdf = spark.createDataFrame(
+            [
+                (f, r[0], r[1], max(1, (r[1] - r[0]) // 256))
+                for f, r in todo.items()
+            ],
+            "flag string, lo_v long, hi_v long, sw long",
+        )
+        sub = (
+            base.join(F.broadcast(rdf), "flag")
+            .filter((F.col("v") >= F.col("lo_v")) & (F.col("v") < F.col("hi_v")))
+            .groupBy("flag", F.expr("(v - lo_v) div sw").alias("sb"))
+            .agg(F.sum("w").alias("c"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        per_flag: dict = {}
+        for r in sub:
+            per_flag.setdefault(r["flag"], []).append((r["sb"], r["c"], r["n"]))
+        for f, subs in per_flag.items():
+            lo_v, hi_v, below, _ = ranges[f]
+            sw = max(1, (hi_v - lo_v) // 256)
+            run = below
+            for sb, c, n in sorted(subs):
+                if run * 2 < tw[f] <= (run + c) * 2:
+                    ranges[f] = [
+                        lo_v + sb * sw,
+                        min(hi_v, lo_v + (sb + 1) * sw),
+                        run,
+                        n,
+                    ]
+                    break
+                run += c
     starts = spark.createDataFrame(
-        crossing, "flag string, bkt long, off long, tw long"
+        [(f, r[0], r[1], r[2], tw[f]) for f, r in ranges.items()],
+        "flag string, lo_v long, hi_v long, off long, tw long",
     )
-    win = Window.partitionBy("flag", "bkt").orderBy("v")
-    cum = base.join(F.broadcast(starts), ["flag", "bkt"]).select(
-        "flag",
-        "v",
-        "tw",
-        (F.col("off") + F.sum("w").over(win)).alias("cw"),
+    win = Window.partitionBy("flag").orderBy("v")
+    cum = (
+        base.join(F.broadcast(starts), "flag")
+        .filter((F.col("v") >= F.col("lo_v")) & (F.col("v") < F.col("hi_v")))
+        .select(
+            "flag",
+            "v",
+            "tw",
+            (F.col("off") + F.sum("w").over(win)).alias("cw"),
+        )
     )
     return (
         cum.filter(F.col("cw") * 2 >= F.col("tw"))

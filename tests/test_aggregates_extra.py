@@ -174,3 +174,54 @@ def test_sample_estimate_error_bound(spark):
         en, erev = est[flag]
         assert abs(en - n) / n <= 0.25, (flag, en, n)
         assert abs(erev - rev) / rev <= 0.25, (flag, erev, rev)
+
+
+def test_percentile_refinement_loop_stays_exact_under_tiny_bound(
+    spark, monkeypatch, tmp_path
+):
+    """The range-refinement loop in exact_percentiles never triggers at
+    fixture scale (level-0 buckets are under the 2^18 bound); force it
+    by shrinking the bound to 4 so EVERY target refines down to
+    width-1 ranges, and assert the answers are unchanged — the loop is
+    pure narrowing, never approximation."""
+    import duckdb
+
+    from seamless_sharepoint_etl_spark.operators import aggregates
+
+    sf = "/root/testdata/sf0.001"
+    monkeypatch.setattr(aggregates, "_PCTL_TASK_BOUND", 4)
+    got = {
+        r["l_returnflag"]: tuple(r)[1:]
+        for r in aggregates.exact_percentiles(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'")
+    want = {
+        r[0]: tuple(r)[1:]
+        for r in con.sql(aggregates.EXACT_PERCENTILES_SQL).fetchall()
+    }
+    con.close()
+    assert got == want
+
+
+def test_weighted_median_refinement_loop_stays_exact_under_tiny_bound(
+    spark, monkeypatch
+):
+    """Force the weighted-median crossing-bucket refinement (never
+    triggered at fixture scale) by shrinking the row bound to 4; the
+    loop is pure range narrowing, so the answer must be unchanged."""
+    import duckdb
+
+    from seamless_sharepoint_etl_spark.operators import aggregates
+
+    sf = "/root/testdata/sf0.001"
+    monkeypatch.setattr(aggregates, "_PCTL_TASK_BOUND", 4)
+    got = {
+        r["flag"]: (r["weighted_median_cents"], r["total_weight"])
+        for r in aggregates.weighted_median(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'")
+    want = {r[0]: (r[1], r[2]) for r in con.sql(aggregates.WEIGHTED_MEDIAN_SQL).fetchall()}
+    con.close()
+    assert got == want
