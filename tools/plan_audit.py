@@ -101,6 +101,23 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     ("emb_centroid_purity", "global_win"): (
         "ordering over the 16-row per-centroid relation"
     ),
+    ("diag_cramers_v", "bnlj"): (
+        "margin crossJoins vs 1-row total aggregates (scalar frontier; "
+        "cache-inflated stream side can push keys=[] past the lookahead)"
+    ),
+    ("diag_mutual_information", "bnlj"): (
+        "cells x broadcast 1-row total (scalar frontier over the "
+        "persisted 15-cell relation)"
+    ),
+    ("text_tfidf_top_terms", "bnlj"): (
+        "cross vs the 1-row corpus-size aggregate (scalar frontier)"
+    ),
+    ("text_token_budget_alloc", "bnlj"): (
+        "cross vs the 1-row corpus-token-total aggregate (scalar frontier)"
+    ),
+    ("text_pmi_collocations", "bnlj"): (
+        "cross vs the 1-row bigram-total aggregate (scalar frontier)"
+    ),
 }
 
 
@@ -144,9 +161,14 @@ def audit_plan(plan: str) -> list[str]:
     # shows a final (no-grouping) HashAggregate directly under it.
     for m in re.finditer(r"BroadcastNestedLoopJoin", plan):
         tail = plan[m.start() :]
-        # the broadcast subtree appears within the next ~40 lines;
-        # a grouping-free HashAggregate prints as keys=[]
-        window = "\n".join(tail.splitlines()[:40])
+        # the broadcast subtree appears below the join node; a scalar
+        # frontier shows a grouping-free HashAggregate (keys=[]) or a
+        # literal LocalTableScan. The lookahead must cover the STREAM
+        # side first (BuildRight prints it before the build side), and
+        # a materialized InMemoryRelation inflates that side with its
+        # stored plan — hence 200 lines, not 40 (a warm token-cache
+        # pushed five scalar frontiers past the shorter window).
+        window = "\n".join(tail.splitlines()[:200])
         if "keys=[]" not in window and "LocalTableScan" not in window:
             smells.append("bnlj")
             break
