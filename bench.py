@@ -209,6 +209,7 @@ HEADLINE = [
     "diag_mutual_information",
     "dedup_simhash_portable",
     "dedup_estimator_pr",
+    "agg_hll_portable",
 ]
 
 

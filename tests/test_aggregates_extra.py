@@ -225,3 +225,19 @@ def test_weighted_median_refinement_loop_stays_exact_under_tiny_bound(
     want = {r[0]: (r[1], r[2]) for r in con.sql(aggregates.WEIGHTED_MEDIAN_SQL).fetchall()}
     con.close()
     assert got == want
+
+
+def test_hll_portable_error_and_branches(spark):
+    """agg_hll_portable: the estimate must sit within ~2 sigma of
+    HLL_64's standard error (1.04/sqrt(64) = 13%) against the exact
+    count it carries, and at sf0.001 the small-range linear-counting
+    branch (v_empty > 0, through the fixed-point log) must be the one
+    that fires."""
+    from seamless_sharepoint_etl_spark.operators import aggregates
+
+    tiny = aggregates.hll_portable(spark, "/root/testdata/sf0.001").collect()[0]
+    assert tiny["v_empty"] > 0  # linear-counting branch exercised
+    assert tiny["err_bp"] <= 2600
+    small = aggregates.hll_portable(spark, "/root/testdata/sf0.01").collect()[0]
+    assert small["err_bp"] <= 2600
+    assert small["hll_estimate"] > 0
