@@ -233,6 +233,9 @@ GOLDEN_QUERIES = [
     "diag_mutual_information",
     "ts_purged_walkforward_split",
     "dedup_simhash_portable",
+    # portable HLL: one 64-row register agg + 1-row rollup + scalar
+    # frontier crossJoin; the fxlog2 chain is per-row projection
+    "agg_hll_portable",
 ]
 
 _EXCHANGE_KIND = re.compile(
