@@ -1814,37 +1814,133 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rank-based (not value-percentile-based) on purpose: interpolated
     percentile thresholds are float quantities that can land a value
     exactly on the cut on one engine and off it on the other (NOTES
-    trap 1); ranks over (cents, custkey) are total-ordered integers,
-    so the clip set is bit-identical across engines. Shape: one
-    per-segment rank window (hash parallelism over segments), a
-    segment-sized cut relation broadcast back, one final rollup.
+    trap 1); ranks over integer cents are total-ordered, so the clip
+    set is bit-identical across engines.
+
+    Shape (rebuilt round 4): the original per-segment rank window put
+    a fifth of the customer table in ONE task per segment — the same
+    unbounded-window hazard class as the pre-rebuild percentiles.
+    Rank-clipping equals VALUE-clamping at the k-th order statistics
+    (rows below the cut rank have v ≤ the cut value, ties at the cut
+    map to the cut either way), so the cuts come from the collected
+    bucket frontier + 256-way range refinement (the exact_percentiles
+    machinery; per-target candidate sets provably ≤ `_PCTL_TASK_BOUND`
+    rows), and the winsorized mean is then ONE plain hash aggregate
+    over clamp(v, low, high) — no rank window touches the fact table
+    at all. Balances are shifted non-negative before bucketing
+    (truncating integer div is not order-preserving around zero).
     """
+    SHIFT = 1_000_000  # c_acctbal ≥ -10000.00 ⇒ shifted cents ≥ 0
+    W0 = 1 << 12
     c = io.load_table(spark, sf_dir, "customer")
     cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
-    base = c.select(F.col("c_mktsegment").alias("seg"), "c_custkey", cents.alias("v"))
-    w = Window.partitionBy("seg").orderBy("v", "c_custkey")
-    ranked = base.select(
-        "seg",
-        "v",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("seg")).alias("n"),
-    ).withColumn("k", F.expr(f"n * {WINSOR_PCT} div 100"))
-    cuts = ranked.groupBy("seg").agg(
-        F.max(F.when(F.col("rn") == F.col("k") + 1, F.col("v"))).alias("low_cut"),
-        F.max(F.when(F.col("rn") == F.col("n") - F.col("k"), F.col("v"))).alias(
+    base = c.select(
+        F.col("c_mktsegment").alias("seg"), (cents + SHIFT).alias("vs")
+    )
+    b = base.withColumn("bkt", F.expr(f"vs div {W0}"))
+    bt = sorted(
+        (r["seg"], r["bkt"], r["bc"])
+        for r in b.groupBy("seg", "bkt").agg(F.count(F.lit(1)).alias("bc")).collect()
+    )
+    n_seg, offs = {}, {}
+    for s, bk, bc in bt:
+        offs[(s, bk)] = (n_seg.get(s, 0), bc)
+        n_seg[s] = n_seg.get(s, 0) + bc
+    # rank targets: low cut at rank k+1, high cut at rank n-k
+    trows = []
+    for s, n in n_seg.items():
+        k = n * WINSOR_PCT // 100
+        trows.append([len(trows), s, k, k + 1, "low"])
+        trows.append([len(trows), s, k, n - k, "high"])
+    ranges = {}
+    for tid, s, _k, rk, _w in trows:
+        for (bs, bk), (off, cnt) in offs.items():
+            if bs == s and off < rk <= off + cnt:
+                ranges[tid] = [bk * W0, (bk + 1) * W0, off, cnt]
+                break
+    while True:
+        todo = {
+            tid: r
+            for tid, r in ranges.items()
+            if r[3] > _PCTL_TASK_BOUND and r[1] - r[0] > 1
+        }
+        if not todo:
+            break
+        rdf = spark.createDataFrame(
+            [
+                (tid, next(t[1] for t in trows if t[0] == tid), r[0], r[1],
+                 max(1, (r[1] - r[0]) // 256))
+                for tid, r in todo.items()
+            ],
+            "tid long, seg string, lo_v long, hi_v long, w long",
+        )
+        sub = (
+            base.join(F.broadcast(rdf), "seg")
+            .filter((F.col("vs") >= F.col("lo_v")) & (F.col("vs") < F.col("hi_v")))
+            .groupBy("tid", F.expr("(vs - lo_v) div w").alias("sb"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        per_tid: dict = {}
+        for r in sub:
+            per_tid.setdefault(r["tid"], []).append((r["sb"], r["c"]))
+        for tid, subs in per_tid.items():
+            lo_v, hi_v, off, _ = ranges[tid]
+            w = max(1, (hi_v - lo_v) // 256)
+            rk = next(t[3] for t in trows if t[0] == tid)
+            run = off
+            for sb, cnt in sorted(subs):
+                if run < rk <= run + cnt:
+                    ranges[tid] = [
+                        lo_v + sb * w,
+                        min(hi_v, lo_v + (sb + 1) * w),
+                        run,
+                        cnt,
+                    ]
+                    break
+                run += cnt
+    targets = spark.createDataFrame(
+        [(tid, s, rk, wh, *ranges[tid][:3]) for tid, s, _k, rk, wh in trows],
+        "tid long, seg string, rk long, which string,"
+        " lo_v long, hi_v long, off long",
+    )
+    win = Window.partitionBy("tid").orderBy("vs")
+    cut_rows = (
+        base.join(F.broadcast(targets), "seg")
+        .filter((F.col("vs") >= F.col("lo_v")) & (F.col("vs") < F.col("hi_v")))
+        .select("tid", "seg", "which", "vs", "rk", "off")
+        .withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == F.col("rk") - F.col("off"))
+    )
+    cuts = cut_rows.groupBy("seg").agg(
+        (F.min(F.when(F.col("which") == "low", F.col("vs"))) - SHIFT).alias(
+            "low_cut"
+        ),
+        (F.min(F.when(F.col("which") == "high", F.col("vs"))) - SHIFT).alias(
             "high_cut"
         ),
     )
-    clipped = ranked.join(F.broadcast(cuts), "seg").withColumn(
-        "wv",
-        F.when(F.col("rn") <= F.col("k"), F.col("low_cut"))
-        .when(F.col("rn") > F.col("n") - F.col("k"), F.col("high_cut"))
-        .otherwise(F.col("v")),
+    k_df = spark.createDataFrame(
+        [(s, n, n * WINSOR_PCT // 100) for s, n in n_seg.items()],
+        "seg string, n long, k long",
     )
     return (
-        clipped.groupBy("seg")
+        base.join(F.broadcast(cuts), "seg")
+        .join(F.broadcast(k_df), "seg")
+        .select(
+            "seg",
+            "n",
+            "k",
+            "low_cut",
+            "high_cut",
+            (F.col("vs") - SHIFT).alias("v"),
+            F.expr("greatest(least(vs - {s}, high_cut), low_cut)".format(s=SHIFT)).alias(
+                "wv"
+            ),
+        )
+        .groupBy("seg")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
+            F.max("n").cast("long").alias("n"),
             F.max("k").cast("long").alias("k_clipped_per_tail"),
             F.expr("sum(v) div count(1)").cast("long").alias("raw_mean_cents"),
             F.expr("sum(wv) div count(1)").cast("long").alias("win_mean_cents"),

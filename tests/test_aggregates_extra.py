@@ -241,3 +241,27 @@ def test_hll_portable_error_and_branches(spark):
     small = aggregates.hll_portable(spark, "/root/testdata/sf0.01").collect()[0]
     assert small["err_bp"] <= 2600
     assert small["hll_estimate"] > 0
+
+
+def test_winsorized_refinement_loop_stays_exact_under_tiny_bound(
+    spark, monkeypatch
+):
+    """agg_winsorized_stats (rebuilt on the frontier machinery): force
+    the cut-rank refinement with a bound of 4 and assert the full
+    result is unchanged vs the window-based oracle."""
+    import duckdb
+
+    from seamless_sharepoint_etl_spark.operators import aggregates
+
+    sf = "/root/testdata/sf0.001"
+    monkeypatch.setattr(aggregates, "_PCTL_TASK_BOUND", 4)
+    got = sorted(
+        tuple(r) for r in aggregates.winsorized_stats(spark, sf).collect()
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW customer AS SELECT * FROM '{sf}/customer.parquet'")
+    want = sorted(
+        tuple(r) for r in con.sql(aggregates.WINSORIZED_STATS_SQL).fetchall()
+    )
+    con.close()
+    assert got == want
