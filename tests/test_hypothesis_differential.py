@@ -670,3 +670,61 @@ def test_fxlog2_cross_engine_and_accuracy(spark, pairs):
         q = max(1, (a * (1 << 20)) // b)
         bound = 1.5 / q + 1 / 512
         assert abs(v / (1 << portable.FXLOG2_FRAC_BITS) - math.log2(a / b)) < bound
+
+
+# agg_winsorized_stats was rebuilt (round 4) on the value-clip
+# identity: rank-clipping the k smallest/largest rows equals clamping
+# to the k-th order-statistic VALUES. The identity is only interesting
+# under TIES AT THE CUTS (and the non-negative SHIFT only under
+# negative balances), so the fixture draws from a tiny value palette
+# including negatives.
+winsor_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["AUTOMOBILE", "BUILDING", "MACHINERY"]),
+        st.sampled_from([-999.99, -1.0, 0.0, 0.01, 5.0, 5.0, 123.45, 9999.99]),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(winsor_strategy)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_winsorized_value_clip_matches_rank_clip_oracle(spark, rows):
+    import os
+    import tempfile
+
+    from seamless_sharepoint_etl_spark.operators import aggregates
+
+    d = tempfile.mkdtemp()
+    pd.DataFrame(
+        {
+            "c_custkey": range(1, len(rows) + 1),
+            "c_name": ["x"] * len(rows),
+            "c_nationkey": [0] * len(rows),
+            "c_acctbal": [v for _s, v in rows],
+            "c_mktsegment": [s for s, _v in rows],
+        }
+    ).to_parquet(os.path.join(d, "customer.parquet"))
+    got = sorted(
+        tuple(r) for r in aggregates.winsorized_stats(spark, d).collect()
+    )
+    want = _duck_dir(d, "customer", aggregates.WINSORIZED_STATS_SQL)
+    assert got == want, (rows, got, want)
+
+
+def _duck_dir(d, table, sql):
+    import os
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW {table} AS SELECT * FROM "
+        f"'{os.path.join(d, table + '.parquet')}'"
+    )
+    out = sorted(tuple(r) for r in con.sql(sql).fetchall())
+    con.close()
+    return out
