@@ -210,6 +210,7 @@ HEADLINE = [
     "dedup_simhash_portable",
     "dedup_estimator_pr",
     "agg_hll_portable",
+    "graph_neardup_cc_exact",
 ]
 
 

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import io, portable
+from .dedup import NGRAM_JACCARD_SQL
 from .similarity import EMBEDDING_NEARDUP_SQL, embedding_neardup
 
 
@@ -792,6 +793,105 @@ LIMIT {PR_TOP}
 PAGERANK_EXACT_SQL = _pagerank_sql()
 
 
+CC_MAX_ROUNDS = 50
+
+
+def neardup_cc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-oracled connected components of the near-dup graph —
+    the driver-graded proof the rows-only CC family
+    (``dedup_neardup_clusters`` label propagation,
+    ``dedup_cc_twophase`` star contraction) could only pytest-gate:
+    DuckDB replays the same partition as a WITH RECURSIVE reachability
+    walk (the ``join_entity_resolution`` precedent applied to the
+    embedding near-dup edges). Output is one row per NON-SINGLETON
+    cluster (canonical id = min member, size, member-id sum) — with
+    the other two algorithms pytest-proven equal, three independent
+    algorithms now agree on every cluster and one of them is
+    hash-graded.
+
+    Scale: min-label propagation — per round one hash join keyed by
+    vertex + one min-aggregate, `localCheckpoint`ed (NOTES trap 16),
+    rounds bounded by cluster diameter with a hard cap that raises
+    rather than returning a split partition. Edges are the exact
+    n-gram-Jaccard pairs — the SAME graph the rows-only CC family
+    clusters (the embedding graph is the other families' index), so
+    the three partitions are comparable; the pair relation rides the
+    session shingle cache.
+    """
+    from .dedup import ngram_jaccard_pairs
+
+    e = ngram_jaccard_pairs(spark, sf_dir).select("doc_lo", "doc_hi")
+    sym = (
+        e.select(F.col("doc_lo").alias("ka"), F.col("doc_hi").alias("kb"))
+        .unionAll(
+            e.select(F.col("doc_hi").alias("ka"), F.col("doc_lo").alias("kb"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("ka").alias("k"))
+        .distinct()
+        .select("k", F.col("k").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(CC_MAX_ROUNDS):
+        msgs = sym.join(labels, sym.ka == labels.k).select(
+            F.col("kb").alias("k"), "label"
+        )
+        new_labels = (
+            labels.unionAll(msgs)
+            .groupBy("k")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "k")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"neardup_cc_exact did not converge in {CC_MAX_ROUNDS} rounds"
+        )
+    return (
+        labels.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum("k").cast("long").alias("member_id_sum"),
+        )
+        .select(
+            F.col("label").cast("long").alias("cluster_id"),
+            "n_members",
+            "member_id_sum",
+        )
+        .orderBy("cluster_id")
+    )
+
+
+NEARDUP_CC_EXACT_SQL = f"""
+WITH RECURSIVE
+edges AS (SELECT doc_lo, doc_hi FROM ({NGRAM_JACCARD_SQL})),
+sym AS (SELECT doc_lo AS ka, doc_hi AS kb FROM edges
+        UNION ALL SELECT doc_hi, doc_lo FROM edges),
+verts AS (SELECT DISTINCT ka AS k FROM sym),
+reach (k, r) AS (
+  SELECT k, k FROM verts
+  UNION
+  SELECT reach.k, sym.kb FROM reach JOIN sym ON reach.r = sym.ka
+),
+cluster AS (SELECT k, min(r) AS cluster_id FROM reach GROUP BY k)
+SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(k) AS BIGINT) AS member_id_sum
+FROM cluster GROUP BY cluster_id
+ORDER BY cluster_id
+"""
+
+
 QUERIES = {
     "graph_triangle_stats": (triangle_stats, TRIANGLE_STATS_SQL),
     "graph_degree_histogram": (degree_histogram, DEGREE_HISTOGRAM_SQL),
@@ -803,4 +903,5 @@ QUERIES = {
     "graph_local_clustering": (local_clustering, LOCAL_CLUSTERING_SQL),
     "graph_edge_support": (edge_support_histogram, EDGE_SUPPORT_SQL),
     "graph_pagerank_exact": (pagerank_exact, PAGERANK_EXACT_SQL),
+    "graph_neardup_cc_exact": (neardup_cc_exact, NEARDUP_CC_EXACT_SQL),
 }

@@ -1357,3 +1357,22 @@ def test_estimator_pr_confusion_identities_and_fixture_quality(spark):
     assert r["n_truth"] > 0
     assert r["recall_bp"] >= 9000
     assert r["precision_bp"] >= 9000
+
+
+def test_three_cc_algorithms_agree_on_every_cluster(spark):
+    """graph_neardup_cc_exact (min-label + WITH RECURSIVE oracle) must
+    produce the same non-singleton partition as dedup_neardup_clusters
+    (label propagation) — and cc_twophase already equals the latter,
+    so three independent algorithms agree, one of them driver-graded."""
+    from seamless_sharepoint_etl_spark.llm_ops import dedup, graph
+
+    exact = {
+        (r["cluster_id"], r["n_members"])
+        for r in graph.neardup_cc_exact(spark, SF_DIR).collect()
+    }
+    lp = {
+        (r["canonical_doc_id"], r["cluster_size"])
+        for r in dedup.neardup_clusters(spark, SF_DIR).collect()
+        if r["cluster_size"] >= 2
+    }
+    assert exact == lp
