@@ -234,6 +234,63 @@ _PCTL_POINTS = [
 ]
 
 
+def _refine_rank_ranges(spark, rows, group_cols, value_col, tgroup, trank, ranges):
+    """Shared refinement loop for rank-extraction queries (exact
+    percentiles, winsorized cuts): narrow each target's candidate value
+    range 256-ways per pass — one cheap filtered-count collect — until
+    it holds ≤ `_PCTL_TASK_BOUND` rows, so the downstream per-target
+    rank window is provably bounded at any data scale. `ranges` maps
+    tid -> [lo_v, hi_v, rows_below, rows_inside] and is narrowed in
+    place; `tgroup`/`trank` give each target's group key and 1-based
+    rank. At fixture scale level-0 buckets are already under the bound
+    and the loop body never runs.
+    """
+    gschema = ", ".join(f"{c} string" for c in group_cols)
+    while True:
+        todo = {
+            tid: r
+            for tid, r in ranges.items()
+            if r[3] > _PCTL_TASK_BOUND and r[1] - r[0] > 1
+        }
+        if not todo:
+            return
+        rdf = spark.createDataFrame(
+            [
+                (tid, *tgroup[tid], r[0], r[1], max(1, (r[1] - r[0]) // 256))
+                for tid, r in todo.items()
+            ],
+            f"tid long, {gschema}, lo_v long, hi_v long, w long",
+        )
+        sub = (
+            rows.join(F.broadcast(rdf), list(group_cols))
+            .filter(
+                (F.col(value_col) >= F.col("lo_v"))
+                & (F.col(value_col) < F.col("hi_v"))
+            )
+            .groupBy("tid", F.expr(f"({value_col} - lo_v) div w").alias("sb"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        per_tid: dict = {}
+        for r in sub:
+            per_tid.setdefault(r["tid"], []).append((r["sb"], r["c"]))
+        for tid, subs in per_tid.items():
+            lo_v, hi_v, off, _ = ranges[tid]
+            w = max(1, (hi_v - lo_v) // 256)
+            rk = trank[tid]
+            run = off
+            for sb, c in sorted(subs):
+                if run < rk <= run + c:
+                    ranges[tid] = [
+                        lo_v + sb * w,
+                        min(hi_v, lo_v + (sb + 1) * w),
+                        run,
+                        c,
+                    ]
+                    break
+                run += c
+
+
 def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolating percentiles (quantile_cont semantics) per
     return flag WITHOUT buffering any group's value multiset.
@@ -332,51 +389,17 @@ def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 w = width0[me]
                 ranges[tid] = [bk * w, (bk + 1) * w, off, cnt]
                 break
-    # refinement loop: re-bucket each oversized range 256-ways, keep
-    # the sub-range containing the rank. Reduction is ×256 per pass
-    # (down to width 1, where all candidate rows share one value), so
-    # the loop is O(log_256(domain)) ≤ 3 passes at any data scale.
-    while True:
-        todo = {
-            tid: r
-            for tid, r in ranges.items()
-            if r[3] > _PCTL_TASK_BOUND and r[1] - r[0] > 1
-        }
-        if not todo:
-            break
-        rdf = spark.createDataFrame(
-            [
-                (tid, *next(t[1:3] for t in trows if t[0] == tid), r[0], r[1],
-                 max(1, (r[1] - r[0]) // 256))
-                for tid, r in todo.items()
-            ],
-            "tid long, flag string, metric string, lo_v long, hi_v long, w long",
-        )
-        sub = (
-            base.join(F.broadcast(rdf), ["flag", "metric"])
-            .filter((F.col("v") >= F.col("lo_v")) & (F.col("v") < F.col("hi_v")))
-            .groupBy("tid", F.expr("(v - lo_v) div w").alias("sb"))
-            .agg(F.count(F.lit(1)).alias("c"))
-            .collect()
-        )
-        per_tid: dict = {}
-        for r in sub:
-            per_tid.setdefault(r["tid"], []).append((r["sb"], r["c"]))
-        for tid, subs in per_tid.items():
-            lo_v, hi_v, off, _ = ranges[tid]
-            w = max(1, (hi_v - lo_v) // 256)
-            rk = next(t[5] for t in trows if t[0] == tid)
-            run = off
-            for sb, c in sorted(subs):
-                if run < rk <= run + c:
-                    ranges[tid] = [
-                        lo_v + sb * w,
-                        min(hi_v, lo_v + (sb + 1) * w),
-                        run,
-                        c,
-                    ]
-                    break
-                run += c
+    # refinement: re-bucket each oversized range 256-ways until the
+    # candidate set is bounded (shared helper; ≤3 passes at any scale)
+    _refine_rank_ranges(
+        spark,
+        base,
+        ("flag", "metric"),
+        "v",
+        {t[0]: (t[1], t[2]) for t in trows},
+        {t[0]: t[5] for t in trows},
+        ranges,
+    )
     targets = spark.createDataFrame(
         [
             (tid, f, me, pn, m, rk, wh, *ranges[tid][:3])
@@ -1858,47 +1881,15 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             if bs == s and off < rk <= off + cnt:
                 ranges[tid] = [bk * W0, (bk + 1) * W0, off, cnt]
                 break
-    while True:
-        todo = {
-            tid: r
-            for tid, r in ranges.items()
-            if r[3] > _PCTL_TASK_BOUND and r[1] - r[0] > 1
-        }
-        if not todo:
-            break
-        rdf = spark.createDataFrame(
-            [
-                (tid, next(t[1] for t in trows if t[0] == tid), r[0], r[1],
-                 max(1, (r[1] - r[0]) // 256))
-                for tid, r in todo.items()
-            ],
-            "tid long, seg string, lo_v long, hi_v long, w long",
-        )
-        sub = (
-            base.join(F.broadcast(rdf), "seg")
-            .filter((F.col("vs") >= F.col("lo_v")) & (F.col("vs") < F.col("hi_v")))
-            .groupBy("tid", F.expr("(vs - lo_v) div w").alias("sb"))
-            .agg(F.count(F.lit(1)).alias("c"))
-            .collect()
-        )
-        per_tid: dict = {}
-        for r in sub:
-            per_tid.setdefault(r["tid"], []).append((r["sb"], r["c"]))
-        for tid, subs in per_tid.items():
-            lo_v, hi_v, off, _ = ranges[tid]
-            w = max(1, (hi_v - lo_v) // 256)
-            rk = next(t[3] for t in trows if t[0] == tid)
-            run = off
-            for sb, cnt in sorted(subs):
-                if run < rk <= run + cnt:
-                    ranges[tid] = [
-                        lo_v + sb * w,
-                        min(hi_v, lo_v + (sb + 1) * w),
-                        run,
-                        cnt,
-                    ]
-                    break
-                run += cnt
+    _refine_rank_ranges(
+        spark,
+        base,
+        ("seg",),
+        "vs",
+        {t[0]: (t[1],) for t in trows},
+        {t[0]: t[3] for t in trows},
+        ranges,
+    )
     targets = spark.createDataFrame(
         [(tid, s, rk, wh, *ranges[tid][:3]) for tid, s, _k, rk, wh in trows],
         "tid long, seg string, rk long, which string,"
