@@ -1865,6 +1865,12 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r["seg"], r["bkt"], r["bc"])
         for r in b.groupBy("seg", "bkt").agg(F.count(F.lit(1)).alias("bc")).collect()
     )
+    if bt and min(bk for _s, bk, _c in bt) < 0:
+        # truncating div is not order-preserving around zero, so a
+        # negative bucket id means the non-negative SHIFT assumption
+        # (c_acctbal >= -10000.00) no longer holds — fail loudly
+        # rather than misbucket silently
+        raise ValueError("winsorized_stats: balance below the SHIFT domain")
     n_seg, offs = {}, {}
     for s, bk, bc in bt:
         offs[(s, bk)] = (n_seg.get(s, 0), bc)

@@ -265,3 +265,28 @@ def test_winsorized_refinement_loop_stays_exact_under_tiny_bound(
     )
     con.close()
     assert got == want
+
+
+def test_winsorized_raises_loudly_outside_shift_domain(spark, tmp_path):
+    """A balance below the non-negative SHIFT domain must raise, not
+    misbucket silently (truncating div is not order-preserving around
+    zero)."""
+    import os
+
+    import pandas as pd
+    import pytest
+
+    from seamless_sharepoint_etl_spark.operators import aggregates
+
+    d = str(tmp_path)
+    pd.DataFrame(
+        {
+            "c_custkey": [1, 2],
+            "c_name": ["a", "b"],
+            "c_nationkey": [0, 0],
+            "c_acctbal": [-20000.0, 5.0],
+            "c_mktsegment": ["BUILDING", "BUILDING"],
+        }
+    ).to_parquet(os.path.join(d, "customer.parquet"))
+    with pytest.raises(ValueError, match="SHIFT domain"):
+        aggregates.winsorized_stats(spark, d)
