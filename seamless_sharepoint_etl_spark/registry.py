@@ -90,70 +90,75 @@ def _collect() -> dict[str, Entry]:
     return ordered
 
 
-# First ~50 = this round's grading window. Round-4 rotation: the
-# driver has graded 138 distinct queries across r1-r3 (all green);
-# 110 registered queries have no driver row yet. This window is the
-# first 50 of that computed list (NOTES.md documents the derivation:
-# registry keys minus CORRECTNESS_r01 ∪ r02 ∪ r03 keys). Round 5
-# takes the next 50; round 6 the remainder + round-4/5 additions +
-# canary re-grades (flagship, routing).
+# First ~50 = this round's grading window. Round-5 rotation: the
+# driver has graded 188 distinct queries across r1-r4 (latest row
+# green for every one); 96 registered queries have no driver row yet
+# (registry keys minus CORRECTNESS_r01 ∪ r02 ∪ r03 ∪ r04 keys —
+# NOTES.md documents the derivation). This window is the first 50 of
+# that computed list; round 6 takes the remaining 46 + canary
+# re-grades (flagship_incremental_load, routing_1500_split) + any
+# round-5 additions (≤2 slots free).
 _GRADE_FIRST = [
-    # SQL gateway surface (round-3 additions)
-    "sql_gateway_topn",
-    "sql_gateway_grouping_sets",
-    "sql_gateway_window",
-    # aggregate additions
-    "agg_equidepth_histogram",
-    "agg_kmv_distinct",
-    "agg_sample_estimate",
-    "agg_kmv_set_ops",
-    "agg_rfm_segments",
-    "agg_gini_coefficient",
-    # OLAP reference suite (TPC-H-shaped q2-q22)
-    "olap_q2_min_cost_supplier",
-    "olap_q3_shipping_priority",
-    "olap_q4_priority_exists",
-    "olap_q5_local_supplier_volume",
-    "olap_q6_forecast_revenue",
-    "olap_q7_nation_volume",
-    "olap_q8_market_share",
-    "olap_q9_product_profit",
-    "olap_q10_returned_items",
-    "olap_q11_important_share",
-    "olap_q12_priority_by_mode",
-    "olap_q13_customer_distribution",
-    "olap_q14_promo_share",
-    "olap_q15_top_supplier",
-    "olap_q16_supplier_variety",
-    "olap_q17_small_qty_revenue",
-    "olap_q18_large_volume_customers",
-    "olap_q19_disjunctive_join",
-    "olap_q20_supplier_quota",
-    "olap_q21_late_suppliers",
-    "olap_q22_dormant_customers",
-    # join additions
-    "join_bloom_prefilter",
-    "join_auto_skew_remedy",
-    "join_market_basket",
-    "join_geo_gridblock",
-    "join_asof_nearest",
-    # window additions
-    "win_attribution_linear",
-    "win_pareto_abc",
-    "win_session_paths",
-    "win_event_transitions",
-    "win_rolling_distinct_users",
-    "win_pattern_consecutive",
-    # timeseries additions
-    "ts_mom_growth",
-    "ts_holt_linear",
-    "ts_cusum_changepoint",
-    "ts_theil_sen",
-    "ts_linear_interpolate",
-    "ts_daily_zscore_anomalies",
-    "ts_lttb_downsample",
-    "ts_trend_slope",
-    "ts_seasonal_decompose",
+    # SQL gateway (round-4 addition, judge-verified)
+    "sql_gateway_correlated",
+    # aggregate additions (round-4)
+    "agg_winsorized_stats",
+    "agg_bootstrap_ci",
+    "agg_weighted_median",
+    "agg_brand_movers",
+    "agg_target_encoding",
+    "agg_hll_portable",
+    # join additions (round-4)
+    "join_interval_bucketed",
+    "join_entity_resolution",
+    # window additions (round-4)
+    "win_time_to_convert",
+    # timeseries (rounds 3-4)
+    "ts_acf_lags",
+    "ts_mad_anomalies",
+    "ts_kaplan_meier",
+    "ts_m4_downsample",
+    "ts_ohlc_resample",
+    "ts_interval_union_length",
+    "ts_event_study",
+    "ts_bollinger_breakouts",
+    "ts_seasonal_residual_anomalies",
+    "ts_purged_walkforward_split",
+    # layout family
+    "diag_table_profile",
+    "layout_partition_pruned_read",
+    "layout_compaction_read",
+    "layout_dynamic_overwrite",
+    "layout_time_travel_read",
+    "layout_codec_stats",
+    "layout_ivm_delta_join",
+    # diagnostics / data-quality family
+    "diag_referential_integrity",
+    "diag_psi_drift",
+    "diag_join_cardinality",
+    "diag_ab_chi_square",
+    "diag_benford_digit_audit",
+    "diag_k_anonymity",
+    "diag_ks_drift",
+    "diag_cramers_v",
+    "diag_functional_deps",
+    "diag_duplicate_rows",
+    "diag_l_diversity",
+    "diag_mutual_information",
+    # source additions
+    "src_textlog_scan",
+    "src_range_generator",
+    "src_federated_join",
+    "src_schema_evolution_scan",
+    "src_csv_corrupt_recovery",
+    # streaming batch-equivalents
+    "stream_static_enrich",
+    "stream_topk_trending",
+    # dedup additions
+    "dedup_cc_twophase",
+    "dedup_containment",
+    "dedup_bloom_incremental",
+    "dedup_minhash_estimate",
 ]
 
 
