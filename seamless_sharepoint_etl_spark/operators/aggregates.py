@@ -1861,16 +1861,20 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("seg"), (cents + SHIFT).alias("vs")
     )
     b = base.withColumn("bkt", F.expr(f"vs div {W0}"))
-    bt = sorted(
-        (r["seg"], r["bkt"], r["bc"])
-        for r in b.groupBy("seg", "bkt").agg(F.count(F.lit(1)).alias("bc")).collect()
+    frontier = (
+        b.groupBy("seg", "bkt")
+        .agg(F.count(F.lit(1)).alias("bc"), F.min("vs").alias("mv"))
+        .collect()
     )
-    if bt and min(bk for _s, bk, _c in bt) < 0:
-        # truncating div is not order-preserving around zero, so a
-        # negative bucket id means the non-negative SHIFT assumption
-        # (c_acctbal >= -10000.00) no longer holds — fail loudly
-        # rather than misbucket silently
+    if frontier and min(r["mv"] for r in frontier) < 0:
+        # truncating div is not order-preserving around zero: a shifted
+        # value in (-W0, 0) still lands in bucket 0, so the guard must
+        # be on the VALUE, not the bucket id — a negative min(vs) means
+        # the non-negative SHIFT assumption (c_acctbal >= -10000.00) no
+        # longer holds and the candidate filter below would silently
+        # drop the row. Fail loudly instead.
         raise ValueError("winsorized_stats: balance below the SHIFT domain")
+    bt = sorted((r["seg"], r["bkt"], r["bc"]) for r in frontier)
     n_seg, offs = {}, {}
     for s, bk, bc in bt:
         offs[(s, bk)] = (n_seg.get(s, 0), bc)

@@ -875,6 +875,12 @@ FROM g
 """
 
 
+# fxlog2's pure-BIGINT squaring chain needs the log argument's
+# numerator max(n_xy)·N to stay below 2^43 or intermediate products
+# overflow int64 (Spark wraps silently in non-ANSI arithmetic).
+_FXLOG2_DOMAIN_BOUND = 1 << 43
+
+
 def mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual information between order priority and order status —
     the feature-relevance / column-dependence audit in bits, the
@@ -902,6 +908,19 @@ def mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("x"), F.col("o_orderstatus").alias("y")
     ).agg(F.count(F.lit(1)).alias("c"))
     cells = cells.persist()
+    # fxlog2 headroom is a hard domain bound, not advisory: past it,
+    # non-ANSI BIGINT multiplication WRAPS silently in Spark (wrong MI)
+    # while DuckDB raises on overflow — the engines would diverge.
+    # Guard on the collected 1-row frontier (cells is persisted, the
+    # extra scan touches ≤|X|·|Y| rows): the largest log argument
+    # numerator is max(n_xy)·N.
+    hdr = cells.agg(F.sum("c").alias("n"), F.max("c").alias("mc")).collect()[0]
+    if hdr["n"] is not None and hdr["mc"] * hdr["n"] >= _FXLOG2_DOMAIN_BOUND:
+        raise ValueError(
+            "mutual_information: max(n_xy)*N >= 2^43 exceeds the fxlog2 "
+            "fixed-point domain — pre-scale the (a, b) rational before "
+            "the log (see portable.py) instead of wrapping silently"
+        )
     nx = cells.groupBy("x").agg(F.sum("c").alias("cx"))
     ny = cells.groupBy("y").agg(F.sum("c").alias("cy"))
     tot = cells.agg(F.sum("c").alias("n"))

@@ -290,3 +290,31 @@ def test_winsorized_raises_loudly_outside_shift_domain(spark, tmp_path):
     ).to_parquet(os.path.join(d, "customer.parquet"))
     with pytest.raises(ValueError, match="SHIFT domain"):
         aggregates.winsorized_stats(spark, d)
+
+
+def test_winsorized_raises_on_bucket_zero_underflow(spark, tmp_path):
+    """Shifted values in (-W0, 0) — c_acctbal in (-10040.96, -10000.00)
+    — land in bucket 0 under truncating div and so evade any bucket-id
+    guard; the value guard must still raise (they would otherwise be
+    silently excluded by the vs >= lo_v candidate filter, diverging
+    from the oracle)."""
+    import os
+
+    import pandas as pd
+    import pytest
+
+    from seamless_sharepoint_etl_spark.operators import aggregates
+
+    d = str(tmp_path)
+    pd.DataFrame(
+        {
+            "c_custkey": [1, 2, 3],
+            "c_name": ["a", "b", "c"],
+            "c_nationkey": [0, 0, 0],
+            # -10010.00 shifts to -1000 cents: bucket 0, negative value
+            "c_acctbal": [-10010.0, 5.0, 7.0],
+            "c_mktsegment": ["BUILDING"] * 3,
+        }
+    ).to_parquet(os.path.join(d, "customer.parquet"))
+    with pytest.raises(ValueError, match="SHIFT domain"):
+        aggregates.winsorized_stats(spark, d)

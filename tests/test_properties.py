@@ -1826,3 +1826,21 @@ def test_purged_split_partitions_and_monotone(spark):
     sizes = [folds[k]["n_train"] for k in sorted(folds)]
     assert sizes == sorted(sizes)
     assert sizes[0] < sizes[-1]
+
+
+def test_mutual_information_raises_past_fxlog2_domain(spark, monkeypatch):
+    """Past max(n_xy)*N >= 2^43 Spark's non-ANSI BIGINT multiplication
+    would WRAP silently (wrong MI) while the DuckDB oracle raises — the
+    guard must fail loudly first (round-5 advice). Exercised by
+    shrinking the module bound rather than materializing 3M rows, so
+    the production collect-and-check path itself is what trips."""
+    import pytest
+
+    from seamless_sharepoint_etl_spark.operators import quality
+
+    monkeypatch.setattr(quality, "_FXLOG2_DOMAIN_BOUND", 1)
+    with pytest.raises(ValueError, match="fxlog2"):
+        quality.mutual_information(spark, SF)
+    monkeypatch.undo()
+    # in-domain data still runs clean through the same path
+    assert quality.mutual_information(spark, SF).count() == 1
