@@ -202,10 +202,93 @@ def test_registry_wide_plan_audit(spark):
 
     from seamless_sharepoint_etl_spark import registry
 
+    # Sweep COLD plans: a MATERIALIZED InMemoryRelation prints its
+    # stored adaptive plan with "== Final Plan ==" marker lines whose
+    # indentation is inconsistent with the outer tree (Spark's own
+    # printer), which defeats any indentation-based subtree analysis —
+    # ts_kaplan_meier false-flagged bnlj whenever test_oracle_parity
+    # had materialized its persisted rollups first. The audit's subject
+    # is the intrinsic plan shape, so decache first (the CLI audit runs
+    # cold for the same reason); known session caches are re-persisted
+    # below so later tests keep their warm-path speed.
+    spark.catalog.clearCache()
     findings = []
     for name, fn in registry.queries().items():
         plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
         for smell in audit_plan(plan):
             if (name, smell) not in ALLOWLIST:
                 findings.append((name, smell))
+
+    from seamless_sharepoint_etl_spark.llm_ops import (
+        dedup as _dedup,
+        scoring as _scoring,
+        similarity as _sim,
+        text as _text,
+    )
+
+    for mod, attr in (
+        (_dedup, "_SHINGLE_CACHE"),
+        (_dedup, "_PSHINGLE_CACHE"),
+        (_text, "_TOKEN_CACHE"),
+        (_scoring, "_WINNOW_CACHE"),
+        (_sim, "_IVF_CACHE"),
+        (_sim, "_ROUTER_CACHE"),
+        (_sim, "_PQ_CACHE"),
+    ):
+        for val in getattr(mod, attr, {}).values():
+            for df in val if isinstance(val, tuple) else (val,):
+                if hasattr(df, "persist"):
+                    df.persist()
     assert not findings, f"un-allowlisted plan smells: {findings}"
+
+
+def test_bnlj_detector_inspects_only_the_build_subtree():
+    """Round-5 advice: the old flat lookahead suppressed the BNLJ smell
+    whenever keys=[] or LocalTableScan appeared ANYWHERE in the next
+    200 lines — a warm cache or literal relation in the STREAM subtree
+    false-negatived a genuinely non-scalar build side. The detector
+    must (a) flag a non-scalar build even when the stream side contains
+    a scalar aggregate, and (b) accept a true scalar-frontier build."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), os.pardir, "tools")
+    )
+    from plan_audit import audit_plan
+
+    # (a) stream side holds a keys=[] aggregate; build side is a
+    # grouped (non-scalar) aggregate -> must flag
+    bad = """\
+Project [a#1L]
++- BroadcastNestedLoopJoin BuildRight, Cross
+   :- Project [a#1L]
+   :  +- HashAggregate(keys=[], functions=[sum(v#2L)], output=[a#1L])
+   :     +- LocalTableScan [v#2L]
+   +- BroadcastExchange IdentityBroadcastMode, [plan_id=1]
+      +- HashAggregate(keys=[k#3L], functions=[sum(v#4L)], output=[k#3L, s#5L])
+         +- FileScan parquet [k#3L,v#4L]
+"""
+    assert "bnlj" in audit_plan(bad)
+
+    # (b) scalar frontier build (keys=[] aggregate under the exchange)
+    good = """\
+Project [a#1L]
++- BroadcastNestedLoopJoin BuildRight, Cross
+   :- FileScan parquet [a#1L]
+   +- BroadcastExchange IdentityBroadcastMode, [plan_id=1]
+      +- HashAggregate(keys=[], functions=[max(v#2L)], output=[m#3L])
+         +- FileScan parquet [v#2L]
+"""
+    assert "bnlj" not in audit_plan(good)
+
+    # (c) LocalTableScan as the direct broadcast child is the accepted
+    # driver-literal frontier shape
+    literal = """\
+Project [a#1L]
++- BroadcastNestedLoopJoin BuildRight, Cross
+   :- FileScan parquet [a#1L]
+   +- BroadcastExchange IdentityBroadcastMode, [plan_id=1]
+      +- LocalTableScan [t#2L]
+"""
+    assert "bnlj" not in audit_plan(literal)

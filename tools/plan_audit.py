@@ -75,14 +75,26 @@ ALLOWLIST: dict[tuple[str, str], str] = {
         "triangular strictly-before offsets over the 64-row bucket "
         "relation (bounded by the bucket constant)"
     ),
+    ("agg_bootstrap_ci", "bnlj"): (
+        "triangular rank join over the 32-row bootstrap-replica means "
+        "relation (bounded by the N_REPLICAS constant; surfaced by the "
+        "round-5 subtree-aware detector, previously a false negative)"
+    ),
+    ("ts_purged_walkforward_split", "bnlj"): (
+        "folds relation: a <=#folds-row driver literal "
+        "(createDataFrame), bounded by the CV configuration"
+    ),
+    ("text_sequence_packing", "bnlj"): (
+        "two-phase bucketed prefix sum: strictly-before offsets over "
+        "the <=|buckets|-row bucket-totals relation"
+    ),
     ("text_zipf_slope", "bnlj"): (
         "triangular rank join over the top-500 token relation "
         "(bounded by the fit-window constant)"
     ),
     ("text_bm25_topk", "bnlj"): (
         "cross vs the 1-row (N, avgdl) corpus-stats aggregate "
-        "(scalar frontier; BuildRight puts it after the stream subtree, "
-        "past the detector's lookahead)"
+        "(scalar frontier)"
     ),
     ("text_perplexity_buckets", "bnlj"): (
         "cross vs the 1-row tercile-cuts aggregate (scalar frontier)"
@@ -102,8 +114,7 @@ ALLOWLIST: dict[tuple[str, str], str] = {
         "ordering over the 16-row per-centroid relation"
     ),
     ("diag_cramers_v", "bnlj"): (
-        "margin crossJoins vs 1-row total aggregates (scalar frontier; "
-        "cache-inflated stream side can push keys=[] past the lookahead)"
+        "margin crossJoins vs 1-row total aggregates (scalar frontier)"
     ),
     ("diag_mutual_information", "bnlj"): (
         "cells x broadcast 1-row total (scalar frontier over the "
@@ -150,28 +161,125 @@ def _is_global_ordered_window(line: str) -> bool:
     return False
 
 
+def _node_indent(line: str) -> int:
+    """Tree-prefix length of a plan line: chars of the `:  `/`+- `
+    branch drawing before the operator text (codegen `*(n)` markers are
+    part of the operator text, not the prefix)."""
+    return len(line) - len(line.lstrip(" :+-"))
+
+
+_OP_RE = re.compile(r"^\*?(\(\d+\)\s*)?(?P<op>[A-Za-z][\w]*)")
+# Row-preserving-or-reducing unary wrappers a scalar frontier may sit
+# under inside its exchange subtree.
+_TRANSPARENT = {
+    "Project",
+    "Filter",
+    "ColumnarToRow",
+    "InputAdapter",
+    "WholeStageCodegen",
+    "Sort",
+    "Coalesce",
+    "AQEShuffleRead",
+    "ShuffleQueryStage",
+    "Exchange",
+    "ShuffleExchange",
+}
+_SCALAR_LEAVES = {"LocalTableScan", "HashAggregate", "SortAggregate", "ObjectHashAggregate"}
+
+
+def _op_name(line: str) -> str:
+    m = _OP_RE.match(line.lstrip(" :+-"))
+    return m.group("op") if m else ""
+
+
+def _subtree(lines: list[str], root: int) -> list[str]:
+    """Lines strictly inside the subtree rooted at ``lines[root]``."""
+    base = _node_indent(lines[root])
+    out = []
+    for line in lines[root + 1 :]:
+        if line.strip() and _node_indent(line) <= base:
+            break
+        out.append(line)
+    return out
+
+
+def _exchange_is_scalar(lines: list[str], ex_idx: int) -> bool:
+    """True iff the broadcast exchange at ``ex_idx`` builds a scalar
+    frontier: descending through row-preserving wrappers, the first
+    real operator is a grouping-free aggregate (keys=[]) or a
+    driver-literal LocalTableScan."""
+    for line in _subtree(lines, ex_idx):
+        op = _op_name(line)
+        if not op:
+            continue
+        if op in _TRANSPARENT:
+            continue
+        if op == "LocalTableScan":
+            return True
+        if op in _SCALAR_LEAVES:
+            return "keys=[]" in line
+        return False
+    return False
+
+
+def _bnlj_smells(plan: str) -> bool:
+    """True iff some BroadcastNestedLoopJoin's BUILD side is not a
+    scalar frontier. Unlike a flat lookahead, this walks the join's
+    subtree by tree indentation and inspects only the broadcast child
+    — a keys=[] aggregate or LocalTableScan elsewhere in the STREAM
+    subtree (warm caches, literal relations feeding other joins) no
+    longer suppresses the smell (round-5 advice)."""
+    lines = plan.splitlines()
+    scalar_exchanges_anywhere = any(
+        _op_name(l).startswith("BroadcastExchange") and _exchange_is_scalar(lines, i)
+        for i, l in enumerate(lines)
+    )
+    for i, line in enumerate(lines):
+        if "BroadcastNestedLoopJoin" not in line:
+            continue
+        base = _node_indent(line)
+        # direct children sit exactly one tree level (3 chars) deeper;
+        # the build side is the child rooted at a broadcast node. A
+        # broadcast exchange deeper in the STREAM child (nested
+        # broadcast hash joins) must not be mistaken for the build.
+        verdict = None
+        for k in range(i + 1, len(lines)):
+            ind = _node_indent(lines[k])
+            if lines[k].strip() and ind <= base:
+                break
+            if ind != base + 3:
+                continue
+            op = _op_name(lines[k])
+            if op.startswith("BroadcastExchange"):
+                verdict = _exchange_is_scalar(lines, k)
+                break
+            if op.startswith("BroadcastQueryStage"):
+                inner = _subtree(lines, k)
+                verdict = any(
+                    _op_name(t).startswith("BroadcastExchange")
+                    and _exchange_is_scalar(lines, k + 1 + m)
+                    for m, t in enumerate(inner)
+                )
+                break
+            if op.startswith("ReusedExchange"):
+                # leaf reference to an exchange printed elsewhere — the
+                # original subtree carries the truth
+                verdict = scalar_exchanges_anywhere
+                break
+        if not verdict:
+            # non-scalar build side, or no broadcast child found at
+            # the expected depth (unexpected shape): flag, don't pass
+            return True
+    return False
+
+
 def audit_plan(plan: str) -> list[str]:
     """Return smell tags found in one executed-plan string."""
     smells = []
     if "CartesianProduct" in plan:
         smells.append("cartesian")
-    # BNLJ: flag only when the broadcast build side is not a 1-row
-    # scalar frontier. The plan prints the build side beneath a
-    # BroadcastExchange IdentityBroadcastMode node; a scalar frontier
-    # shows a final (no-grouping) HashAggregate directly under it.
-    for m in re.finditer(r"BroadcastNestedLoopJoin", plan):
-        tail = plan[m.start() :]
-        # the broadcast subtree appears below the join node; a scalar
-        # frontier shows a grouping-free HashAggregate (keys=[]) or a
-        # literal LocalTableScan. The lookahead must cover the STREAM
-        # side first (BuildRight prints it before the build side), and
-        # a materialized InMemoryRelation inflates that side with its
-        # stored plan — hence 200 lines, not 40 (a warm token-cache
-        # pushed five scalar frontiers past the shorter window).
-        window = "\n".join(tail.splitlines()[:200])
-        if "keys=[]" not in window and "LocalTableScan" not in window:
-            smells.append("bnlj")
-            break
+    if "BroadcastNestedLoopJoin" in plan and _bnlj_smells(plan):
+        smells.append("bnlj")
     for line in plan.splitlines():
         stripped = re.sub(r"^[\s+:*\-]*(\(\d+\)\s*)?", "", line)
         if stripped.startswith("Window ") and _is_global_ordered_window(stripped):
