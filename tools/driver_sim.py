@@ -107,11 +107,19 @@ def dtype_violations(spark_dtypes, duck_cols, duck_types) -> list[str]:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    argv = list(sys.argv[1:])
+    only = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        del argv[i : i + 2]
     tz = None
-    if "--tz" in sys.argv:
-        tz = sys.argv[sys.argv.index("--tz") + 1]
+    if "--tz" in argv:
+        i = argv.index("--tz")
+        tz = argv[i + 1]
+        del argv[i : i + 2]
+    args = [a for a in argv if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
 
     from pyspark.sql import SparkSession
 
@@ -137,6 +145,10 @@ def main() -> int:
 
     queries = e.queries()
     oracles = e.oracle_sql()
+    if only is not None:
+        missing = only - set(queries)
+        assert not missing, f"--only names not in registry: {sorted(missing)}"
+        queries = {n: f for n, f in queries.items() if n in only}
     n_pass = n_fail = n_rows_only = 0
     for name in sorted(queries):
         t0 = time.time()
