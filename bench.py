@@ -224,6 +224,20 @@ def main() -> None:
     spark = get_spark("seamless-etl-bench")
     queries = registry.queries()
 
+    # Cold/warm accounting: every setup step below is timed and
+    # published in BENCH_FULL.json's `setup` section, so the per-query
+    # timings (warm, production-amortized) and the one-time artifact
+    # costs are separately auditable — a query "speedup" that is really
+    # work moving into setup shows up as a setup-line increase, not as
+    # an unexplained round-over-round win.
+    setup_secs: dict[str, float] = {}
+    _t_setup = time.time()
+
+    def _mark(label: str) -> None:
+        nonlocal _t_setup
+        setup_secs[label] = round(time.time() - _t_setup, 3)
+        _t_setup = time.time()
+
     # Warmup: JVM/codegen spin-up plus one narrow pass over every fixture
     # table so file-index/footers are cached — timings then measure the
     # engine, not first-touch filesystem costs.
@@ -236,6 +250,7 @@ def main() -> None:
         engine_io.load_table(spark, sf_dir, t).write.format("noop").mode(
             "overwrite"
         ).save()
+    _mark("jvm_and_table_warmup")
 
     # One-time layout/materialization steps (analogous to the driver
     # generating testdata): REST endpoint pages and bucketed table
@@ -247,9 +262,11 @@ def main() -> None:
 
     rest_src.register(spark)
     rest_src.materialize_pages(spark, sf_dir, rest_src._endpoint_for(sf_dir))
+    _mark("rest_endpoint_pages")
     joins_ops.bucketed_colocated_join(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    _mark("bucketed_table_layout")
     # ANN index: trained once and served to every query in production —
     # same artifact class as the bucketed layout above. The cache is
     # session-scoped, so this trains it; the timed IVF-family queries
@@ -258,7 +275,9 @@ def main() -> None:
 
     buckets, _cent = sim_ops._ivf_index(spark, sf_dir)
     buckets.count()
+    _mark("ivf_index_training")
     sim_ops._pq_index(spark, sf_dir)  # PQ codebook+codes: same artifact class
+    _mark("pq_index_training")
     # Shared derived relations (session-scoped, consumed by the whole
     # dedup/text family): fill them in setup for the same reason as the
     # ANN indexes — in production they are built once per corpus
@@ -269,8 +288,11 @@ def main() -> None:
     from seamless_sharepoint_etl_spark.llm_ops import text as text_ops
 
     dedup_ops._hashed_shingles(spark, sf_dir).count()
+    _mark("shingle_cache_fill")
     dedup_ops._portable_shingles(spark, sf_dir)  # eager inside
+    _mark("portable_shingle_cache_fill")
     text_ops._token_relation(spark, sf_dir).count()
+    _mark("token_cache_fill")
     # Near-dup edge relation: every graph_* query persists and shares
     # it (same canonicalized plan -> one InMemoryRelation); fill it here
     # so the first graph query isn't charged the family's index build.
@@ -279,6 +301,7 @@ def main() -> None:
     _edges_df = graph_ops._edges(spark, sf_dir)
     _edges_df.persist()
     _edges_df.count()
+    _mark("graph_edge_relation_fill")
     # Staged-layout queries (compaction, schema evolution, dynamic
     # overwrite): their one-time /tmp staging writes are layout
     # maintenance, not query cost — run each once here (idempotent via
@@ -293,6 +316,7 @@ def main() -> None:
         queries[staged](spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
+        _mark(f"staged:{staged}")
 
     # Codegen/JIT warmup: run every headline plan once at the smallest
     # SF (generated code is keyed by plan shape, not data size), so the
@@ -306,6 +330,7 @@ def main() -> None:
                 ).save()
             except Exception:
                 pass  # warmup is best-effort; the timed run surfaces real errors
+    _mark("codegen_warmup_pass_sf0.001")
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -322,6 +347,11 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf),
         "n_queries": len(timings),
+        # One-time artifact costs (cache fills, index training, staged
+        # layout writes, warmup) — kept separate from per-query timings
+        # so accounting moves can't masquerade as plan wins.
+        "setup": setup_secs,
+        "setup_total": round(sum(setup_secs.values()), 3),
     }
     # Full per-query detail always lands in the repo for the judge.
     with open(
@@ -338,6 +368,7 @@ def main() -> None:
     # full map.
     line_payload = dict(payload)
     line_payload["detail"] = "BENCH_FULL.json"
+    del line_payload["setup"]  # per-artifact detail lives in BENCH_FULL
     kept: dict[str, float] = {}
     line_payload["queries"] = kept  # alias: the loop mutates kept in place
     for name, secs in sorted(timings.items(), key=lambda kv: -kv[1]):

@@ -314,3 +314,19 @@ def test_plan_signature_matches_golden(spark, name):
         f"plan signature drift for {name} — if intended, regenerate goldens\n"
         f"--- golden ---\n{golden}\n--- current ---\n{sig}"
     )
+
+
+def test_refinement_family_goldens_pin_bounded_scan_count():
+    """The round-4 percentile-family rebuild replaced the triangular
+    self-join (10-16 FileScans re-executing the derived relation) with
+    the collected bucket frontier + 256-way rank refinement: the final
+    plan reads the fact table at most twice. Pin that invariant
+    explicitly so the 16-scan shape (NOTES trap 22b) cannot silently
+    return even if the goldens are regenerated."""
+    import os
+
+    gdir = os.path.join(os.path.dirname(__file__), "goldens", "plans")
+    for name in ("agg_percentiles", "agg_weighted_median", "agg_winsorized_stats"):
+        with open(os.path.join(gdir, f"{name}.txt")) as fh:
+            n_scans = fh.read().count("FileScan")
+        assert n_scans <= 2, f"{name}: {n_scans} FileScans (trap 22b regression)"
