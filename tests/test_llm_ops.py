@@ -1376,3 +1376,66 @@ def test_three_cc_algorithms_agree_on_every_cluster(spark):
         if r["cluster_size"] >= 2
     }
     assert exact == lp
+
+
+def test_png_decode_roundtrips_all_five_filters(spark):
+    """The PNG path is a REAL compressed codec: deflate + cycling
+    scanline filters + chunk CRCs. (a) encode→decode is the identity
+    on adversarial pixel data (gradients exercise Sub/Average/Paeth
+    nontrivially); (b) a corrupted chunk CRC is rejected; (c) channel
+    means over the corpus equal the PPM path's means exactly (identical
+    pixel construction, independent container+codec) — so the codec
+    can't silently alter a single pixel."""
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from seamless_sharepoint_etl_spark.llm_ops import multimodal as mm
+
+    rng = np.random.RandomState(7)
+    for img in (
+        rng.randint(0, 256, (mm.PNG_H, mm.PNG_W, 3)).astype(np.uint8),
+        np.fromfunction(
+            lambda y, x, c: (7 * x + 13 * y + 29 * c) % 256,
+            (mm.PNG_H, mm.PNG_W, 3),
+        ).astype(np.uint8),
+        np.full((mm.PNG_H, mm.PNG_W, 3), 200, np.uint8),
+    ):
+        buf = mm._encode_png(img)
+        assert buf[:8] == mm._PNG_SIG
+        back = mm._decode_png(buf)
+        assert (back == img).all()
+
+    # filter-type coverage: decode the raw scanline stream directly
+    buf = mm._encode_png(rng.randint(0, 256, (mm.PNG_H, mm.PNG_W, 3)).astype(np.uint8))
+    import struct
+
+    pos, idat = 8, bytearray()
+    while pos < len(buf):
+        (length,) = struct.unpack(">I", buf[pos : pos + 4])
+        tag = buf[pos + 4 : pos + 8]
+        if tag == b"IDAT":
+            idat.extend(buf[pos + 8 : pos + 8 + length])
+        pos += 12 + length
+    stream = zlib.decompress(bytes(idat))
+    stride = mm.PNG_W * 3
+    fts = {stream[y * (1 + stride)] for y in range(mm.PNG_H)}
+    assert fts == {0, 1, 2, 3, 4}
+
+    # CRC tamper detection
+    bad = bytearray(mm._encode_png(np.zeros((mm.PNG_H, mm.PNG_W, 3), np.uint8)))
+    bad[40] ^= 0xFF  # flip a byte inside IDAT
+    with pytest.raises(AssertionError, match="CRC"):
+        mm._decode_png(bytes(bad))
+
+    # corpus: PNG means == PPM means (same pixels, different codec)
+    png = {
+        r["doc_id"]: (r["r_mean_milli"], r["g_mean_milli"], r["b_mean_milli"])
+        for r in mm.png_decode_features(spark, SF_DIR).collect()
+    }
+    ppm = {
+        r["doc_id"]: (r["r_mean_milli"], r["g_mean_milli"], r["b_mean_milli"])
+        for r in mm.ppm_decode_features(spark, SF_DIR).collect()
+    }
+    assert png == ppm and len(png) > 0
