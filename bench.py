@@ -34,6 +34,7 @@ HEADLINE = [
     "stream_session_window",
     "stream_sliding_window",
     "fn_json",
+    "fn_variant_shred",
     "udf_apply_in_pandas",
     "src_rest_paged_scan",
     "join_bucketed_colocated",
@@ -99,6 +100,7 @@ HEADLINE = [
     "sql_gateway_topn",
     "layout_dynamic_overwrite",
     "mm_ppm_decode_features",
+    "mm_png_decode_features",
     "mm_wav_decode_features",
     "mm_video_frame_features",
     "agg_sample_estimate",

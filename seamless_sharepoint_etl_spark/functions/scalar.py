@@ -364,12 +364,75 @@ GROUP BY nationkey
 """
 
 
+def variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-4 VARIANT semi-structured surface: build a nested JSON
+    document per event JVM-side (known construction — the PNG-decoder
+    proof pattern), ``parse_json`` it into a true VARIANT cell, then
+    shred it back out with typed ``variant_get`` path extraction
+    (nested object, array index, top-level field), ``try_variant_get``
+    on a missing path, and ``schema_of_variant`` introspection of the
+    fixture's own props JSON.
+
+    The DuckDB oracle derives every output straight from the source
+    columns (the construction is known), so a hash match proves the
+    VARIANT encode→shred round-trip reconstructed each typed value
+    exactly — the engine-native semi-structured path a 100 TB event
+    pipeline would use instead of per-query from_json re-parsing
+    (VARIANT parses ONCE at ingest; extraction is binary-offset
+    navigation, not text parsing).
+
+    Monetary values ride as integer cents so no float crosses the
+    JSON text boundary (NOTES trap 1).
+    """
+    ev = io.load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    payload = F.to_json(
+        F.struct(
+            F.col("event_type").alias("et"),
+            F.struct(F.col("user_id").alias("uid"), cents.alias("cents")).alias(
+                "nested"
+            ),
+            F.array(F.col("event_type"), F.lit("fixed")).alias("tags"),
+        )
+    )
+    v = ev.select(
+        "event_id",
+        F.parse_json(payload).alias("v"),
+        F.parse_json(F.col("props")).alias("pv"),
+    )
+    return v.select(
+        "event_id",
+        F.expr("variant_get(v, '$.et', 'string')").alias("et"),
+        F.expr("variant_get(v, '$.nested.uid', 'bigint')").alias("uid"),
+        F.expr("variant_get(v, '$.nested.cents', 'bigint')").alias("cents"),
+        F.expr("variant_get(v, '$.tags[1]', 'string')").alias("tag1"),
+        F.expr("try_variant_get(v, '$.absent', 'bigint')").alias("absent"),
+        F.expr("variant_get(pv, '$.k', 'bigint')").alias("k"),
+        F.expr("schema_of_variant(pv)").alias("props_schema"),
+    ).orderBy("event_id")
+
+
+VARIANT_SHRED_SQL = """
+SELECT event_id,
+       event_type AS et,
+       user_id AS uid,
+       CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+       'fixed' AS tag1,
+       CAST(NULL AS BIGINT) AS absent,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       'OBJECT<k: BIGINT>' AS props_schema
+FROM events
+ORDER BY event_id
+"""
+
+
 QUERIES = {
     "fn_string": (string_functions, STRING_FUNCTIONS_SQL),
     "fn_date": (date_functions, DATE_FUNCTIONS_SQL),
     "fn_math": (math_functions, MATH_FUNCTIONS_SQL),
     "fn_array_lambda": (array_functions, ARRAY_FUNCTIONS_SQL),
     "fn_json": (json_functions, JSON_FUNCTIONS_SQL),
+    "fn_variant_shred": (variant_shred, VARIANT_SHRED_SQL),
     "fn_map": (map_functions, MAP_FUNCTIONS_SQL),
     "fn_try_safe": (try_safe_functions, TRY_SAFE_SQL),
     "rel_unpivot_melt": (unpivot_melt, UNPIVOT_SQL),
