@@ -409,7 +409,9 @@ def variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("try_variant_get(v, '$.absent', 'bigint')").alias("absent"),
         F.expr("variant_get(pv, '$.k', 'bigint')").alias("k"),
         F.expr("schema_of_variant(pv)").alias("props_schema"),
-    ).orderBy("event_id")
+    )  # no orderBy: the shred is a pure projection — a global sort
+    # would add a range exchange for nothing (driver compare is
+    # order-insensitive)
 
 
 VARIANT_SHRED_SQL = """
