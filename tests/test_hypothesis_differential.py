@@ -728,3 +728,23 @@ def _duck_dir(d, table, sql):
     out = sorted(tuple(r) for r in con.sql(sql).fetchall())
     con.close()
     return out
+
+
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_codec_roundtrip_arbitrary_dims(w, h, seed):
+    """The PNG encode/decode pair is the identity for ANY truecolor
+    image, not just the fixture's 24x16 — width 1 exercises the
+    left-neighbor=0 edge of Sub/Average/Paeth on every pixel, height 1
+    the prior-row=0 edge. Pure Python/numpy, no Spark session."""
+    import numpy as np
+
+    from seamless_sharepoint_etl_spark.llm_ops import multimodal as mm
+
+    rng = np.random.RandomState(seed % (2**31))
+    img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+    assert (mm._decode_png(mm._encode_png(img)) == img).all()
