@@ -518,14 +518,6 @@ def _png_chunk(tag: bytes, data: bytes) -> bytes:
     )
 
 
-def _paeth(a: int, b: int, c: int) -> int:
-    p = a + b - c
-    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-    if pa <= pb and pa <= pc:
-        return a
-    return b if pb <= pc else c
-
-
 def _filter_scanlines_batch(raws: "np.ndarray") -> "np.ndarray":  # noqa: F821
     """Apply the cycling PNG scanline filters to a BATCH of images at
     once: (n, H, W*3) int64 → (n, H*(1+W*3)) uint8 filtered streams.
