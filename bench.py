@@ -95,6 +95,7 @@ HEADLINE = [
     "text_perplexity_buckets",
     "layout_compaction_read",
     "src_schema_evolution_scan",
+    "src_avro_roundtrip_scan",
     "text_bpe_tokenize",
     "sim_rerank_two_stage",
     "sql_gateway_topn",
@@ -311,6 +312,7 @@ def main() -> None:
     for staged in (
         "layout_compaction_read",
         "src_schema_evolution_scan",
+        "src_avro_roundtrip_scan",
         "layout_dynamic_overwrite",
         "layout_codec_stats",
         "layout_ivm_delta_join",

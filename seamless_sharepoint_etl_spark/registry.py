@@ -34,7 +34,7 @@ def _collect() -> dict[str, Entry]:
         windows,
     )
     from .functions import scalar, udfs
-    from .sources import formats, rest
+    from .sources import avro_ocf, formats, rest
     from .streaming import windows as stream_windows
     from .llm_ops import curation, dedup, graph, multimodal, scoring, similarity, text
 
@@ -59,6 +59,7 @@ def _collect() -> dict[str, Entry]:
         udfs,
         formats,
         rest,
+        avro_ocf,
         stream_windows,
         dedup,
         similarity,
