@@ -70,6 +70,9 @@ GOLDEN_QUERIES = [
     "dedup_minhash_lsh",
     # round-3 perf fix: single from_json projection (no triplicated parse)
     "fn_json",
+    # round-5: the VARIANT shred must stay ONE codegen projection over
+    # the scan — no exchange, no sort, no second parse pass
+    "fn_variant_shred",
     # round-3 OLAP suite: pin the join strategies the docstrings claim —
     # Q6 pure pushdown scan-agg (no exchange below the 1-row agg), Q5/Q8
     # forced-broadcast dims + single fact shuffle, Q18's aggregate-first
