@@ -28,6 +28,10 @@ import sys
 
 # (query, smell) -> reason the shape is acceptable. Keep reasons real:
 # every entry documents a reviewed decision, not a mute button.
+# Scalar-frontier BNLJ builds need NO entry: the detector proves the
+# broadcast child is a keys=[] aggregate / driver literal (round-5
+# subtree-aware rebuild) — seven such entries were removed then so a
+# degraded shape fails instead of being muted.
 CENTROID = (
     "ANN index probe: crossJoin against the NLIST=16-row cached "
     "centroid/LUT relation (bounded by the index constant, never by data)"
@@ -92,13 +96,6 @@ ALLOWLIST: dict[tuple[str, str], str] = {
         "triangular rank join over the top-500 token relation "
         "(bounded by the fit-window constant)"
     ),
-    ("text_bm25_topk", "bnlj"): (
-        "cross vs the 1-row (N, avgdl) corpus-stats aggregate "
-        "(scalar frontier)"
-    ),
-    ("text_perplexity_buckets", "bnlj"): (
-        "cross vs the 1-row tercile-cuts aggregate (scalar frontier)"
-    ),
     ("agg_gini_coefficient", "global_win"): (
         "ordered global window over the <=64-row bucket-totals "
         "relation (SinglePartition over a bounded rollup, by design)"
@@ -112,22 +109,6 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     ),
     ("emb_centroid_purity", "global_win"): (
         "ordering over the 16-row per-centroid relation"
-    ),
-    ("diag_cramers_v", "bnlj"): (
-        "margin crossJoins vs 1-row total aggregates (scalar frontier)"
-    ),
-    ("diag_mutual_information", "bnlj"): (
-        "cells x broadcast 1-row total (scalar frontier over the "
-        "persisted 15-cell relation)"
-    ),
-    ("text_tfidf_top_terms", "bnlj"): (
-        "cross vs the 1-row corpus-size aggregate (scalar frontier)"
-    ),
-    ("text_token_budget_alloc", "bnlj"): (
-        "cross vs the 1-row corpus-token-total aggregate (scalar frontier)"
-    ),
-    ("text_pmi_collocations", "bnlj"): (
-        "cross vs the 1-row bigram-total aggregate (scalar frontier)"
     ),
 }
 
@@ -295,6 +276,7 @@ def main() -> int:
 
     spark = session.get_spark("plan-audit")
     bad = 0
+    fired: set[tuple[str, str]] = set()
     for name, fn in registry.queries().items():
         try:
             df = fn(spark, sf_dir)
@@ -306,10 +288,17 @@ def main() -> int:
         for smell in audit_plan(plan):
             reason = ALLOWLIST.get((name, smell))
             if reason:
+                fired.add((name, smell))
                 print(f"ALLOW {name}: {smell} — {reason}")
             else:
                 print(f"SMELL {name}: {smell}")
                 bad += 1
+    # informational: allowlist entries that never fired in this sweep
+    # (a stale reason outlives the shape it reviewed — candidates for
+    # removal, but cache state can legitimately vary what fires, so
+    # this reports rather than fails)
+    for key in sorted(set(ALLOWLIST) - fired):
+        print(f"STALE-ALLOW {key[0]}: {key[1]} (did not fire this sweep)")
     print(f"AUDIT: {'FAIL' if bad else 'CLEAN'} ({bad} findings)")
     return 1 if bad else 0
 
