@@ -48,6 +48,30 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # TIMESTAMP_NTZ '1970-01-01' + exact integer-microsecond interval.
 # ts is long nanoseconds here; `div` is integer division (no double detour).
+def fixture_token(sf_dir: str) -> str:
+    """10-hex fingerprint of the fixture parquet files (size + mtime).
+
+    Every /tmp staging-dir helper embeds this token in its path, so a
+    driver-side fixture REGENERATION (it happened mid-round-2 — NOTES
+    trap 2) automatically invalidates every staged artifact: the new
+    token names a fresh empty dir, and the stale one is never read
+    again. Without this, a regenerated fixture would silently pair OLD
+    staged rows with an oracle reading the NEW table — a whole-family
+    correctness failure the _SUCCESS markers cannot see. Missing
+    tables are skipped so synthetic partial test fixtures tokenize.
+    """
+    import hashlib
+
+    h = hashlib.md5()
+    for t in TABLES:
+        try:
+            st = os.stat(os.path.join(sf_dir, f"{t}.parquet"))
+        except FileNotFoundError:
+            continue
+        h.update(f"{t}:{st.st_size}:{st.st_mtime_ns};".encode())
+    return h.hexdigest()[:10]
+
+
 _TS_NS_TO_NTZ = (
     "CAST('1970-01-01 00:00:00' AS TIMESTAMP_NTZ)"
     " + make_dt_interval(0, 0, 0, (ts div 1000) / 1000000.0)"

@@ -222,8 +222,10 @@ def _sf_tag(sf_dir: str) -> str:
     """Filesystem tag for per-fixture /tmp staging dirs — ONE home for
     the naming convention every staged layout artifact shares (six
     call sites; a drifted copy would silently mix staged artifacts
-    across fixtures)."""
-    return "sf" + sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    across fixtures). Embeds the fixture fingerprint so a regenerated
+    fixture invalidates every staged artifact (io.fixture_token)."""
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    return f"sf{sf}-{io.fixture_token(sf_dir)}"
 
 
 FRAG_FILES = 64  # the planted small-file problem

@@ -184,7 +184,8 @@ def read_ocf(blob: bytes) -> list[tuple]:
 
 
 def _stage_dir(sf_dir: str) -> str:
-    return f"/tmp/seamless_fmt-{os.path.basename(sf_dir.rstrip('/'))}-avro"
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return f"/tmp/seamless_fmt-{tag}-{io.fixture_token(sf_dir)}-avro"
 
 
 def avro_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -26,7 +26,10 @@ from .. import io, portable
 
 
 def _stage_dir(sf_dir: str, what: str) -> str:
-    return f"/tmp/seamless_fmt-{os.path.basename(sf_dir.rstrip('/'))}-{what}"
+    # fixture fingerprint in the name: a regenerated fixture names a
+    # fresh dir, so no staged artifact can outlive its source table
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return f"/tmp/seamless_fmt-{tag}-{io.fixture_token(sf_dir)}-{what}"
 
 
 def json_scan_events(spark: SparkSession, sf_dir: str) -> DataFrame:

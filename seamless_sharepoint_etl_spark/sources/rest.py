@@ -562,8 +562,10 @@ def register(spark: SparkSession) -> None:
 
 
 def _endpoint_for(sf_dir: str) -> str:
+    from .. import io as _io
+
     tag = os.path.basename(sf_dir.rstrip("/"))
-    return f"/tmp/seamless_rest_endpoint-{tag}"
+    return f"/tmp/seamless_rest_endpoint-{tag}-{_io.fixture_token(sf_dir)}"
 
 
 def rest_paged_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -692,7 +694,14 @@ def rest_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bench warmup + timed passes — would otherwise leak temp dirs and
     # re-stream the whole endpoint each call. The checkpoint makes the
     # re-run a no-op (AvailableNow resumes from the committed offset).
-    work = f"/tmp/seamless_rest_stream-{os.path.basename(sf_dir.rstrip('/'))}"
+    # Fixture-token in the name: a regenerated fixture must NOT resume
+    # from a checkpoint whose committed output holds the old rows.
+    from .. import io as _io
+
+    work = (
+        f"/tmp/seamless_rest_stream-{os.path.basename(sf_dir.rstrip('/'))}"
+        f"-{_io.fixture_token(sf_dir)}"
+    )
     out, ckpt = os.path.join(work, "out"), os.path.join(work, "ckpt")
     stream = (
         spark.readStream.format("seamless_rest")

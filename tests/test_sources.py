@@ -377,3 +377,47 @@ def test_avro_scan_matches_supplier_oracle(spark):
     want = sorted(tuple(r) for r in con.sql(ao.AVRO_SCAN_SQL).fetchall())
     con.close()
     assert got == want and len(got) > 0
+
+
+def test_staging_invalidated_when_fixture_regenerates(spark, tmp_path):
+    """The driver has regenerated fixtures mid-round before (NOTES
+    trap 2). Staged /tmp artifacts embed io.fixture_token in their
+    path, so a changed source parquet must yield FRESH staged files —
+    serving rows from the old fixture against an oracle reading the
+    new one would be a silent whole-family wrong answer."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from seamless_sharepoint_etl_spark.sources import avro_ocf as ao
+
+    d = str(tmp_path)
+
+    def write_supplier(rows):
+        pd.DataFrame(
+            {
+                "s_suppkey": [r[0] for r in rows],
+                "s_name": [r[1] for r in rows],
+                "s_address": ["x"] * len(rows),
+                "s_nationkey": [r[2] for r in rows],
+                "s_phone": ["p"] * len(rows),
+                "s_acctbal": [r[3] for r in rows],
+                "s_comment": ["c"] * len(rows),
+            }
+        ).to_parquet(os.path.join(d, "supplier.parquet"))
+
+    write_supplier([(1, "alpha", 3, 10.0), (2, "beta", 5, 20.0)])
+    first = sorted(
+        tuple(r) for r in ao.avro_roundtrip_scan(spark, d).collect()
+    )
+    assert [r[0] for r in first] == [1, 2]
+
+    time.sleep(0.02)  # ensure a distinct mtime_ns
+    write_supplier([(7, "gamma", 9, 30.0)])
+    second = sorted(
+        tuple(r) for r in ao.avro_roundtrip_scan(spark, d).collect()
+    )
+    assert second == [(7, "gamma", 9, 3000)], (
+        "staged Avro files were not invalidated by the fixture change"
+    )
