@@ -162,6 +162,75 @@ _GRADE_FIRST = [
     "dedup_minhash_estimate",
 ]
 
+# ROUND-6 window, pre-staged and test-verified (exactly the 49
+# registered queries with no driver row once CORRECTNESS_r05 grades
+# the window above, plus ONE canary re-grade). Round-6 first commit:
+# `_GRADE_FIRST = _GRADE_FIRST_R6`, then re-run
+# test_grading_window_covers_priority_families and
+# test_round6_window_is_exactly_the_ungraded_remainder. The rotation
+# is FULL — adding any new query to this list evicts a finished
+# query's only grading slot.
+_GRADE_FIRST_R6 = [
+    # canary re-grade (multiple green rows on record; keeps the
+    # flagship's driver row fresh)
+    "flagship_incremental_load",
+    # round-5 additions (VARIANT shred, Avro OCF round trip, PNG)
+    "fn_variant_shred",
+    "src_avro_roundtrip_scan",
+    "mm_png_decode_features",
+    # dedup sketch portability pair
+    "dedup_simhash_portable",
+    "dedup_estimator_pr",
+    # similarity / embedding family
+    "sim_mmr_diversify",
+    "emb_dim_stats",
+    "sim_pq_topk",
+    "sim_rerank_two_stage",
+    "sim_filtered_topk",
+    "emb_pca_top_component",
+    "emb_silhouette_margin",
+    "sim_ann_recall_curve",
+    # text curation family
+    "text_unicode_nfc",
+    "text_url_canonicalize",
+    "text_token_entropy",
+    "text_phrase_search",
+    "text_bm25_topk",
+    "text_zipf_slope",
+    "text_bpe_tokenize",
+    "text_weighted_sample",
+    "text_bigram_logprob",
+    "text_dsir_importance",
+    "text_perplexity_buckets",
+    "text_leakage_safe_split",
+    "text_source_boilerplate_prefix",
+    "text_source_overlap",
+    "text_hashed_linear_classifier",
+    "text_ngram_novelty",
+    "text_winnow_fingerprint",
+    "text_winnow_crossdoc",
+    "text_rake_keywords",
+    # multimodal family
+    "mm_phash_neardup",
+    "mm_ppm_decode_features",
+    "mm_wav_decode_features",
+    "mm_audio_spectral_features",
+    "mm_video_frame_features",
+    "mm_byte_entropy",
+    # graph family (rides one window — driver_sim + --tz pre-verified)
+    "graph_triangle_stats",
+    "graph_degree_histogram",
+    "graph_kcore",
+    "graph_bfs_depth",
+    "graph_jaccard_linkpred",
+    "graph_label_modularity",
+    "graph_degree_assortativity",
+    "graph_local_clustering",
+    "graph_edge_support",
+    "graph_pagerank_exact",
+    "graph_neardup_cc_exact",
+]
+
 
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _sql) in _collect().items()}

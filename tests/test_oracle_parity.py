@@ -85,3 +85,45 @@ def test_grading_window_covers_priority_families():
     names = list(registry.queries())
     for prio in registry._GRADE_FIRST:
         assert names.index(prio) < 50, f"{prio} fell outside the grading window"
+
+
+def test_round6_window_is_exactly_the_ungraded_remainder():
+    """The pre-staged round-6 window (_GRADE_FIRST_R6) must close the
+    rotation: every registered query with no row in any on-disk
+    CORRECTNESS_r*.json file has to sit in the live window or the
+    staged round-6 one, and (while the rotation is still open) every
+    staged non-canary name has to actually NEED its slot — the
+    rotation is full, so a graded name in the list would waste a
+    finished query's only grading slot. Valid at every stage: before
+    the swap (ungraded = 99 = live 50 + staged 49 + canary), at
+    round-6 start once CORRECTNESS_r05 lands (ungraded = 49, all
+    staged), and after round 6 completes (ungraded = 0, trivially
+    covered; the waste check only runs while names remain ungraded)."""
+    import glob
+    import json
+    import os
+
+    from seamless_sharepoint_etl_spark import registry
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    graded: set[str] = set()
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        graded |= set(json.load(open(path)))
+    registered = set(registry.queries())
+    staged = registry._GRADE_FIRST_R6
+    assert len(staged) == 50, f"round-6 window holds {len(staged)} names, not 50"
+    assert len(staged) == len(set(staged)), "duplicate names in _GRADE_FIRST_R6"
+    assert set(staged) <= registered, (
+        f"unregistered names staged: {sorted(set(staged) - registered)}"
+    )
+    ungraded = registered - graded
+    covered = set(registry._GRADE_FIRST) | set(staged)
+    assert ungraded <= covered, (
+        f"queries outside every grading window: {sorted(ungraded - covered)}"
+    )
+    if ungraded:
+        canary = {"flagship_incremental_load"}
+        wasted = (set(staged) - canary) - ungraded
+        assert not wasted, (
+            f"already-graded names occupy round-6 slots: {sorted(wasted)}"
+        )
