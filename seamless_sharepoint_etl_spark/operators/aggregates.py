@@ -1174,7 +1174,16 @@ def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     w = Window.partitionBy("k").orderBy("h")
-    sk = dh.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= KMV_K)
+    # persist: the ≤2K-row sketch relation is referenced five times
+    # below (union sketch, per-set membership, estimators); uncached,
+    # every reference re-expands the full distinct-over-events chain —
+    # 8 scans of the fact table in the optimized plan (trap 22b class,
+    # caught by the dup_scan plan audit)
+    sk = (
+        dh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .persist()
+    )
     # union sketch: bottom-K of the union of the two sketches' values —
     # orderBy+limit compiles to TakeOrderedAndProject (per-partition
     # heaps + driver merge), not a single-task global window

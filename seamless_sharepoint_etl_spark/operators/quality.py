@@ -15,6 +15,9 @@ parent (orphans). The orphan probe is distinct-then-anti-join — the
 distinct shrinks the probe side to |keys| before the join, so the
 shuffle carries key cardinality, not table cardinality; Catalyst
 broadcasts the small parents (nation/region/supplier) on its own.
+A multi-FK child gets one FUSED stats aggregate for all its edges
+(stack-unpivoted back to edge rows), so the fact table is scanned
+1 + |edges| times, not 2·|edges|.
 
 ``diag_psi_drift`` computes the Population Stability Index of the order
 value distribution between two adjacent years over 10 fixed equi-width
@@ -52,30 +55,51 @@ FK_EDGES = [
 def referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-statement FK audit over all {len(FK_EDGES)} edges: row /
     NULL-key / distinct-key / orphan-key counts per edge (see module
-    docstring for the scale shape)."""
-    parts = []
+    docstring for the scale shape).
+
+    Scan economy: a child table appearing in several edges (lineitem
+    carries three FKs) gets ONE fused stats pass computing every
+    edge's row/NULL/distinct counts in a single aggregate — per-edge
+    stats scans would re-read the 100 TB fact once per FK. The 1-row
+    stats and per-edge orphan scalars chain through scalar-frontier
+    crossJoins and un-pivot back to edge rows via ``stack``, so the
+    child is read 1 + |edges| times (stats + one distinct-key orphan
+    probe per edge) instead of 2·|edges|."""
+    by_child: dict[str, list[tuple[str, str, str]]] = {}
     for child, ckey, parent, pkey in FK_EDGES:
-        c = io.load_table(spark, sf_dir, child).select(ckey)
-        p = io.load_table(spark, sf_dir, parent).select(pkey)
-        stats = c.agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.count(F.when(F.col(ckey).isNull(), 1)).alias("n_null"),
-            F.countDistinct(ckey).alias("n_keys"),
-        )
-        orphans = (
-            c.filter(F.col(ckey).isNotNull())
-            .distinct()
-            .join(p, F.col(ckey) == F.col(pkey), "left_anti")
-            .agg(F.count(F.lit(1)).alias("n_orphan_keys"))
+        by_child.setdefault(child, []).append((ckey, parent, pkey))
+    parts = []
+    for child, edges in by_child.items():
+        keys = list(dict.fromkeys(ckey for ckey, _, _ in edges))
+        c = io.load_table(spark, sf_dir, child).select(*keys)
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        for ckey, _, _ in edges:
+            aggs.append(
+                F.count(F.when(F.col(ckey).isNull(), 1)).alias(f"n_null_{ckey}")
+            )
+            aggs.append(F.countDistinct(ckey).alias(f"n_keys_{ckey}"))
+        row = c.agg(*aggs)
+        for ckey, parent, pkey in edges:
+            p = io.load_table(spark, sf_dir, parent).select(pkey)
+            orphans = (
+                c.select(ckey)
+                .filter(F.col(ckey).isNotNull())
+                .distinct()
+                .join(p, F.col(ckey) == F.col(pkey), "left_anti")
+                .agg(F.count(F.lit(1)).alias(f"n_orphan_{ckey}"))
+            )
+            row = row.crossJoin(orphans)
+        stacked = ", ".join(
+            f"'{child}.{ckey}->{parent}.{pkey}', "
+            f"n_null_{ckey}, n_keys_{ckey}, n_orphan_{ckey}"
+            for ckey, parent, pkey in edges
         )
         parts.append(
-            stats.crossJoin(orphans).select(
-                F.lit(f"{child}.{ckey}->{parent}.{pkey}").alias("edge"),
+            row.selectExpr(
                 "n_rows",
-                "n_null",
-                "n_keys",
-                "n_orphan_keys",
-            )
+                f"stack({len(edges)}, {stacked})"
+                " AS (edge, n_null, n_keys, n_orphan_keys)",
+            ).select("edge", "n_rows", "n_null", "n_keys", "n_orphan_keys")
         )
     return reduce(DataFrame.unionAll, parts).orderBy("edge")
 

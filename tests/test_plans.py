@@ -219,6 +219,15 @@ def test_registry_wide_plan_audit(spark):
             if (name, smell) not in ALLOWLIST:
                 findings.append((name, smell))
 
+    _repersist_session_caches()
+    assert not findings, f"un-allowlisted plan smells: {findings}"
+
+
+def _repersist_session_caches():
+    """Re-mark every module-level session-cache DataFrame as persisted
+    (clearCache() unpersists them but the module dicts keep returning
+    the same objects, so consumers would silently re-expand the shared
+    subtrees)."""
     from seamless_sharepoint_etl_spark.llm_ops import (
         dedup as _dedup,
         scoring as _scoring,
@@ -239,7 +248,33 @@ def test_registry_wide_plan_audit(spark):
             for df in val if isinstance(val, tuple) else (val,):
                 if hasattr(df, "persist"):
                     df.persist()
-    assert not findings, f"un-allowlisted plan smells: {findings}"
+
+
+def test_registry_wide_duplicate_scan_audit(spark):
+    """No query's optimized plan may scan the same table more than
+    SCAN_BUDGET times (NOTES trap 22b: a derived relation referenced
+    N times re-executes its whole chain N times — agg_kmv_set_ops
+    shipped with 8 events scans before this gate existed). Counted
+    structurally via collectLeaves(), with the session caches in
+    their production (persisted) state, because cached spine relations
+    are exactly how the dedup/text/sim families amortize their scans."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), os.pardir, "tools")
+    )
+    from plan_audit import ALLOWLIST, audit_scans
+
+    from seamless_sharepoint_etl_spark import registry
+
+    _repersist_session_caches()
+    findings = []
+    for name, fn in registry.queries().items():
+        over = audit_scans(fn(spark, SF))
+        if over and (name, "dup_scan") not in ALLOWLIST:
+            findings.append((name, over))
+    assert not findings, f"over-budget same-table scans: {findings}"
 
 
 def test_bnlj_detector_inspects_only_the_build_subtree():

@@ -16,6 +16,17 @@ sweeps the executed plan for the three structural scale smells:
                 pre-aggregated / literal-bounded relations are fine —
                 the allowlist names them with the reason.
 
+  dup_scan    — the SAME table appears as more than SCAN_BUDGET
+                LogicalRelation leaves in one query's optimized plan:
+                a derived relation referenced N times re-executes its
+                whole chain N times (NOTES trap 22b — the 16-scan
+                triangular-join shape). Counted from
+                optimizedPlan().collectLeaves(), not plan text, so a
+                session-cached relation (a genuine InMemoryRelation
+                leaf) is correctly NOT charged as a re-scan; the sweep
+                therefore runs with the session caches in place — the
+                declared production state (bench stages them in setup).
+
 Usage:  python tools/plan_audit.py [sf_dir]         # report
 Exit 1 if any un-allowlisted smell is found. test_plans.py runs the
 same sweep as a pytest gate so regressions can't land silently.
@@ -254,6 +265,41 @@ def _bnlj_smells(plan: str) -> bool:
     return False
 
 
+# Max times one table may appear as a LogicalRelation leaf in a single
+# optimized plan. Calibrated against the registry-wide distribution:
+# the legitimate maximum is 4 (referential integrity's fused-stats +
+# per-edge orphan probes on lineitem/nation; two-generation snapshot
+# diffs; seasonal anomaly base/probe pairs). The trap-22b failure
+# shapes this gate exists for sat at 8-16.
+SCAN_BUDGET = 4
+
+
+def scan_counts(df) -> dict[str, int]:
+    """Same-table scan multiplicity in a DataFrame's OPTIMIZED logical
+    plan, from collectLeaves() — structural traversal, immune to the
+    stored-plan text hazards (NOTES trap 24) that rule out counting
+    `FileScan` lines. Tables are keyed by their first output attribute
+    (every fixture/staged schema has a distinctive leading column)."""
+    leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+    counts: dict[str, int] = {}
+    for i in range(leaves.size()):
+        leaf = leaves.apply(i)
+        if leaf.getClass().getSimpleName() != "LogicalRelation":
+            continue
+        out = leaf.output()
+        key = out.apply(0).name() if out.size() else "?"
+        counts[key] = counts.get(key, 0) + 1
+    return counts
+
+
+def audit_scans(df) -> dict[str, int]:
+    """Over-budget tables only: {table_key: leaf_count}. Non-empty =
+    the dup_scan smell (allowlist key: (query, "dup_scan"))."""
+    return {
+        table: n for table, n in sorted(scan_counts(df).items()) if n > SCAN_BUDGET
+    }
+
+
 def audit_plan(plan: str) -> list[str]:
     """Return smell tags found in one executed-plan string."""
     smells = []
@@ -285,6 +331,15 @@ def main() -> int:
             print(f"ERROR {name}: {type(ex).__name__}: {ex}")
             bad += 1
             continue
+        over = audit_scans(df)
+        if over:
+            reason = ALLOWLIST.get((name, "dup_scan"))
+            if reason:
+                fired.add((name, "dup_scan"))
+                print(f"ALLOW {name}: dup_scan {over} — {reason}")
+            else:
+                print(f"SMELL {name}: dup_scan {over}")
+                bad += 1
         for smell in audit_plan(plan):
             reason = ALLOWLIST.get((name, smell))
             if reason:
