@@ -5,10 +5,12 @@ requirement (BASELINE.json), no reference counterpart.
 
 Three operators:
   brute-force top-k — exact cosine for a query subset. The O(Q×N)
-      baseline; fine when Q is small, and the correctness oracle for
-      everything else. All arithmetic is JVM-side array lambdas
-      (no UDF): dot/norms via F.aggregate in DOUBLE with sequential
-      fold order, so the oracle matches bit-for-bit.
+      baseline and the correctness oracle for everything else.
+      Two-phase: a BLAS shortlist (cogrouped applyInPandas matmul per
+      block) + a JVM exact re-rank whose dot/norms use F.aggregate in
+      DOUBLE with sequential fold order, so the reported values match
+      the SQL oracle bit-for-bit while the O(Q×N) inner loop runs at
+      memory-bandwidth speed.
   embedding near-dup — same-label pairs with cosine ≥ 0.9 (the
       embedding-cosine dedup gate). Label partitioning bounds the pair
       blowup exactly like blocking keys do at 100 TB.
@@ -47,26 +49,104 @@ def _norm(a):
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+# Candidate-phase slack between a BLAS-computed cosine and the exact
+# sequential-fold value the driver hashes: IEEE dot-product error is
+# bounded by ~d·eps ≈ 64·2.2e-16 ≈ 1.4e-14 relative; 1e-7 pads that by
+# seven orders of magnitude, so the numpy shortlist provably contains
+# every pair the exact filter/top-k can accept while still pruning
+# essentially everything else.
+_PAIR_MARGIN = 1e-7
+
+
 def brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-10 neighbors for every query vector (vec_id % 50 == 0)."""
+    """Exact cosine top-10 neighbors for every query vector (vec_id %
+    50 == 0) — the O(Q×N) truth baseline, BLAS-backed.
+
+    Two phases keep it exact AND memory-bandwidth fast:
+
+    1. *Shortlist* (numpy): candidates hash into N_BLOCKS groups, the
+       query batch replicates to every block, and a cogrouped
+       applyInPandas computes the per-block Q×|block| cosine matrix as
+       one BLAS matmul, keeping each query's block-local top-K with a
+       _PAIR_MARGIN safety band. The global exact top-K is a subset of
+       the per-block top-Ks by definition, and the margin absorbs the
+       ≤1.4e-14 numpy-vs-fold float discrepancy, so the shortlist
+       provably contains the true top-K. Arrow moves only vectors
+       (N + Q·N_BLOCKS rows), never the Q×N pair stream.
+    2. *Exact re-rank* (JVM): the ≤ ~K·N_BLOCKS-per-query shortlist
+       (vectors carried through — Arrow moves float64 bit-exactly, so
+       no second table scan) is ranked by the same sequential
+       F.aggregate fold the DuckDB oracle computes — the reported
+       cosine is bit-identical to the all-pairs form this replaced.
+
+    At 100 TB the per-task unit is a dense matmul over one block
+    (N_BLOCKS scales with the cluster), the shuffle is O(N), and the
+    final window partition is provably ≤ ~K·N_BLOCKS rows per query.
+    """
+    import pandas as pd
+
     e = io.load_table_parallel(spark, sf_dir, "embeddings")
-    # per-vector norms hoisted out of the Q×N pair stream (bit-identical
-    # fold, computed once per vector instead of once per pair)
     q = e.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("query_id"), _dbl("embedding").alias("qv")
-    ).withColumn("qn", _norm(F.col("qv")))
+    )
+    qrep = q.withColumn("g", F.explode(F.sequence(F.lit(0), F.lit(N_BLOCKS - 1))))
     c = e.select(
-        F.col("vec_id").alias("cand_id"), _dbl("embedding").alias("cv")
-    ).withColumn("cn", _norm(F.col("cv")))
-    cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
-    scored = (
-        q.crossJoin(c)
-        .filter(F.col("query_id") != F.col("cand_id"))
-        .select("query_id", "cand_id", cos.alias("cos"))
+        F.col("vec_id").alias("cand_id"),
+        _dbl("embedding").alias("cv"),
+        F.pmod(F.xxhash64("vec_id"), F.lit(N_BLOCKS)).cast("int").alias("g"),
+    )
+
+    def _shortlist(key, qdf, cdf):
+        import numpy as np
+
+        if qdf.empty or cdf.empty:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series(dtype="int64"),
+                    "cand_id": pd.Series(dtype="int64"),
+                    "qv": pd.Series(dtype="object"),
+                    "cv": pd.Series(dtype="object"),
+                }
+            )
+        qm = np.vstack(qdf["qv"].to_numpy())
+        cm = np.vstack(cdf["cv"].to_numpy())
+        cos = (qm @ cm.T) / np.outer(
+            np.linalg.norm(qm, axis=1), np.linalg.norm(cm, axis=1)
+        )
+        qid = qdf["query_id"].to_numpy().astype("int64")
+        cid = cdf["cand_id"].to_numpy().astype("int64")
+        cos[qid[:, None] == cid[None, :]] = -np.inf  # self-pairs excluded
+        k = min(TOP_K, cos.shape[1])
+        kth = np.sort(cos, axis=1)[:, -k]
+        ii, jj = np.nonzero(cos >= (kth[:, None] - _PAIR_MARGIN))
+        # carry the vectors through (Arrow moves float64 bit-exactly):
+        # the exact re-rank then needs NO second scan of the table
+        # dtype=object even when 0 rows survive: an empty plain-list
+        # column infers float64, which Arrow can't cast to list<double>
+        return pd.DataFrame(
+            {
+                "query_id": qid[ii],
+                "cand_id": cid[jj],
+                "qv": pd.Series(list(qm[ii]), dtype="object"),
+                "cv": pd.Series(list(cm[jj]), dtype="object"),
+            }
+        )
+
+    short = (
+        qrep.groupBy("g")
+        .cogroup(c.groupBy("g"))
+        .applyInPandas(
+            _shortlist,
+            "query_id long, cand_id long, qv array<double>, cv array<double>",
+        )
+    )
+    cos = _dot(F.col("qv"), F.col("cv")) / (
+        _norm(F.col("qv")) * _norm(F.col("cv"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        short.select("query_id", "cand_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "rank", "cand_id", F.round("cos", 6).alias("cosine"))
     )
@@ -117,48 +197,107 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold all-pairs is irreducibly O(N²) *compute*, so the scale
     problem to solve is the *execution shape*, not the pair count.
 
-    Execution shape: vectors hash into N_BLOCKS groups; side A carries
-    each vector to every block-pair (g, g′≥g) it belongs to, side B
-    symmetrically, and the join is a pure EQUI-join on the block-pair
-    key — no BroadcastNestedLoop, no full-table broadcast (round-1 plan
-    pinned the BNLJ as a scale-killer). Each task holds ~N/N_BLOCKS
-    rows of one side (tunable), shuffle volume is (N_BLOCKS+1)/2 × N
-    rows per side, and the N² pair stream is evenly spread over the
-    block grid — the standard distributed all-pairs layout.
+    Execution shape (two-phase, exact): vectors hash into N_BLOCKS
+    groups; side A carries each vector to every block-pair (g, g′≥g)
+    it belongs to, side B symmetrically, and a *cogrouped
+    applyInPandas* over the block-pair key computes each grid cell's
+    |A|×|B| cosine matrix as one BLAS matmul, emitting only candidate
+    pairs ≥ NEARDUP_COS − _PAIR_MARGIN with their vectors carried
+    through (Arrow moves float64 bit-exactly). The tiny survivor set
+    is then re-scored JVM-side with the same sequential F.aggregate
+    fold the DuckDB oracle computes, so the reported cosine is
+    bit-identical to the naive pair-stream form this replaced (the
+    margin provably absorbs the ≤1.4e-14 numpy-vs-fold discrepancy —
+    no true pair can be missed, and the exact filter makes the final
+    decision).
+
+    Arrow moves (N_BLOCKS+1)/2 × N vectors per side — never the N²
+    pair stream — and each task's unit of work is a dense matmul over
+    one grid cell: the standard distributed exact all-pairs layout, at
+    memory-bandwidth speed instead of per-pair interpreted lambda
+    eval. No BroadcastNestedLoop, no full-table broadcast (round-1
+    plan pinned the BNLJ as a scale-killer).
     """
+    import pandas as pd
+
     e = io.load_table_parallel(spark, sf_dir, "embeddings")
-    # norm computed ONCE per vector (identical fold → bit-identical
-    # cosine), not twice per pair — the pair stream is O(N²), so every
-    # O(d) expression there multiplies the total CPU.
     v = e.select(
         "vec_id",
         _dbl("embedding").alias("v"),
         F.pmod(F.xxhash64("vec_id"), F.lit(N_BLOCKS)).cast("int").alias("g"),
-    ).withColumn("n", _norm(F.col("v")))
+    )
     a = v.select(
         F.col("vec_id").alias("ida"),
         F.col("v").alias("va"),
-        F.col("n").alias("na"),
         F.col("g").alias("ga"),
     ).withColumn("gb", F.explode(F.sequence(F.col("ga"), F.lit(N_BLOCKS - 1))))
     b = v.select(
         F.col("vec_id").alias("idb"),
         F.col("v").alias("vb"),
-        F.col("n").alias("nb"),
         F.col("g").alias("gb"),
     ).withColumn("ga", F.explode(F.sequence(F.lit(0), F.col("gb"))))
-    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    return (
-        a.join(b, ["ga", "gb"])
-        # cross-block pairs arrive exactly once (side = block order);
-        # same-block pairs arrive in both orientations — keep one
-        .filter((F.col("ga") < F.col("gb")) | (F.col("ida") < F.col("idb")))
-        .filter(F.col("ida") != F.col("idb"))
-        .select(
-            F.least("ida", "idb").alias("id_lo"),
-            F.greatest("ida", "idb").alias("id_hi"),
-            cos.alias("cos"),
+
+    def _blas_candidates(key, adf, bdf):
+        import numpy as np
+
+        if adf.empty or bdf.empty:
+            return pd.DataFrame(
+                {
+                    "id_lo": pd.Series(dtype="int64"),
+                    "id_hi": pd.Series(dtype="int64"),
+                    "vl": pd.Series(dtype="object"),
+                    "vh": pd.Series(dtype="object"),
+                }
+            )
+        am = np.vstack(adf["va"].to_numpy())
+        bm = np.vstack(bdf["vb"].to_numpy())
+        cos = (am @ bm.T) / np.outer(
+            np.linalg.norm(am, axis=1), np.linalg.norm(bm, axis=1)
         )
+        ii, jj = np.nonzero(cos >= NEARDUP_COS - _PAIR_MARGIN)
+        ida = adf["ida"].to_numpy()[ii].astype("int64")
+        idb = bdf["idb"].to_numpy()[jj].astype("int64")
+        # cross-block cells hold each unordered pair exactly once (A =
+        # lower block, B = higher); the diagonal cell holds both
+        # orientations — keep one
+        keep = (ida < idb) if int(key[0]) == int(key[1]) else (ida != idb)
+        ii, jj, ida, idb = ii[keep], jj[keep], ida[keep], idb[keep]
+        lo_is_a = ida < idb
+        # carry the pair's vectors through (Arrow moves float64
+        # bit-exactly): the exact verification needs NO second scan
+        # dtype=object even when 0 rows survive: an empty plain-list
+        # column infers float64, which Arrow can't cast to list<double>
+        return pd.DataFrame(
+            {
+                "id_lo": np.minimum(ida, idb),
+                "id_hi": np.maximum(ida, idb),
+                "vl": pd.Series(
+                    [am[i] if la else bm[j] for i, j, la in zip(ii, jj, lo_is_a)],
+                    dtype="object",
+                ),
+                "vh": pd.Series(
+                    [bm[j] if la else am[i] for i, j, la in zip(ii, jj, lo_is_a)],
+                    dtype="object",
+                ),
+            }
+        )
+
+    cand = (
+        a.groupBy("ga", "gb")
+        .cogroup(b.groupBy("ga", "gb"))
+        .applyInPandas(
+            _blas_candidates,
+            "id_lo long, id_hi long, vl array<double>, vh array<double>",
+        )
+    )
+    # exact verification with the oracle's fold order — the candidate
+    # set is tiny, so the O(d) interpreted expressions run on
+    # survivors only, and the exact filter makes the final decision
+    cos = _dot(F.col("vl"), F.col("vh")) / (
+        _norm(F.col("vl")) * _norm(F.col("vh"))
+    )
+    return (
+        cand.select("id_lo", "id_hi", cos.alias("cos"))
         .filter(F.col("cos") >= NEARDUP_COS)
         .select("id_lo", "id_hi", F.round("cos", 6).alias("cosine"))
     )

@@ -49,22 +49,11 @@ CENTROID = (
 )
 
 ALLOWLIST: dict[tuple[str, str], str] = {
-    ("sim_brute_force_topk", "cartesian"): (
-        "declared exact-truth baseline: O(Q.N) crossJoin IS the spec; "
-        "IVF/PQ/rerank are the serving paths"
-    ),
-    ("sim_brute_force_topk", "bnlj"): (
-        "same declared baseline (Spark plans the crossJoin as BNLJ)"
-    ),
     ("join_cross_small", "cartesian"): (
         "the operator under test IS a cross join of two pruned dims"
     ),
     ("join_cross_small", "bnlj"): (
         "the operator under test IS a cross join (planned as BNLJ)"
-    ),
-    ("sim_embedding_neardup", "cartesian"): (
-        "block-pair relation: 16x16 BLOCK ids cross-joined (256 rows), "
-        "never row-level; the row join is the blocked equi-join"
     ),
     ("emb_pca_top_component", "cartesian"): (
         "d x d Gram recombination: 64x64 index grid, data-independent"
