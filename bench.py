@@ -296,6 +296,8 @@ def main() -> None:
     _mark("portable_shingle_cache_fill")
     text_ops._token_relation(spark, sf_dir).count()
     _mark("token_cache_fill")
+    text_ops._bigram_relation(spark, sf_dir)  # eager inside
+    _mark("bigram_cache_fill")
     # Near-dup edge relation: every graph_* query persists and shares
     # it (same canonicalized plan -> one InMemoryRelation); fill it here
     # so the first graph query isn't charged the family's index build.

@@ -625,28 +625,21 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     trained and scored on the same corpus, so every scored bigram is
     in the model and no smoothing mass is needed.
 
-    Scale shape: the (doc_id, w1, w2) bigram relation explodes once
-    from the wide text column (guarded for 1-token docs — NOTES trap
-    12); the model tables are bigram/left-context counts (vocab^2-
-    bounded but Zipf-concentrated, far smaller than the corpus) joined
-    back WITHOUT a broadcast hint so AQE broadcasts at fixture scale
-    and shuffle-joins at 100 TB, like pmi_collocations. Docs with <2
-    tokens carry no bigrams and drop out of both engines identically
-    (inner join).
+    Scale shape: the (doc_id, w1, w2) bigram relation is the session-
+    cached text._bigram_relation — this plan references it THREE times
+    (pair counts, left-context totals, the scoring join), and Catalyst
+    inlines every reference as its own subtree, so uncached the
+    trap-22-class explode (full-document split re-run per bigram)
+    executed three times per query. The model tables are
+    bigram/left-context counts (vocab^2-bounded but Zipf-concentrated,
+    far smaller than the corpus) joined back WITHOUT a broadcast hint
+    so AQE broadcasts at fixture scale and shuffle-joins at 100 TB,
+    like pmi_collocations. Docs with <2 tokens carry no bigrams and
+    drop out of both engines identically (inner join).
     """
-    d = io.load_table_parallel(spark, sf_dir, "documents")
-    pairs_expr = F.expr(
-        """
-        CASE WHEN size(split(text, ' ')) >= 2 THEN
-          transform(sequence(1, size(split(text, ' ')) - 1),
-                    i -> struct(split(text, ' ')[i - 1] AS w1,
-                                split(text, ' ')[i] AS w2))
-        ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) END
-        """
-    )
-    bg = d.select("doc_id", F.explode(pairs_expr).alias("p")).select(
-        "doc_id", "p.w1", "p.w2"
-    )
+    from .text import _bigram_relation
+
+    bg = _bigram_relation(spark, sf_dir)
     c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     lm = c2.join(c1, "w1").select(

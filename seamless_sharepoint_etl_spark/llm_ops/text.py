@@ -64,6 +64,46 @@ def _token_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t
 
 
+# Session-scoped cache of the in-order (doc_id, w1, w2) adjacent-pair
+# relation — the bigram twin of _TOKEN_CACHE. The explode's
+# per-element lambda references split(text), and the explode path runs
+# interpreted eval (trap 22 class): every consumer that re-derives this
+# relation re-runs the full-document split once per bigram. pmi needs
+# it twice (TF + total) and the bigram LM three times (counts, context
+# totals, scoring join); cached, the explode runs exactly once.
+_BIGRAM_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _bigram_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, w1, w2): in-order adjacent token pairs, persisted per
+    session. Guarded for <2-token docs (sequence(1, size-1) DESCENDS on
+    a 1-token doc — NOTES trap 12): they carry zero bigrams."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _BIGRAM_CACHE.get(key)
+    if cached is not None:
+        return cached
+    from pyspark import StorageLevel
+
+    d = io.load_table_parallel(spark, sf_dir, "documents")
+    pairs_expr = F.expr(
+        """
+        CASE WHEN size(split(text, ' ')) >= 2 THEN
+          transform(sequence(1, size(split(text, ' ')) - 1),
+                    i -> struct(split(text, ' ')[i - 1] AS w1,
+                                split(text, ' ')[i] AS w2))
+        ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) END
+        """
+    )
+    bg = (
+        d.select("doc_id", F.explode(pairs_expr).alias("p"))
+        .select("doc_id", "p.w1", "p.w2")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    bg.count()  # eager: consumer plans must not depend on fill order (trap 17)
+    _BIGRAM_CACHE[key] = bg
+    return bg
+
+
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token counts: whitespace tokens, distinct tokens,
     type-token ratio, mean token length, BPE-ish size estimate."""
@@ -268,22 +308,11 @@ FROM documents
 
 
 def bigram_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-wide bigram term frequencies (n-gram TF table)."""
-    d = io.load_table_parallel(spark, sf_dir, "documents")
-    # guarded: sequence(1, size-1) DESCENDS ([1, 0]) when the doc has a
-    # single token, and split(text,' ')[i] then throws out-of-bounds —
-    # a 1-token/empty doc must yield zero bigrams, not kill the job
-    bigrams = F.expr(
-        """
-        CASE WHEN size(split(text, ' ')) >= 2 THEN
-          transform(sequence(1, size(split(text, ' ')) - 1),
-                    i -> concat_ws('_', split(text, ' ')[i - 1],
-                                        split(text, ' ')[i]))
-        ELSE CAST(array() AS ARRAY<STRING>) END
-        """
-    )
+    """Corpus-wide bigram term frequencies (n-gram TF table), over the
+    session-cached adjacent-pair relation."""
     return (
-        d.select(F.explode(bigrams).alias("bigram"))
+        _bigram_relation(spark, sf_dir)
+        .select(F.concat_ws("_", "w1", "w2").alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("tf"))
     )

@@ -508,9 +508,11 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     trade for exactness; a 100 TB profile would swap in
     approx_count_distinct per column and lose the Expand). The 1-row
     aggregate then unpivots via ``stack`` into (column, stats) rows —
-    never a per-column scan loop.
+    never a per-column scan loop. The single-file fixture fans out
+    (load_table_parallel) so the Expand×6 partial aggregation runs on
+    every core, not one.
     """
-    o = io.load_table(spark, sf_dir, "orders")
+    o = io.load_table_parallel(spark, sf_dir, "orders")
 
     def _num(col: str, kind: str):
         if kind == "num":
