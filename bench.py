@@ -214,6 +214,8 @@ HEADLINE = [
     "dedup_estimator_pr",
     "agg_hll_portable",
     "graph_neardup_cc_exact",
+    "dedup_keep_best_canonical",
+    "sim_matryoshka_prefix_recall",
 ]
 
 

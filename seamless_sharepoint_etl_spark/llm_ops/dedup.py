@@ -1296,6 +1296,135 @@ FROM agg
 """
 
 
+KEEP_BEST_MAX_ROUNDS = 50
+
+
+def keep_best_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-survivor selection — the step an LLM-data pipeline
+    actually runs after near-dup detection: group documents into
+    near-dup clusters (exact min-label connected components over the
+    n-gram-Jaccard pairs, the ``graph_neardup_cc_exact`` partition)
+    and keep ONE canonical copy per cluster, chosen by quality
+    (longest byte length, ties → lowest doc_id) rather than the
+    arbitrary min-id convention. Every document gets a verdict row:
+    (doc_id, cluster_id, survivor_id, kept) — singletons survive
+    trivially. Exactly oracled: DuckDB replays the partition as a
+    WITH RECURSIVE reachability walk and the survivor pick as the
+    same (quality DESC, doc_id ASC) window.
+
+    Scale: the CC loop is one vertex-keyed hash join + min-aggregate
+    per round, `localCheckpoint`ed (NOTES trap 16), diameter-bounded
+    with a raising backstop; survivor election is one bounded window
+    per cluster (cluster size is near-dup-cluster size, small by
+    construction) and one equi-join back to the per-doc verdicts. The
+    pair relation rides the session shingle cache; quality is a
+    byte-length projection (octet_length — byte semantics agree
+    across engines regardless of the doc's script).
+    """
+    d = io.load_table_parallel(spark, sf_dir, "documents").select(
+        "doc_id", F.octet_length("text").cast("long").alias("qlen")
+    )
+    e = ngram_jaccard_pairs(spark, sf_dir).select("doc_lo", "doc_hi")
+    sym = (
+        e.select(F.col("doc_lo").alias("ka"), F.col("doc_hi").alias("kb"))
+        .unionAll(
+            e.select(F.col("doc_hi").alias("ka"), F.col("doc_lo").alias("kb"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("ka").alias("k"))
+        .distinct()
+        .select("k", F.col("k").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(KEEP_BEST_MAX_ROUNDS):
+        msgs = sym.join(labels, sym.ka == labels.k).select(
+            F.col("kb").alias("k"), "label"
+        )
+        new_labels = (
+            labels.unionAll(msgs)
+            .groupBy("k")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "k")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"keep_best_canonical CC did not converge in {KEEP_BEST_MAX_ROUNDS} rounds"
+        )
+    labeled = d.join(
+        labels.select(F.col("k").alias("doc_id"), "label"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        "qlen",
+        F.coalesce("label", "doc_id").alias("cluster_id"),  # singletons
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("qlen"), F.asc("doc_id")
+    )
+    surv = (
+        labeled.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cluster_id", F.col("doc_id").alias("survivor_id"))
+    )
+    return (
+        labeled.join(surv, "cluster_id")
+        .select(
+            "doc_id",
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            F.col("survivor_id").cast("long").alias("survivor_id"),
+            (F.col("doc_id") == F.col("survivor_id"))
+            .cast("int")
+            .alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+KEEP_BEST_CANONICAL_SQL = f"""
+WITH RECURSIVE
+edges AS (SELECT doc_lo, doc_hi FROM ({NGRAM_JACCARD_SQL})),
+sym AS (SELECT doc_lo AS ka, doc_hi AS kb FROM edges
+        UNION ALL SELECT doc_hi, doc_lo FROM edges),
+verts AS (SELECT DISTINCT ka AS k FROM sym),
+reach (k, r) AS (
+  SELECT k, k FROM verts
+  UNION
+  SELECT reach.k, sym.kb FROM reach JOIN sym ON reach.r = sym.ka
+),
+cluster AS (SELECT k, min(r) AS label FROM reach GROUP BY k),
+labeled AS (
+  SELECT d.doc_id, CAST(strlen(d.text) AS BIGINT) AS qlen,
+         coalesce(c.label, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN cluster c ON c.k = d.doc_id
+),
+surv AS (
+  SELECT cluster_id, doc_id AS survivor_id FROM (
+    SELECT cluster_id, doc_id,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY qlen DESC, doc_id ASC) AS rn
+    FROM labeled
+  ) WHERE rn = 1
+)
+SELECT l.doc_id,
+       CAST(l.cluster_id AS BIGINT) AS cluster_id,
+       CAST(s.survivor_id AS BIGINT) AS survivor_id,
+       CAST(CASE WHEN l.doc_id = s.survivor_id THEN 1 ELSE 0 END AS INTEGER)
+         AS kept
+FROM labeled l JOIN surv s USING (cluster_id)
+ORDER BY l.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact_normalized": (exact_dedup, EXACT_DEDUP_SQL),
     "dedup_ngram_jaccard": (ngram_jaccard_pairs, NGRAM_JACCARD_SQL),
@@ -1312,4 +1441,5 @@ QUERIES = {
     "dedup_minhash_estimate": (minhash_estimate, MINHASH_ESTIMATE_SQL),
     "dedup_simhash_portable": (simhash_portable, SIMHASH_PORTABLE_SQL),
     "dedup_estimator_pr": (estimator_pr, ESTIMATOR_PR_SQL),
+    "dedup_keep_best_canonical": (keep_best_canonical, KEEP_BEST_CANONICAL_SQL),
 }

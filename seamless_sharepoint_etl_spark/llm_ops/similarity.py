@@ -1515,6 +1515,162 @@ def ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+MRL_PREFIX_LENS = (8, 16, 32, 64)  # 64 = the full dimension (recall base)
+
+
+def matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (prefix-dimension) retrieval audit: for each prefix
+    length L ∈ {8, 16, 32}, the exact top-{TOP_K} recall of cosine
+    search over the first L dimensions against the full-dimension
+    top-{TOP_K} — the dimension-ablation readout run before committing
+    a 100-TB serving index to truncated MRL embeddings (how much
+    recall does a 4×-cheaper prefix index give up?). One row per
+    (prefix_len, query): recall in basis points. Exactly oracled.
+
+    Shape: the brute-force machinery generalized over prefix lengths —
+    the cogrouped BLAS shortlist computes all four prefix cosine
+    matrices per block from ONE Arrow transfer of the full vectors
+    (prefix matmuls slice the same arrays) and emits per-(L, query)
+    block-local top-K candidates with the sliced vectors carried
+    through; the exact re-rank folds the carried slices JVM-side with
+    the oracle's sequential order, and the recall join compares each
+    prefix's exact top-K set against the L=64 set. Every phase is
+    bounded: Arrow volume O(N·|lens|) vectors, final windows ≤
+    ~K·N_BLOCKS rows per (L, query).
+    """
+    import pandas as pd
+
+    e = io.load_table_parallel(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), _dbl("embedding").alias("qv")
+    )
+    qrep = q.withColumn("g", F.explode(F.sequence(F.lit(0), F.lit(N_BLOCKS - 1))))
+    c = e.select(
+        F.col("vec_id").alias("cand_id"),
+        _dbl("embedding").alias("cv"),
+        F.pmod(F.xxhash64("vec_id"), F.lit(N_BLOCKS)).cast("int").alias("g"),
+    )
+
+    def _shortlist(key, qdf, cdf):
+        import numpy as np
+
+        if qdf.empty or cdf.empty:
+            return pd.DataFrame(
+                {
+                    "plen": pd.Series(dtype="int32"),
+                    "query_id": pd.Series(dtype="int64"),
+                    "cand_id": pd.Series(dtype="int64"),
+                    "qs": pd.Series(dtype="object"),
+                    "cs": pd.Series(dtype="object"),
+                }
+            )
+        qm = np.vstack(qdf["qv"].to_numpy())
+        cm = np.vstack(cdf["cv"].to_numpy())
+        qid = qdf["query_id"].to_numpy().astype("int64")
+        cid = cdf["cand_id"].to_numpy().astype("int64")
+        self_mask = qid[:, None] == cid[None, :]
+        frames = []
+        for plen in MRL_PREFIX_LENS:
+            qp, cp = qm[:, :plen], cm[:, :plen]
+            cos = (qp @ cp.T) / np.outer(
+                np.linalg.norm(qp, axis=1), np.linalg.norm(cp, axis=1)
+            )
+            cos[self_mask] = -np.inf
+            k = min(TOP_K, cos.shape[1])
+            kth = np.sort(cos, axis=1)[:, -k]
+            ii, jj = np.nonzero(cos >= (kth[:, None] - _PAIR_MARGIN))
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "plen": np.full(len(ii), plen, dtype="int32"),
+                        "query_id": qid[ii],
+                        "cand_id": cid[jj],
+                        "qs": pd.Series(list(qp[ii]), dtype="object"),
+                        "cs": pd.Series(list(cp[jj]), dtype="object"),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    short = (
+        qrep.groupBy("g")
+        .cogroup(c.groupBy("g"))
+        .applyInPandas(
+            _shortlist,
+            "plen int, query_id long, cand_id long, "
+            "qs array<double>, cs array<double>",
+        )
+    )
+    cos = _dot(F.col("qs"), F.col("cs")) / (
+        _norm(F.col("qs")) * _norm(F.col("cs"))
+    )
+    w = Window.partitionBy("plen", "query_id").orderBy(
+        F.desc("cos"), F.asc("cand_id")
+    )
+    topk = (
+        short.select("plen", "query_id", "cand_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("plen", "query_id", "cand_id")
+    )
+    full = topk.filter(F.col("plen") == MRL_PREFIX_LENS[-1]).select(
+        "query_id", "cand_id", F.lit(1).alias("hit")
+    )
+    return (
+        topk.filter(F.col("plen") != MRL_PREFIX_LENS[-1])
+        .join(full, ["query_id", "cand_id"], "left")
+        .groupBy("plen", "query_id")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).alias("n_hit"))
+        .select(
+            F.col("plen").cast("int").alias("prefix_len"),
+            "query_id",
+            F.expr(f"CAST(n_hit * 10000 div {TOP_K} AS BIGINT)").alias(
+                "recall_bp"
+            ),
+        )
+        .orderBy("prefix_len", "query_id")
+    )
+
+
+MATRYOSHKA_PREFIX_RECALL_SQL = f"""
+WITH lens AS (SELECT unnest([{", ".join(str(x) for x in MRL_PREFIX_LENS)}]) AS plen),
+q AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id % {QUERY_STRIDE} = 0
+),
+c AS (
+  SELECT vec_id AS cand_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings
+),
+scored AS (
+  SELECT plen, query_id, cand_id,
+         list_sum(list_transform(list_zip(qv[1:plen], cv[1:plen]),
+                                 p -> p[1] * p[2]))
+           / (sqrt(list_sum(list_transform(qv[1:plen], x -> x * x)))
+              * sqrt(list_sum(list_transform(cv[1:plen], x -> x * x)))) AS cos
+  FROM q CROSS JOIN c CROSS JOIN lens
+  WHERE query_id <> cand_id
+),
+topk AS (
+  SELECT plen, query_id, cand_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY plen, query_id
+                                 ORDER BY cos DESC, cand_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= {TOP_K}
+)
+SELECT CAST(t.plen AS INTEGER) AS prefix_len, t.query_id AS query_id,
+       CAST(count(f.cand_id) * 10000 // {TOP_K} AS BIGINT) AS recall_bp
+FROM topk t
+LEFT JOIN topk f ON f.plen = {MRL_PREFIX_LENS[-1]}
+                AND f.query_id = t.query_id AND f.cand_id = t.cand_id
+WHERE t.plen <> {MRL_PREFIX_LENS[-1]}
+GROUP BY t.plen, t.query_id
+ORDER BY prefix_len, query_id
+"""
+
+
 QUERIES = {
     "sim_brute_force_topk": (brute_force_topk, BRUTE_FORCE_SQL),
     "sim_embedding_neardup": (embedding_neardup, EMBEDDING_NEARDUP_SQL),
@@ -1532,4 +1688,8 @@ QUERIES = {
     "emb_pca_top_component": (pca_top_component, None),
     "emb_silhouette_margin": (silhouette_margin, None),
     "sim_ann_recall_curve": (ann_recall_curve, None),
+    "sim_matryoshka_prefix_recall": (
+        matryoshka_prefix_recall,
+        MATRYOSHKA_PREFIX_RECALL_SQL,
+    ),
 }

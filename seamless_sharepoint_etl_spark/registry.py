@@ -231,6 +231,17 @@ _GRADE_FIRST_R6 = [
     "graph_neardup_cc_exact",
 ]
 
+# ROUND-7 staging: queries added AFTER the round-6 rotation was
+# frozen (the r6 window is full — evicting a finished query would
+# forfeit its only grading slot). These lead the round-7 window,
+# whose remaining slots re-grade the oldest green rows (round-1
+# families). Round-7 first commit: `_GRADE_FIRST =
+# _GRADE_FIRST_R7 + <oldest-green re-grades to fill 50>`.
+_GRADE_FIRST_R7 = [
+    "dedup_keep_best_canonical",
+    "sim_matryoshka_prefix_recall",
+]
+
 
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _sql) in _collect().items()}

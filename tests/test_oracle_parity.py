@@ -117,7 +117,11 @@ def test_round6_window_is_exactly_the_ungraded_remainder():
         f"unregistered names staged: {sorted(set(staged) - registered)}"
     )
     ungraded = registered - graded
-    covered = set(registry._GRADE_FIRST) | set(staged)
+    covered = (
+        set(registry._GRADE_FIRST)
+        | set(staged)
+        | set(registry._GRADE_FIRST_R7)
+    )
     assert ungraded <= covered, (
         f"queries outside every grading window: {sorted(ungraded - covered)}"
     )
@@ -127,3 +131,13 @@ def test_round6_window_is_exactly_the_ungraded_remainder():
         assert not wasted, (
             f"already-graded names occupy round-6 slots: {sorted(wasted)}"
         )
+    # round-7 staging: post-freeze additions only — a name already in
+    # the live or round-6 window would double-book a slot
+    r7 = registry._GRADE_FIRST_R7
+    assert len(r7) == len(set(r7)), "duplicate names in _GRADE_FIRST_R7"
+    assert set(r7) <= registered, (
+        f"unregistered names staged for r7: {sorted(set(r7) - registered)}"
+    )
+    assert not (set(r7) & (set(registry._GRADE_FIRST) | set(staged))), (
+        "round-7 staged names double-booked in an earlier window"
+    )
