@@ -767,15 +767,6 @@ _DSIR_BUCKET = (
     f" % {DSIR_BUCKETS}"
 )
 
-_DSIR_BIGRAMS = """
-CASE WHEN size(split(text, ' ')) >= 2 THEN
-  transform(sequence(1, size(split(text, ' ')) - 1),
-            i -> concat_ws('_', split(text, ' ')[i - 1],
-                                split(text, ' ')[i]))
-ELSE CAST(array() AS ARRAY<STRING>) END
-"""
-
-
 def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR data selection: rank the raw pool by hashed-bigram
     importance weight against a target-domain sample.
@@ -786,20 +777,32 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     256-row log-ratio table is broadcast (constant size by
     construction — that is the point of the hashing); the scoring pass
     then joins the broadcast table into the SAME exploded stream and
-    aggregates once on doc_id. No intermediate (doc, bucket) relation
-    exists at all: two scans of ``text`` (the model genuinely must be
-    complete before scoring; at 100 TB checkpoint the hashed stream to
-    trade storage for the second scan), ONE corpus-sized shuffle.
-    Weights are emitted as floor(w·10⁴ + 0.5) basis points: the
-    per-bucket ratio is a single ln() expression with fixed operation
-    order on integer counts, so cross-engine drift is ~1e-15 relative,
-    far below the 1e-4 grid (trap 1).
+    aggregates once on doc_id. The bigram stream is the session-cached
+    text._bigram_relation: this plan references it twice (model +
+    scoring), and uncached each reference re-ran the trap-22-class
+    split-per-bigram explode; the target flag joins in from a 2-column
+    documents projection (AQE broadcasts it). Weights are emitted as
+    floor(w·10⁴ + 0.5) basis points: the per-bucket ratio is a single
+    ln() expression with fixed operation order on integer counts, so
+    cross-engine drift is ~1e-15 relative, far below the 1e-4 grid
+    (trap 1).
     """
-    d = io.load_table_parallel(spark, sf_dir, "documents")
+    from .text import _bigram_relation
+
     is_tgt = F.col("source").isin(*DSIR_TARGET_SOURCES)
-    bg = d.select(
-        "doc_id", is_tgt.alias("tgt"), F.explode(F.expr(_DSIR_BIGRAMS)).alias("bg")
-    ).select("doc_id", "tgt", F.expr(_DSIR_BUCKET.format(col="bg")).alias("b"))
+    flags = io.load_table_parallel(spark, sf_dir, "documents").select(
+        "doc_id", is_tgt.alias("tgt")
+    )
+    bg = (
+        _bigram_relation(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.expr(
+                _DSIR_BUCKET.format(col="concat_ws('_', w1, w2)")
+            ).alias("b"),
+        )
+        .join(flags, "doc_id")
+    )
     sides = bg.groupBy("b").agg(
         F.sum(F.when(F.col("tgt"), 1).otherwise(0)).alias("tc"),
         F.sum(F.when(~F.col("tgt"), 1).otherwise(0)).alias("rc"),

@@ -1439,3 +1439,77 @@ def test_png_decode_roundtrips_all_five_filters(spark):
         for r in mm.ppm_decode_features(spark, SF_DIR).collect()
     }
     assert png == ppm and len(png) > 0
+
+
+def test_blas_shortlist_kernels_equal_naive_all_pairs(spark):
+    """The BLAS-shortlist + exact-fold two-phase kernels must return
+    EXACTLY the naive all-pairs answer — this pins the _PAIR_MARGIN
+    soundness argument (the numpy shortlist provably contains every
+    pair/top-k member the exact fold can accept) against regression:
+    a margin shrink, a blocking bug that drops a grid cell, or a
+    kernel that silently reports numpy floats instead of fold values
+    all fail here."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from seamless_sharepoint_etl_spark import io
+    from seamless_sharepoint_etl_spark.llm_ops import similarity as sim
+
+    e = io.load_table(spark, SF_DIR, "embeddings")
+    v = e.select("vec_id", sim._dbl("embedding").alias("v")).withColumn(
+        "n", sim._norm(F.col("v"))
+    )
+    a = v.select(
+        F.col("vec_id").alias("ida"), F.col("v").alias("va"), F.col("n").alias("na")
+    )
+    b = v.select(
+        F.col("vec_id").alias("idb"), F.col("v").alias("vb"), F.col("n").alias("nb")
+    )
+    cos = sim._dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+
+    naive_pairs = {
+        (r["id_lo"], r["id_hi"], r["cosine"])
+        for r in a.crossJoin(b)
+        .filter(F.col("ida") < F.col("idb"))
+        .select(
+            F.col("ida").alias("id_lo"),
+            F.col("idb").alias("id_hi"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= sim.NEARDUP_COS)
+        .collect()
+    }
+    kernel_pairs = {
+        (r["id_lo"], r["id_hi"], r["cosine"])
+        for r in sim.embedding_neardup(spark, SF_DIR).collect()
+    }
+    assert kernel_pairs == naive_pairs and naive_pairs
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    naive_topk = {
+        (r["query_id"], r["rank"], r["cand_id"], r["cosine"])
+        for r in a.filter(F.col("ida") % sim.QUERY_STRIDE == 0)
+        .select(
+            F.col("ida").alias("query_id"),
+            F.col("va").alias("qv"),
+            F.col("na").alias("qn"),
+        )
+        .crossJoin(b.select(F.col("idb").alias("cand_id"), "vb", "nb"))
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            (
+                sim._dot(F.col("qv"), F.col("vb")) / (F.col("qn") * F.col("nb"))
+            ).alias("cos"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= sim.TOP_K)
+        .select("query_id", "rank", "cand_id", F.round("cos", 6).alias("cosine"))
+        .collect()
+    }
+    kernel_topk = {
+        (r["query_id"], r["rank"], r["cand_id"], r["cosine"])
+        for r in sim.brute_force_topk(spark, SF_DIR).collect()
+    }
+    assert kernel_topk == naive_topk and naive_topk
