@@ -239,6 +239,7 @@ def _repersist_session_caches():
         (_dedup, "_SHINGLE_CACHE"),
         (_dedup, "_PSHINGLE_CACHE"),
         (_text, "_TOKEN_CACHE"),
+        (_text, "_BIGRAM_CACHE"),
         (_scoring, "_WINNOW_CACHE"),
         (_sim, "_IVF_CACHE"),
         (_sim, "_ROUTER_CACHE"),
