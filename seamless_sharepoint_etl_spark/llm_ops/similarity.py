@@ -119,6 +119,12 @@ def brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k = min(TOP_K, cos.shape[1])
         kth = np.sort(cos, axis=1)[:, -k]
         ii, jj = np.nonzero(cos >= (kth[:, None] - _PAIR_MARGIN))
+        # the >= test re-admits the -inf self-pair whenever the block
+        # holds <= K candidates (kth is then itself -inf, and
+        # -inf >= -inf) — caught by the MOD=8 perturbation fixture;
+        # drop self-pairs from the emitted set explicitly
+        keep = qid[ii] != cid[jj]
+        ii, jj = ii[keep], jj[keep]
         # carry the vectors through (Arrow moves float64 bit-exactly):
         # the exact re-rank then needs NO second scan of the table
         # dtype=object even when 0 rows survive: an empty plain-list
@@ -1579,6 +1585,10 @@ def matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             k = min(TOP_K, cos.shape[1])
             kth = np.sort(cos, axis=1)[:, -k]
             ii, jj = np.nonzero(cos >= (kth[:, None] - _PAIR_MARGIN))
+            # <=K-candidate blocks re-admit the -inf self-pair (see
+            # brute_force_topk) — drop explicitly
+            keep = qid[ii] != cid[jj]
+            ii, jj = ii[keep], jj[keep]
             frames.append(
                 pd.DataFrame(
                     {

@@ -1513,3 +1513,41 @@ def test_blas_shortlist_kernels_equal_naive_all_pairs(spark):
         for r in sim.brute_force_topk(spark, SF_DIR).collect()
     }
     assert kernel_topk == naive_topk and naive_topk
+
+
+def test_blas_shortlist_tiny_blocks_exclude_self_pairs(spark, tmp_path):
+    """Regression (MOD=8 perturbation catch): when a block holds <= K
+    candidates, the per-query kth numpy score IS the masked self-pair's
+    -inf and `-inf >= -inf - margin` re-admits it — the kernel then
+    reported the query as its own #1 neighbor with cosine 1.0. A
+    12-vector corpus puts every block under TOP_K; no query may appear
+    among its own neighbors, ranks must stay contiguous, and every
+    query must rank a full min(TOP_K, n-1) neighbors."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from seamless_sharepoint_etl_spark.llm_ops import similarity as sim
+
+    n, d = 12, 8
+    vecs = [
+        [float((i * 31 + j * 17) % 13 - 6) for j in range(d)] for i in range(n)
+    ]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(
+                [i * sim.QUERY_STRIDE for i in range(n)], pa.int64()
+            ),  # every vector is a query
+            "label": pa.array(["x"] * n),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    rows = sim.brute_force_topk(spark, str(tmp_path)).collect()
+    assert rows, "tiny corpus returned no neighbors"
+    by_q: dict[int, list[int]] = {}
+    for r in rows:
+        assert r["cand_id"] != r["query_id"], "self-pair leaked into top-k"
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) == min(sim.TOP_K, n - 1)
