@@ -91,15 +91,11 @@ def _collect() -> dict[str, Entry]:
     return ordered
 
 
-# First ~50 = this round's grading window. Round-5 rotation: the
-# driver has graded 188 distinct queries across r1-r4 (latest row
-# green for every one); 96 registered queries have no driver row yet
-# (registry keys minus CORRECTNESS_r01 ∪ r02 ∪ r03 ∪ r04 keys —
-# NOTES.md documents the derivation). This window is the first 50 of
-# that computed list; round 6 takes the remaining 46 + canary
-# re-grades (flagship_incremental_load, routing_1500_split) + any
-# round-5 additions (≤2 slots free).
-_GRADE_FIRST = [
+# Round-5 grading window (CORRECTNESS_r05: 48 hash-green + 2
+# rows-only by design, 0 failures). Kept for the rotation ledger;
+# the live window is assigned below (`_GRADE_FIRST = _GRADE_FIRST_R6`
+# — the round-6 first-commit swap the r5 verdict item #1 demanded).
+_GRADE_FIRST_R5 = [
     # SQL gateway (round-4 addition, judge-verified)
     "sql_gateway_correlated",
     # aggregate additions (round-4)
@@ -230,6 +226,12 @@ _GRADE_FIRST_R6 = [
     "graph_pagerank_exact",
     "graph_neardup_cc_exact",
 ]
+
+# LIVE round-6 window: the pre-staged list above, verbatim. The two
+# closure-guard tests (test_grading_window_covers_priority_families,
+# test_round6_window_is_exactly_the_ungraded_remainder) pin that this
+# is exactly the 49 never-graded queries + the flagship canary.
+_GRADE_FIRST = _GRADE_FIRST_R6
 
 # ROUND-7 staging: queries added AFTER the round-6 rotation was
 # frozen (the r6 window is full — evicting a finished query would
