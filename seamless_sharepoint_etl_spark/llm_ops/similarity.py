@@ -58,34 +58,47 @@ def _norm(a):
 _PAIR_MARGIN = 1e-7
 
 
-def brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-10 neighbors for every query vector (vec_id %
-    50 == 0) — the O(Q×N) truth baseline, BLAS-backed.
+def _safe_norms(mat):
+    """Row norms with zero-norm rows marked: returns ``(norms, zero)``
+    where ``norms`` has zero entries clamped to +inf (so a division
+    yields 0.0, never NaN) and ``zero`` is the boolean zero-norm mask.
 
-    Two phases keep it exact AND memory-bandwidth fast:
+    Spark's exact fold and DuckDB both produce NaN for a zero-norm
+    cosine and both order NaN GREATER than every real value, while a
+    NaN inside the numpy shortlist silently fails every comparison and
+    drops the row — a latent cross-engine divergence if a zero vector
+    ever enters a fixture. Callers force zero-norm rows INTO the
+    candidate set (cos := +inf) so the shortlist provably contains
+    everything the exact phase can rank first, by construction rather
+    than by fixture luck.
+    """
+    import numpy as np
 
-    1. *Shortlist* (numpy): candidates hash into N_BLOCKS groups, the
-       query batch replicates to every block, and a cogrouped
-       applyInPandas computes the per-block Q×|block| cosine matrix as
-       one BLAS matmul, keeping each query's block-local top-K with a
-       _PAIR_MARGIN safety band. The global exact top-K is a subset of
-       the per-block top-Ks by definition, and the margin absorbs the
-       ≤1.4e-14 numpy-vs-fold float discrepancy, so the shortlist
-       provably contains the true top-K. Arrow moves only vectors
-       (N + Q·N_BLOCKS rows), never the Q×N pair stream.
-    2. *Exact re-rank* (JVM): the ≤ ~K·N_BLOCKS-per-query shortlist
-       (vectors carried through — Arrow moves float64 bit-exactly, so
-       no second table scan) is ranked by the same sequential
-       F.aggregate fold the DuckDB oracle computes — the reported
-       cosine is bit-identical to the all-pairs form this replaced.
+    norms = np.linalg.norm(mat, axis=1)
+    zero = norms == 0.0
+    return np.where(zero, np.inf, norms), zero
 
-    At 100 TB the per-task unit is a dense matmul over one block
-    (N_BLOCKS scales with the cluster), the shuffle is O(N), and the
-    final window partition is provably ≤ ~K·N_BLOCKS rows per query.
+
+def _topk_shortlist(e: DataFrame, k: int) -> DataFrame:
+    """BLAS shortlist phase shared by ``brute_force_topk`` and
+    ``mmr_diversify``: for every query vector (vec_id % QUERY_STRIDE
+    == 0), candidate rows provably containing the exact global cosine
+    top-``k`` — as ``(query_id, cand_id, qv, cv)`` with the float64
+    vectors carried through so the exact re-rank needs no second scan.
+
+    Candidates hash into N_BLOCKS groups, the query batch replicates
+    to every block, and a cogrouped applyInPandas computes the
+    per-block Q×|block| cosine matrix as one BLAS matmul, keeping each
+    query's block-local top-``k`` with a _PAIR_MARGIN safety band. The
+    global exact top-``k`` is a subset of the per-block top-``k``s by
+    definition, and the margin absorbs the ≤1.4e-14 numpy-vs-fold
+    float discrepancy. Arrow moves only vectors (N + Q·N_BLOCKS rows),
+    never the Q×N pair stream; at 100 TB the per-task unit is a dense
+    matmul over one block (N_BLOCKS scales with the cluster) and the
+    shuffle is O(N).
     """
     import pandas as pd
 
-    e = io.load_table_parallel(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("query_id"), _dbl("embedding").alias("qv")
     )
@@ -110,17 +123,21 @@ def brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         qm = np.vstack(qdf["qv"].to_numpy())
         cm = np.vstack(cdf["cv"].to_numpy())
-        cos = (qm @ cm.T) / np.outer(
-            np.linalg.norm(qm, axis=1), np.linalg.norm(cm, axis=1)
-        )
+        qn, qz = _safe_norms(qm)
+        cn, cz = _safe_norms(cm)
+        cos = (qm @ cm.T) / np.outer(qn, cn)
+        # zero-norm rows: the exact fold yields NaN, which Spark and
+        # DuckDB order greater than any real cosine — force them into
+        # the shortlist so both phases agree (see _safe_norms)
+        cos[qz[:, None] | cz[None, :]] = np.inf
         qid = qdf["query_id"].to_numpy().astype("int64")
         cid = cdf["cand_id"].to_numpy().astype("int64")
         cos[qid[:, None] == cid[None, :]] = -np.inf  # self-pairs excluded
-        k = min(TOP_K, cos.shape[1])
-        kth = np.sort(cos, axis=1)[:, -k]
+        kk = min(k, cos.shape[1])
+        kth = np.sort(cos, axis=1)[:, -kk]
         ii, jj = np.nonzero(cos >= (kth[:, None] - _PAIR_MARGIN))
         # the >= test re-admits the -inf self-pair whenever the block
-        # holds <= K candidates (kth is then itself -inf, and
+        # holds <= k candidates (kth is then itself -inf, and
         # -inf >= -inf) — caught by the MOD=8 perturbation fixture;
         # drop self-pairs from the emitted set explicitly
         keep = qid[ii] != cid[jj]
@@ -138,7 +155,7 @@ def brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    short = (
+    return (
         qrep.groupBy("g")
         .cogroup(c.groupBy("g"))
         .applyInPandas(
@@ -146,6 +163,28 @@ def brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id long, cand_id long, qv array<double>, cv array<double>",
         )
     )
+
+
+def brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 neighbors for every query vector (vec_id %
+    50 == 0) — the O(Q×N) truth baseline, BLAS-backed.
+
+    Two phases keep it exact AND memory-bandwidth fast:
+
+    1. *Shortlist* (numpy): the shared ``_topk_shortlist`` kernel —
+       per-block BLAS matmuls with a _PAIR_MARGIN safety band that
+       provably contain the true top-K (see its docstring).
+    2. *Exact re-rank* (JVM): the ≤ ~K·N_BLOCKS-per-query shortlist
+       (vectors carried through — Arrow moves float64 bit-exactly, so
+       no second table scan) is ranked by the same sequential
+       F.aggregate fold the DuckDB oracle computes — the reported
+       cosine is bit-identical to the all-pairs form this replaced.
+
+    At 100 TB the final window partition is provably ≤ ~K·N_BLOCKS
+    rows per query.
+    """
+    e = io.load_table_parallel(spark, sf_dir, "embeddings")
+    short = _topk_shortlist(e, TOP_K)
     cos = _dot(F.col("qv"), F.col("cv")) / (
         _norm(F.col("qv")) * _norm(F.col("cv"))
     )
@@ -257,9 +296,13 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         am = np.vstack(adf["va"].to_numpy())
         bm = np.vstack(bdf["vb"].to_numpy())
-        cos = (am @ bm.T) / np.outer(
-            np.linalg.norm(am, axis=1), np.linalg.norm(bm, axis=1)
-        )
+        an, az = _safe_norms(am)
+        bn, bz = _safe_norms(bm)
+        cos = (am @ bm.T) / np.outer(an, bn)
+        # zero-norm rows: exact fold → NaN, which BOTH engines compare
+        # greater than the threshold — admit so the exact filter (not a
+        # silent NaN drop here) makes the decision (see _safe_norms)
+        cos[az[:, None] | bz[None, :]] = np.inf
         ii, jj = np.nonzero(cos >= NEARDUP_COS - _PAIR_MARGIN)
         ida = adf["ida"].to_numpy()[ii].astype("int64")
         idb = bdf["idb"].to_numpy()[jj].astype("int64")
@@ -798,31 +841,28 @@ def mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     diversification pass a training-data sampler runs so one near-
     duplicate cluster cannot monopolize a retrieval budget.
 
-    Shape: the pool comes from the same crossJoin+window top-k plan as
-    ``brute_force_topk`` (IVF routing is the drop-in replacement at
-    scale); candidate vectors ride into ``applyInPandas`` grouped BY
-    QUERY, so the greedy O(K·POOL·d) numpy loop runs per group, fully
-    parallel across queries — the driver never sees a vector. Ties
-    break on cand_id, floats never cross engines (rows-only; the
-    pytest gate asserts the diversity property and determinism).
+    Shape: the pool rides the shared ``_topk_shortlist`` BLAS kernel
+    (k = MMR_POOL) — per-block matmul shortlist, exact JVM fold
+    re-rank, O(N) shuffle, never the Q×N pair stream — so the pool
+    membership is bit-identical to the crossJoin+window form this
+    replaced (the same containment proof as ``brute_force_topk``; IVF
+    routing is the approximate drop-in at serving time). Candidate
+    vectors ride into ``applyInPandas`` grouped BY QUERY, so the
+    greedy O(K·POOL·d) numpy loop runs per group, fully parallel
+    across queries — the driver never sees a vector. Ties break on
+    cand_id, floats never cross engines (rows-only; the pytest gate
+    asserts the diversity property and determinism).
     """
     e = io.load_table_parallel(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
-        F.col("vec_id").alias("query_id"), _dbl("embedding").alias("qv")
-    ).withColumn("qn", _norm(F.col("qv")))
-    c = e.select(
-        F.col("vec_id").alias("cand_id"), _dbl("embedding").alias("cv")
-    ).withColumn("cn", _norm(F.col("cv")))
-    cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    short = _topk_shortlist(e, MMR_POOL).withColumn("cn", _norm(F.col("cv")))
+    rel = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * F.col("cn"))
     w = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("cand_id"))
     pool = (
-        q.crossJoin(c)
-        .filter(F.col("query_id") != F.col("cand_id"))
-        .select(
+        short.select(
             "query_id",
             "cand_id",
-            cos.alias("rel"),
-            F.transform(F.col("cv") , lambda x: x / F.col("cn")).alias("unit"),
+            rel.alias("rel"),
+            F.transform(F.col("cv"), lambda x: x / F.col("cn")).alias("unit"),
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= MMR_POOL)
@@ -1578,9 +1618,13 @@ def matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         frames = []
         for plen in MRL_PREFIX_LENS:
             qp, cp = qm[:, :plen], cm[:, :plen]
-            cos = (qp @ cp.T) / np.outer(
-                np.linalg.norm(qp, axis=1), np.linalg.norm(cp, axis=1)
-            )
+            qn, qz = _safe_norms(qp)
+            cn, cz = _safe_norms(cp)
+            cos = (qp @ cp.T) / np.outer(qn, cn)
+            # an all-zero L-dim PREFIX of a non-zero vector is the live
+            # hazard here: exact fold → NaN → ranks first in both
+            # engines — force into the shortlist (see _safe_norms)
+            cos[qz[:, None] | cz[None, :]] = np.inf
             cos[self_mask] = -np.inf
             k = min(TOP_K, cos.shape[1])
             kth = np.sort(cos, axis=1)[:, -k]

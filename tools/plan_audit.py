@@ -67,7 +67,6 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     ("sim_semantic_dedup", "bnlj"): CENTROID,
     ("sim_pq_topk", "bnlj"): CENTROID,
     ("sim_rerank_two_stage", "bnlj"): CENTROID,
-    ("sim_mmr_diversify", "bnlj"): CENTROID,
     ("emb_label_knn_accuracy", "bnlj"): CENTROID,
     ("emb_centroid_purity", "bnlj"): CENTROID,
     ("emb_silhouette_margin", "bnlj"): CENTROID,
