@@ -1296,9 +1296,6 @@ FROM agg
 """
 
 
-KEEP_BEST_MAX_ROUNDS = 50
-
-
 def keep_best_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-survivor selection — the step an LLM-data pipeline
     actually runs after near-dup detection: group documents into
@@ -1312,55 +1309,25 @@ def keep_best_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE reachability walk and the survivor pick as the
     same (quality DESC, doc_id ASC) window.
 
-    Scale: the CC loop is one vertex-keyed hash join + min-aggregate
-    per round, `localCheckpoint`ed (NOTES trap 16), diameter-bounded
-    with a raising backstop; survivor election is one bounded window
-    per cluster (cluster size is near-dup-cluster size, small by
-    construction) and one equi-join back to the per-doc verdicts. The
-    pair relation rides the session shingle cache; quality is a
-    byte-length projection (octet_length — byte semantics agree
-    across engines regardless of the doc's script).
+    Scale: the CC partition comes from the shared
+    ``graph._min_label_cc`` fixpoint (one vertex-keyed hash join +
+    min-aggregate per round, `localCheckpoint`ed — NOTES trap 16 —
+    diameter-bounded with a raising backstop), served from the session
+    ``neardup_cc_labels`` cache it shares with
+    ``graph_neardup_cc_exact`` (identical edge set → the labels are
+    computed once per session, not per operator). Survivor election is
+    one bounded window per cluster (cluster size is near-dup-cluster
+    size, small by construction) and one equi-join back to the per-doc
+    verdicts. The pair relation rides the session shingle cache;
+    quality is a byte-length projection (octet_length — byte semantics
+    agree across engines regardless of the doc's script).
     """
+    from .graph import neardup_cc_labels  # deferred: graph imports this module
+
     d = io.load_table_parallel(spark, sf_dir, "documents").select(
         "doc_id", F.octet_length("text").cast("long").alias("qlen")
     )
-    e = ngram_jaccard_pairs(spark, sf_dir).select("doc_lo", "doc_hi")
-    sym = (
-        e.select(F.col("doc_lo").alias("ka"), F.col("doc_hi").alias("kb"))
-        .unionAll(
-            e.select(F.col("doc_hi").alias("ka"), F.col("doc_lo").alias("kb"))
-        )
-        .localCheckpoint(eager=True)
-    )
-    labels = (
-        sym.select(F.col("ka").alias("k"))
-        .distinct()
-        .select("k", F.col("k").alias("label"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(KEEP_BEST_MAX_ROUNDS):
-        msgs = sym.join(labels, sym.ka == labels.k).select(
-            F.col("kb").alias("k"), "label"
-        )
-        new_labels = (
-            labels.unionAll(msgs)
-            .groupBy("k")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "k")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError(
-            f"keep_best_canonical CC did not converge in {KEEP_BEST_MAX_ROUNDS} rounds"
-        )
+    labels = neardup_cc_labels(spark, sf_dir)
     labeled = d.join(
         labels.select(F.col("k").alias("doc_id"), "label"), "doc_id", "left"
     ).select(

@@ -795,37 +795,31 @@ PAGERANK_EXACT_SQL = _pagerank_sql()
 
 CC_MAX_ROUNDS = 50
 
+# Session-scoped (k, label) relation of the n-gram-Jaccard near-dup
+# graph, keyed like the shingle/token caches: neardup_cc_exact and
+# dedup.keep_best_canonical cluster the IDENTICAL edge set, so the
+# fixpoint loop runs once per (session, corpus) and is served from the
+# final localCheckpoint thereafter.
+_CC_LABEL_CACHE: dict[tuple[str, str], DataFrame] = {}
 
-def neardup_cc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACTLY-oracled connected components of the near-dup graph —
-    the driver-graded proof the rows-only CC family
-    (``dedup_neardup_clusters`` label propagation,
-    ``dedup_cc_twophase`` star contraction) could only pytest-gate:
-    DuckDB replays the same partition as a WITH RECURSIVE reachability
-    walk (the ``join_entity_resolution`` precedent applied to the
-    embedding near-dup edges). Output is one row per NON-SINGLETON
-    cluster (canonical id = min member, size, member-id sum) — with
-    the other two algorithms pytest-proven equal, three independent
-    algorithms now agree on every cluster and one of them is
-    hash-graded.
 
-    Scale: min-label propagation — per round one hash join keyed by
-    vertex + one min-aggregate, `localCheckpoint`ed (NOTES trap 16),
-    rounds bounded by cluster diameter with a hard cap that raises
-    rather than returning a split partition. Edges are the exact
-    n-gram-Jaccard pairs — the SAME graph the rows-only CC family
-    clusters (the embedding graph is the other families' index), so
-    the three partitions are comparable; the pair relation rides the
-    session shingle cache.
+def _min_label_cc(edges: DataFrame, max_rounds: int, what: str) -> DataFrame:
+    """Exact min-label connected components over an undirected edge
+    relation (first column, second column) — returns ``(k, label)``
+    with ``label`` = the component's minimum member id, one row per
+    vertex that appears in ``edges`` (isolated vertices are absent;
+    callers coalesce to the vertex's own id).
+
+    Scale: per round one vertex-keyed hash join + one min-aggregate,
+    ``localCheckpoint``ed (NOTES trap 16) so the plan never deepens;
+    rounds bounded by component diameter with a hard cap that RAISES
+    (``what`` names the caller) rather than returning a silently split
+    partition.
     """
-    from .dedup import ngram_jaccard_pairs
-
-    e = ngram_jaccard_pairs(spark, sf_dir).select("doc_lo", "doc_hi")
+    lo, hi = edges.columns
     sym = (
-        e.select(F.col("doc_lo").alias("ka"), F.col("doc_hi").alias("kb"))
-        .unionAll(
-            e.select(F.col("doc_hi").alias("ka"), F.col("doc_lo").alias("kb"))
-        )
+        edges.select(F.col(lo).alias("ka"), F.col(hi).alias("kb"))
+        .unionAll(edges.select(F.col(hi).alias("ka"), F.col(lo).alias("kb")))
         .localCheckpoint(eager=True)
     )
     labels = (
@@ -834,7 +828,7 @@ def neardup_cc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("k", F.col("k").alias("label"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(CC_MAX_ROUNDS):
+    for _ in range(max_rounds):
         msgs = sym.join(labels, sym.ka == labels.k).select(
             F.col("kb").alias("k"), "label"
         )
@@ -854,9 +848,51 @@ def neardup_cc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     else:
-        raise RuntimeError(
-            f"neardup_cc_exact did not converge in {CC_MAX_ROUNDS} rounds"
-        )
+        raise RuntimeError(f"{what} did not converge in {max_rounds} rounds")
+    return labels
+
+
+def neardup_cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(k, label)`` min-label components of the n-gram-Jaccard
+    near-dup graph, computed once per (session, corpus) — the shared
+    partition behind ``graph_neardup_cc_exact`` and
+    ``dedup_keep_best_canonical``."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _CC_LABEL_CACHE.get(key)
+    if cached is not None:
+        return cached
+    from .dedup import ngram_jaccard_pairs
+
+    e = ngram_jaccard_pairs(spark, sf_dir).select("doc_lo", "doc_hi")
+    labels = _min_label_cc(e, CC_MAX_ROUNDS, "neardup min-label CC")
+    _CC_LABEL_CACHE[key] = labels
+    return labels
+
+
+def neardup_cc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-oracled connected components of the near-dup graph —
+    the driver-graded proof the rows-only CC family
+    (``dedup_neardup_clusters`` label propagation,
+    ``dedup_cc_twophase`` star contraction) could only pytest-gate:
+    DuckDB replays the same partition as a WITH RECURSIVE reachability
+    walk (the ``join_entity_resolution`` precedent applied to the
+    embedding near-dup edges). Output is one row per NON-SINGLETON
+    cluster (canonical id = min member, size, member-id sum) — with
+    the other two algorithms pytest-proven equal, three independent
+    algorithms now agree on every cluster and one of them is
+    hash-graded.
+
+    Scale: min-label propagation via the shared ``_min_label_cc``
+    fixpoint (one vertex-keyed hash join + min-aggregate per round,
+    `localCheckpoint`ed — NOTES trap 16 — diameter-bounded with a
+    raising backstop), served from the session ``neardup_cc_labels``
+    cache it shares with ``dedup_keep_best_canonical``. Edges are the
+    exact n-gram-Jaccard pairs — the SAME graph the rows-only CC
+    family clusters (the embedding graph is the other families'
+    index), so the three partitions are comparable; the pair relation
+    rides the session shingle cache.
+    """
+    labels = neardup_cc_labels(spark, sf_dir)
     return (
         labels.groupBy("label")
         .agg(
