@@ -757,13 +757,20 @@ DSIR_TOP = 200
 # (prime, keeps acc < 2^45 — no BIGINT overflow under ANSI mode), then
 # mod DSIR_BUCKETS. Bigram strings are never empty (the '_' separator),
 # so the sequence(1, length) fold never sees trap 12's descending range.
-# Portability bound: verified (hypothesis-fuzzed) for BMP text; on
-# supplementary-plane characters (emoji etc.) Spark's ascii()/substring
-# operate on UTF-16 code units while DuckDB is codepoint-based, so a
-# non-BMP corpus would need a codepoint-safe fold on the Spark side.
+# Portability: hypothesis-fuzzed bit-identical across engines. The
+# split-to-chars fold iterates CODEPOINTS (Java's regex split keeps
+# surrogate pairs whole), matching DuckDB's codepoint-based
+# substr/ascii — which also lifts the BMP-only bound the old
+# length()/substring() form had (it walked UTF-16 code units).
+# {col} is referenced exactly ONCE: a template with two references
+# (the old length()/substring() form) lets CollapseProject inline a
+# non-trivial producer expression (e.g. the bigram concat) into every
+# fold step — O(len²) per string under interpreted eval. Folding over
+# the split-to-chars array keeps the producer evaluated once per row
+# no matter what Catalyst substitutes into the template.
 _DSIR_BUCKET = (
-    "aggregate(sequence(1, length({col})), CAST(7 AS BIGINT),"
-    " (acc, i) -> (acc * 31 + ascii(substring({col}, i, 1))) % 1000003)"
+    "aggregate(transform(split({col}, ''), c -> ascii(c)),"
+    " CAST(7 AS BIGINT), (acc, c) -> (acc * 31 + c) % 1000003)"
     f" % {DSIR_BUCKETS}"
 )
 
@@ -793,14 +800,14 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     flags = io.load_table_parallel(spark, sf_dir, "documents").select(
         "doc_id", is_tgt.alias("tgt")
     )
+    # CollapseProject inlines the bgs alias into the fold regardless of
+    # how it's staged — safe because _DSIR_BUCKET references {col}
+    # exactly once (see the template comment): the concat evaluates
+    # once per bigram, not once per character
     bg = (
         _bigram_relation(spark, sf_dir)
-        .select(
-            "doc_id",
-            F.expr(
-                _DSIR_BUCKET.format(col="concat_ws('_', w1, w2)")
-            ).alias("b"),
-        )
+        .select("doc_id", F.concat_ws("_", "w1", "w2").alias("bgs"))
+        .select("doc_id", F.expr(_DSIR_BUCKET.format(col="bgs")).alias("b"))
         .join(flags, "doc_id")
     )
     sides = bg.groupBy("b").agg(
