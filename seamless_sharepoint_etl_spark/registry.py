@@ -235,13 +235,79 @@ _GRADE_FIRST = _GRADE_FIRST_R6
 
 # ROUND-7 staging: queries added AFTER the round-6 rotation was
 # frozen (the r6 window is full — evicting a finished query would
-# forfeit its only grading slot). These lead the round-7 window,
-# whose remaining slots re-grade the oldest green rows (round-1
-# families). Round-7 first commit: `_GRADE_FIRST =
-# _GRADE_FIRST_R7 + <oldest-green re-grades to fill 50>`.
+# forfeit its only grading slot). These lead the round-7 window.
 _GRADE_FIRST_R7 = [
     "dedup_keep_best_canonical",
     "sim_matryoshka_prefix_recall",
+]
+
+# FULL round-7 window, pre-staged (round-7 first commit:
+# `_GRADE_FIRST = _GRADE_FIRST_R7_FULL`, then re-run the closure
+# tests). Composition, in priority order:
+#   1. the two post-freeze additions above (only remaining ungraded);
+#   2. touched-since-grading re-grades — sim_brute_force_topk (r2 row;
+#      BLAS kernel rebuilt r5, shortlist shared r6),
+#      sim_embedding_neardup (r2 row; BLAS grid r5, zero-norm guard
+#      r6), agg_kmv_set_ops (r4 row; dup_scan one-scan fix r5),
+#      diag_referential_integrity (r5 row; leaf-fusion landed the same
+#      round — re-grade on the settled tree);
+#   3. routing_1500_split — the second flagship-class canary (r3 row;
+#      flagship_incremental_load took the r6 canary slot);
+#   4. oldest-green re-grades: the round-1-graded families, whose rows
+#      predate four rounds of session-cache/plan refactors. 43 of the
+#      45 r1-latest names fit; set_distinct and set_intersect are
+#      deferred to round 8 as the two lowest-drift-risk entries
+#      (single-operator set ops, untouched since r1).
+_GRADE_FIRST_R7_FULL = _GRADE_FIRST_R7 + [
+    "sim_brute_force_topk",
+    "sim_embedding_neardup",
+    "agg_kmv_set_ops",
+    "diag_referential_integrity",
+    "routing_1500_split",
+    # oldest-green (round-1) re-grades
+    "agg_approx_distinct",
+    "agg_boolean",
+    "agg_cube",
+    "agg_filtered",
+    "agg_global",
+    "agg_grouping_sets",
+    "agg_multikey_distinct",
+    "agg_pivot",
+    "agg_pricing_summary",
+    "agg_rollup",
+    "agg_salted_twophase",
+    "agg_stats_moments",
+    "fn_array_lambda",
+    "fn_date",
+    "fn_math",
+    "fn_string",
+    "join_anti_not_exists",
+    "join_asof_last_click",
+    "join_broadcast_dim",
+    "join_bucketed_colocated",
+    "join_cross_small",
+    "join_full_outer",
+    "join_lateral_topn",
+    "join_left_null_histogram",
+    "join_range_band",
+    "join_semi_exists",
+    "join_shuffle_fact",
+    "rel_case_null_handling",
+    "rel_project_derived_like",
+    "rel_project_filter_predicates",
+    "rel_stratified_sample",
+    "rel_validate_quarantine",
+    "set_except",
+    "set_except_intersect_all",
+    "set_union_all_counts",
+    "sort_multikey_nulls",
+    "sort_top_k_global",
+    "win_distribution_first_last",
+    "win_lag_lead_deltas",
+    "win_range_frame_30d",
+    "win_rank_dense_ntile",
+    "win_running_sum",
+    "win_topn_per_group",
 ]
 
 

@@ -125,7 +125,11 @@ def test_round6_window_is_exactly_the_ungraded_remainder():
     assert ungraded <= covered, (
         f"queries outside every grading window: {sorted(ungraded - covered)}"
     )
-    if ungraded:
+    # the waste check is meaningful only while round 6 itself is
+    # pending: once CORRECTNESS_r06 lands, every staged name is (by
+    # design) graded and the list is a historical ledger
+    r6_landed = os.path.exists(os.path.join(repo, "CORRECTNESS_r06.json"))
+    if ungraded and not r6_landed:
         canary = {"flagship_incremental_load"}
         wasted = (set(staged) - canary) - ungraded
         assert not wasted, (
@@ -140,4 +144,43 @@ def test_round6_window_is_exactly_the_ungraded_remainder():
     )
     assert not (set(r7) & (set(registry._GRADE_FIRST) | set(staged))), (
         "round-7 staged names double-booked in an earlier window"
+    )
+
+
+def test_round7_window_closes_the_rotation():
+    """The pre-staged FULL round-7 window: exactly 50 names, leading
+    with the post-freeze additions (_GRADE_FIRST_R7 — the only queries
+    still ungraded once CORRECTNESS_r06 lands), then re-grades:
+    touched-since-grading kernels, the routing canary, and the
+    oldest-green (round-1) families. No name may sit in the live
+    round-6 window (that would double-book its grading slot), and
+    every registered query with no driver row in ANY on-disk
+    CORRECTNESS file must be covered by the live window or this one."""
+    import glob
+    import json
+    import os
+
+    from seamless_sharepoint_etl_spark import registry
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    graded: set[str] = set()
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        graded |= set(json.load(open(path)))
+    registered = set(registry.queries())
+    full = registry._GRADE_FIRST_R7_FULL
+    assert len(full) == 50, f"round-7 window holds {len(full)} names, not 50"
+    assert len(full) == len(set(full)), "duplicate names in _GRADE_FIRST_R7_FULL"
+    assert set(full) <= registered, (
+        f"unregistered names staged: {sorted(set(full) - registered)}"
+    )
+    assert full[: len(registry._GRADE_FIRST_R7)] == registry._GRADE_FIRST_R7, (
+        "post-freeze additions must lead the round-7 window"
+    )
+    assert not (set(full) & set(registry._GRADE_FIRST)), (
+        "round-7 names double-booked in the live round-6 window"
+    )
+    ungraded = registered - graded
+    covered = set(registry._GRADE_FIRST) | set(full)
+    assert ungraded <= covered, (
+        f"queries outside every grading window: {sorted(ungraded - covered)}"
     )
