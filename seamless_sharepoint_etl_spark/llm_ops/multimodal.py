@@ -10,18 +10,19 @@ needs: BinaryType columns flowing through select/filter/write, digest
 and byte-level metadata computed JVM-side, and Arrow-batched
 ``mapInPandas`` for the decode/feature-extract hop.
 
-FFMPEG-CLASS decode (JPEG/H.264/MP3) is a STUB by design: those
-codecs are not in this container. ``decode_payload(real=True)`` raises
+FFMPEG-CLASS decode (H.264/MP3) is a STUB by design: those codecs are
+not in this container. ``decode_payload(real=True)`` raises
 NotImplementedError at the exact seam where one plugs in; the default
 is a deterministic fake that derives "width/height/format" from the
 bytes so the Spark-side schema, batching, and partitioning are fully
-real and testable. Every stdlib-decodable format is REAL end-to-end:
-``ppm_decode_features`` (P6 header parse + pixel reshape),
-``png_decode_features`` (zlib inflate + all-five-filter scanline
-reconstruction + chunk CRC verification — a true compressed codec),
-``wav_decode_features`` (RIFF/PCM16) and ``video_decode_features``
-(raw frame planes) — each with channel/sample statistics value-proven
-against the DuckDB oracle.
+real and testable. Every format implementable from its public spec is
+REAL end-to-end: ``ppm_decode_features`` (P6 header parse + pixel
+reshape), ``png_decode_features`` (zlib inflate + all-five-filter
+scanline reconstruction + chunk CRC verification),
+``jpeg_decode_features`` (baseline ITU T.81 — canonical Huffman
+entropy decode, dequantization, IDCT), ``wav_decode_features``
+(RIFF/PCM16) and ``video_decode_features`` (raw frame planes) — each
+with statistics value-proven against the DuckDB oracle.
 
 Scale posture: binary columns ride Parquet untouched (no re-encode);
 mapInPandas streams Arrow record batches, so per-row Python overhead is
@@ -105,10 +106,11 @@ def decode_payload(df: DataFrame, real: bool = False) -> DataFrame:
     """
     if real:
         raise NotImplementedError(
-            "ffmpeg-class codecs (JPEG/H.264/MP3) are not available in this "
+            "ffmpeg-class codecs (H.264/MP3) are not available in this "
             "environment; plug them in here — the Spark plumbing (schema, "
             "Arrow batching, partitioning) is identical for the real path. "
-            "PNG (png_decode_features), PPM, WAV-PCM16 and raw video frames "
+            "PNG (png_decode_features), baseline JPEG "
+            "(jpeg_decode_features), PPM, WAV-PCM16 and raw video frames "
             "are REAL decode paths already"
         )
 
@@ -727,7 +729,8 @@ def png_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     codec; it derives the same channel sums from the text-derived pixel
     body, so a hash match PROVES the deflate→inflate→defilter pipeline
     reconstructed every pixel exactly. Remaining NotImplementedError
-    seam: ffmpeg-class codecs (JPEG/H.264/MP3) only.
+    seam: ffmpeg-class codecs (H.264/MP3) only — baseline JPEG became
+    a real path in round 6 (``jpeg_decode_features``).
 
     Scale: payload bytes ride Arrow once; per-image output is 6 ints;
     decode is embarrassingly parallel across partitions (documents is
@@ -1275,6 +1278,506 @@ FROM scored
 """
 
 
+# ---------------------------------------------------------------------------
+# REAL lossy-codec decode path: baseline JPEG (ITU T.81) — marker/DQT/DHT
+# parse, canonical Huffman entropy decode, dequantization, IDCT.
+# stdlib + numpy only; no PIL/libjpeg in the container.
+# ---------------------------------------------------------------------------
+
+JPEG_W = JPEG_H = 32
+JPEG_N_BLOCKS = (JPEG_W // 8) * (JPEG_H // 8)  # 16 raster-order MCUs
+_JPEG_BODY_LEN = 2 * JPEG_N_BLOCKS  # 2 text bytes drive each block
+JPEG_N_PATTERNS = 8
+_JPEG_DC_BIAS = 79  # printable byte [32,126] → quantized DC in [-47,47]
+
+# Natural-order (row-major v*8+u) quantization table. DC step 8 makes
+# the DC pixel contribution exactly the quantized value (8·dcq/8);
+# AC steps 2..7 are non-uniform so dequantization is genuinely
+# exercised (an all-ones table would make it a no-op).
+_JPEG_QUANT = [8] + [2 + (i % 6) for i in range(1, 64)]
+
+# ITU T.81 Figure A.6 zigzag: zigzag index → natural row-major index
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Per-block AC content menu (zigzag index → QUANTIZED value), chosen so
+# the entropy decoder exercises every baseline coding feature across a
+# corpus: immediate EOB, short runs, a 19-zero run (one ZRL), a
+# 38-zero run (two ZRLs), the maximal 62-zero run to the last
+# coefficient (three ZRLs + run-14 symbol), negative amplitudes
+# (one's-complement extend), and multi-coefficient blocks. Amplitudes
+# are small enough that no decoded pixel can clip (see the margin
+# assertion in _jpeg_pattern_constants).
+_JPEG_PATTERNS = [
+    {},
+    {1: 4},
+    {1: -3, 5: 2},
+    {2: 2, 9: -2},
+    {20: 3},
+    {1: 2, 40: -2},
+    {63: 1},
+    {3: 5, 4: -4, 8: 3},
+]
+
+# ITU T.81 Annex K.3.1 / K.3.2 typical luminance Huffman tables
+# (BITS counts for code lengths 1..16, then HUFFVAL symbol lists)
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _huff_canonical(bits: list, vals: list) -> dict:
+    """symbol → (code, length): canonical code assignment (T.81 C.2)."""
+    enc, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            enc[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return enc
+
+
+_JPEG_DC_ENC = _huff_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
+_JPEG_AC_ENC = _huff_canonical(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+
+def _jpeg_pattern_constants() -> list:
+    """Per-pattern ``(block_pixel_sum_delta, nonzero_ac)`` from a
+    spec-literal O(N⁴) IDCT — deliberately INDEPENDENT of the
+    decoder's vectorized matrix IDCT. These integers parameterize the
+    DuckDB oracle, so a driver hash match proves the decoder's
+    entropy-decode → dequantize → IDCT → floor(x+0.5) → clip pipeline
+    pixel-exactly against an implementation that shares no code with
+    it.
+
+    Exactness argument: a decoded pixel is
+    floor(128 + dcq + ac(x,y) + 0.5) with 128+dcq exactly integer (DC
+    step 8 cancels the 1/8 DC basis gain), so the block pixel sum
+    splits into 64·(128+dcq) + Σ floor(ac+0.5). The assertion below
+    guarantees every ac+0.5 sits ≥ 1e-6 away from an integer — twelve
+    orders of magnitude above float64 evaluation error at these
+    magnitudes — so the naive and matrix IDCTs cannot round apart, and
+    no pixel can clip (all values stay inside [55, 201])."""
+    import math
+
+    out = []
+    for pat in _JPEG_PATTERNS:
+        f = [[0.0] * 8 for _ in range(8)]
+        for zz_idx, val in pat.items():
+            nat = _JPEG_ZIGZAG[zz_idx]
+            v, u = divmod(nat, 8)
+            f[v][u] = val * _JPEG_QUANT[nat]
+        s = ws = 0
+        for y in range(8):
+            for x in range(8):
+                acc = 0.0
+                for v in range(8):
+                    for u in range(8):
+                        if f[v][u]:
+                            cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                            cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                            acc += (
+                                0.25 * cu * cv * f[v][u]
+                                * math.cos((2 * x + 1) * u * math.pi / 16)
+                                * math.cos((2 * y + 1) * v * math.pi / 16)
+                            )
+                frac = abs((acc + 0.5) - round(acc + 0.5))
+                assert frac > 1e-6, (
+                    f"AC pattern value {acc} sits on a rounding boundary —"
+                    " adjust _JPEG_PATTERNS amplitudes"
+                )
+                assert abs(acc) < 60, "pattern amplitude can clip a pixel"
+                px = math.floor(acc + 0.5)
+                s += px
+                # position-weighted checksum: the plain sum cancels the
+                # zero-mean AC pixels pairwise (cosine antisymmetry),
+                # and a LINEAR weight still cancels 180°-rotation-
+                # symmetric patterns (paired weights sum to a constant)
+                # — the quadratic weight (1+x+8y)² yields a nonzero
+                # delta for every non-empty pattern, so a dropped or
+                # mis-rounded AC pixel anywhere is observable
+                ws += (1 + x + 8 * y) ** 2 * px
+        out.append((s, ws, len(pat)))
+    return out
+
+
+# Σ (1+x+8y)² over the 8×8 block — the weighted checksum's DC gain
+_JPEG_WSUM = sum((1 + x + 8 * y) ** 2 for y in range(8) for x in range(8))
+
+
+def _encode_jpeg(dcqs: list, pats: list) -> bytes:
+    """One REAL baseline JPEG: SOI / DQT (zigzag order) / SOF0 (8-bit,
+    single component, no subsampling) / DHT ×2 (Annex K luminance) /
+    SOS / entropy-coded segment with 0xFF byte stuffing / EOI.
+
+    The quantized coefficients are GIVEN (DC per block + an AC pattern
+    id), not derived from pixels: that is what makes the lossy codec
+    exactly verifiable — the decoded image is a deterministic function
+    of the coefficients, and the oracle recomputes its statistics from
+    the same text bytes through an independent IDCT."""
+    import struct
+
+    q_zz = bytes(_JPEG_QUANT[_JPEG_ZIGZAG[i]] for i in range(64))
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + q_zz
+    out += (
+        b"\xff\xc0"
+        + struct.pack(">HBHHB", 11, 8, JPEG_H, JPEG_W, 1)
+        + b"\x01\x11\x00"
+    )
+    out += (
+        b"\xff\xc4"
+        + struct.pack(">H", 19 + len(_JPEG_DC_VALS))
+        + b"\x00"
+        + bytes(_JPEG_DC_BITS)
+        + bytes(_JPEG_DC_VALS)
+    )
+    out += (
+        b"\xff\xc4"
+        + struct.pack(">H", 19 + len(_JPEG_AC_VALS))
+        + b"\x10"
+        + bytes(_JPEG_AC_BITS)
+        + bytes(_JPEG_AC_VALS)
+    )
+    out += b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x01\x00\x00\x3f\x00"
+
+    buf = bytearray()
+    acc = nbits = 0
+
+    def put(code: int, ln: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << ln) | (code & ((1 << ln) - 1))
+        nbits += ln
+        while nbits >= 8:
+            b = (acc >> (nbits - 8)) & 0xFF
+            nbits -= 8
+            acc &= (1 << nbits) - 1
+            buf.append(b)
+            if b == 0xFF:  # byte stuffing (T.81 F.1.2.3)
+                buf.append(0x00)
+
+    pred = 0
+    for dcq, p in zip(dcqs, pats):
+        diff = dcq - pred
+        pred = dcq
+        size = abs(diff).bit_length()
+        code, ln = _JPEG_DC_ENC[size]
+        put(code, ln)
+        if size:
+            put(diff if diff >= 0 else diff + (1 << size) - 1, size)
+        pat = _JPEG_PATTERNS[p]
+        k = 1
+        for idx in sorted(pat):
+            run = idx - k
+            while run > 15:
+                zc, zl = _JPEG_AC_ENC[0xF0]  # ZRL
+                put(zc, zl)
+                run -= 16
+            val = pat[idx]
+            size = abs(val).bit_length()
+            sc, sl = _JPEG_AC_ENC[(run << 4) | size]
+            put(sc, sl)
+            put(val if val >= 0 else val + (1 << size) - 1, size)
+            k = idx + 1
+        if k <= 63:
+            ec, el = _JPEG_AC_ENC[0x00]  # EOB
+            put(ec, el)
+    if nbits:  # pad the final byte with 1-bits (T.81 F.1.2.3)
+        pad = 8 - nbits
+        b = ((acc << pad) | ((1 << pad) - 1)) & 0xFF
+        buf.append(b)
+        if b == 0xFF:
+            buf.append(0x00)
+    return bytes(out + buf + b"\xff\xd9")
+
+
+def _jpeg_idct_matrix() -> "np.ndarray":  # noqa: F821
+    import numpy as np
+
+    x = np.arange(8)
+    u = np.arange(8)
+    m = 0.5 * np.cos((2 * x[None, :] + 1) * u[:, None] * np.pi / 16)
+    m[0, :] /= np.sqrt(2)
+    return m  # m[u, x]
+
+
+def _decode_jpeg(buf: bytes) -> tuple:
+    """Full baseline decode — marker walk, DQT de-zigzag, canonical
+    DHT reconstruction, SOF0 validation, Huffman entropy decode with
+    0xFF00 unstuffing, amplitude extend, dequantize, de-zigzag,
+    float64 matrix IDCT, +128 level shift, floor(x+0.5), [0,255]
+    clip. Returns ``(pixels h×w int64, dc_sum, nonzero_ac)``."""
+    import struct
+
+    import numpy as np
+
+    assert buf[:2] == b"\xff\xd8", "bad SOI marker"
+    pos = 2
+    qt = None
+    dims = None
+    dec_tabs: dict = {}
+    while pos < len(buf):
+        assert buf[pos] == 0xFF, "marker sync lost"
+        marker = buf[pos + 1]
+        pos += 2
+        (seglen,) = struct.unpack(">H", buf[pos : pos + 2])
+        data = buf[pos + 2 : pos + seglen]
+        if marker == 0xDB:
+            assert data[0] == 0x00, "only 8-bit quant tables supported"
+            qt = [0] * 64
+            for i in range(64):
+                qt[_JPEG_ZIGZAG[i]] = data[1 + i]
+        elif marker == 0xC4:
+            tc, th = data[0] >> 4, data[0] & 15
+            bits = list(data[1:17])
+            vals = list(data[17 : 17 + sum(bits)])
+            dec: dict = {}
+            code = k = 0
+            for ln in range(1, 17):
+                for _ in range(bits[ln - 1]):
+                    dec[(ln, code)] = vals[k]
+                    code += 1
+                    k += 1
+                code <<= 1
+            dec_tabs[(tc, th)] = dec
+        elif marker == 0xC0:
+            prec, h, w, nf = struct.unpack(">BHHB", data[:6])
+            assert (prec, nf) == (8, 1), "8-bit single-component baseline only"
+            assert data[7] == 0x11, "subsampling unsupported"
+            dims = (w, h)
+        elif marker == 0xDA:
+            pos += seglen
+            break
+        else:
+            raise AssertionError(f"unexpected marker 0x{marker:02x}")
+        pos += seglen
+    assert qt and dims and (0, 0) in dec_tabs and (1, 0) in dec_tabs, (
+        "missing DQT/SOF0/DHT before SOS"
+    )
+    w, h = dims
+
+    ent = bytearray()  # unstuffed entropy-coded segment
+    while pos < len(buf):
+        b = buf[pos]
+        if b == 0xFF:
+            nxt = buf[pos + 1]
+            if nxt == 0x00:
+                ent.append(0xFF)
+                pos += 2
+                continue
+            assert nxt == 0xD9, f"unexpected in-stream marker 0x{nxt:02x}"
+            break
+        ent.append(b)
+        pos += 1
+
+    bitpos = 0
+    total = len(ent) * 8
+
+    def read_bit() -> int:
+        nonlocal bitpos
+        assert bitpos < total, "entropy stream truncated"
+        b = (ent[bitpos >> 3] >> (7 - (bitpos & 7))) & 1
+        bitpos += 1
+        return b
+
+    def read_bits(n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | read_bit()
+        return v
+
+    def huff(dec: dict) -> int:
+        code = ln = 0
+        while True:
+            code = (code << 1) | read_bit()
+            ln += 1
+            assert ln <= 16, "invalid Huffman code"
+            sym = dec.get((ln, code))
+            if sym is not None:
+                return sym
+
+    def extend(v: int, s: int) -> int:
+        return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+    dc_dec, ac_dec = dec_tabs[(0, 0)], dec_tabs[(1, 0)]
+    bx, by = w // 8, h // 8
+    m = _jpeg_idct_matrix()
+    img = np.zeros((h, w), np.int64)
+    pred = dc_sum = nz = 0
+    for bi in range(bx * by):
+        coefs = np.zeros(64, np.float64)
+        s = huff(dc_dec)
+        pred += extend(read_bits(s), s)
+        coefs[0] = pred * qt[0]
+        dc_sum += pred * qt[0]
+        k = 1
+        while k <= 63:
+            sym = huff(ac_dec)
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += sym >> 4
+            assert k <= 63, "AC coefficient index overflow"
+            val = extend(read_bits(sym & 15), sym & 15)
+            nat = _JPEG_ZIGZAG[k]
+            coefs[nat] = val * qt[nat]
+            if val:
+                nz += 1
+            k += 1
+        fblk = coefs.reshape(8, 8)  # rows = vertical frequency v
+        pix = m.T @ fblk @ m + 128.0
+        pix = np.clip(np.floor(pix + 0.5), 0, 255).astype(np.int64)
+        yb, xb = divmod(bi, bx)
+        img[yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8] = pix
+    return img, int(dc_sum), int(nz)
+
+
+def with_jpeg_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → VALID baseline JPEG images: 2 printable text bytes
+    per 8×8 block pick the quantized DC level and one of
+    ``JPEG_N_PATTERNS`` AC menus; the Arrow-batched encoder
+    Huffman-codes them into a real entropy stream (the same
+    worker-side hop where a libjpeg encoder would sit)."""
+    d = io.load_table_parallel(spark, sf_dir, "documents")
+    body = F.expr(
+        f"rpad(coalesce(nullif(regexp_replace(text, '[^ -~]', '?'), ''), ' '), {_JPEG_BODY_LEN},"
+        f" coalesce(nullif(regexp_replace(text, '[^ -~]', '?'), ''), ' '))"
+    )
+    raw = d.select("doc_id", F.encode(body, "utf-8").alias("raw"))
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for r in pdf["raw"]:
+                b = bytes(r)
+                payloads.append(
+                    _encode_jpeg(
+                        [b[2 * i] - _JPEG_DC_BIAS for i in range(JPEG_N_BLOCKS)],
+                        [b[2 * i + 1] % JPEG_N_PATTERNS for i in range(JPEG_N_BLOCKS)],
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return raw.mapInPandas(enc, "doc_id LONG, payload BINARY")
+
+
+def jpeg_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode REAL baseline JPEG payloads — the ffmpeg-class seam's
+    image half, now honest-real: canonical Huffman entropy decode
+    (EOB/ZRL/negative extend/byte unstuffing), dequantization, and a
+    float64 IDCT — emitting per-image dc_sum, nonzero-AC count, and
+    the total decoded pixel sum.
+
+    The DuckDB oracle never sees the codec: it recomputes the same
+    integers from the text bytes, using per-pattern pixel-sum
+    constants generated by an independent spec-literal O(N⁴) IDCT
+    (see ``_jpeg_pattern_constants`` for the exactness argument), so
+    the driver hash match proves the whole pipeline — including the
+    IDCT and its rounding — pixel-exactly. Remaining declared stub:
+    H.264/MP3 (``decode_payload``).
+
+    Scale: payload bytes ride Arrow once; decode is embarrassingly
+    parallel across partitions; per-image output is 6 ints."""
+    p = with_jpeg_payload(spark, sf_dir)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        wtile = np.tile(
+            (1 + np.arange(8)[None, :] + 8 * np.arange(8)[:, None]) ** 2,
+            (JPEG_H // 8, JPEG_W // 8),
+        ).astype(np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img, dc_sum, nz = _decode_jpeg(bytes(payload))
+                rows.append(
+                    [
+                        doc_id, JPEG_W, JPEG_H, dc_sum, nz,
+                        int(img.sum()), int((img * wtile).sum()),
+                    ]
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "dc_sum", "nonzero_ac",
+                    "pixel_sum", "pix_weighted",
+                ],
+            )
+
+    return p.mapInPandas(
+        run,
+        "doc_id LONG, width INT, height INT, dc_sum LONG,"
+        " nonzero_ac LONG, pixel_sum LONG, pix_weighted LONG",
+    ).orderBy("doc_id")
+
+
+_JPEG_CONSTS = _jpeg_pattern_constants()
+_JPEG_S_CASE = " ".join(
+    f"WHEN {i} THEN {s}" for i, (s, _, _) in enumerate(_JPEG_CONSTS)
+)
+_JPEG_W_CASE = " ".join(
+    f"WHEN {i} THEN {ws}" for i, (_, ws, _) in enumerate(_JPEG_CONSTS)
+)
+_JPEG_NZ_CASE = " ".join(
+    f"WHEN {i} THEN {nz}" for i, (_, _, nz) in enumerate(_JPEG_CONSTS)
+)
+
+JPEG_DECODE_SQL = f"""
+WITH body AS (
+  SELECT doc_id,
+         rpad(coalesce(nullif(regexp_replace(text, '[^ -~]', '?', 'g'), ''), ' '), {_JPEG_BODY_LEN},
+              coalesce(nullif(regexp_replace(text, '[^ -~]', '?', 'g'), ''), ' ')) AS s
+  FROM documents
+), blocks AS (
+  SELECT doc_id, unnest(range(0, {JPEG_N_BLOCKS})) AS b, s FROM body
+), per AS (
+  SELECT doc_id,
+         ascii(substr(s, 2 * b + 1, 1)) - {_JPEG_DC_BIAS} AS dcq,
+         ascii(substr(s, 2 * b + 2, 1)) % {JPEG_N_PATTERNS} AS p
+  FROM blocks
+)
+SELECT doc_id,
+       {JPEG_W} AS width, {JPEG_H} AS height,
+       CAST(sum({_JPEG_QUANT[0]} * dcq) AS BIGINT) AS dc_sum,
+       CAST(sum(CASE p {_JPEG_NZ_CASE} END) AS BIGINT) AS nonzero_ac,
+       CAST(sum(8192 + 64 * dcq + CASE p {_JPEG_S_CASE} END) AS BIGINT)
+         AS pixel_sum,
+       CAST(sum({_JPEG_WSUM} * (128 + dcq) + CASE p {_JPEG_W_CASE} END)
+            AS BIGINT) AS pix_weighted
+FROM per GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "mm_binary_metadata": (binary_metadata, BINARY_METADATA_SQL),
     "mm_decode_stub_features": (decode_stub_features, None),
@@ -1288,4 +1791,5 @@ QUERIES = {
     "mm_audio_spectral_features": (audio_spectral_features, None),
     "mm_video_frame_features": (video_decode_features, VIDEO_DECODE_SQL),
     "mm_byte_entropy": (byte_entropy, BYTE_ENTROPY_SQL),
+    "mm_jpeg_decode_features": (jpeg_decode_features, JPEG_DECODE_SQL),
 }

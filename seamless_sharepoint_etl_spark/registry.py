@@ -239,6 +239,10 @@ _GRADE_FIRST = _GRADE_FIRST_R6
 _GRADE_FIRST_R7 = [
     "dedup_keep_best_canonical",
     "sim_matryoshka_prefix_recall",
+    # round-6 addition (registered outside the frozen r6 window):
+    # REAL baseline-JPEG decode — Huffman entropy decode + dequant +
+    # IDCT, oracled via independent spec-literal IDCT constants
+    "mm_jpeg_decode_features",
 ]
 
 # FULL round-7 window, pre-staged (round-7 first commit:
@@ -254,10 +258,10 @@ _GRADE_FIRST_R7 = [
 #   3. routing_1500_split — the second flagship-class canary (r3 row;
 #      flagship_incremental_load took the r6 canary slot);
 #   4. oldest-green re-grades: the round-1-graded families, whose rows
-#      predate four rounds of session-cache/plan refactors. 43 of the
-#      45 r1-latest names fit; set_distinct and set_intersect are
-#      deferred to round 8 as the two lowest-drift-risk entries
-#      (single-operator set ops, untouched since r1).
+#      predate four rounds of session-cache/plan refactors. 42 of the
+#      45 r1-latest names fit; set_distinct, set_intersect and
+#      set_except are deferred to round 8 as the three lowest-drift-
+#      risk entries (single-operator set ops, untouched since r1).
 _GRADE_FIRST_R7_FULL = _GRADE_FIRST_R7 + [
     "sim_brute_force_topk",
     "sim_embedding_neardup",
@@ -297,7 +301,6 @@ _GRADE_FIRST_R7_FULL = _GRADE_FIRST_R7 + [
     "rel_project_filter_predicates",
     "rel_stratified_sample",
     "rel_validate_quarantine",
-    "set_except",
     "set_except_intersect_all",
     "set_union_all_counts",
     "sort_multikey_nulls",
