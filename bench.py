@@ -102,6 +102,7 @@ HEADLINE = [
     "layout_dynamic_overwrite",
     "mm_ppm_decode_features",
     "mm_png_decode_features",
+    "mm_jpeg_decode_features",
     "mm_wav_decode_features",
     "mm_video_frame_features",
     "agg_sample_estimate",
