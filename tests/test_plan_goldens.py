@@ -68,6 +68,12 @@ GOLDEN_QUERIES = [
     "sim_ivf_topk",
     "sim_brp_lsh_topk",
     "dedup_minhash_lsh",
+    # round-6: the shared BLAS shortlist kernel — pin the cogrouped
+    # FlatMapCoGroupsInPandas + bounded-window shape for both the
+    # brute-force truth baseline and the MMR pool so the retired
+    # crossJoin/BNLJ pool can't silently return
+    "sim_brute_force_topk",
+    "sim_mmr_diversify",
     # round-3 perf fix: single from_json projection (no triplicated parse)
     "fn_json",
     # round-5: the VARIANT shred must stay ONE codegen projection over
