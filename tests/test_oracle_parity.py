@@ -96,9 +96,10 @@ def test_round6_window_is_exactly_the_ungraded_remainder():
     rotation is full, so a graded name in the list would waste a
     finished query's only grading slot. Valid at every stage: before
     the swap (ungraded = 99 = live 50 + staged 49 + canary), at
-    round-6 start once CORRECTNESS_r05 lands (ungraded = 49, all
-    staged), and after round 6 completes (ungraded = 0, trivially
-    covered; the waste check only runs while names remain ungraded)."""
+    round-6 start once CORRECTNESS_r05 lands (ungraded = the 49
+    staged names + the round-7 additions), and after the round-6
+    grades land (the waste check keys off CORRECTNESS_r06.json —
+    beyond that the staged list is a historical ledger)."""
     import glob
     import json
     import os
