@@ -1539,10 +1539,12 @@ def _decode_jpeg(buf: bytes) -> tuple:
     dims = None
     dec_tabs: dict = {}
     while pos < len(buf):
+        assert pos + 4 <= len(buf), "truncated marker header"
         assert buf[pos] == 0xFF, "marker sync lost"
         marker = buf[pos + 1]
         pos += 2
         (seglen,) = struct.unpack(">H", buf[pos : pos + 2])
+        assert pos + seglen <= len(buf), "truncated marker segment"
         data = buf[pos + 2 : pos + seglen]
         if marker == 0xDB:
             assert data[0] == 0x00, "only 8-bit quant tables supported"
@@ -1579,18 +1581,22 @@ def _decode_jpeg(buf: bytes) -> tuple:
     w, h = dims
 
     ent = bytearray()  # unstuffed entropy-coded segment
+    saw_eoi = False
     while pos < len(buf):
         b = buf[pos]
         if b == 0xFF:
+            assert pos + 1 < len(buf), "entropy stream truncated at 0xFF"
             nxt = buf[pos + 1]
             if nxt == 0x00:
                 ent.append(0xFF)
                 pos += 2
                 continue
             assert nxt == 0xD9, f"unexpected in-stream marker 0x{nxt:02x}"
+            saw_eoi = True
             break
         ent.append(b)
         pos += 1
+    assert saw_eoi, "entropy stream ends without EOI"
 
     bitpos = 0
     total = len(ent) * 8

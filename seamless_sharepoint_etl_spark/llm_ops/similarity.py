@@ -58,25 +58,28 @@ def _norm(a):
 _PAIR_MARGIN = 1e-7
 
 
-def _safe_norms(mat):
-    """Row norms with zero-norm rows marked: returns ``(norms, zero)``
-    where ``norms`` has zero entries clamped to +inf (so a division
-    yields 0.0, never NaN) and ``zero`` is the boolean zero-norm mask.
+def _nonzero_norm_rows(mat):
+    """Row norms + the keep-mask implementing the ZERO-NORM POLICY:
+    degenerate (all-zero) vectors are EXCLUDED from cosine similarity,
+    identically in the numpy kernels and in the SQL oracles.
 
-    Spark's exact fold and DuckDB both produce NaN for a zero-norm
-    cosine and both order NaN GREATER than every real value, while a
-    NaN inside the numpy shortlist silently fails every comparison and
-    drops the row — a latent cross-engine divergence if a zero vector
-    ever enters a fixture. Callers force zero-norm rows INTO the
-    candidate set (cos := +inf) so the shortlist provably contains
-    everything the exact phase can rank first, by construction rather
-    than by fixture luck.
+    Why a policy is required at all — the three engines in play
+    disagree three ways on 0/0: the numpy shortlist's NaN fails every
+    comparison and silently drops the row, Spark's exact fold THROWS
+    under ANSI mode (SparkArithmeticException DIVIDE_BY_ZERO — the
+    session default), and DuckDB's double division yields NULL. Any
+    implicit behavior is therefore a latent crash or cross-engine
+    divergence the moment a zero vector (or an all-zero matryoshka
+    PREFIX) enters a fixture. Exclusion is the only semantics all
+    engines can express identically: kernels drop zero-norm rows
+    before the matmul (so the exact-fold divisions provably never see
+    a zero denominator), and every oracle carries the matching
+    ``norm > 0`` predicate.
     """
     import numpy as np
 
     norms = np.linalg.norm(mat, axis=1)
-    zero = norms == 0.0
-    return np.where(zero, np.inf, norms), zero
+    return norms, norms > 0.0
 
 
 def _topk_shortlist(e: DataFrame, k: int) -> DataFrame:
@@ -123,15 +126,25 @@ def _topk_shortlist(e: DataFrame, k: int) -> DataFrame:
             )
         qm = np.vstack(qdf["qv"].to_numpy())
         cm = np.vstack(cdf["cv"].to_numpy())
-        qn, qz = _safe_norms(qm)
-        cn, cz = _safe_norms(cm)
-        cos = (qm @ cm.T) / np.outer(qn, cn)
-        # zero-norm rows: the exact fold yields NaN, which Spark and
-        # DuckDB order greater than any real cosine — force them into
-        # the shortlist so both phases agree (see _safe_norms)
-        cos[qz[:, None] | cz[None, :]] = np.inf
         qid = qdf["query_id"].to_numpy().astype("int64")
         cid = cdf["cand_id"].to_numpy().astype("int64")
+        # zero-norm policy (see _nonzero_norm_rows): degenerate vectors
+        # are excluded BEFORE the matmul, mirroring the oracle's
+        # norm > 0 predicate — the exact fold never divides by zero
+        qn, qkeep = _nonzero_norm_rows(qm)
+        cn, ckeep = _nonzero_norm_rows(cm)
+        qm, qid, qn = qm[qkeep], qid[qkeep], qn[qkeep]
+        cm, cid, cn = cm[ckeep], cid[ckeep], cn[ckeep]
+        if not len(qid) or not len(cid):
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series(dtype="int64"),
+                    "cand_id": pd.Series(dtype="int64"),
+                    "qv": pd.Series(dtype="object"),
+                    "cv": pd.Series(dtype="object"),
+                }
+            )
+        cos = (qm @ cm.T) / np.outer(qn, cn)
         cos[qid[:, None] == cid[None, :]] = -np.inf  # self-pairs excluded
         kk = min(k, cos.shape[1])
         kth = np.sort(cos, axis=1)[:, -kk]
@@ -215,6 +228,9 @@ scored AS (
               * sqrt(list_sum(list_transform(cv, x -> x * x)))) AS cos
   FROM q CROSS JOIN c
   WHERE query_id <> cand_id
+    -- zero-norm policy: degenerate vectors are excluded (kernel twin)
+    AND list_sum(list_transform(qv, x -> x * x)) > 0
+    AND list_sum(list_transform(cv, x -> x * x)) > 0
 )
 SELECT query_id, rank, cand_id, round(cos, 6) AS cosine
 FROM (
@@ -296,16 +312,27 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         am = np.vstack(adf["va"].to_numpy())
         bm = np.vstack(bdf["vb"].to_numpy())
-        an, az = _safe_norms(am)
-        bn, bz = _safe_norms(bm)
+        aid = adf["ida"].to_numpy().astype("int64")
+        bid = bdf["idb"].to_numpy().astype("int64")
+        # zero-norm policy (see _nonzero_norm_rows): exclude degenerate
+        # vectors before the matmul, mirroring the oracle's predicate
+        an, akeep = _nonzero_norm_rows(am)
+        bn, bkeep = _nonzero_norm_rows(bm)
+        am, aid, an = am[akeep], aid[akeep], an[akeep]
+        bm, bid, bn = bm[bkeep], bid[bkeep], bn[bkeep]
+        if not len(aid) or not len(bid):
+            return pd.DataFrame(
+                {
+                    "id_lo": pd.Series(dtype="int64"),
+                    "id_hi": pd.Series(dtype="int64"),
+                    "vl": pd.Series(dtype="object"),
+                    "vh": pd.Series(dtype="object"),
+                }
+            )
         cos = (am @ bm.T) / np.outer(an, bn)
-        # zero-norm rows: exact fold → NaN, which BOTH engines compare
-        # greater than the threshold — admit so the exact filter (not a
-        # silent NaN drop here) makes the decision (see _safe_norms)
-        cos[az[:, None] | bz[None, :]] = np.inf
         ii, jj = np.nonzero(cos >= NEARDUP_COS - _PAIR_MARGIN)
-        ida = adf["ida"].to_numpy()[ii].astype("int64")
-        idb = bdf["idb"].to_numpy()[jj].astype("int64")
+        ida = aid[ii]
+        idb = bid[jj]
         # cross-block cells hold each unordered pair exactly once (A =
         # lower block, B = higher); the diagonal cell holds both
         # orientations — keep one
@@ -366,6 +393,9 @@ FROM v a JOIN v b ON a.vec_id < b.vec_id
 WHERE list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
       / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
          * sqrt(list_sum(list_transform(b.v, x -> x * x)))) >= {NEARDUP_COS}
+  -- zero-norm policy: degenerate vectors are excluded (kernel twin)
+  AND list_sum(list_transform(a.v, x -> x * x)) > 0
+  AND list_sum(list_transform(b.v, x -> x * x)) > 0
 """
 
 
@@ -1612,20 +1642,23 @@ def matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         qm = np.vstack(qdf["qv"].to_numpy())
         cm = np.vstack(cdf["cv"].to_numpy())
-        qid = qdf["query_id"].to_numpy().astype("int64")
-        cid = cdf["cand_id"].to_numpy().astype("int64")
-        self_mask = qid[:, None] == cid[None, :]
+        qid0 = qdf["query_id"].to_numpy().astype("int64")
+        cid0 = cdf["cand_id"].to_numpy().astype("int64")
         frames = []
         for plen in MRL_PREFIX_LENS:
             qp, cp = qm[:, :plen], cm[:, :plen]
-            qn, qz = _safe_norms(qp)
-            cn, cz = _safe_norms(cp)
+            # zero-norm policy, applied PER PREFIX (an all-zero L-dim
+            # prefix of a non-zero vector is the live hazard here):
+            # degenerate rows are excluded for that prefix length only,
+            # mirroring the oracle's per-prefix norm > 0 predicate
+            qn, qkeep = _nonzero_norm_rows(qp)
+            cn, ckeep = _nonzero_norm_rows(cp)
+            qp, qid, qn = qp[qkeep], qid0[qkeep], qn[qkeep]
+            cp, cid, cn = cp[ckeep], cid0[ckeep], cn[ckeep]
+            if not len(qid) or not len(cid):
+                continue
             cos = (qp @ cp.T) / np.outer(qn, cn)
-            # an all-zero L-dim PREFIX of a non-zero vector is the live
-            # hazard here: exact fold → NaN → ranks first in both
-            # engines — force into the shortlist (see _safe_norms)
-            cos[qz[:, None] | cz[None, :]] = np.inf
-            cos[self_mask] = -np.inf
+            cos[qid[:, None] == cid[None, :]] = -np.inf
             k = min(TOP_K, cos.shape[1])
             kth = np.sort(cos, axis=1)[:, -k]
             ii, jj = np.nonzero(cos >= (kth[:, None] - _PAIR_MARGIN))
@@ -1643,6 +1676,16 @@ def matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "cs": pd.Series(list(cp[jj]), dtype="object"),
                     }
                 )
+            )
+        if not frames:
+            return pd.DataFrame(
+                {
+                    "plen": pd.Series(dtype="int32"),
+                    "query_id": pd.Series(dtype="int64"),
+                    "cand_id": pd.Series(dtype="int64"),
+                    "qs": pd.Series(dtype="object"),
+                    "cs": pd.Series(dtype="object"),
+                }
             )
         return pd.concat(frames, ignore_index=True)
 
@@ -1706,6 +1749,9 @@ scored AS (
               * sqrt(list_sum(list_transform(cv[1:plen], x -> x * x)))) AS cos
   FROM q CROSS JOIN c CROSS JOIN lens
   WHERE query_id <> cand_id
+    -- zero-norm policy, per prefix length (kernel twin)
+    AND list_sum(list_transform(qv[1:plen], x -> x * x)) > 0
+    AND list_sum(list_transform(cv[1:plen], x -> x * x)) > 0
 ),
 topk AS (
   SELECT plen, query_id, cand_id FROM (

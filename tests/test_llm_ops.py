@@ -1508,9 +1508,13 @@ def test_jpeg_decode_is_a_real_baseline_codec(spark):
             break
     assert stuffed, "no stuffed 0xFF00 produced in 80 random images"
 
-    # (d) corruption rejection
-    with pytest.raises(AssertionError):
-        mm._decode_jpeg(buf[:-40])  # truncated entropy stream
+    # (d) corruption rejection: EVERY possible truncation point must
+    # raise the decoder's labeled AssertionError — never IndexError /
+    # struct.error from an unguarded read (incl. cuts right after an
+    # 0xFF in the entropy stream and cuts inside marker headers)
+    for cut in range(0, len(buf)):
+        with pytest.raises(AssertionError):
+            mm._decode_jpeg(buf[:cut])
     bad = bytearray(buf)
     bad[3] ^= 0xFF  # corrupt the DQT marker byte
     with pytest.raises(AssertionError):
@@ -1533,6 +1537,90 @@ def test_jpeg_decode_is_a_real_baseline_codec(spark):
         assert (r["dc_sum"], r["nonzero_ac"], r["pixel_sum"]) == (
             ds3, nz3, int(img3.sum()),
         )
+
+
+def test_zero_norm_vectors_are_excluded_by_policy(spark, monkeypatch):
+    """The zero-norm policy (similarity._nonzero_norm_rows): degenerate
+    vectors are EXCLUDED identically in the numpy kernels and the SQL
+    oracles. Without it the engines disagree three ways on 0/0 — numpy
+    NaN silently drops rows, Spark's ANSI fold THROWS DIVIDE_BY_ZERO,
+    DuckDB yields NULL. This injects a zero vector and an all-zero
+    8-dim-prefix vector (both as queries AND candidates) through
+    brute-force top-k, MMR, embedding near-dup and matryoshka recall:
+    no query may crash, degenerate ids must be absent, and the three
+    oracled queries must agree with DuckDB on the same corpus."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from seamless_sharepoint_etl_spark import io as io_mod
+    from seamless_sharepoint_etl_spark.llm_ops import similarity as sim
+
+    rng = np.random.RandomState(9)
+    ids_vecs = [(0, rng.randn(64))]               # normal query
+    zq = np.zeros(64)
+    ids_vecs.append((50, zq))                     # zero-vector query
+    zp = rng.randn(64)
+    zp[:8] = 0.0
+    ids_vecs.append((100, zp))                    # zero-8-prefix query
+    for i in range(1, 30):
+        ids_vecs.append((i, rng.randn(64)))
+    ids_vecs.append((31, np.zeros(64)))           # zero-vector candidate
+    zc = rng.randn(64)
+    zc[:8] = 0.0
+    ids_vecs.append((32, zc))                     # zero-prefix candidate
+    base = rng.randn(64)
+    ids_vecs.append((40, base))                   # a guaranteed near-dup
+    ids_vecs.append((41, base + 1e-4 * rng.randn(64)))
+
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [i for i, _ in ids_vecs],
+            "embedding": [
+                [float(np.float32(x)) for x in v] for _, v in ids_vecs
+            ],
+        }
+    )
+    sdf = spark.createDataFrame(pdf, "vec_id long, embedding array<float>")
+    monkeypatch.setattr(
+        io_mod, "load_table_parallel", lambda sp, sfd, name: sdf
+    )
+    con = duckdb.connect()
+    con.register("embeddings", pdf)
+
+    def duck(sql):
+        return sorted(
+            tuple(round(v, 4) if isinstance(v, float) else v for v in row)
+            for row in con.execute(sql).fetchall()
+        )
+
+    def got(df):
+        return sorted(
+            tuple(round(v, 4) if isinstance(v, float) else v for v in row)
+            for row in (tuple(r) for r in df.collect())
+        )
+
+    bf = got(sim.brute_force_topk(spark, "/ignored"))
+    assert bf == duck(sim.BRUTE_FORCE_SQL)
+    assert not any(r[0] == 50 for r in bf), "zero-vector query leaked"
+    assert not any(r[2] in (31, 50) for r in bf), "zero-vector candidate leaked"
+
+    nd = got(sim.embedding_neardup(spark, "/ignored"))
+    assert nd == duck(sim.EMBEDDING_NEARDUP_SQL)
+    assert (40, 41) in {(r[0], r[1]) for r in nd}, "planted near-dup missing"
+    assert not any(31 in (r[0], r[1]) for r in nd)
+
+    mrl = got(sim.matryoshka_prefix_recall(spark, "/ignored"))
+    assert mrl == duck(sim.MATRYOSHKA_PREFIX_RECALL_SQL)
+    plens_for_100 = {r[0] for r in mrl if r[1] == 100}
+    assert 8 not in plens_for_100, "zero-prefix query leaked at L=8"
+    assert {16, 32} <= plens_for_100, "zero-prefix query must survive L>=16"
+    assert not any(r[1] == 50 for r in mrl)
+
+    mmr = sim.mmr_diversify(spark, "/ignored").collect()
+    assert mmr, "MMR returned nothing"
+    assert not any(r["query_id"] == 50 for r in mmr)
+    assert not any(r["cand_id"] in (31, 50) for r in mmr)
 
 
 def test_blas_shortlist_kernels_equal_naive_all_pairs(spark):
