@@ -46,6 +46,10 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "sim_brute_force_topk",
+    # round-6: the MMR pool now rides the shared BLAS shortlist kernel
+    # (the retired crossJoin pool was the last perf-weak flag) — bench
+    # it so the kernel's cost has a round-over-round trend line
+    "sim_mmr_diversify",
     "text_quality_score",
     "mm_binary_metadata",
     # round-2 additions: the re-shaped scale paths + pushed TopN
