@@ -116,11 +116,14 @@ def decode_payload(df: DataFrame, real: bool = False) -> DataFrame:
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [_fake_decode(p) for p in pdf["payload"]]
+            # NULL text → NULL payload → Arrow delivers None: coalesce
+            # to b"" like every sibling kernel in this module
+            payloads = [p if p is not None else b"" for p in pdf["payload"]]
+            decoded = [_fake_decode(p) for p in payloads]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "n_bytes": [len(p) for p in payloads],
                     "fake_width": [d[0] for d in decoded],
                     "fake_height": [d[1] for d in decoded],
                     "fake_format": [d[2] for d in decoded],
@@ -1262,7 +1265,9 @@ _ENT_TERMS = " + ".join(
 
 BYTE_ENTROPY_SQL = f"""
 WITH bins AS (
-  SELECT doc_id, CAST(length(text) AS BIGINT) AS n, {_ENT_BINS}
+  -- coalesce: the Python kernel emits n_bytes = 0 for a NULL document
+  -- (payload coalesced to b''), so the oracle must not propagate NULL
+  SELECT doc_id, CAST(coalesce(length(text), 0) AS BIGINT) AS n, {_ENT_BINS}
   FROM documents
 ),
 scored AS (

@@ -11,15 +11,23 @@ Three operators:
       DOUBLE with sequential fold order, so the reported values match
       the SQL oracle bit-for-bit while the O(Q×N) inner loop runs at
       memory-bandwidth speed.
-  embedding near-dup — same-label pairs with cosine ≥ 0.9 (the
-      embedding-cosine dedup gate). Label partitioning bounds the pair
-      blowup exactly like blocking keys do at 100 TB.
-  IVF top-k — the scale path: coarse centroids (per-label means),
-      nprobe=3 probed buckets, exact search inside probed buckets only.
-      At 100 TB the bucket assignment is a broadcast join against a
-      tiny centroid table and each query touches nprobe/nlist of the
-      data. Deterministic but not SQL-oracled (rows-only); pytest
-      enforces recall ≥ 0.8 vs brute force.
+  embedding near-dup — ALL pairs with cosine ≥ NEARDUP_COS, computed
+      as a blocked all-pairs grid (xxhash block-matrix decomposition —
+      see its docstring for why LSH cannot prune at this threshold);
+      exact and fully oracle-checked.
+  IVF top-k — the scale path: seed-free Lloyd k-means coarse
+      centroids (NLIST buckets), nprobe=3 probed buckets, exact search
+      inside probed buckets only. At 100 TB the bucket assignment is a
+      broadcast join against a tiny centroid table and each query
+      touches nprobe/nlist of the data. Deterministic but not
+      SQL-oracled (rows-only); pytest enforces recall ≥ 0.8 vs brute
+      force.
+
+ZERO-NORM POLICY (module-wide): degenerate all-zero vectors — and
+all-zero matryoshka PREFIXES — are excluded from cosine similarity,
+identically in the numpy kernels, the JVM folds, and the SQL oracles
+(see ``_nonzero_norm_rows`` for why no implicit behavior can agree
+across the three engines).
 """
 
 from __future__ import annotations
@@ -82,24 +90,28 @@ def _nonzero_norm_rows(mat):
     return norms, norms > 0.0
 
 
-def _topk_shortlist(e: DataFrame, k: int) -> DataFrame:
-    """BLAS shortlist phase shared by ``brute_force_topk`` and
-    ``mmr_diversify``: for every query vector (vec_id % QUERY_STRIDE
-    == 0), candidate rows provably containing the exact global cosine
-    top-``k`` — as ``(query_id, cand_id, qv, cv)`` with the float64
-    vectors carried through so the exact re-rank needs no second scan.
+def _topk_shortlist(e: DataFrame, k: int, lens: tuple = (None,)) -> DataFrame:
+    """BLAS shortlist phase shared by ``brute_force_topk``,
+    ``mmr_diversify`` and ``matryoshka_prefix_recall``: for every
+    query vector (vec_id % QUERY_STRIDE == 0) and every prefix length
+    in ``lens`` (``None`` = the full vector, emitted as plen 0),
+    candidate rows provably containing that prefix's exact global
+    cosine top-``k`` — as ``(plen, query_id, cand_id, qv, cv)`` with
+    the (sliced) float64 vectors carried through so the exact re-rank
+    needs no second scan.
 
     Candidates hash into N_BLOCKS groups, the query batch replicates
     to every block, and a cogrouped applyInPandas computes the
-    per-block Q×|block| cosine matrix as one BLAS matmul, keeping each
-    query's block-local top-``k`` with a _PAIR_MARGIN safety band. The
-    global exact top-``k`` is a subset of the per-block top-``k``s by
+    per-block Q×|block| cosine matrix as one BLAS matmul PER PREFIX
+    from one Arrow transfer of the full vectors, keeping each query's
+    block-local top-``k`` with a _PAIR_MARGIN safety band. The global
+    exact top-``k`` is a subset of the per-block top-``k``s by
     definition, and the margin absorbs the ≤1.4e-14 numpy-vs-fold
-    float discrepancy. Arrow moves only vectors (N + Q·N_BLOCKS rows),
-    never the Q×N pair stream; at 100 TB the per-task unit is a dense
-    matmul over one block (N_BLOCKS scales with the cluster) and the
-    shuffle is O(N).
-    """
+    float discrepancy. The zero-norm policy applies per prefix (see
+    ``_nonzero_norm_rows``). Arrow moves only vectors (N + Q·N_BLOCKS
+    rows), never the Q×N pair stream; at 100 TB the per-task unit is a
+    dense matmul over one block (N_BLOCKS scales with the cluster) and
+    the shuffle is O(N)."""
     import pandas as pd
 
     q = e.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
@@ -112,68 +124,77 @@ def _topk_shortlist(e: DataFrame, k: int) -> DataFrame:
         F.pmod(F.xxhash64("vec_id"), F.lit(N_BLOCKS)).cast("int").alias("g"),
     )
 
-    def _shortlist(key, qdf, cdf):
-        import numpy as np
-
-        if qdf.empty or cdf.empty:
-            return pd.DataFrame(
-                {
-                    "query_id": pd.Series(dtype="int64"),
-                    "cand_id": pd.Series(dtype="int64"),
-                    "qv": pd.Series(dtype="object"),
-                    "cv": pd.Series(dtype="object"),
-                }
-            )
-        qm = np.vstack(qdf["qv"].to_numpy())
-        cm = np.vstack(cdf["cv"].to_numpy())
-        qid = qdf["query_id"].to_numpy().astype("int64")
-        cid = cdf["cand_id"].to_numpy().astype("int64")
-        # zero-norm policy (see _nonzero_norm_rows): degenerate vectors
-        # are excluded BEFORE the matmul, mirroring the oracle's
-        # norm > 0 predicate — the exact fold never divides by zero
-        qn, qkeep = _nonzero_norm_rows(qm)
-        cn, ckeep = _nonzero_norm_rows(cm)
-        qm, qid, qn = qm[qkeep], qid[qkeep], qn[qkeep]
-        cm, cid, cn = cm[ckeep], cid[ckeep], cn[ckeep]
-        if not len(qid) or not len(cid):
-            return pd.DataFrame(
-                {
-                    "query_id": pd.Series(dtype="int64"),
-                    "cand_id": pd.Series(dtype="int64"),
-                    "qv": pd.Series(dtype="object"),
-                    "cv": pd.Series(dtype="object"),
-                }
-            )
-        cos = (qm @ cm.T) / np.outer(qn, cn)
-        cos[qid[:, None] == cid[None, :]] = -np.inf  # self-pairs excluded
-        kk = min(k, cos.shape[1])
-        kth = np.sort(cos, axis=1)[:, -kk]
-        ii, jj = np.nonzero(cos >= (kth[:, None] - _PAIR_MARGIN))
-        # the >= test re-admits the -inf self-pair whenever the block
-        # holds <= k candidates (kth is then itself -inf, and
-        # -inf >= -inf) — caught by the MOD=8 perturbation fixture;
-        # drop self-pairs from the emitted set explicitly
-        keep = qid[ii] != cid[jj]
-        ii, jj = ii[keep], jj[keep]
-        # carry the vectors through (Arrow moves float64 bit-exactly):
-        # the exact re-rank then needs NO second scan of the table
+    def _empty():
         # dtype=object even when 0 rows survive: an empty plain-list
         # column infers float64, which Arrow can't cast to list<double>
         return pd.DataFrame(
             {
-                "query_id": qid[ii],
-                "cand_id": cid[jj],
-                "qv": pd.Series(list(qm[ii]), dtype="object"),
-                "cv": pd.Series(list(cm[jj]), dtype="object"),
+                "plen": pd.Series(dtype="int32"),
+                "query_id": pd.Series(dtype="int64"),
+                "cand_id": pd.Series(dtype="int64"),
+                "qv": pd.Series(dtype="object"),
+                "cv": pd.Series(dtype="object"),
             }
         )
+
+    def _shortlist(key, qdf, cdf):
+        import numpy as np
+
+        if qdf.empty or cdf.empty:
+            return _empty()
+        qm = np.vstack(qdf["qv"].to_numpy())
+        cm = np.vstack(cdf["cv"].to_numpy())
+        qid0 = qdf["query_id"].to_numpy().astype("int64")
+        cid0 = cdf["cand_id"].to_numpy().astype("int64")
+        frames = []
+        for plen in lens:
+            qp = qm[:, :plen] if plen else qm
+            cp = cm[:, :plen] if plen else cm
+            # zero-norm policy (see _nonzero_norm_rows): degenerate
+            # rows are excluded BEFORE the matmul, per prefix length,
+            # mirroring the oracles' norm > 0 predicates — the exact
+            # fold never divides by zero
+            qn, qkeep = _nonzero_norm_rows(qp)
+            cn, ckeep = _nonzero_norm_rows(cp)
+            qp, qid, qn = qp[qkeep], qid0[qkeep], qn[qkeep]
+            cp, cid, cn = cp[ckeep], cid0[ckeep], cn[ckeep]
+            if not len(qid) or not len(cid):
+                continue
+            cos = (qp @ cp.T) / np.outer(qn, cn)
+            cos[qid[:, None] == cid[None, :]] = -np.inf  # self-pairs out
+            kk = min(k, cos.shape[1])
+            kth = np.sort(cos, axis=1)[:, -kk]
+            ii, jj = np.nonzero(cos >= (kth[:, None] - _PAIR_MARGIN))
+            # the >= test re-admits the -inf self-pair whenever the
+            # block holds <= k candidates (kth is then itself -inf, and
+            # -inf >= -inf) — caught by the MOD=8 perturbation fixture;
+            # drop self-pairs from the emitted set explicitly
+            keep = qid[ii] != cid[jj]
+            ii, jj = ii[keep], jj[keep]
+            # carry the (sliced) vectors through — Arrow moves float64
+            # bit-exactly, so the exact re-rank needs NO second scan
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "plen": np.full(len(ii), plen or 0, dtype="int32"),
+                        "query_id": qid[ii],
+                        "cand_id": cid[jj],
+                        "qv": pd.Series(list(qp[ii]), dtype="object"),
+                        "cv": pd.Series(list(cp[jj]), dtype="object"),
+                    }
+                )
+            )
+        if not frames:
+            return _empty()
+        return pd.concat(frames, ignore_index=True)
 
     return (
         qrep.groupBy("g")
         .cogroup(c.groupBy("g"))
         .applyInPandas(
             _shortlist,
-            "query_id long, cand_id long, qv array<double>, cv array<double>",
+            "plen int, query_id long, cand_id long,"
+            " qv array<double>, cv array<double>",
         )
     )
 
@@ -442,13 +463,15 @@ def _kmeans_buckets(v: DataFrame, k: int, iters: int) -> DataFrame:
         .select(F.col("vec_id").alias("bucket"), F.col("v").alias("cv"))
     )
     assign = None
+    older = None
     for _ in range(iters):
+        cent_used = cent  # referenced by this round's (lazy) assign
         cos = _dot(F.col("v"), F.col("cv")) / (
             _norm(F.col("v")) * _norm(F.col("cv"))
         )
         w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("bucket"))
         assign = (
-            v.crossJoin(F.broadcast(cent))
+            v.crossJoin(F.broadcast(cent_used))
             .select("vec_id", "v", "bucket", cos.alias("ccos"))
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
@@ -460,6 +483,13 @@ def _kmeans_buckets(v: DataFrame, k: int, iters: int) -> DataFrame:
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         cent.count()  # force this Lloyd pass now; truncates the lineage
+        # centroid tables older than cent_used are dead — nothing can
+        # reference them anymore (the _pq_index precedent). cent_used
+        # itself must STAY cached: the returned assign is lazy and
+        # still reads it.
+        if older is not None and older is not cent_used:
+            older.unpersist()
+        older = cent_used
     return assign.select("vec_id", "bucket"), cent
 
 
@@ -479,7 +509,13 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     from pyspark import StorageLevel
 
     e = io.load_table_parallel(spark, sf_dir, "embeddings")
-    v = e.select("vec_id", _dbl("embedding").alias("v"))
+    # zero-norm policy at the INDEX choke point: a degenerate vector
+    # among the first NLIST ids would seed a zero centroid whose
+    # cosine is 0/0 against EVERY vector — excluding it here covers
+    # training, assignment, and every consumer that joins `buckets`
+    v = e.select("vec_id", _dbl("embedding").alias("v")).filter(
+        F.exists(F.col("v"), lambda x: x != 0.0)
+    )
     buckets, cent = _kmeans_buckets(v, NLIST, KMEANS_ITERS)
     buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
     # build eagerly: an index is constructed once, not on first query —
@@ -520,7 +556,11 @@ def _ivf_probes_and_candidates(
     if got is not None:
         return got
     e = io.load_table_parallel(spark, sf_dir, "embeddings")
-    v = e.select("vec_id", _dbl("embedding").alias("v"))
+    # zero-norm policy (matches _ivf_index): degenerate vectors are
+    # excluded from both the query batch and the bucketed base table
+    v = e.select("vec_id", _dbl("embedding").alias("v")).filter(
+        F.exists(F.col("v"), lambda x: x != 0.0)
+    )
     buckets, cent_named = _ivf_index(spark, sf_dir)
     cent = cent_named.select("bucket", "cv")
     q = v.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
@@ -1178,7 +1218,11 @@ def filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("cn", _norm(F.col("cv")))
     cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     scored = (
-        q.join(c, "lbl")  # the metadata filter IS the join key / blocking
+        # zero-norm policy (see _nonzero_norm_rows): degenerate vectors
+        # are excluded BEFORE the divide — under ANSI the fold would
+        # otherwise throw DIVIDE_BY_ZERO; the oracle carries the twin
+        q.filter(F.col("qn") > 0)
+        .join(c.filter(F.col("cn") > 0), "lbl")  # the filter IS the blocking
         .filter(F.col("query_id") != F.col("cand_id"))
         .select("query_id", "lbl", "cand_id", cos.alias("cos"))
     )
@@ -1214,6 +1258,9 @@ scored AS (
               * sqrt(list_sum(list_transform(cv, x -> x * x)))) AS cos
   FROM q JOIN c ON q.lbl = c.lbl
   WHERE query_id <> cand_id
+    -- zero-norm policy: degenerate vectors are excluded (kernel twin)
+    AND list_sum(list_transform(qv, x -> x * x)) > 0
+    AND list_sum(list_transform(cv, x -> x * x)) > 0
 )
 SELECT query_id, lbl AS label, rank, cand_id, round(cos, 6) AS cosine
 FROM (
@@ -1520,6 +1567,7 @@ def ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("vec_id") % QUERY_STRIDE == 0)
         .select(F.col("vec_id").alias("query_id"), _dbl("embedding").alias("qv"))
         .withColumn("qn", _norm(F.col("qv")))
+        .filter(F.col("qn") > 0)  # zero-norm policy (kernel twin)
     )
     cent = cent_named.select("bucket", "cv")
     qc = q.crossJoin(F.broadcast(cent)).select(
@@ -1603,103 +1651,22 @@ def matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall does a 4×-cheaper prefix index give up?). One row per
     (prefix_len, query): recall in basis points. Exactly oracled.
 
-    Shape: the brute-force machinery generalized over prefix lengths —
-    the cogrouped BLAS shortlist computes all four prefix cosine
-    matrices per block from ONE Arrow transfer of the full vectors
-    (prefix matmuls slice the same arrays) and emits per-(L, query)
-    block-local top-K candidates with the sliced vectors carried
-    through; the exact re-rank folds the carried slices JVM-side with
+    Shape: the SHARED ``_topk_shortlist`` kernel with
+    lens=MRL_PREFIX_LENS — all four prefix cosine matrices per block
+    come from ONE Arrow transfer of the full vectors (prefix matmuls
+    slice the same arrays), emitting per-(L, query) block-local top-K
+    candidates with the sliced vectors carried through (one
+    implementation of the margin/containment/self-pair logic for all
+    three consumers); the exact re-rank folds the carried slices with
     the oracle's sequential order, and the recall join compares each
     prefix's exact top-K set against the L=64 set. Every phase is
     bounded: Arrow volume O(N·|lens|) vectors, final windows ≤
     ~K·N_BLOCKS rows per (L, query).
     """
-    import pandas as pd
-
     e = io.load_table_parallel(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
-        F.col("vec_id").alias("query_id"), _dbl("embedding").alias("qv")
-    )
-    qrep = q.withColumn("g", F.explode(F.sequence(F.lit(0), F.lit(N_BLOCKS - 1))))
-    c = e.select(
-        F.col("vec_id").alias("cand_id"),
-        _dbl("embedding").alias("cv"),
-        F.pmod(F.xxhash64("vec_id"), F.lit(N_BLOCKS)).cast("int").alias("g"),
-    )
-
-    def _shortlist(key, qdf, cdf):
-        import numpy as np
-
-        if qdf.empty or cdf.empty:
-            return pd.DataFrame(
-                {
-                    "plen": pd.Series(dtype="int32"),
-                    "query_id": pd.Series(dtype="int64"),
-                    "cand_id": pd.Series(dtype="int64"),
-                    "qs": pd.Series(dtype="object"),
-                    "cs": pd.Series(dtype="object"),
-                }
-            )
-        qm = np.vstack(qdf["qv"].to_numpy())
-        cm = np.vstack(cdf["cv"].to_numpy())
-        qid0 = qdf["query_id"].to_numpy().astype("int64")
-        cid0 = cdf["cand_id"].to_numpy().astype("int64")
-        frames = []
-        for plen in MRL_PREFIX_LENS:
-            qp, cp = qm[:, :plen], cm[:, :plen]
-            # zero-norm policy, applied PER PREFIX (an all-zero L-dim
-            # prefix of a non-zero vector is the live hazard here):
-            # degenerate rows are excluded for that prefix length only,
-            # mirroring the oracle's per-prefix norm > 0 predicate
-            qn, qkeep = _nonzero_norm_rows(qp)
-            cn, ckeep = _nonzero_norm_rows(cp)
-            qp, qid, qn = qp[qkeep], qid0[qkeep], qn[qkeep]
-            cp, cid, cn = cp[ckeep], cid0[ckeep], cn[ckeep]
-            if not len(qid) or not len(cid):
-                continue
-            cos = (qp @ cp.T) / np.outer(qn, cn)
-            cos[qid[:, None] == cid[None, :]] = -np.inf
-            k = min(TOP_K, cos.shape[1])
-            kth = np.sort(cos, axis=1)[:, -k]
-            ii, jj = np.nonzero(cos >= (kth[:, None] - _PAIR_MARGIN))
-            # <=K-candidate blocks re-admit the -inf self-pair (see
-            # brute_force_topk) — drop explicitly
-            keep = qid[ii] != cid[jj]
-            ii, jj = ii[keep], jj[keep]
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "plen": np.full(len(ii), plen, dtype="int32"),
-                        "query_id": qid[ii],
-                        "cand_id": cid[jj],
-                        "qs": pd.Series(list(qp[ii]), dtype="object"),
-                        "cs": pd.Series(list(cp[jj]), dtype="object"),
-                    }
-                )
-            )
-        if not frames:
-            return pd.DataFrame(
-                {
-                    "plen": pd.Series(dtype="int32"),
-                    "query_id": pd.Series(dtype="int64"),
-                    "cand_id": pd.Series(dtype="int64"),
-                    "qs": pd.Series(dtype="object"),
-                    "cs": pd.Series(dtype="object"),
-                }
-            )
-        return pd.concat(frames, ignore_index=True)
-
-    short = (
-        qrep.groupBy("g")
-        .cogroup(c.groupBy("g"))
-        .applyInPandas(
-            _shortlist,
-            "plen int, query_id long, cand_id long, "
-            "qs array<double>, cs array<double>",
-        )
-    )
-    cos = _dot(F.col("qs"), F.col("cs")) / (
-        _norm(F.col("qs")) * _norm(F.col("cs"))
+    short = _topk_shortlist(e, TOP_K, MRL_PREFIX_LENS)
+    cos = _dot(F.col("qv"), F.col("cv")) / (
+        _norm(F.col("qv")) * _norm(F.col("cv"))
     )
     w = Window.partitionBy("plen", "query_id").orderBy(
         F.desc("cos"), F.asc("cand_id")
