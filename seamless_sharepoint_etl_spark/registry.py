@@ -227,11 +227,14 @@ _GRADE_FIRST_R6 = [
     "graph_neardup_cc_exact",
 ]
 
-# LIVE round-6 window: the pre-staged list above, verbatim. The two
-# closure-guard tests (test_grading_window_covers_priority_families,
-# test_round6_window_is_exactly_the_ungraded_remainder) pin that this
-# is exactly the 49 never-graded queries + the flagship canary.
-_GRADE_FIRST = _GRADE_FIRST_R6
+# LIVE round-7 window: the pre-staged `_GRADE_FIRST_R7_FULL` below,
+# verbatim (swapped in as round 7's first commit, per the r6 plan).
+# The closure-guard test (test_round7_window_closes_the_rotation)
+# pins that this is exactly the 3 never-graded queries + the 4
+# touched-since-grading re-grades + the routing canary + 43
+# oldest-green (round-1) re-grades. After this round grades, every
+# registered query has a driver CORRECTNESS row.
+_GRADE_FIRST: list  # assigned below, after _GRADE_FIRST_R7_FULL
 
 # ROUND-7 staging: queries added AFTER the round-6 rotation was
 # frozen (the r6 window is full — evicting a finished query would
@@ -312,6 +315,8 @@ _GRADE_FIRST_R7_FULL = _GRADE_FIRST_R7 + [
     "win_running_sum",
     "win_topn_per_group",
 ]
+
+_GRADE_FIRST = _GRADE_FIRST_R7_FULL
 
 
 def queries() -> dict[str, QueryFn]:

@@ -137,15 +137,21 @@ def test_round6_window_is_exactly_the_ungraded_remainder():
             f"already-graded names occupy round-6 slots: {sorted(wasted)}"
         )
     # round-7 staging: post-freeze additions only — a name already in
-    # the live or round-6 window would double-book a slot
+    # the round-6 window would double-book a slot. (Once the live
+    # window has advanced to R7_FULL, _GRADE_FIRST deliberately
+    # contains the r7 names — only the historical R6 ledger applies.)
     r7 = registry._GRADE_FIRST_R7
     assert len(r7) == len(set(r7)), "duplicate names in _GRADE_FIRST_R7"
     assert set(r7) <= registered, (
         f"unregistered names staged for r7: {sorted(set(r7) - registered)}"
     )
-    assert not (set(r7) & (set(registry._GRADE_FIRST) | set(staged))), (
-        "round-7 staged names double-booked in an earlier window"
+    assert not (set(r7) & set(staged)), (
+        "round-7 staged names double-booked in the round-6 window"
     )
+    if registry._GRADE_FIRST is registry._GRADE_FIRST_R6:
+        assert not (set(r7) & set(registry._GRADE_FIRST)), (
+            "round-7 staged names double-booked in the live r6 window"
+        )
 
 
 def test_round7_window_closes_the_rotation():
@@ -177,9 +183,17 @@ def test_round7_window_closes_the_rotation():
     assert full[: len(registry._GRADE_FIRST_R7)] == registry._GRADE_FIRST_R7, (
         "post-freeze additions must lead the round-7 window"
     )
-    assert not (set(full) & set(registry._GRADE_FIRST)), (
-        "round-7 names double-booked in the live round-6 window"
+    assert not (set(full) & set(registry._GRADE_FIRST_R6)), (
+        "round-7 names double-booked in the round-6 window"
     )
+    # round-7 era: the swap has landed — the live window must BE the
+    # pre-staged list, verbatim (the r6 plan's first-commit action)
+    repo_has_r6 = os.path.exists(os.path.join(repo, "CORRECTNESS_r06.json"))
+    if repo_has_r6:
+        assert registry._GRADE_FIRST is registry._GRADE_FIRST_R7_FULL, (
+            "CORRECTNESS_r06 has landed but the live window is not "
+            "_GRADE_FIRST_R7_FULL — the round-7 swap commit is missing"
+        )
     ungraded = registered - graded
     covered = set(registry._GRADE_FIRST) | set(full)
     assert ungraded <= covered, (
