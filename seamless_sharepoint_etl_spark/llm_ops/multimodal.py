@@ -406,6 +406,24 @@ PPM_W, PPM_H = 24, 16  # 24×16 RGB → 1152 pixel bytes
 _PPM_BODY_LEN = PPM_W * PPM_H * 3
 
 
+def _cycled_body(n: int):
+    """Spark Column: the document's printable-sanitized text cycled to
+    exactly ``n`` bytes — '[^ -~]'→'?' keeps every char single-byte
+    ASCII (chars == bytes), NULL/empty coalesce to ' ', and ``rpad``
+    cycles its pad string. ONE definition feeds all five payload
+    builders so the byte construction cannot silently diverge between
+    formats (the round-6 review's 10×-copy-paste finding)."""
+    san = "coalesce(nullif(regexp_replace(text, '[^ -~]', '?'), ''), ' ')"
+    return F.expr(f"rpad({san}, {n}, {san})")
+
+
+def _cycled_body_sql(n: int) -> str:
+    """DuckDB twin of _cycled_body — identical semantics; DuckDB's
+    regexp_replace needs the explicit 'g' flag to replace all."""
+    san = "coalesce(nullif(regexp_replace(text, '[^ -~]', '?', 'g'), ''), ' ')"
+    return f"rpad({san}, {n}, {san})"
+
+
 def with_ppm_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → VALID binary P6 PPM images: ``P6\\n24 16\\n255\\n``
     header + the document's bytes cycled to exactly H·W·3 pixel bytes
@@ -418,10 +436,7 @@ def with_ppm_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface a JPEG decoder would use.
     """
     d = io.load_table_parallel(spark, sf_dir, "documents")
-    body = F.expr(
-        f"rpad(coalesce(nullif(regexp_replace(text, '[^ -~]', '?'), ''), ' '), {_PPM_BODY_LEN},"
-        f" coalesce(nullif(regexp_replace(text, '[^ -~]', '?'), ''), ' '))"
-    )
+    body = _cycled_body(_PPM_BODY_LEN)
     return d.select(
         "doc_id",
         F.encode(
@@ -689,10 +704,7 @@ def with_png_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-batched mapInPandas (zlib is driver/worker stdlib — exactly
     where a JPEG encoder would sit)."""
     d = io.load_table_parallel(spark, sf_dir, "documents")
-    body = F.expr(
-        f"rpad(coalesce(nullif(regexp_replace(text, '[^ -~]', '?'), ''), ' '), {_PNG_BODY_LEN},"
-        f" coalesce(nullif(regexp_replace(text, '[^ -~]', '?'), ''), ' '))"
-    )
+    body = _cycled_body(_PNG_BODY_LEN)
     raw = d.select("doc_id", F.encode(body, "utf-8").alias("raw"))
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -809,8 +821,7 @@ def png_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 PNG_DECODE_SQL = f"""
 WITH body AS (
   SELECT doc_id,
-         rpad(coalesce(nullif(regexp_replace(text, '[^ -~]', '?', 'g'), ''), ' '), {_PNG_BODY_LEN},
-              coalesce(nullif(regexp_replace(text, '[^ -~]', '?', 'g'), ''), ' ')) AS s
+         {_cycled_body_sql(_PNG_BODY_LEN)} AS s
   FROM documents
 ), px AS (
   SELECT doc_id,
@@ -837,8 +848,7 @@ ORDER BY doc_id
 PPM_DECODE_SQL = f"""
 WITH body AS (
   SELECT doc_id,
-         rpad(coalesce(nullif(regexp_replace(text, '[^ -~]', '?', 'g'), ''), ' '), {_PPM_BODY_LEN},
-              coalesce(nullif(regexp_replace(text, '[^ -~]', '?', 'g'), ''), ' ')) AS s
+         {_cycled_body_sql(_PPM_BODY_LEN)} AS s
   FROM documents
 ), px AS (
   SELECT doc_id,
@@ -893,10 +903,7 @@ def with_wav_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     the document's bytes cycled to the fixed data-chunk length (each
     consecutive byte pair is one little-endian sample)."""
     d = io.load_table_parallel(spark, sf_dir, "documents")
-    body = F.expr(
-        f"rpad(coalesce(nullif(regexp_replace(text, '[^ -~]', '?'), ''), ' '), {_WAV_BODY_LEN},"
-        f" coalesce(nullif(regexp_replace(text, '[^ -~]', '?'), ''), ' '))"
-    )
+    body = _cycled_body(_WAV_BODY_LEN)
     return d.select(
         "doc_id",
         F.concat(F.lit(_wav_header()), F.encode(body, "utf-8")).alias("payload"),
@@ -964,8 +971,7 @@ def wav_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 WAV_DECODE_SQL = f"""
 WITH body AS (
   SELECT doc_id,
-         rpad(coalesce(nullif(regexp_replace(text, '[^ -~]', '?', 'g'), ''), ' '), {_WAV_BODY_LEN},
-              coalesce(nullif(regexp_replace(text, '[^ -~]', '?', 'g'), ''), ' ')) AS s
+         {_cycled_body_sql(_WAV_BODY_LEN)} AS s
   FROM documents
 ), smp AS (
   SELECT doc_id,
@@ -1006,10 +1012,7 @@ def with_video_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     decodes INTO) cycled from the document's bytes, preceded by a tiny
     self-describing header ``RAWV<w><h><n>`` (one byte each)."""
     d = io.load_table_parallel(spark, sf_dir, "documents")
-    body = F.expr(
-        f"rpad(coalesce(nullif(regexp_replace(text, '[^ -~]', '?'), ''), ' '), {_VID_BODY_LEN},"
-        f" coalesce(nullif(regexp_replace(text, '[^ -~]', '?'), ''), ' '))"
-    )
+    body = _cycled_body(_VID_BODY_LEN)
     header = bytes([0x52, 0x41, 0x57, 0x56, VID_W, VID_H, VID_FRAMES])  # RAWV
     return d.select(
         "doc_id",
@@ -1072,8 +1075,7 @@ _VID_SAMPLED = list(range(0, VID_FRAMES, VID_SAMPLE_EVERY))
 VIDEO_DECODE_SQL = f"""
 WITH body AS (
   SELECT doc_id,
-         rpad(coalesce(nullif(regexp_replace(text, '[^ -~]', '?', 'g'), ''), ' '), {_VID_BODY_LEN},
-              coalesce(nullif(regexp_replace(text, '[^ -~]', '?', 'g'), ''), ' ')) AS s
+         {_cycled_body_sql(_VID_BODY_LEN)} AS s
   FROM documents
 ), px AS (
   -- pixel i of sampled frame f (0-based), valued by its byte
@@ -1518,6 +1520,19 @@ def _encode_jpeg(dcqs: list, pats: list) -> bytes:
     return bytes(out + buf + b"\xff\xd9")
 
 
+class JpegDecodeError(ValueError):
+    """Malformed/truncated/unsupported JPEG payload. Input validation
+    raises this explicitly (never bare ``assert``, which
+    PYTHONOPTIMIZE/-O strips — corrupt payloads would then surface as
+    IndexError/struct.error or silently wrong features; ADVICE r6).
+    ``assert`` remains only for internal invariants."""
+
+
+def _need(cond: bool, msg: str) -> None:
+    if not cond:
+        raise JpegDecodeError(msg)
+
+
 def _jpeg_idct_matrix() -> "np.ndarray":  # noqa: F821
     import numpy as np
 
@@ -1538,28 +1553,32 @@ def _decode_jpeg(buf: bytes) -> tuple:
 
     import numpy as np
 
-    assert buf[:2] == b"\xff\xd8", "bad SOI marker"
+    _need(buf[:2] == b"\xff\xd8", "bad SOI marker")
     pos = 2
     qt = None
     dims = None
     dec_tabs: dict = {}
     while pos < len(buf):
-        assert pos + 4 <= len(buf), "truncated marker header"
-        assert buf[pos] == 0xFF, "marker sync lost"
+        _need(pos + 4 <= len(buf), "truncated marker header")
+        _need(buf[pos] == 0xFF, "marker sync lost")
         marker = buf[pos + 1]
         pos += 2
         (seglen,) = struct.unpack(">H", buf[pos : pos + 2])
-        assert pos + seglen <= len(buf), "truncated marker segment"
+        _need(seglen >= 2, "invalid marker segment length")
+        _need(pos + seglen <= len(buf), "truncated marker segment")
         data = buf[pos + 2 : pos + seglen]
         if marker == 0xDB:
-            assert data[0] == 0x00, "only 8-bit quant tables supported"
+            _need(len(data) >= 65, "short DQT segment")
+            _need(data[0] == 0x00, "only 8-bit quant tables supported")
             qt = [0] * 64
             for i in range(64):
                 qt[_JPEG_ZIGZAG[i]] = data[1 + i]
         elif marker == 0xC4:
+            _need(len(data) >= 17, "short DHT segment")
             tc, th = data[0] >> 4, data[0] & 15
             bits = list(data[1:17])
             vals = list(data[17 : 17 + sum(bits)])
+            _need(len(vals) == sum(bits), "truncated Huffman table")
             dec: dict = {}
             code = k = 0
             for ln in range(1, 17):
@@ -1570,18 +1589,21 @@ def _decode_jpeg(buf: bytes) -> tuple:
                 code <<= 1
             dec_tabs[(tc, th)] = dec
         elif marker == 0xC0:
+            _need(len(data) >= 8, "short SOF0 segment")
             prec, h, w, nf = struct.unpack(">BHHB", data[:6])
-            assert (prec, nf) == (8, 1), "8-bit single-component baseline only"
-            assert data[7] == 0x11, "subsampling unsupported"
+            _need((prec, nf) == (8, 1), "8-bit single-component baseline only")
+            _need(data[7] == 0x11, "subsampling unsupported")
             dims = (w, h)
         elif marker == 0xDA:
             pos += seglen
             break
         else:
-            raise AssertionError(f"unexpected marker 0x{marker:02x}")
+            raise JpegDecodeError(f"unexpected marker 0x{marker:02x}")
         pos += seglen
-    assert qt and dims and (0, 0) in dec_tabs and (1, 0) in dec_tabs, (
-        "missing DQT/SOF0/DHT before SOS"
+    _need(
+        bool(qt) and dims is not None
+        and (0, 0) in dec_tabs and (1, 0) in dec_tabs,
+        "missing DQT/SOF0/DHT before SOS",
     )
     w, h = dims
 
@@ -1590,25 +1612,25 @@ def _decode_jpeg(buf: bytes) -> tuple:
     while pos < len(buf):
         b = buf[pos]
         if b == 0xFF:
-            assert pos + 1 < len(buf), "entropy stream truncated at 0xFF"
+            _need(pos + 1 < len(buf), "entropy stream truncated at 0xFF")
             nxt = buf[pos + 1]
             if nxt == 0x00:
                 ent.append(0xFF)
                 pos += 2
                 continue
-            assert nxt == 0xD9, f"unexpected in-stream marker 0x{nxt:02x}"
+            _need(nxt == 0xD9, f"unexpected in-stream marker 0x{nxt:02x}")
             saw_eoi = True
             break
         ent.append(b)
         pos += 1
-    assert saw_eoi, "entropy stream ends without EOI"
+    _need(saw_eoi, "entropy stream ends without EOI")
 
     bitpos = 0
     total = len(ent) * 8
 
     def read_bit() -> int:
         nonlocal bitpos
-        assert bitpos < total, "entropy stream truncated"
+        _need(bitpos < total, "entropy stream truncated")
         b = (ent[bitpos >> 3] >> (7 - (bitpos & 7))) & 1
         bitpos += 1
         return b
@@ -1624,7 +1646,7 @@ def _decode_jpeg(buf: bytes) -> tuple:
         while True:
             code = (code << 1) | read_bit()
             ln += 1
-            assert ln <= 16, "invalid Huffman code"
+            _need(ln <= 16, "invalid Huffman code")
             sym = dec.get((ln, code))
             if sym is not None:
                 return sym
@@ -1652,7 +1674,7 @@ def _decode_jpeg(buf: bytes) -> tuple:
                 k += 16
                 continue
             k += sym >> 4
-            assert k <= 63, "AC coefficient index overflow"
+            _need(k <= 63, "AC coefficient index overflow")
             val = extend(read_bits(sym & 15), sym & 15)
             nat = _JPEG_ZIGZAG[k]
             coefs[nat] = val * qt[nat]
@@ -1674,10 +1696,7 @@ def with_jpeg_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     Huffman-codes them into a real entropy stream (the same
     worker-side hop where a libjpeg encoder would sit)."""
     d = io.load_table_parallel(spark, sf_dir, "documents")
-    body = F.expr(
-        f"rpad(coalesce(nullif(regexp_replace(text, '[^ -~]', '?'), ''), ' '), {_JPEG_BODY_LEN},"
-        f" coalesce(nullif(regexp_replace(text, '[^ -~]', '?'), ''), ' '))"
-    )
+    body = _cycled_body(_JPEG_BODY_LEN)
     raw = d.select("doc_id", F.encode(body, "utf-8").alias("raw"))
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1765,8 +1784,7 @@ _JPEG_NZ_CASE = " ".join(
 JPEG_DECODE_SQL = f"""
 WITH body AS (
   SELECT doc_id,
-         rpad(coalesce(nullif(regexp_replace(text, '[^ -~]', '?', 'g'), ''), ' '), {_JPEG_BODY_LEN},
-              coalesce(nullif(regexp_replace(text, '[^ -~]', '?', 'g'), ''), ' ')) AS s
+         {_cycled_body_sql(_JPEG_BODY_LEN)} AS s
   FROM documents
 ), blocks AS (
   SELECT doc_id, unnest(range(0, {JPEG_N_BLOCKS})) AS b, s FROM body
