@@ -273,6 +273,16 @@ def main() -> None:
     rest_src.register(spark)
     rest_src.materialize_pages(spark, sf_dir, rest_src._endpoint_for(sf_dir))
     _mark("rest_endpoint_pages")
+    # The FIRST read through the Python DataSource at this sf_dir pays
+    # a one-off runner/plan-conversion cold start (~1-6 s at sf0.1)
+    # that made src_rest_paged_scan's headline number wobble across
+    # rounds (r6: 1.3 s warm vs 2.7-7.1 s cold-polluted). Production
+    # amortizes it across the session; itemize it here so the timed
+    # entry measures the warm scan (VERDICT r6 item 7).
+    queries["src_rest_paged_scan"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    _mark("rest_datasource_cold_start")
     joins_ops.bucketed_colocated_join(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()

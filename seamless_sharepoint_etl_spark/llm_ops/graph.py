@@ -824,7 +824,22 @@ CC_MAX_ROUNDS = 50
 # dedup.keep_best_canonical cluster the IDENTICAL edge set, so the
 # fixpoint loop runs once per (session, corpus) and is served from the
 # final localCheckpoint thereafter.
+# Session cache of localCheckpoint-ed CC label relations, keyed by
+# (applicationId, sf_dir). Retention policy (ADVICE r6): NO eviction
+# by design — same as the shingle/token caches; a long-lived session
+# sweeping many fixture dirs accumulates one small checkpointed
+# relation per corpus (the label table is O(near-dup vertices), a few
+# hundred rows at fixture scale), and a lost executor invalidates the
+# non-reliable checkpoint for every consumer at once, which surfaces
+# as a recompute, not a wrong answer. clear_cc_label_cache() exists
+# for harnesses that need deterministic memory (trap-16 family).
 _CC_LABEL_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def clear_cc_label_cache() -> None:
+    """Drop every cached CC label relation (the checkpointed RDD blocks
+    are reclaimed by the ContextCleaner once unreferenced)."""
+    _CC_LABEL_CACHE.clear()
 
 
 def _min_label_cc(edges: DataFrame, max_rounds: int, what: str) -> DataFrame:

@@ -318,6 +318,70 @@ _GRADE_FIRST_R7_FULL = _GRADE_FIRST_R7 + [
 
 _GRADE_FIRST = _GRADE_FIRST_R7_FULL
 
+# FULL round-8 window, pre-staged (round-8 first commit:
+# `_GRADE_FIRST = _GRADE_FIRST_R8_FULL`). The rotation closed in
+# round 7, so this is pure re-grades, oldest latest-row first:
+#   1. the three set ops deferred from r7 (last graded r1);
+#   2. graph_kcore — touched in r7 (KCORE_EDGE_COS edge relation; its
+#      r6 rows-only row recorded 0 rows, now ~98 at sf0.01);
+#   3. the round-2-graded families (dedup/text/similarity/UDF/source/
+#      streaming), whose rows predate five rounds of session-cache and
+#      kernel refactors, then the oldest round-3 rows to fill 50.
+# Any query registered during round 7 must be inserted at the head and
+# the tail trimmed (closure guard enforces coverage).
+_GRADE_FIRST_R8_FULL = [
+    "set_distinct",
+    "set_intersect",
+    "set_except",
+    "graph_kcore",
+    "agg_approx_percentile",
+    "agg_collect_ordered",
+    "agg_percentiles",
+    "dedup_exact_normalized",
+    "dedup_minhash_lsh",
+    "dedup_minhash_mllib",
+    "dedup_neardup_clusters",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "fn_json",
+    "fn_map",
+    "fn_try_safe",
+    "mm_binary_metadata",
+    "mm_decode_stub_features",
+    "rel_unpivot_melt",
+    "sim_ivf_topk",
+    "sim_quantized_topk",
+    "src_binaryfile_scan",
+    "src_json_scan",
+    "src_orc_scan",
+    "src_rest_paged_scan",
+    "src_rest_sink_roundtrip",
+    "src_rest_topn_pushdown",
+    "stream_dedup_first_per_key",
+    "stream_hierarchical_rollup",
+    "stream_session_window",
+    "stream_sliding_window",
+    "stream_stream_join",
+    "stream_tumbling_window",
+    "stream_watermark_filter",
+    "text_bigram_tf",
+    "text_clean_normalize",
+    "text_langid_confusion",
+    "text_mixture_sample",
+    "text_quality_score",
+    "text_tfidf_top_terms",
+    "text_token_stats",
+    "udf_apply_in_pandas",
+    "udf_grouped_agg_pandas",
+    "udf_python_udtf",
+    "udf_scalar_pandas",
+    "agg_approx_topk",
+    "agg_bitmap_distinct",
+    "agg_equiwidth_histogram",
+    "agg_hll_partial_merge",
+    "agg_incremental_merge",
+]
+
 
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _sql) in _collect().items()}

@@ -199,3 +199,42 @@ def test_round7_window_closes_the_rotation():
     assert ungraded <= covered, (
         f"queries outside every grading window: {sorted(ungraded - covered)}"
     )
+
+
+def test_round8_window_is_staged_and_covers_new_queries():
+    """The pre-staged FULL round-8 window: 50 unique registered names,
+    no overlap with the round-7 window (every r8 slot must buy a fresh
+    driver row), leading with the three set ops deferred since r1 and
+    graph_kcore (touched in r7 — its r6 rows-only row recorded the old
+    empty core). The rotation is closed, so the only coverage duty is:
+    any query REGISTERED DURING ROUND 7 (no CORRECTNESS row and not in
+    the live r7 window) must occupy an r8 slot — a new query outside
+    both windows would never be graded."""
+    import glob
+    import json
+    import os
+
+    from seamless_sharepoint_etl_spark import registry
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    graded: set[str] = set()
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        graded |= set(json.load(open(path)))
+    registered = set(registry.queries())
+    w8 = registry._GRADE_FIRST_R8_FULL
+    assert len(w8) == 50, f"round-8 window holds {len(w8)} names, not 50"
+    assert len(w8) == len(set(w8)), "duplicate names in _GRADE_FIRST_R8_FULL"
+    assert set(w8) <= registered, (
+        f"unregistered names staged: {sorted(set(w8) - registered)}"
+    )
+    assert not (set(w8) & set(registry._GRADE_FIRST_R7_FULL)), (
+        "round-8 names double-booked in the round-7 window"
+    )
+    assert w8[:4] == [
+        "set_distinct", "set_intersect", "set_except", "graph_kcore",
+    ], "r8 priority head changed — update NOTES if deliberate"
+    ungraded = registered - graded
+    covered = set(registry._GRADE_FIRST_R7_FULL) | set(w8)
+    assert ungraded <= covered, (
+        f"round-7 additions outside both windows: {sorted(ungraded - covered)}"
+    )

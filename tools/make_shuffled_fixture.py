@@ -11,26 +11,50 @@ the day the driver regenerates fixtures with a different writer
 parallelism. Relational results must be a function of the SET of rows;
 this differential makes order-dependence observable:
 
-    python tools/make_shuffled_fixture.py /tmp/sf_shuffled
+    python tools/make_shuffled_fixture.py --dst /tmp/sf_shuffled
     python tools/driver_sim.py /tmp/sf_shuffled
 
 A FAIL here that the plain sf0.001 run does not show is an
 order-dependence bug in either the Spark query or its DuckDB oracle.
 """
+import argparse
 import os
-import sys
+import zlib
 
 import numpy as np
 import pyarrow.parquet as pq
 
-SRC = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.001"
-DST = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf_shuffled"
-os.makedirs(DST, exist_ok=True)
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
-for t in TABLES:
-    tbl = pq.read_table(os.path.join(SRC, f"{t}.parquet"))
-    perm = np.random.RandomState(42 + len(t)).permutation(tbl.num_rows)
-    shuffled = tbl.take(perm)
-    pq.write_table(shuffled, os.path.join(DST, f"{t}.parquet"))
-    print(t, tbl.num_rows)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument(
+        "--src", default="/root/testdata/sf0.001",
+        help="fixture dir to read (never written)",
+    )
+    ap.add_argument(
+        "--dst", default="/tmp/sf_shuffled",
+        help="output dir for the shuffled twin",
+    )
+    # legacy positional form was (DST, SRC) — reject positionals
+    # outright so a habitual `tool.py <fixture_dir>` can no longer
+    # overwrite the named directory with shuffled output (ADVICE r6)
+    args = ap.parse_args()
+    if os.path.abspath(args.src) == os.path.abspath(args.dst):
+        ap.error("--src and --dst must differ")
+    os.makedirs(args.dst, exist_ok=True)
+    for t in TABLES:
+        tbl = pq.read_table(os.path.join(args.src, f"{t}.parquet"))
+        # seed by a hash of the NAME: len()-based seeds collided for
+        # customer/supplier/lineitem, giving same-length tables the
+        # same permutation stream (ADVICE r6)
+        seed = zlib.crc32(t.encode()) & 0x7FFFFFFF
+        perm = np.random.RandomState(seed).permutation(tbl.num_rows)
+        pq.write_table(tbl.take(perm), os.path.join(args.dst, f"{t}.parquet"))
+        print(t, tbl.num_rows)
+
+
+if __name__ == "__main__":
+    main()
