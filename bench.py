@@ -108,6 +108,8 @@ HEADLINE = [
     "mm_png_decode_features",
     "mm_jpeg_decode_features",
     "mm_wav_decode_features",
+    # round-7: real G.711 mu-law decode (compressed-audio codec path)
+    "mm_mulaw_decode_features",
     "mm_video_frame_features",
     "agg_sample_estimate",
     "join_auto_skew_remedy",

@@ -21,8 +21,10 @@ reshape), ``png_decode_features`` (zlib inflate + all-five-filter
 scanline reconstruction + chunk CRC verification),
 ``jpeg_decode_features`` (baseline ITU T.81 — canonical Huffman
 entropy decode, dequantization, IDCT), ``wav_decode_features``
-(RIFF/PCM16) and ``video_decode_features`` (raw frame planes) — each
-with statistics value-proven against the DuckDB oracle.
+(RIFF/PCM16), ``mulaw_decode_features`` (ITU-T G.711 mu-law
+companding — a real compressed-audio codec) and
+``video_decode_features`` (raw frame planes) — each with statistics
+value-proven against the DuckDB oracle.
 
 Scale posture: binary columns ride Parquet untouched (no re-encode);
 mapInPandas streams Arrow record batches, so per-row Python overhead is
@@ -110,8 +112,9 @@ def decode_payload(df: DataFrame, real: bool = False) -> DataFrame:
             "environment; plug them in here — the Spark plumbing (schema, "
             "Arrow batching, partitioning) is identical for the real path. "
             "PNG (png_decode_features), baseline JPEG "
-            "(jpeg_decode_features), PPM, WAV-PCM16 and raw video frames "
-            "are REAL decode paths already"
+            "(jpeg_decode_features), PPM, WAV-PCM16, G.711 mu-law "
+            "(mulaw_decode_features) and raw video frames are REAL "
+            "decode paths already"
         )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -997,6 +1000,180 @@ ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# REAL compressed-audio decode path: ITU-T G.711 mu-law (telephony
+# companding — 8-bit logarithmic codewords -> 14-bit linear PCM).
+# Unlike the PCM16 WAV path this is an actual audio CODEC: each byte
+# is a sign/exponent/mantissa triple on a logarithmic amplitude grid,
+# and the decoder expands it with the public-spec law (ITU-T G.711
+# Table 2a / the classic public-domain Sun g711.c formulation). The
+# decode law is closed-form integer math, so the DuckDB oracle
+# re-derives every sample VALUE — a hash-graded compressed-audio path.
+# ---------------------------------------------------------------------------
+
+MULAW_N_SAMPLES = 1024
+MULAW_RATE = 8000
+_MULAW_BODY_LEN = MULAW_N_SAMPLES  # 1 codeword byte per sample
+_MULAW_BIAS = 0x84  # 132 — the G.711 mu-law bias
+_MULAW_FMT = 7  # WAVE_FORMAT_MULAW
+
+
+def _mulaw_decode_table() -> "np.ndarray":  # noqa: F821
+    """256-entry codeword -> linear-PCM LUT (how production decoders
+    ship G.711): complement, split 0x80 sign / 0x70 exponent / 0x0F
+    mantissa, expand ((m<<3)+BIAS)<<e, re-subtract the bias with the
+    sign applied. Anchors fixed by the spec: 0x00 -> -32124,
+    0x80 -> +32124, 0x7F and 0xFF -> 0."""
+    import numpy as np
+
+    u = (~np.arange(256)) & 0xFF
+    t = (((u & 0x0F) << 3) + _MULAW_BIAS) << ((u & 0x70) >> 4)
+    return np.where(u & 0x80, _MULAW_BIAS - t, t - _MULAW_BIAS).astype(np.int64)
+
+
+def _mulaw_header() -> bytes:
+    """RIFF/WAVE header for mu-law mono at MULAW_RATE: fmt tag 7,
+    8 bits/sample, block align 1, plus the ``fact`` chunk (sample
+    count) that the WAVE spec requires for non-PCM formats — constant
+    given the fixed sample count, so Spark prepends it as a literal."""
+    import struct
+
+    data_len = _MULAW_BODY_LEN
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 24 + 12 + 8 + data_len)
+        + b"WAVEfmt "
+        + struct.pack(
+            "<IHHIIHH", 16, _MULAW_FMT, 1, MULAW_RATE, MULAW_RATE, 1, 8
+        )
+        + b"fact"
+        + struct.pack("<II", 4, MULAW_N_SAMPLES)
+        + b"data"
+        + struct.pack("<I", data_len)
+    )
+
+
+def with_mulaw_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → VALID G.711 mu-law WAVE files: constant fmt-7
+    header + the document's bytes cycled to one codeword per sample
+    (every printable byte IS a legal mu-law codeword; the cycled range
+    [32,126] complements into sign-set codes spanning exponent
+    segments 0-5, so the decoder's sign path and six of the eight
+    expansion segments run on every document)."""
+    d = io.load_table_parallel(spark, sf_dir, "documents")
+    body = _cycled_body(_MULAW_BODY_LEN)
+    return d.select(
+        "doc_id",
+        F.concat(F.lit(_mulaw_header()), F.encode(body, "utf-8")).alias(
+            "payload"
+        ),
+    )
+
+
+def mulaw_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode the G.711 payloads and extract audio features — real
+    codec decode, no stub: RIFF walk validates the fmt-7/8-bit/fact
+    structure, the 256-entry LUT expands codewords to linear PCM, and
+    the same exact-integer stat block as the PCM16 path (RMS on the
+    floor grid, peak, floor, milli-mean) makes every VALUE
+    hash-comparable with the DuckDB oracle, which re-derives the
+    decode law per byte in closed form.
+
+    Scale: identical to any audio featurizer — payload bytes ride
+    Arrow once, the LUT lookup is one vectorized gather per buffer,
+    and only a handful of ints per clip shuffles."""
+    p = with_mulaw_payload(spark, sf_dir)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        lut = _mulaw_decode_table()
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                assert buf[0:4] == b"RIFF" and buf[8:12] == b"WAVE"
+                assert buf[12:16] == b"fmt "
+                fmt, nch, rate = struct.unpack("<HHI", buf[20:28])
+                bits = struct.unpack("<H", buf[34:36])[0]
+                assert (fmt, nch, rate, bits) == (_MULAW_FMT, 1, MULAW_RATE, 8)
+                assert buf[36:40] == b"fact"
+                (n_fact,) = struct.unpack("<I", buf[44:48])
+                assert buf[48:52] == b"data"
+                (data_len,) = struct.unpack("<I", buf[52:56])
+                assert n_fact == data_len  # 1 byte/sample
+                codes = np.frombuffer(buf, np.uint8, count=data_len, offset=56)
+                s = lut[codes]
+                out.append(
+                    [
+                        doc_id,
+                        int(s.size),
+                        int(np.floor(np.sqrt((s * s).sum() / s.size))),
+                        int(s.max()),
+                        int(s.min()),
+                        int((s.sum() * 1000) // s.size),
+                    ]
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "n_samples",
+                    "rms",
+                    "peak",
+                    "floor_s",
+                    "mean_milli",
+                ],
+            )
+
+    return p.mapInPandas(
+        run,
+        "doc_id LONG, n_samples LONG, rms LONG, peak LONG,"
+        " floor_s LONG, mean_milli LONG",
+    ).orderBy("doc_id")
+
+
+# the decode law, re-derived per byte in SQL: u = 255-b (8-bit
+# complement), exponent = (u//16)%8, t = ((u%16)*8 + 132) << e,
+# sample = 132-t when the (complemented) sign bit is set else t-132
+MULAW_DECODE_SQL = f"""
+WITH body AS (
+  SELECT doc_id,
+         {_cycled_body_sql(_MULAW_BODY_LEN)} AS s
+  FROM documents
+), u AS (
+  SELECT doc_id, 255 - ascii(substr(s, i + 1, 1)) AS u
+  FROM body, unnest(range(0, {MULAW_N_SAMPLES})) AS t(i)
+), pcm AS (
+  SELECT doc_id,
+         CAST(CASE WHEN u >= 128
+              THEN {_MULAW_BIAS} - (((u % 16) * 8 + {_MULAW_BIAS})
+                                    * (1 << ((u // 16) % 8)))
+              ELSE (((u % 16) * 8 + {_MULAW_BIAS})
+                    * (1 << ((u // 16) % 8))) - {_MULAW_BIAS}
+              END AS BIGINT) AS v
+  FROM u
+)
+SELECT doc_id,
+       count(*) AS n_samples,
+       CAST(floor(sqrt(CAST(sum(v * v) AS DOUBLE) / count(*))) AS BIGINT) AS rms,
+       max(v) AS peak,
+       min(v) AS floor_s,
+       -- FLOOR division, not DuckDB's //: mu-law samples from printable
+       -- bytes are all NEGATIVE (sign bit set after complement), and
+       -- DuckDB // truncates toward zero while numpy // floors — the
+       -- PCM16 twin never sees this because its samples are positive.
+       -- Exact: |sum*1000| < 2^53 and the sample count is 2^10.
+       CAST(floor(CAST(sum(v) AS DOUBLE) * 1000 / count(*)) AS BIGINT)
+         AS mean_milli
+FROM pcm
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # REAL video decode path: raw grayscale frame buffer, numpy frame ops
 # ---------------------------------------------------------------------------
 
@@ -1821,4 +1998,5 @@ QUERIES = {
     "mm_video_frame_features": (video_decode_features, VIDEO_DECODE_SQL),
     "mm_byte_entropy": (byte_entropy, BYTE_ENTROPY_SQL),
     "mm_jpeg_decode_features": (jpeg_decode_features, JPEG_DECODE_SQL),
+    "mm_mulaw_decode_features": (mulaw_decode_features, MULAW_DECODE_SQL),
 }

@@ -841,6 +841,62 @@ def test_wav_decode_is_a_real_audio_pipeline(spark):
     assert int(s.max()) == int(s.min()) == 1234
 
 
+def test_mulaw_decode_is_a_real_g711_codec(spark):
+    """The G.711 mu-law path is a REAL compressed-audio codec, proven
+    fixture-independently: (a) the decode LUT round-trips through an
+    INDEPENDENT segment-search encoder (the classic linear->mu-law
+    algorithm, written here from the spec, not shared with the
+    decoder) for all 256 codewords; (b) spec anchor values hold
+    (0x00 -> -32124, 0x80 -> +32124, both zero codes -> 0); (c) the
+    law is strictly monotonic within each sign half; (d) payloads are
+    valid fmt-7 RIFF files with the fact chunk non-PCM WAVE requires;
+    (e) a crafted all-0x00 clip decodes to exactly -32124 everywhere."""
+    import struct
+
+    import numpy as np
+
+    from seamless_sharepoint_etl_spark.llm_ops import multimodal as mm
+
+    lut = mm._mulaw_decode_table()
+    assert lut[0x00] == -32124 and lut[0x80] == 32124
+    assert lut[0xFF] == 0 and lut[0x7F] == 0
+
+    def encode(pcm: int) -> int:  # independent spec-literal encoder
+        bias, clip = 0x84, 32635
+        sign = 0x80 if pcm < 0 else 0
+        mag = min(-pcm if pcm < 0 else pcm, clip) + bias
+        seg = next(s for s in range(8) if mag <= (0xFF << s))
+        return (~(sign | (seg << 4) | ((mag >> (seg + 3)) & 0x0F))) & 0xFF
+
+    bad = [c for c in range(256) if encode(int(lut[c])) != c]
+    # 0x7F is mu-law's negative zero: decodes to 0, which re-encodes
+    # to the positive-zero code — the one lawful non-round-tripper
+    assert bad in ([], [0x7F]), bad
+    assert (np.diff(lut[np.arange(0x00, 0x80)]) > 0).all()
+    assert (np.diff(lut[np.arange(0x80, 0x100)]) < 0).all()
+
+    row = mm.with_mulaw_payload(spark, SF_DIR).limit(1).collect()[0]
+    buf = bytes(row["payload"])
+    assert buf[0:4] == b"RIFF" and buf[8:12] == b"WAVE"
+    fmt, nch, rate = struct.unpack("<HHI", buf[20:28])
+    assert (fmt, nch, rate) == (mm._MULAW_FMT, 1, mm.MULAW_RATE)
+    assert buf[36:40] == b"fact" and buf[48:52] == b"data"
+    (data_len,) = struct.unpack("<I", buf[52:56])
+    assert data_len == mm.MULAW_N_SAMPLES == len(buf) - 56
+
+    # crafted clip: every codeword 0x00 -> every sample is the spec
+    # maximum-magnitude negative value
+    clip = mm._mulaw_header() + bytes(mm.MULAW_N_SAMPLES)
+    codes = np.frombuffer(clip, np.uint8, count=mm.MULAW_N_SAMPLES, offset=56)
+    s = lut[codes]
+    assert int(s.max()) == int(s.min()) == -32124
+
+    rows = mm.mulaw_decode_features(spark, SF_DIR).collect()
+    assert len(rows) == mm.with_mulaw_payload(spark, SF_DIR).count()
+    again = mm.mulaw_decode_features(spark, SF_DIR).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
 def test_video_decode_frame_sampling_math(spark):
     """Raw-video path: buffers self-describe via the RAWV header; a
     crafted two-tone sequence yields exactly the expected luma and

@@ -122,6 +122,7 @@ def test_round6_window_is_exactly_the_ungraded_remainder():
         set(registry._GRADE_FIRST)
         | set(staged)
         | set(registry._GRADE_FIRST_R7)
+        | set(registry._GRADE_FIRST_R8_FULL)
     )
     assert ungraded <= covered, (
         f"queries outside every grading window: {sorted(ungraded - covered)}"
@@ -195,7 +196,11 @@ def test_round7_window_closes_the_rotation():
             "_GRADE_FIRST_R7_FULL — the round-7 swap commit is missing"
         )
     ungraded = registered - graded
-    covered = set(registry._GRADE_FIRST) | set(full)
+    covered = (
+        set(registry._GRADE_FIRST)
+        | set(full)
+        | set(registry._GRADE_FIRST_R8_FULL)
+    )
     assert ungraded <= covered, (
         f"queries outside every grading window: {sorted(ungraded - covered)}"
     )
