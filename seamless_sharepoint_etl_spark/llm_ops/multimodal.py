@@ -20,9 +20,10 @@ REAL end-to-end: ``ppm_decode_features`` (P6 header parse + pixel
 reshape), ``png_decode_features`` (zlib inflate + all-five-filter
 scanline reconstruction + chunk CRC verification),
 ``jpeg_decode_features`` (baseline ITU T.81 — canonical Huffman
-entropy decode, dequantization, IDCT), ``wav_decode_features``
-(RIFF/PCM16), ``mulaw_decode_features`` (ITU-T G.711 mu-law
-companding — a real compressed-audio codec) and
+entropy decode, dequantization, IDCT), ``gif_decode_features``
+(GIF87a — real variable-width LZW, the dictionary-coder family),
+``wav_decode_features`` (RIFF/PCM16), ``mulaw_decode_features``
+(ITU-T G.711 mu-law companding — a real compressed-audio codec) and
 ``video_decode_features`` (raw frame planes) — each with statistics
 value-proven against the DuckDB oracle.
 
@@ -1984,6 +1985,321 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# REAL image codec #3: GIF87a with genuine LZW compression.
+# PNG covers the deflate family and JPEG the Huffman+DCT family; GIF
+# adds the dictionary-coder family — variable-width LZW codes packed
+# LSB-first (the OPPOSITE bit order of JPEG's MSB-first entropy
+# stream), dictionary growth with the KwKwK special case, and the
+# encoder/decoder width-growth off-by-one (encoder bumps at
+# next == 2^w + 1, decoder at next == 2^w) that the GIF spec implies
+# and every interoperable implementation must get right.
+# Pixels are palette indexes = the document's cycled printable bytes,
+# over a grayscale global color table, so decoded features are a
+# closed-form function of the body — the DuckDB oracle re-derives the
+# VALUES, which only match if LZW round-trips exactly (same proof
+# shape as the PNG/zlib path).
+# ---------------------------------------------------------------------------
+
+GIF_W, GIF_H = 24, 16
+_GIF_BODY_LEN = GIF_W * GIF_H  # one 8-bit palette index per pixel
+_GIF_MIN_CODE_SIZE = 8  # 256-color image
+_GIF_CLEAR = 1 << _GIF_MIN_CODE_SIZE  # 256
+_GIF_EOI = _GIF_CLEAR + 1  # 257
+_GIF_MAX_WIDTH = 12  # LZW code width cap (4096-entry dictionary)
+
+
+class GifDecodeError(ValueError):
+    """Malformed/truncated/unsupported GIF payload (explicit raise —
+    same policy as JpegDecodeError)."""
+
+
+def _gneed(cond: bool, msg: str) -> None:
+    if not cond:
+        raise GifDecodeError(msg)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """GIF-flavor LZW: variable code width starting at
+    min_code_size+1, LSB-first bit packing, leading CLEAR, trailing
+    EOI, dictionary reset via CLEAR when the 4096-entry table fills.
+    Encoder width rule: bump AFTER the added entry makes
+    next == 2^width + 1 — one code later than the decoder's
+    next == 2^width, because the decoder's table lags one entry."""
+    out = bytearray()
+    acc = nbits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    width = _GIF_MIN_CODE_SIZE + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    nxt = _GIF_EOI + 1
+    put(_GIF_CLEAR, width)
+    w = data[:1]
+    for i in range(1, len(data)):
+        c = data[i : i + 1]
+        if w + c in table:
+            w += c
+            continue
+        put(table[w], width)
+        if nxt < (1 << _GIF_MAX_WIDTH):
+            table[w + c] = nxt
+            nxt += 1
+            if nxt == (1 << width) + 1 and width < _GIF_MAX_WIDTH:
+                width += 1
+        else:  # table full: reset (keeps long inputs interoperable)
+            put(_GIF_CLEAR, width)
+            table = {bytes([j]): j for j in range(256)}
+            nxt = _GIF_EOI + 1
+            width = _GIF_MIN_CODE_SIZE + 1
+        w = c
+    put(table[w], width)
+    put(_GIF_EOI, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(stream: bytes, n_expected: int) -> bytes:
+    """Inverse of _lzw_encode: LSB-first variable-width code reader,
+    CLEAR/EOI handling, dictionary reconstruction including the KwKwK
+    case (code == next: entry = prev + prev[0]), decoder width rule
+    next == 2^width."""
+    acc = nbits = pos = 0
+
+    def get(width: int) -> int:
+        nonlocal acc, nbits, pos
+        while nbits < width:
+            _gneed(pos < len(stream), "LZW stream truncated")
+            acc |= stream[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return code
+
+    out = bytearray()
+    width = _GIF_MIN_CODE_SIZE + 1
+    table: list[bytes] = []
+    prev: bytes | None = None
+    nxt = 0
+    while True:
+        code = get(width)
+        if code == _GIF_CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            nxt = _GIF_EOI + 1
+            width = _GIF_MIN_CODE_SIZE + 1
+            prev = None
+            continue
+        if code == _GIF_EOI:
+            break
+        _gneed(bool(table), "data code before CLEAR")
+        if prev is None:  # first code after CLEAR must be a root
+            _gneed(code < 256, "non-root code after CLEAR")
+            out += table[code]
+            prev = table[code]
+            continue
+        if code < nxt:
+            entry = table[code]
+        elif code == nxt:  # KwKwK
+            entry = prev + prev[:1]
+        else:
+            raise GifDecodeError("LZW code beyond dictionary")
+        out += entry
+        if nxt < (1 << _GIF_MAX_WIDTH):
+            table.append(prev + entry[:1])
+            nxt += 1
+            if nxt == (1 << width) and width < _GIF_MAX_WIDTH:
+                width += 1
+        prev = entry
+        _gneed(len(out) <= n_expected, "LZW output exceeds pixel count")
+    _gneed(len(out) == n_expected, "LZW output short of pixel count")
+    return bytes(out)
+
+
+def _gif_header() -> bytes:
+    """GIF87a header + logical screen descriptor + 256-entry grayscale
+    global color table + image descriptor — constant for the fixed
+    geometry, so Spark prepends it as a literal. Palette entry i is
+    (i,i,i): pixel luminance == palette index == body byte."""
+    import struct
+
+    gct = bytes(v for i in range(256) for v in (i, i, i))
+    return (
+        b"GIF87a"
+        + struct.pack("<HH", GIF_W, GIF_H)
+        + bytes([0xF7, 0, 0])  # GCT present, 8-bit, bg 0, no aspect
+        + gct
+        + b"\x2c"
+        + struct.pack("<HHHH", 0, 0, GIF_W, GIF_H)
+        + bytes([0x00])  # no local table, not interlaced
+    )
+
+
+def _decode_gif(buf: bytes) -> tuple:
+    """Full GIF87a walk — signature, screen descriptor, grayscale
+    global-color-table validation, image descriptor, sub-block
+    reassembly, LZW decompression. Returns ``(w, h, indexes uint8)``.
+    Input validation raises GifDecodeError (same policy as JPEG)."""
+    import struct
+
+    import numpy as np
+
+    _gneed(buf[:6] == b"GIF87a", "bad GIF signature")
+    _gneed(len(buf) >= 13, "truncated screen descriptor")
+    sw, sh = struct.unpack("<HH", buf[6:10])
+    packed = buf[10]
+    _gneed(bool(packed & 0x80), "missing global color table")
+    gct_n = 2 << (packed & 0x07)
+    pos = 13
+    _gneed(len(buf) >= pos + 3 * gct_n, "truncated color table")
+    gct = np.frombuffer(buf, np.uint8, count=3 * gct_n, offset=pos).reshape(
+        gct_n, 3
+    )
+    _gneed(
+        bool((gct[:, 0] == gct[:, 1]).all() and (gct[:, 0] == gct[:, 2]).all()),
+        "non-grayscale palette",
+    )
+    pos += 3 * gct_n
+    _gneed(pos + 10 <= len(buf) and buf[pos] == 0x2C, "missing image descriptor")
+    ix, iy, iw, ih = struct.unpack("<HHHH", buf[pos + 1 : pos + 9])
+    _gneed(buf[pos + 9] & 0xC0 == 0, "local table/interlace unsupported")
+    _gneed((ix, iy, iw, ih) == (0, 0, sw, sh), "sub-rect unsupported")
+    pos += 10
+    _gneed(pos < len(buf), "missing LZW code size")
+    _gneed(buf[pos] == _GIF_MIN_CODE_SIZE, "unexpected code size")
+    pos += 1
+    stream = bytearray()
+    while True:
+        _gneed(pos < len(buf), "truncated sub-blocks")
+        n = buf[pos]
+        pos += 1
+        if n == 0:
+            break
+        _gneed(pos + n <= len(buf), "truncated sub-block body")
+        stream += buf[pos : pos + n]
+        pos += n
+    _gneed(pos < len(buf) and buf[pos] == 0x3B, "missing trailer")
+    idx = np.frombuffer(_lzw_decode(bytes(stream), iw * ih), np.uint8)
+    return iw, ih, idx
+
+
+def with_gif_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → VALID GIF87a images: constant header + the LZW
+    minimum-code-size byte + the REAL LZW-compressed index stream in
+    length-prefixed sub-blocks + trailer. The compressor runs in an
+    Arrow-batched mapInPandas (the same worker-side hop as the PNG
+    zlib encoder)."""
+    raw = io.load_table_parallel(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(_cycled_body(_GIF_BODY_LEN), "utf-8").alias("raw")
+    )
+    header = _gif_header()
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for body in pdf["raw"]:
+                stream = _lzw_encode(bytes(body))
+                blocks = bytearray([_GIF_MIN_CODE_SIZE])
+                for i in range(0, len(stream), 255):
+                    chunk = stream[i : i + 255]
+                    blocks.append(len(chunk))
+                    blocks += chunk
+                blocks.append(0x00)  # block terminator
+                payloads.append(header + bytes(blocks) + b"\x3b")
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return raw.mapInPandas(enc, "doc_id LONG, payload BINARY")
+
+
+def gif_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode the GIF payloads and extract image features — real codec
+    decode, no stub: signature/descriptor walk, grayscale palette
+    load, sub-block reassembly, full LZW decompression, then exact
+    integer stats over the recovered indexes (mean in milli-units,
+    min/max, distinct count). The DuckDB oracle re-derives the stats
+    from the same byte construction, so a hash match proves the LZW
+    round-trip bit-exactly — the same proof shape as PNG's zlib path.
+
+    Scale: payload bytes ride Arrow once; LZW is linear in pixels;
+    only a few ints per image shuffle."""
+    p = with_gif_payload(spark, sf_dir)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                iw, ih, idx = _decode_gif(bytes(payload))
+                idx = idx.astype(np.int64)
+                # grayscale palette: luminance == index
+                out.append(
+                    [
+                        doc_id,
+                        int(iw),
+                        int(ih),
+                        int(idx.size),
+                        int((idx.sum() * 1000) // idx.size),
+                        int(idx.max()),
+                        int(idx.min()),
+                        int(np.unique(idx).size),
+                    ]
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "n_pixels",
+                    "idx_mean_milli",
+                    "idx_max",
+                    "idx_min",
+                    "n_distinct_idx",
+                ],
+            )
+
+    return p.mapInPandas(
+        run,
+        "doc_id LONG, width LONG, height LONG, n_pixels LONG,"
+        " idx_mean_milli LONG, idx_max LONG, idx_min LONG,"
+        " n_distinct_idx LONG",
+    ).orderBy("doc_id")
+
+
+GIF_DECODE_SQL = f"""
+WITH body AS (
+  SELECT doc_id,
+         {_cycled_body_sql(_GIF_BODY_LEN)} AS s
+  FROM documents
+), px AS (
+  SELECT doc_id, ascii(substr(s, i + 1, 1)) AS idx
+  FROM body, unnest(range(0, {_GIF_BODY_LEN})) AS t(i)
+)
+SELECT doc_id,
+       {GIF_W} AS width, {GIF_H} AS height,
+       count(*) AS n_pixels,
+       CAST(sum(idx) AS BIGINT) * 1000 // count(*) AS idx_mean_milli,
+       max(idx) AS idx_max,
+       min(idx) AS idx_min,
+       count(DISTINCT idx) AS n_distinct_idx
+FROM px
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "mm_binary_metadata": (binary_metadata, BINARY_METADATA_SQL),
     "mm_decode_stub_features": (decode_stub_features, None),
@@ -1999,4 +2315,5 @@ QUERIES = {
     "mm_byte_entropy": (byte_entropy, BYTE_ENTROPY_SQL),
     "mm_jpeg_decode_features": (jpeg_decode_features, JPEG_DECODE_SQL),
     "mm_mulaw_decode_features": (mulaw_decode_features, MULAW_DECODE_SQL),
+    "mm_gif_decode_features": (gif_decode_features, GIF_DECODE_SQL),
 }

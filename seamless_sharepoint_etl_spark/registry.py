@@ -334,9 +334,11 @@ _GRADE_FIRST_R8_FULL = [
     "set_intersect",
     "set_except",
     "graph_kcore",
-    # round-7 addition: G.711 mu-law decode (never graded — must lead
-    # the re-grades; one oldest-green tail slot trimmed to make room)
+    # round-7 additions: G.711 mu-law + GIF87a/LZW decode (never
+    # graded — must lead the re-grades; one oldest-green tail slot
+    # trimmed per addition to make room)
     "mm_mulaw_decode_features",
+    "mm_gif_decode_features",
     "agg_approx_percentile",
     "agg_collect_ordered",
     "agg_percentiles",
@@ -381,7 +383,6 @@ _GRADE_FIRST_R8_FULL = [
     "agg_approx_topk",
     "agg_bitmap_distinct",
     "agg_equiwidth_histogram",
-    "agg_hll_partial_merge",
 ]
 
 
