@@ -108,10 +108,12 @@ HEADLINE = [
     "mm_png_decode_features",
     "mm_jpeg_decode_features",
     "mm_wav_decode_features",
-    # round-7: real G.711 mu-law decode (compressed-audio codec path)
-    # and GIF87a (real LZW — the dictionary-coder family)
+    # round-7: real G.711 mu-law decode (compressed-audio codec path),
+    # GIF87a (real LZW — the dictionary-coder family), and the
+    # JDBC-style partitioned SQLite federated scan
     "mm_mulaw_decode_features",
     "mm_gif_decode_features",
+    "src_sqlite_partitioned_scan",
     "mm_video_frame_features",
     "agg_sample_estimate",
     "join_auto_skew_remedy",
@@ -345,6 +347,9 @@ def main() -> None:
         "layout_dynamic_overwrite",
         "layout_codec_stats",
         "layout_ivm_delta_join",
+        # stages the SQLite database file (one-time external-source
+        # scaffolding) so the timed entry measures the partitioned scan
+        "src_sqlite_partitioned_scan",
     ):
         queries[staged](spark, sf_dir).write.format("noop").mode(
             "overwrite"

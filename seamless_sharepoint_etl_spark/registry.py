@@ -339,6 +339,7 @@ _GRADE_FIRST_R8_FULL = [
     # trimmed per addition to make room)
     "mm_mulaw_decode_features",
     "mm_gif_decode_features",
+    "src_sqlite_partitioned_scan",
     "agg_approx_percentile",
     "agg_collect_ordered",
     "agg_percentiles",
@@ -382,7 +383,6 @@ _GRADE_FIRST_R8_FULL = [
     "udf_scalar_pandas",
     "agg_approx_topk",
     "agg_bitmap_distinct",
-    "agg_equiwidth_histogram",
 ]
 
 

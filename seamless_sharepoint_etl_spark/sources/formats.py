@@ -611,6 +611,154 @@ ORDER BY n_regionkey
 """
 
 
+SQLITE_YEAR = 1996
+SQLITE_N_PARTS = 8
+
+
+def _sqlite_db_path(sf_dir: str) -> str:
+    return _stage_dir(sf_dir, "orders-sqlite") + ".db"
+
+
+def _stage_sqlite_orders(sf_dir: str) -> str:
+    """One-time staging of the orders table into a SQLite file (test
+    scaffolding for an EXTERNAL operational database, like the REST
+    endpoint's page materialization). pyarrow → executemany batches;
+    o_orderkey is INTEGER PRIMARY KEY, so it aliases SQLite's rowid
+    and every partition's key-range scan is an index range scan, not a
+    table sweep. Atomic publish via os.replace; the fixture token in
+    the path invalidates the artifact on fixture regeneration
+    (NOTES trap 25)."""
+    import sqlite3
+
+    import pyarrow.parquet as pq
+
+    path = _sqlite_db_path(sf_dir)
+    if os.path.exists(path):
+        return path
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=[
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+        ],
+    )
+    tmp = path + f".tmp-{os.getpid()}"
+    con = sqlite3.connect(tmp)
+    con.execute(
+        "CREATE TABLE orders ("
+        " o_orderkey INTEGER PRIMARY KEY,"
+        " o_custkey INTEGER, o_orderstatus TEXT,"
+        " o_totalprice REAL, o_orderdate TEXT)"
+    )
+    rows = zip(
+        tbl["o_orderkey"].to_pylist(),
+        tbl["o_custkey"].to_pylist(),
+        tbl["o_orderstatus"].to_pylist(),
+        tbl["o_totalprice"].to_pylist(),
+        (str(d) for d in tbl["o_orderdate"].to_pylist()),
+    )
+    con.executemany("INSERT INTO orders VALUES (?,?,?,?,?)", rows)
+    con.commit()
+    con.close()
+    os.replace(tmp, path)
+    return path
+
+
+def sqlite_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Federated scan of an operational SQLite database with JDBC-style
+    numeric partitioning — the pattern Spark's JDBC source implements
+    with (partitionColumn, lowerBound, upperBound, numPartitions),
+    rebuilt on stdlib sqlite3 since no JDBC driver ships here.
+
+    Shape: the driver reads ONLY min/max of the partition column (two
+    scalar lookups — the same bounds a JDBC read needs), splits the key
+    space into SQLITE_N_PARTS half-open ranges, and a mapInPandas over
+    the tiny bounds relation has each task open the database read-only
+    and run one range query. Predicate (order year) and column pruning
+    are pushed INTO the per-task SQL, so SQLite does an index range
+    scan and filters before a single row crosses into Spark — the
+    manual equivalent of JDBC pushDownPredicate. Revenue aggregates in
+    exact cents (BIGINT): o_totalprice is 2-decimal, and REAL is IEEE
+    double, so the parquet → SQLite → Arrow round-trip is bit-exact
+    and the oracle over the original parquet must hash-match.
+
+    At 100 TB the same plan holds: bounds come from the source's
+    catalog, tasks scale with numPartitions, and no driver collect
+    touches row data. Skew in the key space maps to task skew exactly
+    as in Spark's JDBC source — mitigated by more partitions, not by
+    code changes.
+    """
+    import sqlite3
+
+    import pandas as pd
+
+    path = _stage_sqlite_orders(sf_dir)
+    con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+    lo, hi = con.execute(
+        "SELECT min(o_orderkey), max(o_orderkey) FROM orders"
+    ).fetchone()
+    con.close()
+    step = max(1, (hi - lo + 1) // SQLITE_N_PARTS)
+    bounds = [
+        (
+            lo + i * step,
+            (lo + (i + 1) * step) if i < SQLITE_N_PARTS - 1 else hi + 1,
+        )
+        for i in range(SQLITE_N_PARTS)
+    ]
+    bdf = spark.createDataFrame(bounds, "lo LONG, hi LONG").repartition(
+        SQLITE_N_PARTS, "lo"
+    )
+    year = str(SQLITE_YEAR)
+
+    def read_range(batches):
+        for pdf in batches:
+            for blo, bhi in zip(pdf["lo"], pdf["hi"]):
+                task_con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+                cur = task_con.execute(
+                    "SELECT o_custkey, o_orderstatus,"
+                    " CAST(o_totalprice * 100 + 0.5 AS INTEGER) AS cents"
+                    " FROM orders"
+                    " WHERE o_orderkey >= ? AND o_orderkey < ?"
+                    "   AND substr(o_orderdate, 1, 4) = ?",
+                    (int(blo), int(bhi), year),
+                )
+                rows = cur.fetchall()
+                task_con.close()
+                yield pd.DataFrame(
+                    rows, columns=["o_custkey", "o_orderstatus", "cents"]
+                )
+
+    scanned = bdf.mapInPandas(
+        read_range, "o_custkey LONG, o_orderstatus STRING, cents LONG"
+    )
+    return (
+        scanned.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("revenue_cents"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+        .orderBy("status")
+    )
+
+
+SQLITE_PARTITIONED_SCAN_SQL = f"""
+SELECT o_orderstatus AS status,
+       count(*) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       count(DISTINCT o_custkey) AS n_customers
+FROM orders
+WHERE substr(CAST(o_orderdate AS VARCHAR), 1, 4) = '{SQLITE_YEAR}'
+GROUP BY status
+ORDER BY status
+"""
+
+
 QUERIES = {
     "src_json_scan": (json_scan_events, JSON_SCAN_EVENTS_SQL),
     "src_textlog_scan": (textlog_scan, TEXTLOG_SCAN_SQL),
@@ -622,4 +770,8 @@ QUERIES = {
     "src_xml_scan": (xml_scan_customer, XML_SCAN_CUSTOMER_SQL),
     "src_schema_evolution_scan": (schema_evolution_scan, SCHEMA_EVOLUTION_SQL),
     "src_csv_corrupt_recovery": (csv_corrupt_recovery, CSV_CORRUPT_RECOVERY_SQL),
+    "src_sqlite_partitioned_scan": (
+        sqlite_partitioned_scan,
+        SQLITE_PARTITIONED_SCAN_SQL,
+    ),
 }
