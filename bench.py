@@ -112,6 +112,7 @@ HEADLINE = [
     # GIF87a (real LZW — the dictionary-coder family), and the
     # JDBC-style partitioned SQLite federated scan
     "mm_mulaw_decode_features",
+    "mm_alaw_decode_features",
     "mm_gif_decode_features",
     "src_sqlite_partitioned_scan",
     "mm_video_frame_features",

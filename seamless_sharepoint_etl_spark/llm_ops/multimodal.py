@@ -1031,65 +1031,102 @@ def _mulaw_decode_table() -> "np.ndarray":  # noqa: F821
     return np.where(u & 0x80, _MULAW_BIAS - t, t - _MULAW_BIAS).astype(np.int64)
 
 
-def _mulaw_header() -> bytes:
-    """RIFF/WAVE header for mu-law mono at MULAW_RATE: fmt tag 7,
-    8 bits/sample, block align 1, plus the ``fact`` chunk (sample
-    count) that the WAVE spec requires for non-PCM formats — constant
-    given the fixed sample count, so Spark prepends it as a literal."""
+_ALAW_FMT = 6  # WAVE_FORMAT_ALAW
+
+
+def _alaw_decode_table() -> "np.ndarray":  # noqa: F821
+    """256-entry A-law codeword -> linear-PCM LUT (ITU-T G.711 Table
+    1a / the public-domain Sun g711.c formulation): XOR the 0x55
+    toggle mask, split sign/segment/mantissa, expand with the A-law
+    segment switch (segment 0 adds 8, segment 1 adds 0x108, higher
+    segments shift). Distinct law from mu-law: no bias subtraction,
+    no all-ones complement, and NO zero output — minimum magnitude is
+    8. Anchors fixed by the spec: 0x2A -> -32256, 0xAA -> +32256,
+    0x55 -> -8, 0xD5 -> +8."""
+    import numpy as np
+
+    u = np.arange(256) ^ 0x55
+    m = (u & 0x0F) << 4
+    seg = (u & 0x70) >> 4
+    t = np.where(
+        seg == 0, m + 8, (m + 0x108) << np.maximum(seg - 1, 0)
+    )
+    return np.where(u & 0x80, t, -t).astype(np.int64)
+
+
+def _g711_header(fmt_tag: int, n_samples: int, rate: int) -> bytes:
+    """RIFF/WAVE header for an 8-bit G.711 mono stream (fmt tag 6 =
+    A-law, 7 = mu-law): block align 1, plus the ``fact`` chunk
+    (sample count) that the WAVE spec requires for non-PCM formats —
+    constant given the fixed sample count, so Spark prepends it as a
+    literal."""
     import struct
 
-    data_len = _MULAW_BODY_LEN
     return (
         b"RIFF"
-        + struct.pack("<I", 4 + 24 + 12 + 8 + data_len)
+        + struct.pack("<I", 4 + 24 + 12 + 8 + n_samples)
         + b"WAVEfmt "
-        + struct.pack(
-            "<IHHIIHH", 16, _MULAW_FMT, 1, MULAW_RATE, MULAW_RATE, 1, 8
-        )
+        + struct.pack("<IHHIIHH", 16, fmt_tag, 1, rate, rate, 1, 8)
         + b"fact"
-        + struct.pack("<II", 4, MULAW_N_SAMPLES)
+        + struct.pack("<II", 4, n_samples)
         + b"data"
-        + struct.pack("<I", data_len)
+        + struct.pack("<I", n_samples)
+    )
+
+
+def _with_g711_payload(
+    spark: SparkSession, sf_dir: str, fmt_tag: int
+) -> DataFrame:
+    """documents → VALID G.711 WAVE files (fmt 6 A-law / 7 mu-law):
+    constant header + the document's bytes cycled to one codeword per
+    sample. Every printable byte IS a legal codeword; under mu-law the
+    cycled range [32,126] complements into sign-set codes spanning
+    exponent segments 0-5, and under A-law the same range XORs into
+    sign-clear codes across segments {0,1,2,3,6,7} — including both
+    laws' boundary segments and both switch arms of the A-law
+    expansion (the full 256-code space is covered by the LUT
+    round-trip pytest, not the corpus)."""
+    d = io.load_table_parallel(spark, sf_dir, "documents")
+    body = _cycled_body(MULAW_N_SAMPLES)
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.lit(_g711_header(fmt_tag, MULAW_N_SAMPLES, MULAW_RATE)),
+            F.encode(body, "utf-8"),
+        ).alias("payload"),
     )
 
 
 def with_mulaw_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents → VALID G.711 mu-law WAVE files: constant fmt-7
-    header + the document's bytes cycled to one codeword per sample
-    (every printable byte IS a legal mu-law codeword; the cycled range
-    [32,126] complements into sign-set codes spanning exponent
-    segments 0-5, so the decoder's sign path and six of the eight
-    expansion segments run on every document)."""
-    d = io.load_table_parallel(spark, sf_dir, "documents")
-    body = _cycled_body(_MULAW_BODY_LEN)
-    return d.select(
-        "doc_id",
-        F.concat(F.lit(_mulaw_header()), F.encode(body, "utf-8")).alias(
-            "payload"
-        ),
-    )
+    return _with_g711_payload(spark, sf_dir, _MULAW_FMT)
 
 
-def mulaw_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode the G.711 payloads and extract audio features — real
-    codec decode, no stub: RIFF walk validates the fmt-7/8-bit/fact
-    structure, the 256-entry LUT expands codewords to linear PCM, and
-    the same exact-integer stat block as the PCM16 path (RMS on the
-    floor grid, peak, floor, milli-mean) makes every VALUE
-    hash-comparable with the DuckDB oracle, which re-derives the
-    decode law per byte in closed form.
+def with_alaw_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _with_g711_payload(spark, sf_dir, _ALAW_FMT)
+
+
+def _g711_stats(p: DataFrame, fmt_tag: int) -> DataFrame:
+    """Shared G.711 decode + feature kernel: RIFF walk validates the
+    fmt/8-bit/fact structure, the 256-entry LUT for ``fmt_tag``
+    expands codewords to linear PCM, and the same exact-integer stat
+    block as the PCM16 path (RMS on the floor grid, peak, floor,
+    milli-mean) makes every VALUE hash-comparable with the DuckDB
+    oracle, which re-derives the decode law per byte in closed form.
 
     Scale: identical to any audio featurizer — payload bytes ride
     Arrow once, the LUT lookup is one vectorized gather per buffer,
     and only a handful of ints per clip shuffles."""
-    p = with_mulaw_payload(spark, sf_dir)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
 
         import numpy as np
 
-        lut = _mulaw_decode_table()
+        lut = (
+            _mulaw_decode_table()
+            if fmt_tag == _MULAW_FMT
+            else _alaw_decode_table()
+        )
         for pdf in batches:
             out = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
@@ -1098,7 +1135,7 @@ def mulaw_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 assert buf[12:16] == b"fmt "
                 fmt, nch, rate = struct.unpack("<HHI", buf[20:28])
                 bits = struct.unpack("<H", buf[34:36])[0]
-                assert (fmt, nch, rate, bits) == (_MULAW_FMT, 1, MULAW_RATE, 8)
+                assert (fmt, nch, rate, bits) == (fmt_tag, 1, MULAW_RATE, 8)
                 assert buf[36:40] == b"fact"
                 (n_fact,) = struct.unpack("<I", buf[44:48])
                 assert buf[48:52] == b"data"
@@ -1135,6 +1172,22 @@ def mulaw_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def mulaw_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711 mu-law decode + audio features (see _g711_stats)."""
+    return _g711_stats(with_mulaw_payload(spark, sf_dir), _MULAW_FMT)
+
+
+def alaw_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711 A-law decode + audio features (see _g711_stats). With the
+    mu-law twin this completes G.711 — the two companding laws
+    deployed worldwide (A-law in Europe/international trunks, mu-law
+    in North America/Japan); a telephony-audio ingest pipeline needs
+    both, and their laws differ in every branch (toggle mask vs
+    complement, segment switch vs uniform bias, ±8 floor vs exact
+    zero)."""
+    return _g711_stats(with_alaw_payload(spark, sf_dir), _ALAW_FMT)
+
+
 # the decode law, re-derived per byte in SQL: u = 255-b (8-bit
 # complement), exponent = (u//16)%8, t = ((u%16)*8 + 132) << e,
 # sample = 132-t when the (complemented) sign bit is set else t-132
@@ -1166,6 +1219,45 @@ SELECT doc_id,
        -- DuckDB // truncates toward zero while numpy // floors — the
        -- PCM16 twin never sees this because its samples are positive.
        -- Exact: |sum*1000| < 2^53 and the sample count is 2^10.
+       CAST(floor(CAST(sum(v) AS DOUBLE) * 1000 / count(*)) AS BIGINT)
+         AS mean_milli
+FROM pcm
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+# the A-law decode law per byte: u = b XOR 0x55, mantissa m = u%16,
+# segment = (u//16)%8; t = m*16+8 (seg 0), m*16+264 (seg 1), else
+# (m*16+264) << (seg-1); sign bit of u picks +t / -t. Samples span
+# BOTH signs here, so mean_milli uses the explicit floor (trap 30:
+# DuckDB // truncates toward zero, numpy // floors).
+ALAW_DECODE_SQL = f"""
+WITH body AS (
+  SELECT doc_id,
+         {_cycled_body_sql(MULAW_N_SAMPLES)} AS s
+  FROM documents
+), u AS (
+  SELECT doc_id, xor(ascii(substr(s, i + 1, 1)), 85) AS u
+  FROM body, unnest(range(0, {MULAW_N_SAMPLES})) AS t(i)
+), mag AS (
+  SELECT doc_id, u,
+         CASE (u // 16) % 8
+           WHEN 0 THEN (u % 16) * 16 + 8
+           WHEN 1 THEN (u % 16) * 16 + 264
+           ELSE ((u % 16) * 16 + 264) * (1 << ((u // 16) % 8 - 1))
+         END AS t
+  FROM u
+), pcm AS (
+  SELECT doc_id,
+         CAST(CASE WHEN u >= 128 THEN t ELSE -t END AS BIGINT) AS v
+  FROM mag
+)
+SELECT doc_id,
+       count(*) AS n_samples,
+       CAST(floor(sqrt(CAST(sum(v * v) AS DOUBLE) / count(*))) AS BIGINT) AS rms,
+       max(v) AS peak,
+       min(v) AS floor_s,
        CAST(floor(CAST(sum(v) AS DOUBLE) * 1000 / count(*)) AS BIGINT)
          AS mean_milli
 FROM pcm
@@ -2315,5 +2407,6 @@ QUERIES = {
     "mm_byte_entropy": (byte_entropy, BYTE_ENTROPY_SQL),
     "mm_jpeg_decode_features": (jpeg_decode_features, JPEG_DECODE_SQL),
     "mm_mulaw_decode_features": (mulaw_decode_features, MULAW_DECODE_SQL),
+    "mm_alaw_decode_features": (alaw_decode_features, ALAW_DECODE_SQL),
     "mm_gif_decode_features": (gif_decode_features, GIF_DECODE_SQL),
 }

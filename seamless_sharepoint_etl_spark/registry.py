@@ -338,6 +338,7 @@ _GRADE_FIRST_R8_FULL = [
     # graded — must lead the re-grades; one oldest-green tail slot
     # trimmed per addition to make room)
     "mm_mulaw_decode_features",
+    "mm_alaw_decode_features",
     "mm_gif_decode_features",
     "src_sqlite_partitioned_scan",
     "agg_approx_percentile",
@@ -382,7 +383,6 @@ _GRADE_FIRST_R8_FULL = [
     "udf_python_udtf",
     "udf_scalar_pandas",
     "agg_approx_topk",
-    "agg_bitmap_distinct",
 ]
 
 

@@ -886,7 +886,9 @@ def test_mulaw_decode_is_a_real_g711_codec(spark):
 
     # crafted clip: every codeword 0x00 -> every sample is the spec
     # maximum-magnitude negative value
-    clip = mm._mulaw_header() + bytes(mm.MULAW_N_SAMPLES)
+    clip = mm._g711_header(
+        mm._MULAW_FMT, mm.MULAW_N_SAMPLES, mm.MULAW_RATE
+    ) + bytes(mm.MULAW_N_SAMPLES)
     codes = np.frombuffer(clip, np.uint8, count=mm.MULAW_N_SAMPLES, offset=56)
     s = lut[codes]
     assert int(s.max()) == int(s.min()) == -32124
@@ -895,6 +897,61 @@ def test_mulaw_decode_is_a_real_g711_codec(spark):
     assert len(rows) == mm.with_mulaw_payload(spark, SF_DIR).count()
     again = mm.mulaw_decode_features(spark, SF_DIR).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_alaw_decode_is_a_real_g711_codec(spark):
+    """The A-law half of G.711, proven fixture-independently with the
+    SAME battery as mu-law but its own law: (a) the LUT round-trips
+    through an independent spec-literal encoder (g711.c linear2alaw —
+    13-bit domain via >>3, -pcm-1 negative fold, per-segment mantissa
+    shift) for ALL 256 codewords (A-law has no zero alias, unlike
+    mu-law's 0x7F); (b) spec anchors hold (0x2A -> -32256,
+    0xAA -> +32256, 0x55 -> -8, 0xD5 -> +8) and |sample| >= 8
+    everywhere (no zero output); (c) strict monotonicity within each
+    sign half; (d) fmt-6 RIFF structure valid."""
+    import struct
+
+    import numpy as np
+
+    from seamless_sharepoint_etl_spark.llm_ops import multimodal as mm
+
+    lut = mm._alaw_decode_table()
+    assert lut[0x2A] == -32256 and lut[0xAA] == 32256
+    assert lut[0x55] == -8 and lut[0xD5] == 8
+    assert (np.abs(lut) >= 8).all()
+
+    def encode(pcm: int) -> int:  # independent: g711.c linear2alaw
+        seg_aend = [0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF]
+        pcm >>= 3
+        if pcm >= 0:
+            mask = 0xD5
+        else:
+            mask = 0x55
+            pcm = -pcm - 1
+        seg = next((i for i, e in enumerate(seg_aend) if pcm <= e), 8)
+        if seg >= 8:
+            return 0x7F ^ mask
+        aval = seg << 4
+        aval |= (pcm >> 1) & 0x0F if seg < 2 else (pcm >> seg) & 0x0F
+        return aval ^ mask
+
+    assert [c for c in range(256) if encode(int(lut[c])) != c] == []
+    # within each sign half the law is strictly monotone in the
+    # post-XOR code u: u 0..127 are sign-clear (increasingly negative
+    # magnitude), u 128..255 positive increasing
+    u = np.arange(256) ^ 0x55
+    lut_by_u = lut[np.argsort(u)]
+    assert (np.diff(lut_by_u[:128]) < 0).all()
+    assert (np.diff(lut_by_u[128:]) > 0).all()
+
+    row = mm.with_alaw_payload(spark, SF_DIR).limit(1).collect()[0]
+    buf = bytes(row["payload"])
+    fmt, nch, rate = struct.unpack("<HHI", buf[20:28])
+    assert (fmt, nch, rate) == (mm._ALAW_FMT, 1, mm.MULAW_RATE)
+    assert buf[36:40] == b"fact" and buf[48:52] == b"data"
+
+    rows = mm.alaw_decode_features(spark, SF_DIR).collect()
+    assert rows and all(r["floor_s"] <= -8 and r["peak"] <= -8 for r in rows)
 
 
 def test_gif_decode_is_a_real_lzw_codec(spark):
