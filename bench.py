@@ -115,6 +115,7 @@ HEADLINE = [
     "mm_alaw_decode_features",
     "mm_gif_decode_features",
     "src_sqlite_partitioned_scan",
+    "src_warc_scan",
     "mm_video_frame_features",
     "agg_sample_estimate",
     "join_auto_skew_remedy",
@@ -348,9 +349,11 @@ def main() -> None:
         "layout_dynamic_overwrite",
         "layout_codec_stats",
         "layout_ivm_delta_join",
-        # stages the SQLite database file (one-time external-source
-        # scaffolding) so the timed entry measures the partitioned scan
+        # stages the SQLite database / WARC archives (one-time
+        # external-source scaffolding) so the timed entries measure
+        # the partitioned scan / archive parse
         "src_sqlite_partitioned_scan",
+        "src_warc_scan",
     ):
         queries[staged](spark, sf_dir).write.format("noop").mode(
             "overwrite"

@@ -341,6 +341,7 @@ _GRADE_FIRST_R8_FULL = [
     "mm_alaw_decode_features",
     "mm_gif_decode_features",
     "src_sqlite_partitioned_scan",
+    "src_warc_scan",
     "agg_approx_percentile",
     "agg_collect_ordered",
     "agg_percentiles",
@@ -382,7 +383,6 @@ _GRADE_FIRST_R8_FULL = [
     "udf_grouped_agg_pandas",
     "udf_python_udtf",
     "udf_scalar_pandas",
-    "agg_approx_topk",
 ]
 
 

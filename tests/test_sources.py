@@ -470,3 +470,89 @@ def test_sqlite_partitioned_scan_pushdown_and_bounds(spark):
 
     rows = fmt.sqlite_partitioned_scan(spark, sf).collect()
     assert rows and sum(r["n_orders"] for r in rows) > 0
+
+
+def test_warc_scan_is_a_real_common_crawl_reader(spark):
+    """The WARC path must be the real Common Crawl layout, proven
+    structurally: (a) each staged archive is a MULTI-MEMBER gzip
+    stream (one member per record — CC's random-access property; a
+    whole-file gzip.decompress would conflate them, so count members
+    with a raw zlib walk); (b) the leading warcinfo record is
+    skipped by type, not by position; (c) framing is Content-Length
+    driven — a body containing the WARC magic and bare CRLFCRLF must
+    parse (delimiter-scanning readers break here); (d) malformed
+    archives (bad version line, truncated body, corrupt member) raise,
+    never mis-parse; (e) the distributed scan equals a sequential
+    re-parse of every archive."""
+    import gzip
+    import os
+    import zlib
+
+    import pytest
+
+    from seamless_sharepoint_etl_spark.sources import formats as fmt
+
+    sf = "/root/testdata/sf0.001"
+    path = fmt._stage_warc_docs(sf)
+    files = sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".warc.gz")
+    )
+    assert len(files) == fmt.WARC_N_FILES
+
+    raw = open(files[0], "rb").read()
+    members = 0
+    pos = 0
+    while pos < len(raw):
+        d = zlib.decompressobj(wbits=31)
+        d.decompress(raw[pos:])
+        pos = len(raw) - len(d.unused_data)
+        members += 1
+    parsed = list(fmt._parse_warc_gz(raw))
+    assert members == len(parsed) + 1, (
+        "each record must be its own gzip member (+1 warcinfo)"
+    )
+    assert all(s == 200 for _, s, _ in parsed)
+
+    # (c) adversarial body: WARC magic + CRLFCRLF inside the payload
+    body = b"WARC/1.0\r\n\r\nfake record\r\n\r\nmore"
+    http = (
+        b"HTTP/1.1 200 OK\r\n"
+        + f"Content-Length: {len(body)}\r\n\r\n".encode()
+        + body
+    )
+    rec = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: http://corpus.example/doc/7\r\n"
+        + f"Content-Length: {len(http)}\r\n\r\n".encode()
+        + http
+        + b"\r\n\r\n"
+    )
+    got = list(fmt._parse_warc_gz(gzip.compress(rec)))
+    assert got == [("http://corpus.example/doc/7", 200, len(body))]
+
+    # (d) malformed archives raise
+    with pytest.raises(ValueError):
+        list(fmt._parse_warc_gz(gzip.compress(rec.replace(b"WARC/1.0", b"WARC/9.9", 1))))
+    with pytest.raises(ValueError):
+        list(fmt._parse_warc_gz(gzip.compress(rec[:-6])))  # framing cut
+    with pytest.raises(ValueError):
+        list(fmt._parse_warc_gz(raw[:-1]))  # cut inside the gzip trailer
+    flipped = bytearray(raw)
+    flipped[20] ^= 0xFF  # deflate data of the first member
+    with pytest.raises(Exception):
+        list(fmt._parse_warc_gz(bytes(flipped)))
+
+    # (e) distributed scan == sequential re-parse
+    seq = sorted(
+        (int(u.rsplit("/", 1)[1]), s, n)
+        for f in files
+        for u, s, n in fmt._parse_warc_gz(open(f, "rb").read())
+    )
+    dist = sorted(
+        (r["doc_id"], r["http_status"], r["content_octets"])
+        for r in fmt.warc_scan(spark, sf).collect()
+    )
+    assert seq == dist and len(dist) > 0
