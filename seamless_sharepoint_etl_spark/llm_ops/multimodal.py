@@ -2118,6 +2118,8 @@ def _lzw_encode(data: bytes) -> bytes:
     Encoder width rule: bump AFTER the added entry makes
     next == 2^width + 1 — one code later than the decoder's
     next == 2^width, because the decoder's table lags one entry."""
+    if not data:
+        raise ValueError("LZW encoder needs a non-empty pixel stream")
     out = bytearray()
     acc = nbits = 0
 
