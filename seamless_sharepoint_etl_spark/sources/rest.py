@@ -238,6 +238,25 @@ class PagePartition(InputPartition):
     take: int | None = None  # pushed-TopN prefix: rows to emit from this page
 
 
+@dataclass
+class PageGroupPartition(InputPartition):
+    """A bin-packed group of pages served by ONE task — the Python
+    DataSource analog of spark.sql.files.maxPartitionBytes. One
+    partition per page is the right shape when pages are large (at
+    100 TB each page IS a task's worth of data and the group
+    degenerates to a single page), but at small page sizes the
+    per-task Python-worker round trip dominates: the sf0.1 endpoint's
+    75 × ~360 KiB pages cost ~75 worker hops for a 27 MiB scan.
+    Packing consecutive sorted pages up to REST_MAX_PARTITION_BYTES
+    keeps task count proportional to bytes, not page count, without
+    changing results (pages are read in the same sorted order)."""
+
+    pages: tuple[PagePartition, ...]
+
+
+REST_MAX_PARTITION_BYTES = 2 << 20  # 2 MiB of page bytes per task
+
+
 class SeamlessRestReader(DataSourceReader):
     def __init__(self, options: dict, schema: StructType, catalog: list[dict]):
         self.options = options
@@ -263,18 +282,35 @@ class SeamlessRestReader(DataSourceReader):
             else:
                 yield f
 
-    def partitions(self) -> list[PagePartition]:
+    def partitions(self) -> list[PageGroupPartition]:
         endpoint = self.options["endpoint"]
         limit = self.options.get("limit")
         order_by = self.options.get("order_by")
         if limit is not None and order_by is not None:
-            return self._topn_partitions(endpoint, order_by, int(limit))
+            # TopN prefix reads are already proportional to the limit;
+            # keep one page per task so `take` stays a per-page count
+            return [
+                PageGroupPartition((p,))
+                for p in self._topn_partitions(endpoint, order_by, int(limit))
+            ]
         pages = sorted(
             os.path.join(endpoint, p)
             for p in os.listdir(endpoint)
             if p.startswith("page-") and p.endswith(".json")
         )
-        return [PagePartition(p) for p in pages]
+        groups: list[PageGroupPartition] = []
+        cur: list[PagePartition] = []
+        cur_bytes = 0
+        for p in pages:
+            sz = max(1, os.path.getsize(p))
+            if cur and cur_bytes + sz > REST_MAX_PARTITION_BYTES:
+                groups.append(PageGroupPartition(tuple(cur)))
+                cur, cur_bytes = [], 0
+            cur.append(PagePartition(p))
+            cur_bytes += sz
+        if cur:
+            groups.append(PageGroupPartition(tuple(cur)))
+        return groups
 
     def _topn_partitions(
         self, endpoint: str, order_by: str, limit: int
@@ -315,14 +351,15 @@ class SeamlessRestReader(DataSourceReader):
             remaining -= take
         return parts
 
-    def read(self, partition: PagePartition) -> Iterator[tuple]:
-        yield from _read_page_arrow(
-            self.options,
-            self.catalog,
-            self.out_schema,
-            partition,
-            self.server_filters,
-        )
+    def read(self, partition: PageGroupPartition) -> Iterator[tuple]:
+        for page in partition.pages:
+            yield from _read_page_arrow(
+                self.options,
+                self.catalog,
+                self.out_schema,
+                page,
+                self.server_filters,
+            )
 
 
 def _read_page_arrow(

@@ -184,7 +184,9 @@ def test_rest_topn_matches_spark_side_sort(spark):
     )
     parts = reader.partitions()
     assert len(parts) <= (rest.TOPN_LIMIT + 1999) // 2000
-    assert sum(p.take for p in parts) == min(rest.TOPN_LIMIT, n_rows)
+    # TopN groups hold exactly one page each so `take` stays per-page
+    assert all(len(g.pages) == 1 for g in parts)
+    assert sum(g.pages[0].take for g in parts) == min(rest.TOPN_LIMIT, n_rows)
 
 
 def test_rest_topn_rejects_unservable_order(spark):
@@ -556,3 +558,52 @@ def test_warc_scan_is_a_real_common_crawl_reader(spark):
         for r in fmt.warc_scan(spark, sf).collect()
     )
     assert seq == dist and len(dist) > 0
+
+
+def test_rest_partitions_bin_pack_pages_by_bytes(spark):
+    """The batch reader's partitions are byte-bin-packed page GROUPS
+    (the Python-DataSource analog of maxPartitionBytes): every page
+    appears exactly once, groups preserve sorted page order, no group
+    except a single-oversized-page one exceeds the byte cap, and the
+    grouped scan returns the same rows as the per-page layout would."""
+    import os
+
+    rest.register(spark)
+    endpoint = rest.materialize_pages(spark, SF, rest._endpoint_for(SF))
+    cat = rest.SeamlessRestDataSource({"endpoint": endpoint})._catalog()
+    reader = rest.SeamlessRestReader({"endpoint": endpoint}, _rest_schema(), cat)
+    groups = reader.partitions()
+    pages = [p.path for g in groups for p in g.pages]
+    expected = sorted(
+        os.path.join(endpoint, f)
+        for f in os.listdir(endpoint)
+        if f.startswith("page-") and f.endswith(".json")
+    )
+    assert pages == expected, "grouping must preserve sorted page order"
+    for g in groups:
+        size = sum(os.path.getsize(p.path) for p in g.pages)
+        assert len(g.pages) == 1 or size <= rest.REST_MAX_PARTITION_BYTES
+    if len(expected) > 1:
+        assert len(groups) < len(expected), (
+            "small pages should pack into fewer tasks"
+        )
+
+
+def _rest_schema():
+    from pyspark.sql.types import StructType
+
+    import __spark_entry__  # noqa: F401  (ensures registry import side effects)
+    from seamless_sharepoint_etl_spark.sources import rest as r
+
+    cat = r.ITEMS_CATALOG
+    from pyspark.sql.types import DoubleType, StringType, StructField
+
+    return StructType(
+        [
+            StructField(
+                c["printable_name"],
+                DoubleType() if c["type"] == "double" else StringType(),
+            )
+            for c in cat
+        ]
+    )
