@@ -227,14 +227,12 @@ _GRADE_FIRST_R6 = [
     "graph_neardup_cc_exact",
 ]
 
-# LIVE round-7 window: the pre-staged `_GRADE_FIRST_R7_FULL` below,
-# verbatim (swapped in as round 7's first commit, per the r6 plan).
-# The closure-guard test (test_round7_window_closes_the_rotation)
-# pins that this is exactly the 3 never-graded queries + the 4
-# touched-since-grading re-grades + the routing canary + 43
-# oldest-green (round-1) re-grades. After this round grades, every
-# registered query has a driver CORRECTNESS row.
-_GRADE_FIRST: list  # assigned below, after _GRADE_FIRST_R7_FULL
+# LIVE window forward declaration. Round 7 graded _GRADE_FIRST_R7_FULL
+# (CORRECTNESS_r07: 48 hash-green + 2 rows-only by design, 0 fail) and
+# closed the rotation: every pre-r7 query now has a driver row. The
+# live window is now _GRADE_FIRST_R8_FULL (assigned below), swapped in
+# as round 8's first commit per the r7 verdict item #1.
+_GRADE_FIRST: list  # assigned below, after _GRADE_FIRST_R8_FULL
 
 # ROUND-7 staging: queries added AFTER the round-6 rotation was
 # frozen (the r6 window is full — evicting a finished query would
@@ -316,8 +314,6 @@ _GRADE_FIRST_R7_FULL = _GRADE_FIRST_R7 + [
     "win_topn_per_group",
 ]
 
-_GRADE_FIRST = _GRADE_FIRST_R7_FULL
-
 # FULL round-8 window, pre-staged (round-8 first commit:
 # `_GRADE_FIRST = _GRADE_FIRST_R8_FULL`). The rotation closed in
 # round 7, so this is pure re-grades, oldest latest-row first:
@@ -384,6 +380,12 @@ _GRADE_FIRST_R8_FULL = [
     "udf_python_udtf",
     "udf_scalar_pandas",
 ]
+
+# LIVE round-8 window (swapped as round 8's first commit, per the
+# round-7 verdict item #1): the 5 round-7 additions, the 3 set ops
+# deferred since r1, a fresh graph_kcore row, and the oldest
+# (round-2-era) re-grades. CORRECTNESS_r07 landed 50/50 green.
+_GRADE_FIRST = _GRADE_FIRST_R8_FULL
 
 
 def queries() -> dict[str, QueryFn]:

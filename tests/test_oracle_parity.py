@@ -187,10 +187,17 @@ def test_round7_window_closes_the_rotation():
     assert not (set(full) & set(registry._GRADE_FIRST_R6)), (
         "round-7 names double-booked in the round-6 window"
     )
-    # round-7 era: the swap has landed — the live window must BE the
-    # pre-staged list, verbatim (the r6 plan's first-commit action)
+    # era-aware swap pin: once a round's CORRECTNESS file lands, the
+    # live window must advance to the NEXT pre-staged list, verbatim
+    # (each round's first-commit action per the standing verdict plan)
+    repo_has_r7 = os.path.exists(os.path.join(repo, "CORRECTNESS_r07.json"))
     repo_has_r6 = os.path.exists(os.path.join(repo, "CORRECTNESS_r06.json"))
-    if repo_has_r6:
+    if repo_has_r7:
+        assert registry._GRADE_FIRST is registry._GRADE_FIRST_R8_FULL, (
+            "CORRECTNESS_r07 has landed but the live window is not "
+            "_GRADE_FIRST_R8_FULL — the round-8 swap commit is missing"
+        )
+    elif repo_has_r6:
         assert registry._GRADE_FIRST is registry._GRADE_FIRST_R7_FULL, (
             "CORRECTNESS_r06 has landed but the live window is not "
             "_GRADE_FIRST_R7_FULL — the round-7 swap commit is missing"
@@ -238,6 +245,13 @@ def test_round8_window_is_staged_and_covers_new_queries():
     assert w8[:4] == [
         "set_distinct", "set_intersect", "set_except", "graph_kcore",
     ], "r8 priority head changed — update NOTES if deliberate"
+    # round-8 era: the swap has landed — the live window must BE the
+    # pre-staged list, verbatim (the r7 verdict's first-commit action)
+    if os.path.exists(os.path.join(repo, "CORRECTNESS_r07.json")):
+        assert registry._GRADE_FIRST is registry._GRADE_FIRST_R8_FULL, (
+            "CORRECTNESS_r07 has landed but the live window is not "
+            "_GRADE_FIRST_R8_FULL — the round-8 swap commit is missing"
+        )
     ungraded = registered - graded
     covered = set(registry._GRADE_FIRST_R7_FULL) | set(w8)
     assert ungraded <= covered, (
