@@ -26,7 +26,11 @@ from pyspark.sql import functions as F
 
 from .. import io, portable
 from .dedup import NGRAM_JACCARD_SQL
-from .similarity import EMBEDDING_NEARDUP_SQL, embedding_neardup
+from .similarity import (
+    EMBEDDING_NEARDUP_SQL,
+    embedding_neardup,
+    embedding_neardup_sql,
+)
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -191,10 +195,12 @@ def kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     leaf, and dropping the Python refs lets the ContextCleaner reclaim
     prior rounds' blocks. Converges when the vertex count stops
     shrinking; a round cap raises rather than silently returning a
-    non-core (same backstop policy as the CC labeler). Rows-only for
-    the driver (iterative fixpoints aren't single-statement SQL); the
-    pytest gate re-peels the collected edge list exactly in Python and
-    compares sets.
+    non-core (same backstop policy as the CC labeler). Exactly oracled
+    since round 8: the peel is a monotone fixpoint, so DuckDB's
+    WITH RECURSIVE expresses it (KCORE_SQL below) — each iteration
+    carries the full survivor set and stops when the next set stops
+    shrinking; the pytest gate additionally re-peels the collected
+    edge list exactly in Python and compares sets.
 
     Edges come from _kcore_edges (threshold KCORE_EDGE_COS = 0.34, not
     the 0.42 near-dup graph) so the core is non-trivial at fixture
@@ -234,6 +240,59 @@ def kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return core.select(
         F.col("v").alias("vec_id"), F.col("deg").alias("core_degree")
     ).orderBy("vec_id")
+
+
+# Exact oracle for the k=2 peel: a WITH RECURSIVE fixpoint. Each
+# iteration's working table is the FULL current survivor set (standard
+# recursive-CTE semantics: the recursive term sees only the previous
+# iteration's rows, so the set must be carried whole, tagged by iter);
+# the next set = vertices with >= KCORE_K surviving neighbors, emitted
+# only while strictly smaller than the current set, so recursion halts
+# at the fixpoint (or one step past it when the next set is empty).
+# The final SELECT applies the survivor filter once more OUTSIDE the
+# recursion, which is idempotent at a fixpoint and correctly yields
+# the empty core when the last emitted set peels to nothing (the
+# MOD-perturbed fixtures exercise exactly that branch). The k-core is
+# the unique maximal subgraph of min-degree >= k, so peel order
+# (Spark's simultaneous rounds vs this formulation) cannot diverge.
+KCORE_SQL = f"""
+WITH RECURSIVE
+edges AS (SELECT id_lo, id_hi FROM ({embedding_neardup_sql(KCORE_EDGE_COS)})),
+adj AS (
+  SELECT id_lo AS v, id_hi AS u FROM edges
+  UNION ALL
+  SELECT id_hi AS v, id_lo AS u FROM edges
+),
+peel(iter, v) AS (
+  SELECT 0, v FROM (SELECT DISTINCT v FROM adj)
+  UNION ALL
+  SELECT cur.iter + 1, nxt.v
+  FROM (SELECT iter, count(*) AS n FROM peel GROUP BY iter) cur,
+       (SELECT a.v
+          FROM adj a
+          JOIN peel pv ON pv.v = a.v
+          JOIN peel pu ON pu.v = a.u
+         GROUP BY a.v
+        HAVING count(*) >= {KCORE_K}) nxt
+  WHERE (SELECT count(*) FROM
+           (SELECT a.v
+              FROM adj a
+              JOIN peel pv ON pv.v = a.v
+              JOIN peel pu ON pu.v = a.u
+             GROUP BY a.v
+            HAVING count(*) >= {KCORE_K})) < cur.n
+),
+last_iter AS (SELECT v FROM peel WHERE iter = (SELECT max(iter) FROM peel)),
+core AS (
+  SELECT a.v, count(*) AS deg
+  FROM adj a
+  JOIN last_iter lv ON lv.v = a.v
+  JOIN last_iter lu ON lu.v = a.u
+  GROUP BY a.v
+  HAVING count(*) >= {KCORE_K}
+)
+SELECT v AS vec_id, deg AS core_degree FROM core ORDER BY vec_id
+"""
 
 
 BFS_MAX_ROUNDS = 64
@@ -970,7 +1029,7 @@ ORDER BY cluster_id
 QUERIES = {
     "graph_triangle_stats": (triangle_stats, TRIANGLE_STATS_SQL),
     "graph_degree_histogram": (degree_histogram, DEGREE_HISTOGRAM_SQL),
-    "graph_kcore": (kcore, None),
+    "graph_kcore": (kcore, KCORE_SQL),
     "graph_bfs_depth": (bfs_depth, BFS_DEPTH_SQL),
     "graph_jaccard_linkpred": (jaccard_link_prediction, JACCARD_LINK_PREDICTION_SQL),
     "graph_label_modularity": (label_modularity, LABEL_MODULARITY_SQL),

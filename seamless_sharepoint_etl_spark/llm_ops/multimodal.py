@@ -1105,6 +1105,46 @@ def with_alaw_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _with_g711_payload(spark, sf_dir, _ALAW_FMT)
 
 
+class G711DecodeError(ValueError):
+    """Malformed/truncated G.711 WAV payload — same explicit-raise
+    policy as JpegDecodeError/GifDecodeError (bare ``assert`` is
+    stripped under PYTHONOPTIMIZE/-O, surfacing corrupt payloads as
+    struct.error or silently wrong features; ADVICE r7)."""
+
+
+def _g711_codes(buf: bytes, fmt_tag: int):
+    """Validate the RIFF/fmt/fact/data framing of a G.711 WAV payload
+    and return the codeword array (uint8). Raises G711DecodeError on
+    any structural defect; directly unit-testable outside Spark."""
+    import struct
+
+    import numpy as np
+
+    def _need(ok: bool, what: str) -> None:
+        if not ok:
+            raise G711DecodeError(f"bad G.711 WAV payload: {what}")
+
+    _need(len(buf) >= 56, "header shorter than 56 bytes")
+    _need(
+        buf[0:4] == b"RIFF" and buf[8:12] == b"WAVE",
+        "missing RIFF/WAVE magic",
+    )
+    _need(buf[12:16] == b"fmt ", "missing fmt chunk")
+    fmt, nch, rate = struct.unpack("<HHI", buf[20:28])
+    bits = struct.unpack("<H", buf[34:36])[0]
+    _need(
+        (fmt, nch, rate, bits) == (fmt_tag, 1, MULAW_RATE, 8),
+        f"fmt mismatch {(fmt, nch, rate, bits)}",
+    )
+    _need(buf[36:40] == b"fact", "missing fact chunk")
+    (n_fact,) = struct.unpack("<I", buf[44:48])
+    _need(buf[48:52] == b"data", "missing data chunk")
+    (data_len,) = struct.unpack("<I", buf[52:56])
+    _need(n_fact == data_len, "fact/data length disagree")
+    _need(len(buf) >= 56 + data_len, "data chunk truncated")
+    return np.frombuffer(buf, np.uint8, count=data_len, offset=56)
+
+
 def _g711_stats(p: DataFrame, fmt_tag: int) -> DataFrame:
     """Shared G.711 decode + feature kernel: RIFF walk validates the
     fmt/8-bit/fact structure, the 256-entry LUT for ``fmt_tag``
@@ -1118,8 +1158,6 @@ def _g711_stats(p: DataFrame, fmt_tag: int) -> DataFrame:
     and only a handful of ints per clip shuffles."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import struct
-
         import numpy as np
 
         lut = (
@@ -1130,19 +1168,7 @@ def _g711_stats(p: DataFrame, fmt_tag: int) -> DataFrame:
         for pdf in batches:
             out = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                buf = bytes(payload)
-                assert buf[0:4] == b"RIFF" and buf[8:12] == b"WAVE"
-                assert buf[12:16] == b"fmt "
-                fmt, nch, rate = struct.unpack("<HHI", buf[20:28])
-                bits = struct.unpack("<H", buf[34:36])[0]
-                assert (fmt, nch, rate, bits) == (fmt_tag, 1, MULAW_RATE, 8)
-                assert buf[36:40] == b"fact"
-                (n_fact,) = struct.unpack("<I", buf[44:48])
-                assert buf[48:52] == b"data"
-                (data_len,) = struct.unpack("<I", buf[52:56])
-                assert n_fact == data_len  # 1 byte/sample
-                codes = np.frombuffer(buf, np.uint8, count=data_len, offset=56)
-                s = lut[codes]
+                s = lut[_g711_codes(bytes(payload), fmt_tag)]
                 out.append(
                     [
                         doc_id,

@@ -407,7 +407,10 @@ def embedding_neardup(
     )
 
 
-EMBEDDING_NEARDUP_SQL = f"""
+def embedding_neardup_sql(threshold: float = NEARDUP_COS) -> str:
+    """Oracle twin of embedding_neardup at an arbitrary admission
+    threshold (graph_kcore peels a denser graph at KCORE_EDGE_COS)."""
+    return f"""
 WITH v AS (
   SELECT vec_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -420,11 +423,14 @@ SELECT a.vec_id AS id_lo, b.vec_id AS id_hi,
 FROM v a JOIN v b ON a.vec_id < b.vec_id
 WHERE list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
       / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
-         * sqrt(list_sum(list_transform(b.v, x -> x * x)))) >= {NEARDUP_COS}
+         * sqrt(list_sum(list_transform(b.v, x -> x * x)))) >= {threshold}
   -- zero-norm policy: degenerate vectors are excluded (kernel twin)
   AND list_sum(list_transform(a.v, x -> x * x)) > 0
   AND list_sum(list_transform(b.v, x -> x * x)) > 0
 """
+
+
+EMBEDDING_NEARDUP_SQL = embedding_neardup_sql()
 
 
 NLIST = 16  # IVF coarse clusters

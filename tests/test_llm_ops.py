@@ -954,6 +954,39 @@ def test_alaw_decode_is_a_real_g711_codec(spark):
     assert rows and all(r["floor_s"] <= -8 and r["peak"] <= -8 for r in rows)
 
 
+def test_g711_payload_validation_raises_labeled_error():
+    """Corrupt G.711 WAV payloads must raise the labeled
+    G711DecodeError (never bare assert/struct.error/IndexError —
+    ADVICE r7, matching the JPEG/GIF explicit-raise policy)."""
+    import numpy as np
+    import pytest
+
+    from seamless_sharepoint_etl_spark.llm_ops import multimodal as mm
+
+    n = 64
+    good = mm._g711_header(mm._MULAW_FMT, n, mm.MULAW_RATE) + bytes(n)
+    codes = mm._g711_codes(good, mm._MULAW_FMT)
+    assert isinstance(codes, np.ndarray) and codes.size == n
+
+    bad = [
+        b"",  # too short
+        b"RIFX" + good[4:],  # wrong magic
+        good[:12] + b"fmtX" + good[16:],  # fmt chunk missing
+        good[:36] + b"fakt" + good[40:],  # fact chunk missing
+        good[:48] + b"dat@" + good[52:],  # data chunk missing
+        good[: 56 + n - 8],  # truncated data
+        mm._g711_header(mm._ALAW_FMT, n, mm.MULAW_RATE) + bytes(n),  # law mismatch
+    ]
+    for buf in bad:
+        with pytest.raises(mm.G711DecodeError):
+            mm._g711_codes(buf, mm._MULAW_FMT)
+    # fact/data disagreement: patch the fact count in place
+    tampered = bytearray(good)
+    tampered[44:48] = (n + 1).to_bytes(4, "little")
+    with pytest.raises(mm.G711DecodeError):
+        mm._g711_codes(bytes(tampered), mm._MULAW_FMT)
+
+
 def test_gif_decode_is_a_real_lzw_codec(spark):
     """The GIF87a path is a REAL dictionary codec, proven fixture-
     independently: (a) a hand-packed spec vector pins the LSB-first
