@@ -613,6 +613,9 @@ ORDER BY n_regionkey
 
 SQLITE_YEAR = 1996
 SQLITE_N_PARTS = 8
+# rows per fetchmany batch in the per-task range read — the JDBC
+# fetchsize analog; bounds task memory independently of range size
+SQLITE_FETCH_BATCH = 16384
 
 
 def _sqlite_db_path(sf_dir: str) -> str:
@@ -701,6 +704,11 @@ def sqlite_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT min(o_orderkey), max(o_orderkey) FROM orders"
     ).fetchone()
     con.close()
+    if lo is None:
+        raise ValueError(
+            f"sqlite orders table at {path} is empty — no partition "
+            "bounds to derive (staging produced zero rows?)"
+        )
     step = max(1, (hi - lo + 1) // SQLITE_N_PARTS)
     bounds = [
         (
@@ -718,19 +726,30 @@ def sqlite_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             for blo, bhi in zip(pdf["lo"], pdf["hi"]):
                 task_con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
-                cur = task_con.execute(
-                    "SELECT o_custkey, o_orderstatus,"
-                    " CAST(o_totalprice * 100 + 0.5 AS INTEGER) AS cents"
-                    " FROM orders"
-                    " WHERE o_orderkey >= ? AND o_orderkey < ?"
-                    "   AND substr(o_orderdate, 1, 4) = ?",
-                    (int(blo), int(bhi), year),
-                )
-                rows = cur.fetchall()
-                task_con.close()
-                yield pd.DataFrame(
-                    rows, columns=["o_custkey", "o_orderstatus", "cents"]
-                )
+                try:
+                    cur = task_con.execute(
+                        "SELECT o_custkey, o_orderstatus,"
+                        " CAST(o_totalprice * 100 + 0.5 AS INTEGER) AS cents"
+                        " FROM orders"
+                        " WHERE o_orderkey >= ? AND o_orderkey < ?"
+                        "   AND substr(o_orderdate, 1, 4) = ?",
+                        (int(blo), int(bhi), year),
+                    )
+                    # fetchmany stream (the JDBC fetchsize analog):
+                    # task memory is bounded by the batch size, not
+                    # the key-range size, so a too-coarse
+                    # numPartitions degrades gracefully instead of
+                    # materializing the whole range (VERDICT r7 #5).
+                    while True:
+                        rows = cur.fetchmany(SQLITE_FETCH_BATCH)
+                        if not rows:
+                            break
+                        yield pd.DataFrame(
+                            rows,
+                            columns=["o_custkey", "o_orderstatus", "cents"],
+                        )
+                finally:
+                    task_con.close()
 
     scanned = bdf.mapInPandas(
         read_range, "o_custkey LONG, o_orderstatus STRING, cents LONG"
