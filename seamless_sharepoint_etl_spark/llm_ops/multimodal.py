@@ -993,7 +993,14 @@ SELECT doc_id,
        CAST(floor(sqrt(CAST(sum(v * v) AS DOUBLE) / count(*))) AS BIGINT) AS rms,
        max(v) AS peak,
        min(v) AS floor_s,
-       CAST(sum(v) AS BIGINT) * 1000 // count(*) AS mean_milli
+       -- FLOOR division, not DuckDB's truncating //: the kernel's
+       -- numpy // floors, and sum(v) CAN go negative — a multibyte
+       -- UTF-8 document puts a >=0x80 byte in the high sample byte,
+       -- making v negative (trap 30; the mu-law twin caught this
+       -- class first). sum(v)*1000 < 2^53, so the double path is
+       -- exact.
+       CAST(floor(CAST(sum(v) AS DOUBLE) * 1000 / count(*)) AS BIGINT)
+         AS mean_milli
 FROM pcm
 GROUP BY doc_id
 ORDER BY doc_id

@@ -841,6 +841,30 @@ def test_wav_decode_is_a_real_audio_pipeline(spark):
     assert int(s.max()) == int(s.min()) == 1234
 
 
+def test_wav_mean_milli_uses_floor_division_semantics():
+    """Trap-30 regression (r8 repo-wide audit): the kernel's numpy //
+    FLOORS while DuckDB's // TRUNCATES toward zero, and WAV samples CAN
+    go negative (a multibyte UTF-8 document puts a >=0x80 byte in the
+    high sample byte). The oracle must therefore use the explicit
+    floor() form — a negative-sum clip is the differential."""
+    import duckdb
+    import numpy as np
+
+    from seamless_sharepoint_etl_spark.llm_ops import multimodal as mm
+
+    s = np.array([-5, -6, 4], dtype=np.int64)  # sum=-7: not a multiple of 3
+    kernel = int((s.sum() * 1000) // s.size)  # numpy floors: -2334
+    trunc = duckdb.sql("SELECT CAST(-7000 AS BIGINT) // 3").fetchone()[0]
+    floored = duckdb.sql(
+        "SELECT CAST(floor(CAST(-7000 AS DOUBLE) / 3) AS BIGINT)"
+    ).fetchone()[0]
+    assert kernel == floored == -2334
+    assert trunc == -2333  # the divergence the audit closes
+    assert "floor(CAST(sum(v) AS DOUBLE) * 1000" in mm.WAV_DECODE_SQL, (
+        "WAV oracle mean_milli must use the floor() form, not //"
+    )
+
+
 def test_mulaw_decode_is_a_real_g711_codec(spark):
     """The G.711 mu-law path is a REAL compressed-audio codec, proven
     fixture-independently: (a) the decode LUT round-trips through an
