@@ -374,14 +374,30 @@ def main() -> None:
                 pass  # warmup is best-effort; the timed run surfaces real errors
     _mark("codegen_warmup_pass_sf0.001")
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = queries[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+    # Median-of-3 publication policy (VERDICT r7 item 4): host noise
+    # outside the container swung single-run totals 210-285 s with a
+    # different outlier set each run, forcing manual noise forensics
+    # every round. The committed number is now the PER-QUERY MEDIAN of
+    # N back-to-back timed passes (same session, same warm state), and
+    # the raw per-run totals are published alongside so the spread is
+    # visible instead of adjudicated.
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    runs: list[dict[str, float]] = []
+    for _ in range(n_runs):
+        pass_timings: dict[str, float] = {}
+        for name in HEADLINE:
+            fn = queries[name]
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            pass_timings[name] = time.time() - t0
+        runs.append(pass_timings)
+    timings = {
+        name: round(sorted(run[name] for run in runs)[n_runs // 2], 3)
+        for name in HEADLINE
+    }
 
     total = round(sum(timings.values()), 3)
+    setup_total = round(sum(setup_secs.values()), 3)
     payload = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -389,11 +405,18 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf),
         "n_queries": len(timings),
+        "aggregation": f"per-query median of {n_runs} back-to-back runs",
+        "runs_total_raw": [
+            round(sum(run.values()), 3) for run in runs
+        ],
         # One-time artifact costs (cache fills, index training, staged
         # layout writes, warmup) — kept separate from per-query timings
-        # so accounting moves can't masquerade as plan wins.
+        # so accounting moves can't masquerade as plan wins. The
+        # cold_total line keeps round-over-round deltas apples-to-
+        # apples with rounds that timed cold paths inline (ADVICE r7).
         "setup": setup_secs,
-        "setup_total": round(sum(setup_secs.values()), 3),
+        "setup_total": setup_total,
+        "cold_total_incl_setup": round(total + setup_total, 3),
     }
     # Full per-query detail always lands in the repo for the judge.
     with open(
@@ -411,6 +434,7 @@ def main() -> None:
     line_payload = dict(payload)
     line_payload["detail"] = "BENCH_FULL.json"
     del line_payload["setup"]  # per-artifact detail lives in BENCH_FULL
+    del line_payload["aggregation"]  # ditto — keep the line small
     kept: dict[str, float] = {}
     line_payload["queries"] = kept  # alias: the loop mutates kept in place
     for name, secs in sorted(timings.items(), key=lambda kv: -kv[1]):
