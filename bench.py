@@ -229,6 +229,8 @@ HEADLINE = [
     "graph_neardup_cc_exact",
     "dedup_keep_best_canonical",
     "sim_matryoshka_prefix_recall",
+    # round-8 addition: stateful predictive audio codec (IMA ADPCM)
+    "mm_adpcm_decode_features",
 ]
 
 
