@@ -229,8 +229,10 @@ HEADLINE = [
     "graph_neardup_cc_exact",
     "dedup_keep_best_canonical",
     "sim_matryoshka_prefix_recall",
-    # round-8 addition: stateful predictive audio codec (IMA ADPCM)
+    # round-8 additions: stateful predictive audio codec (IMA ADPCM),
+    # library-free protobuf wire-format ingestion
     "mm_adpcm_decode_features",
+    "src_protobuf_wire_scan",
 ]
 
 
@@ -356,6 +358,7 @@ def main() -> None:
         # the partitioned scan / archive parse
         "src_sqlite_partitioned_scan",
         "src_warc_scan",
+        "src_protobuf_wire_scan",
     ):
         queries[staged](spark, sf_dir).write.format("noop").mode(
             "overwrite"

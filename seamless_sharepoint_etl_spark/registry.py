@@ -326,11 +326,11 @@ _GRADE_FIRST_R7_FULL = _GRADE_FIRST_R7 + [
 # Any query registered during round 7 must be inserted at the head and
 # the tail trimmed (closure guard enforces coverage).
 _GRADE_FIRST_R8_FULL = [
-    # round-8 addition: IMA ADPCM (stateful predictive audio codec,
-    # recursive-CTE oracle) — registered this round, must lead so it
-    # gets its first driver row; one oldest-green tail slot trimmed
-    # (udf_scalar_pandas, deferred to r9) to keep the window at 50
+    # round-8 additions lead so each gets its first driver row; one
+    # oldest-green tail slot trimmed per addition (udf_scalar_pandas,
+    # udf_python_udtf — deferred to r9) to keep the window at 50
     "mm_adpcm_decode_features",
+    "src_protobuf_wire_scan",
     "set_distinct",
     "set_intersect",
     "set_except",
@@ -382,7 +382,6 @@ _GRADE_FIRST_R8_FULL = [
     "text_token_stats",
     "udf_apply_in_pandas",
     "udf_grouped_agg_pandas",
-    "udf_python_udtf",
 ]
 
 # LIVE round-8 window (swapped as round 8's first commit, per the
