@@ -2705,6 +2705,273 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# REAL image codec #4: BMP with RLE8 compression (BI_RLE8). The last
+# classic raster family after deflate (PNG), Huffman+DCT (JPEG) and
+# LZW (GIF): Microsoft's run-length escape coding — (count, value)
+# run pairs, and escape pairs (0, n) for end-of-line, end-of-bitmap,
+# positional DELTA jumps, and word-padded ABSOLUTE (literal) blocks —
+# plus BMP's bottom-up row order, which the decoder must flip. The
+# encoder makes real policy choices (runs >= 3 run-encoded and split
+# at 255; shorter literals merged into absolute blocks; 1-2 strays as
+# run pairs), and the position-weighted checksum in the output
+# catches any row-order or delta-accounting mistake, not just value
+# histograms. Pixels are palette indexes = the cycled printable body,
+# so decoded features are a closed-form function of the body — the
+# oracle re-derives the VALUES, which only match if RLE8 round-trips
+# exactly (the PNG/GIF proof shape).
+# ---------------------------------------------------------------------------
+
+BMP_W, BMP_H = 32, 16
+_BMP_BODY_LEN = BMP_W * BMP_H
+_BMP_OFFBITS = 14 + 40 + 256 * 4  # file header + info header + palette
+
+
+class BmpDecodeError(ValueError):
+    """Malformed/truncated/unsupported BMP payload (explicit raise —
+    same policy as the other codec decoders)."""
+
+
+def _bneed(cond: bool, msg: str) -> None:
+    if not cond:
+        raise BmpDecodeError(f"bad BMP payload: {msg}")
+
+
+def _bmp_headers(data_len: int) -> bytes:
+    """BITMAPFILEHEADER + BITMAPINFOHEADER (biCompression=1, BI_RLE8)
+    + a 256-entry grayscale BGRA palette. Positive biHeight = the
+    spec's bottom-up row order."""
+    import struct
+
+    file_hdr = b"BM" + struct.pack(
+        "<IHHI", _BMP_OFFBITS + data_len, 0, 0, _BMP_OFFBITS
+    )
+    info_hdr = struct.pack(
+        "<IiiHHIIiiII",
+        40, BMP_W, BMP_H, 1, 8, 1, data_len, 2835, 2835, 256, 0,
+    )
+    palette = b"".join(bytes((i, i, i, 0)) for i in range(256))
+    return file_hdr + info_hdr + palette
+
+
+def _rle8_encode_row(row: bytes) -> bytes:
+    """RLE8-encode one pixel row (no EOL marker — the caller appends
+    escapes). Real encoder policy: maximal byte runs of length >= 3
+    become encoded-run pairs, split at the 255 count cap; shorter
+    material accumulates into literal stretches, emitted as ABSOLUTE
+    blocks (0, n, bytes..., word pad) when n >= 3 — the spec's
+    minimum — and as (1, v)/(2-as-two-runs) pairs otherwise."""
+    out = bytearray()
+    lit = bytearray()
+
+    def flush_lit() -> None:
+        nonlocal lit, out
+        i = 0
+        while len(lit) - i >= 3:
+            n = min(255, len(lit) - i)
+            if n == len(lit) - i - 1:  # avoid a 1-byte orphan tail
+                n -= 1
+            out.append(0)
+            out.append(n)
+            out += lit[i : i + n]
+            if n % 2:
+                out.append(0)  # absolute blocks pad to word boundary
+            i += n
+        for b in lit[i:]:
+            out.append(1)
+            out.append(b)
+        lit = bytearray()
+
+    i = 0
+    while i < len(row):
+        j = i
+        while j < len(row) and row[j] == row[i]:
+            j += 1
+        run = j - i
+        if run >= 3:
+            flush_lit()
+            while run > 0:
+                n = min(255, run)
+                out.append(n)
+                out.append(row[i])
+                run -= n
+        else:
+            lit += row[i:j]
+        i = j
+    flush_lit()
+    return bytes(out)
+
+
+def _rle8_decode(data: bytes, w: int, h: int):
+    """Full BI_RLE8 state machine: run pairs, EOL (0,0), EOB (0,1),
+    DELTA (0,2,dx,dy), ABSOLUTE (0,n>=3 + word pad). Returns the
+    image TOP-DOWN row-major (flipping BMP's bottom-up storage);
+    skipped pixels (delta/early EOL) are zero-filled. Raises
+    BmpDecodeError on overruns or truncation."""
+    import numpy as np
+
+    img = np.zeros((h, w), np.uint8)  # storage order (bottom-up rows)
+    x = 0
+    y = 0  # y counts stored rows from the bottom
+    pos = 0
+    ended = False
+    while pos < len(data):
+        _bneed(pos + 2 <= len(data), "escape/run pair truncated")
+        a, b = data[pos], data[pos + 1]
+        pos += 2
+        if a > 0:  # encoded run
+            _bneed(y < h and x + a <= w, "run overflows the row")
+            img[y, x : x + a] = b
+            x += a
+        elif b == 0:  # end of line
+            _bneed(y < h, "EOL past the last row")
+            x, y = 0, y + 1
+        elif b == 1:  # end of bitmap
+            ended = True
+            break
+        elif b == 2:  # delta jump
+            _bneed(pos + 2 <= len(data), "delta operands truncated")
+            dx, dy = data[pos], data[pos + 1]
+            pos += 2
+            _bneed(y + dy < h and x + dx <= w, "delta jumps out of image")
+            x, y = x + dx, y + dy
+        else:  # absolute mode: b literal bytes, word-padded
+            n = b
+            pad = n % 2
+            _bneed(pos + n + pad <= len(data), "absolute block truncated")
+            _bneed(y < h and x + n <= w, "absolute block overflows the row")
+            img[y, x : x + n] = np.frombuffer(
+                data, np.uint8, count=n, offset=pos
+            )
+            x += n
+            pos += n + pad
+    _bneed(ended, "missing end-of-bitmap escape")
+    return img[::-1].reshape(-1)  # flip bottom-up storage to top-down
+
+
+def with_bmp_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → VALID RLE8-compressed BMP files: per-doc headers
+    (the file/info headers carry the per-payload biSizeImage), the
+    grayscale palette, and the REAL RLE8-encoded pixel data, rows
+    stored bottom-up with EOL escapes and a final EOB. The encoder
+    runs worker-side in an Arrow-batched mapInPandas (the GIF/PNG
+    hop)."""
+    raw = io.load_table_parallel(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(_cycled_body(_BMP_BODY_LEN), "utf-8").alias("raw")
+    )
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for body in pdf["raw"]:
+                px = bytes(body)
+                data = bytearray()
+                for r in range(BMP_H):  # bottom-up storage order
+                    row = px[(BMP_H - 1 - r) * BMP_W : (BMP_H - r) * BMP_W]
+                    data += _rle8_encode_row(row)
+                    data += b"\x00\x00"  # EOL
+                data += b"\x00\x01"  # EOB
+                payloads.append(_bmp_headers(len(data)) + bytes(data))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return raw.mapInPandas(enc, "doc_id LONG, payload BINARY")
+
+
+def bmp_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode the RLE8 BMP payloads and extract image features: header
+    walk (magic, offsets, BI_RLE8, geometry), full escape-coded RLE
+    decode with the bottom-up flip, then exact integer stats INCLUDING
+    a position-weighted checksum over the top-down pixel order — the
+    stat that fails if rows are unflipped, deltas mis-accounted, or
+    absolute padding skipped. The oracle re-derives everything from
+    the byte construction, so a hash match proves the RLE8 round trip.
+
+    Scale: payloads ride Arrow once; RLE decode is linear in encoded
+    bytes; a handful of ints per image shuffles."""
+    import struct
+
+    p = with_bmp_payload(spark, sf_dir)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                _bneed(len(buf) >= _BMP_OFFBITS, "header truncated")
+                _bneed(buf[0:2] == b"BM", "missing BM magic")
+                off = struct.unpack("<I", buf[10:14])[0]
+                _bneed(off == _BMP_OFFBITS, "unexpected pixel offset")
+                (
+                    bisize, w, h, planes, bpp, comp, size_img,
+                ) = struct.unpack("<IiiHHII", buf[14:38])
+                _bneed(bisize == 40, "not a BITMAPINFOHEADER")
+                _bneed(
+                    (w, h, planes, bpp, comp) == (BMP_W, BMP_H, 1, 8, 1),
+                    f"geometry/compression mismatch {(w, h, planes, bpp, comp)}",
+                )
+                _bneed(
+                    len(buf) >= off + size_img, "pixel data truncated"
+                )
+                px = _rle8_decode(buf[off : off + size_img], w, h)
+                s = px.astype(np.int64)
+                idx = np.arange(1, s.size + 1, dtype=np.int64)
+                out.append(
+                    [
+                        doc_id,
+                        int(w),
+                        int(h),
+                        int(s.size),
+                        int((s.sum() * 1000) // s.size),
+                        int(s.max()),
+                        int(s.min()),
+                        int(np.unique(s).size),
+                        int((idx * s).sum()),
+                    ]
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "width", "height", "n_pixels",
+                    "idx_mean_milli", "idx_max", "idx_min",
+                    "n_distinct_idx", "pos_weighted",
+                ],
+            )
+
+    return p.mapInPandas(
+        run,
+        "doc_id LONG, width INT, height INT, n_pixels LONG,"
+        " idx_mean_milli LONG, idx_max LONG, idx_min LONG,"
+        " n_distinct_idx LONG, pos_weighted LONG",
+    ).orderBy("doc_id")
+
+
+BMP_DECODE_SQL = f"""
+WITH body AS (
+  SELECT doc_id,
+         {_cycled_body_sql(_BMP_BODY_LEN)} AS s
+  FROM documents
+), px AS (
+  SELECT doc_id, i, ascii(substr(s, i + 1, 1)) AS idx
+  FROM body, unnest(range(0, {_BMP_BODY_LEN})) AS t(i)
+)
+SELECT doc_id,
+       {BMP_W} AS width, {BMP_H} AS height,
+       count(*) AS n_pixels,
+       CAST(sum(idx) AS BIGINT) * 1000 // count(*) AS idx_mean_milli,
+       max(idx) AS idx_max,
+       min(idx) AS idx_min,
+       count(DISTINCT idx) AS n_distinct_idx,
+       CAST(sum((i + 1) * idx) AS BIGINT) AS pos_weighted
+FROM px
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "mm_binary_metadata": (binary_metadata, BINARY_METADATA_SQL),
     "mm_decode_stub_features": (decode_stub_features, None),
@@ -2723,4 +2990,5 @@ QUERIES = {
     "mm_alaw_decode_features": (alaw_decode_features, ALAW_DECODE_SQL),
     "mm_gif_decode_features": (gif_decode_features, GIF_DECODE_SQL),
     "mm_adpcm_decode_features": (adpcm_decode_features, ADPCM_DECODE_SQL),
+    "mm_bmp_rle8_decode_features": (bmp_decode_features, BMP_DECODE_SQL),
 }

@@ -328,9 +328,11 @@ _GRADE_FIRST_R7_FULL = _GRADE_FIRST_R7 + [
 _GRADE_FIRST_R8_FULL = [
     # round-8 additions lead so each gets its first driver row; one
     # oldest-green tail slot trimmed per addition (udf_scalar_pandas,
-    # udf_python_udtf — deferred to r9) to keep the window at 50
+    # udf_python_udtf, udf_grouped_agg_pandas — deferred to r9) to
+    # keep the window at 50
     "mm_adpcm_decode_features",
     "src_protobuf_wire_scan",
+    "mm_bmp_rle8_decode_features",
     "set_distinct",
     "set_intersect",
     "set_except",
@@ -381,7 +383,6 @@ _GRADE_FIRST_R8_FULL = [
     "text_tfidf_top_terms",
     "text_token_stats",
     "udf_apply_in_pandas",
-    "udf_grouped_agg_pandas",
 ]
 
 # LIVE round-8 window (swapped as round 8's first commit, per the
