@@ -98,13 +98,46 @@ GROUP BY train_doc, eval_doc, s.n_sh
 # ---------------------------------------------------------------------------
 
 
+# LN2_MICRO / the fxlog2 frac scale convert a sum of portable
+# fixed-point log2 terms into rounded basis points of nats:
+#   nll_bp = round( (Σ fxlog2(total, cnt)) / n · ln2 · 10^4 / 2^16 )
+#          = (2·s·LN2_MICRO + D) div (2·D),  D = n · 2^16 · 100
+# — pure BIGINT on both engines (Spark `div` and DuckDB `//` both
+# truncate; operands are positive so truncation == floor). Headroom:
+# s ≤ n·43·2^16, so 2·s·LN2_MICRO < 2^63 for any n < 2^24 tokens/doc.
+_LN2_MICRO = 693147  # ln(2) · 10^6, the agg_hll_portable constant
+_NLL_DEN = (1 << portable.FXLOG2_FRAC_BITS) * 100
+# fxlog2's q20 normalization needs a·2^20 < 2^63 (portable.py)
+_NLL_DOMAIN_BOUND = 1 << 43
+
+
+def _nll_bp_expr(s: str, n: str) -> str:
+    """Rounded nll basis points from a fxlog2 term sum — identical
+    text for Spark (div) and DuckDB (//) modulo the division token."""
+    return (
+        f"(2 * {s} * {_LN2_MICRO} + {n} * {_NLL_DEN})"
+        f" {{div}} (2 * {n} * {_NLL_DEN})"
+    )
+
+
 def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document average negative log-likelihood under the corpus's
     own unigram model — the cheap, fully-distributed analog of the
     KenLM perplexity filters used to score crawl quality.
 
+    Portability: the per-token term is portable.fxlog2(g_total, cnt)
+    — pure-BIGINT digit extraction, bit-identical across engines BY
+    CONSTRUCTION — not libm ln(), whose last-ulp rounding the two
+    engines don't guarantee to agree on (this family was the last
+    libm exposure after diag_mutual_information's port; VERDICT r7).
+    The ratio is ≥ 1 by construction (cnt ≤ g_total), the sweet spot
+    of fxlog2's precision; the METRIC is defined as this algorithm.
+    g_total is collected as a one-row frontier (the MI guard pattern)
+    both to enforce the a < 2^43 fixed-point domain and to inline the
+    scalar, replacing the old crossJoin(broadcast(total)).
+
     Scale shape: the vocabulary aggregate is a classic map-side-partial
-    hash agg (vocab ≪ corpus); the trained model (token → ln p) is
+    hash agg (vocab ≪ corpus); the trained model (token → fxlog2) is
     broadcast back, so scoring is a broadcast join + one doc_id agg —
     the corpus-sized relation shuffles once, on doc_id. The narrow
     (doc_id, token) relation is the session-cached ``_token_relation``
@@ -114,34 +147,65 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     toks = _token_relation(spark, sf_dir)
     vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
-    total = vocab.agg(F.sum("cnt").alias("g_total"))
-    lm = vocab.crossJoin(F.broadcast(total)).select(
-        "token", F.log(F.col("cnt") / F.col("g_total")).alias("lnp")
+    g_total = vocab.agg(F.sum("cnt")).collect()[0][0] or 0
+    if g_total >= _NLL_DOMAIN_BOUND:
+        raise ValueError(
+            "unigram_logprob: corpus token count >= 2^43 exceeds the "
+            "fxlog2 fixed-point domain — pre-scale (divide counts by a "
+            "common power of two) before the log (see portable.py)"
+        )
+    lm = vocab.select(
+        "token",
+        F.lit(int(g_total)).cast("long").alias("a"),
+        F.col("cnt").cast("long").alias("b"),
     )
+    for name, expr in portable.fxlog2_steps("div"):
+        lm = lm.withColumn(name, F.expr(expr))
+    lm = lm.select("token", "fxlog2")
     return (
         toks.join(F.broadcast(lm), "token")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("lnp").alias("s"))
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("fxlog2").cast("long").alias("s"),
+        )
         .select(
             "doc_id",
             "n_tokens",
-            F.floor((-F.col("s") / F.col("n_tokens")) * 10000 + F.lit(0.5))
+            F.expr(_nll_bp_expr("s", "n_tokens").format(div="div"))
             .cast("long")
             .alias("nll_bp"),
         )
     )
 
 
-UNIGRAM_LOGPROB_SQL = """
+def _unigram_logprob_sql() -> str:
+    steps = portable.fxlog2_steps("//")
+    ctes = []
+    prev = "base"
+    for j, (name, expr) in enumerate(steps):
+        ctes.append(f"u{j} AS (SELECT *, {expr} AS {name} FROM {prev})")
+        prev = f"u{j}"
+    return f"""
 WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
 v AS (SELECT token, count(*) AS cnt FROM t GROUP BY token),
-g AS (SELECT sum(cnt) AS g_total FROM v),
-lm AS (SELECT token, ln(CAST(cnt AS DOUBLE) / g_total) AS lnp FROM v, g)
-SELECT doc_id, count(*) AS n_tokens,
-       CAST(floor((-sum(lnp) / count(*)) * 10000 + 0.5) AS BIGINT) AS nll_bp
-FROM t JOIN lm USING (token)
-GROUP BY doc_id
+g AS (SELECT CAST(sum(cnt) AS BIGINT) AS g_total FROM v),
+base AS (SELECT token, g_total AS a, CAST(cnt AS BIGINT) AS b FROM v, g),
+{", ".join(ctes)},
+lm AS (SELECT token, fxlog2 FROM {prev}),
+d AS (
+  SELECT doc_id, count(*) AS n_tokens, CAST(sum(fxlog2) AS BIGINT) AS s
+  FROM t JOIN lm USING (token)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       CAST({_nll_bp_expr("s", "n_tokens").format(div="//")} AS BIGINT)
+         AS nll_bp
+FROM d
 """
+
+
+UNIGRAM_LOGPROB_SQL = _unigram_logprob_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -640,26 +704,54 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text import _bigram_relation
 
     bg = _bigram_relation(spark, sf_dir)
+    # fxlog2 domain guard on a one-row frontier (the MI pattern):
+    # max(c1) ≤ the total bigram count, an O(1)-row agg over the
+    # session-cached bigram relation
+    n_bg = bg.agg(F.count(F.lit(1))).collect()[0][0] or 0
+    if n_bg >= _NLL_DOMAIN_BOUND:
+        raise ValueError(
+            "bigram_logprob: corpus bigram count >= 2^43 exceeds the "
+            "fxlog2 fixed-point domain — pre-scale the model counts "
+            "before the log (see portable.py)"
+        )
     c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    # per-model-row term: fxlog2(c1, c2) = log2(c1/c2)·2^16 ≥ 0 —
+    # pure-BIGINT portable log, not libm (see unigram_logprob)
     lm = c2.join(c1, "w1").select(
-        "w1", "w2", F.log(F.col("c2") / F.col("c1")).alias("lnp")
+        "w1",
+        "w2",
+        F.col("c1").cast("long").alias("a"),
+        F.col("c2").cast("long").alias("b"),
     )
+    for name, expr in portable.fxlog2_steps("div"):
+        lm = lm.withColumn(name, F.expr(expr))
+    lm = lm.select("w1", "w2", "fxlog2")
     return (
         bg.join(lm, ["w1", "w2"])
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum("lnp").alias("s"))
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("fxlog2").cast("long").alias("s"),
+        )
         .select(
             "doc_id",
             "n_bigrams",
-            F.floor((-F.col("s") / F.col("n_bigrams")) * 10000 + F.lit(0.5))
+            F.expr(_nll_bp_expr("s", "n_bigrams").format(div="div"))
             .cast("long")
             .alias("nll_bp"),
         )
     )
 
 
-BIGRAM_LOGPROB_SQL = """
+def _bigram_logprob_sql() -> str:
+    steps = portable.fxlog2_steps("//")
+    ctes = []
+    prev = "base"
+    for j, (name, expr) in enumerate(steps):
+        ctes.append(f"b{j} AS (SELECT *, {expr} AS {name} FROM {prev})")
+        prev = f"b{j}"
+    return f"""
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
 bg AS (
   SELECT doc_id, a[i] AS w1, a[i + 1] AS w2
@@ -667,13 +759,23 @@ bg AS (
 ),
 c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
 c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1),
-lm AS (SELECT w1, w2, ln(CAST(c2 AS DOUBLE) / c1) AS lnp
-       FROM c2 JOIN c1 USING (w1))
-SELECT doc_id, count(*) AS n_bigrams,
-       CAST(floor((-sum(lnp) / count(*)) * 10000 + 0.5) AS BIGINT) AS nll_bp
-FROM bg JOIN lm USING (w1, w2)
-GROUP BY doc_id
+base AS (SELECT w1, w2, c1 AS a, CAST(c2 AS BIGINT) AS b
+         FROM c2 JOIN c1 USING (w1)),
+{", ".join(ctes)},
+lm AS (SELECT w1, w2, fxlog2 FROM {prev}),
+d AS (
+  SELECT doc_id, count(*) AS n_bigrams, CAST(sum(fxlog2) AS BIGINT) AS s
+  FROM bg JOIN lm USING (w1, w2)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams,
+       CAST({_nll_bp_expr("s", "n_bigrams").format(div="//")} AS BIGINT)
+         AS nll_bp
+FROM d
 """
+
+
+BIGRAM_LOGPROB_SQL = _bigram_logprob_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -715,17 +817,9 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-PERPLEXITY_BUCKETS_SQL = """
-WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
-v AS (SELECT token, count(*) AS cnt FROM t GROUP BY token),
-g AS (SELECT sum(cnt) AS g_total FROM v),
-lm AS (SELECT token, ln(CAST(cnt AS DOUBLE) / g_total) AS lnp FROM v, g),
-nll AS (
-  SELECT doc_id,
-         CAST(floor((-sum(lnp) / count(*)) * 10000 + 0.5) AS BIGINT) AS nll_bp
-  FROM t JOIN lm USING (token)
-  GROUP BY doc_id
-), cuts AS (
+PERPLEXITY_BUCKETS_SQL = f"""
+WITH nll AS ({_unigram_logprob_sql()}),
+cuts AS (
   SELECT quantile_cont(nll_bp, CAST(1 AS DOUBLE)/3) AS c1,
          quantile_cont(nll_bp, CAST(2 AS DOUBLE)/3) AS c2
   FROM nll

@@ -433,6 +433,47 @@ def test_curation_ops_survive_degenerate_docs(spark, tmp_path):
     curation.contamination_overlap(spark, d).collect()
 
 
+def test_logprob_fxlog2_metric_tracks_libm_ln(spark):
+    """The unigram/bigram nll_bp metric is DEFINED as the portable
+    fxlog2 algorithm (bit-identical across engines by construction —
+    the round-8 port off libm ln). Sanity-pin that the fixed-point
+    metric tracks an independent float64 libm computation within 2
+    basis points on the real corpus, so the port changed rounding, not
+    meaning."""
+    import math
+    from collections import Counter
+
+    import duckdb
+
+    from seamless_sharepoint_etl_spark.llm_ops import curation
+
+    rows = {
+        r["doc_id"]: r
+        for r in curation.unigram_logprob(spark, SF_DIR).collect()
+    }
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF_DIR}/documents.parquet')"
+    ).fetchall()
+    vocab: Counter = Counter()
+    per_doc: dict = {}
+    for doc_id, text in docs:
+        toks = [t for t in (text or "").split(" ") if True]
+        per_doc[doc_id] = toks
+        vocab.update(toks)
+    g_total = sum(vocab.values())
+    checked = 0
+    for doc_id, toks in per_doc.items():
+        if doc_id not in rows or not toks:
+            continue
+        ref = sum(-math.log(vocab[t] / g_total) for t in toks) / len(toks)
+        ref_bp = ref * 10000
+        assert abs(rows[doc_id]["nll_bp"] - ref_bp) <= 2.0, (
+            f"doc {doc_id}: fx={rows[doc_id]['nll_bp']} libm={ref_bp:.2f}"
+        )
+        checked += 1
+    assert checked >= 100
+
+
 def test_semantic_dedup_prunes_only_true_neardups(spark):
     """SemDeDup gate: (a) every pruned vector has an exact-cosine
     near-dup partner (prune ⊆ truth — the IVF blocking must never
