@@ -233,8 +233,10 @@ HEADLINE = [
     # library-free protobuf wire-format ingestion
     "mm_adpcm_decode_features",
     "src_protobuf_wire_scan",
-    # round-8: BI_RLE8 escape codec (delta/absolute/EOL/EOB)
+    # round-8: BI_RLE8 escape codec (delta/absolute/EOL/EOB), SAX
+    # symbolic series indexing
     "mm_bmp_rle8_decode_features",
+    "ts_sax_symbolic",
 ]
 
 

@@ -779,6 +779,125 @@ ORDER BY r.event_type
 """
 
 
+SAX_SEGMENTS = 8  # PAA word length
+SAX_ALPHA = 4  # alphabet size (a..d)
+
+
+def sax_symbolic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolic representation (Lin/Keogh et al. 2003) of each
+    event type's daily-revenue series: PAA-segment the calendar span
+    into SAX_SEGMENTS pieces, then discretize each segment mean into a
+    SAX_ALPHA-letter alphabet — the classic index for whole-series
+    similarity search, motif discovery, and anomaly grouping over
+    millions of series.
+
+    This is the RANK-based (equi-depth) breakpoint variant: a segment's
+    symbol is its segment-mean's rank quartile within the series,
+    instead of the Gaussian-quantile z-cut. That choice is what makes
+    the metric exact: segment means enter one IEEE double division
+    each (identical bits in both engines), ranks are windowed
+    row_numbers with a deterministic segment-index tie-break, and no
+    libm call or float accumulation appears anywhere. Calendar gaps
+    simply leave a segment absent (the word shortens); the segment map
+    s = days_since_start · W div span is pure integer arithmetic.
+
+    Shape: one corpus shuffle to the daily aggregate, one tiny
+    (type × ≤W segments) relation after that — windows and the word
+    assembly run on ≤ n_types·W rows. At 100 TB the post-daily cost
+    depends on the CALENDAR and type count, not the corpus.
+    """
+    ev = io.load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        ).alias("cents")
+    )
+    bounds = daily.groupBy("event_type").agg(
+        F.min("d").alias("d0"),
+        F.max("d").alias("d1"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    seg = (
+        daily.join(bounds, "event_type")
+        .withColumn(
+            "s",
+            F.expr(
+                f"datediff(d, d0) * {SAX_SEGMENTS}"
+                " div (datediff(d1, d0) + 1)"
+            ),
+        )
+        .groupBy("event_type", "s")
+        .agg(
+            F.sum("cents").alias("ss"),
+            F.count(F.lit(1)).alias("sn"),
+            F.max("n_days").alias("n_days"),
+        )
+        .withColumn("m", F.expr("CAST(ss AS DOUBLE) / sn"))
+    )
+    w_rank = Window.partitionBy("event_type").orderBy("m", "s")
+    w_all = Window.partitionBy("event_type")
+    sym = (
+        seg.withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("nseg", F.count(F.lit(1)).over(w_all))
+        .withColumn(
+            "sym",
+            F.expr(f"char(97 + (rn - 1) * {SAX_ALPHA} div nseg)"),
+        )
+    )
+    return (
+        sym.groupBy("event_type")
+        .agg(
+            F.max("n_days").alias("n_days"),
+            F.count(F.lit(1)).alias("n_segments"),
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                "struct(s, sym))), x -> x.sym), '')"
+            ).alias("sax_word"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SAX_SYMBOLIC_SQL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, min(d) AS d0, max(d) AS d1, count(*) AS n_days
+  FROM daily GROUP BY 1
+),
+seg AS (
+  SELECT daily.event_type,
+         (daily.d - d0) * {SAX_SEGMENTS} // (d1 - d0 + 1) AS s,
+         CAST(sum(cents) AS BIGINT) AS ss,
+         count(*) AS sn,
+         max(n_days) AS n_days
+  FROM daily JOIN bounds USING (event_type)
+  GROUP BY 1, 2
+),
+sym AS (
+  SELECT event_type, s, n_days,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY CAST(ss AS DOUBLE) / sn, s
+         ) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS nseg
+  FROM seg
+)
+SELECT event_type,
+       CAST(max(n_days) AS BIGINT) AS n_days,
+       count(*) AS n_segments,
+       string_agg(chr(97 + CAST((rn - 1) * {SAX_ALPHA} // nseg AS INTEGER)),
+                  '' ORDER BY s) AS sax_word
+FROM sym
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type OLS trend of daily revenue — the monitoring primitive
     behind "is this series drifting": slope of daily cents on day
@@ -2023,6 +2142,7 @@ QUERIES = {
     "ts_holt_linear": (holt_linear, HOLT_LINEAR_SQL),
     "ts_cusum_changepoint": (cusum_changepoint, CUSUM_SQL),
     "ts_theil_sen": (theil_sen_slope, THEIL_SEN_SQL),
+    "ts_sax_symbolic": (sax_symbolic, SAX_SYMBOLIC_SQL),
     "ts_linear_interpolate": (linear_interpolate, LINEAR_INTERPOLATE_SQL),
     "ts_daily_zscore_anomalies": (daily_zscore_anomalies, DAILY_ZSCORE_SQL),
     "ts_lttb_downsample": (lttb_downsample, None),

@@ -326,13 +326,19 @@ _GRADE_FIRST_R7_FULL = _GRADE_FIRST_R7 + [
 # Any query registered during round 7 must be inserted at the head and
 # the tail trimmed (closure guard enforces coverage).
 _GRADE_FIRST_R8_FULL = [
-    # round-8 additions lead so each gets its first driver row; one
-    # oldest-green tail slot trimmed per addition (udf_scalar_pandas,
-    # udf_python_udtf, udf_grouped_agg_pandas — deferred to r9) to
-    # keep the window at 50
+    # round-8 additions lead so each gets its first driver row, and
+    # the fxlog2-ported logprob family re-grades next (their r6 rows
+    # carry pre-port values). One tail slot trimmed per insertion
+    # (udf_scalar_pandas, udf_python_udtf, udf_grouped_agg_pandas,
+    # udf_apply_in_pandas, text_token_stats, text_tfidf_top_terms,
+    # text_quality_score — all deferred to r9) to keep the window at 50
     "mm_adpcm_decode_features",
     "src_protobuf_wire_scan",
     "mm_bmp_rle8_decode_features",
+    "ts_sax_symbolic",
+    "text_unigram_logprob",
+    "text_bigram_logprob",
+    "text_perplexity_buckets",
     "set_distinct",
     "set_intersect",
     "set_except",
@@ -379,10 +385,6 @@ _GRADE_FIRST_R8_FULL = [
     "text_clean_normalize",
     "text_langid_confusion",
     "text_mixture_sample",
-    "text_quality_score",
-    "text_tfidf_top_terms",
-    "text_token_stats",
-    "udf_apply_in_pandas",
 ]
 
 # LIVE round-8 window (swapped as round 8's first commit, per the

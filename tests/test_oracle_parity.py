@@ -242,10 +242,14 @@ def test_round8_window_is_staged_and_covers_new_queries():
     assert not (set(w8) & set(registry._GRADE_FIRST_R7_FULL)), (
         "round-8 names double-booked in the round-7 window"
     )
-    assert w8[:7] == [
+    assert w8[:11] == [
         "mm_adpcm_decode_features",
         "src_protobuf_wire_scan",
         "mm_bmp_rle8_decode_features",
+        "ts_sax_symbolic",
+        "text_unigram_logprob",
+        "text_bigram_logprob",
+        "text_perplexity_buckets",
         "set_distinct", "set_intersect", "set_except", "graph_kcore",
     ], "r8 priority head changed — update NOTES if deliberate"
     # round-8 era: the swap has landed — the live window must BE the

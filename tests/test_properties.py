@@ -737,6 +737,60 @@ def test_ab_chi_square_matches_textbook_arithmetic(spark):
     assert r["chi2_ppm"] == want
 
 
+def test_sax_word_matches_hand_ranking(spark, tmp_path):
+    """ts_sax_symbolic on crafted series: (a) an 8-day strictly
+    increasing series maps one day per segment and rank-quartiles to
+    'aabbccdd'; a decreasing one to 'ddccbbaa' (rank-based
+    breakpoints, ties impossible); (b) a calendar gap drops its
+    segment — 7-char word, quartiles over 7; (c) a constant series is
+    DETERMINISTIC under the segment-index tie-break ('aabbccdd' —
+    the documented equi-depth property, not a flap)."""
+    import os
+
+    import pandas as pd
+
+    d = str(tmp_path / "sax")
+    os.makedirs(d)
+    base = pd.Timestamp("2024-03-01")
+    rows = []
+    eid = 0
+    for day in range(8):  # increasing
+        eid += 1
+        rows.append((eid, base + pd.Timedelta(days=day), 1, "up",
+                     10.0 * (day + 1), "{}"))
+    for day in range(8):  # decreasing
+        eid += 1
+        rows.append((eid, base + pd.Timedelta(days=day), 1, "down",
+                     10.0 * (8 - day), "{}"))
+    for day in range(8):  # gap at day 3
+        if day == 3:
+            continue
+        eid += 1
+        rows.append((eid, base + pd.Timedelta(days=day), 1, "gap",
+                     10.0 * (day + 1), "{}"))
+    for day in range(8):  # constant
+        eid += 1
+        rows.append((eid, base + pd.Timedelta(days=day), 1, "flat",
+                     42.0, "{}"))
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(os.path.join(d, "events.parquet"))
+
+    from seamless_sharepoint_etl_spark.operators import timeseries as ts
+
+    words = {
+        r["event_type"]: (r["n_days"], r["n_segments"], r["sax_word"])
+        for r in ts.sax_symbolic(spark, d).collect()
+    }
+    assert words["up"] == (8, 8, "aabbccdd")
+    assert words["down"] == (8, 8, "ddccbbaa")
+    # gap: day 3's segment absent; remaining 7 segments rank 1..7,
+    # symbol = (rn-1)*4 // 7 -> a a b b c c d in segment order
+    assert words["gap"] == (7, 7, "aabbccd")
+    assert words["flat"] == (8, 8, "aabbccdd")
+
+
 def test_theil_sen_median_is_a_real_pair_slope(spark):
     """ts_theil_sen: the reported median must equal the lower median of
     the exact pairwise-slope multiset recomputed in Python for one
