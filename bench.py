@@ -237,6 +237,8 @@ HEADLINE = [
     # symbolic series indexing
     "mm_bmp_rle8_decode_features",
     "ts_sax_symbolic",
+    # round-8: bounded-memory frequent tokens (MG sketch + exact pass)
+    "text_heavy_hitters",
 ]
 
 

@@ -1472,8 +1472,87 @@ FROM n ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Misra–Gries heavy hitters with exact candidate verification
+# ---------------------------------------------------------------------------
+
+HH_K = 200  # frequency threshold denominator: heavy = count·K > N
+
+
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Guaranteed-complete frequent-token mining WITHOUT a full-vocab
+    shuffle: per-partition Misra–Gries summaries (capacity HH_K,
+    merged per Arrow batch with the Berinde et al. counter-merge:
+    add the batch counter, then subtract the (k+1)-th largest count
+    from everything and drop non-positives), unioned into a candidate
+    set, then ONE exact counting pass restricted to the broadcast
+    candidates.
+
+    Completeness is a theorem, not a hope: if a token is absent from
+    partition p's capacity-k summary, its count in p is < n_p/k;
+    absent from every partition's summary ⇒ global count < N/k. So
+    the union of summaries (≤ k·partitions rows — bounded, tiny)
+    contains every global heavy hitter, and the exact pass (semi-join
+    against the broadcast candidates, one hash agg) makes the output
+    exact — the sketch only PRUNES, it never decides. The driver
+    oracle is the plain exact GROUP BY/HAVING, so a hash match proves
+    the guarantee held. Threshold compares count·K > N in pure BIGINT
+    (no division).
+
+    At 100 TB this is the shape that works when the vocabulary itself
+    doesn't fit a shuffle: summaries are O(k) per partition regardless
+    of input size, and only candidates (≤ k·P) cross the wire.
+    """
+    import pandas as pd
+
+    toks = _token_relation(spark, sf_dir)
+    n_total = toks.count()  # cheap agg over the session-cached relation
+
+    def mg(batches):
+        from collections import Counter
+
+        summary: Counter = Counter()
+        for pdf in batches:
+            summary.update(Counter(pdf["token"]))
+            if len(summary) > HH_K:
+                # Berinde-style merge: subtract the (k+1)-th largest
+                # count, drop non-positives — the batched MG step
+                kth = sorted(summary.values(), reverse=True)[HH_K]
+                summary = Counter(
+                    {t: c - kth for t, c in summary.items() if c > kth}
+                )
+        yield pd.DataFrame({"token": list(summary.keys())})
+
+    candidates = (
+        toks.select("token").mapInPandas(mg, "token STRING").distinct()
+    )
+    exact = (
+        toks.join(F.broadcast(candidates), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") * HH_K > F.lit(n_total))
+    )
+    return exact.select("token", "cnt").orderBy(
+        F.col("cnt").desc(), "token"
+    )
+
+
+HEAVY_HITTERS_SQL = f"""
+WITH t AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+n AS (SELECT count(*) AS n_total FROM t)
+SELECT token, count(*) AS cnt
+FROM t, n
+GROUP BY token, n_total
+HAVING count(*) * {HH_K} > n_total
+ORDER BY cnt DESC, token
+"""
+
+
 QUERIES = {
     "text_token_stats": (token_stats, TOKEN_STATS_SQL),
+    "text_heavy_hitters": (heavy_hitters, HEAVY_HITTERS_SQL),
     "text_unicode_nfc": (unicode_nfc, UNICODE_NFC_SQL),
     "text_url_canonicalize": (url_canonicalize, URL_CANONICALIZE_SQL),
     "text_token_entropy": (token_entropy, TOKEN_ENTROPY_SQL),

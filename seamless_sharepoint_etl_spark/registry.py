@@ -331,11 +331,13 @@ _GRADE_FIRST_R8_FULL = [
     # carry pre-port values). One tail slot trimmed per insertion
     # (udf_scalar_pandas, udf_python_udtf, udf_grouped_agg_pandas,
     # udf_apply_in_pandas, text_token_stats, text_tfidf_top_terms,
-    # text_quality_score — all deferred to r9) to keep the window at 50
+    # text_quality_score, text_mixture_sample — all deferred to r9) to
+    # keep the window at 50
     "mm_adpcm_decode_features",
     "src_protobuf_wire_scan",
     "mm_bmp_rle8_decode_features",
     "ts_sax_symbolic",
+    "text_heavy_hitters",
     "text_unigram_logprob",
     "text_bigram_logprob",
     "text_perplexity_buckets",
@@ -384,7 +386,6 @@ _GRADE_FIRST_R8_FULL = [
     "text_bigram_tf",
     "text_clean_normalize",
     "text_langid_confusion",
-    "text_mixture_sample",
 ]
 
 # LIVE round-8 window (swapped as round 8's first commit, per the

@@ -433,6 +433,60 @@ def test_curation_ops_survive_degenerate_docs(spark, tmp_path):
     curation.contamination_overlap(spark, d).collect()
 
 
+def test_heavy_hitters_mg_guarantee(spark):
+    """text_heavy_hitters: (a) the output equals the exact GROUP
+    BY/HAVING answer (the sketch only prunes, never decides); (b) the
+    Misra–Gries completeness theorem holds adversarially — on a
+    skew+noise stream in sorted AND shuffled order, every token with
+    count·K > N survives the capacity-K batched merge; (c) summaries
+    respect the K-size bound."""
+    from collections import Counter
+
+    import duckdb
+    import numpy as np
+
+    from seamless_sharepoint_etl_spark.llm_ops import text as tx
+
+    # (a) exact-vs-oracle on the real corpus
+    got = [
+        (r["token"], r["cnt"])
+        for r in tx.heavy_hitters(spark, SF_DIR).collect()
+    ]
+    ref = duckdb.sql(
+        f"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS token
+                       FROM read_parquet('{SF_DIR}/documents.parquet')),
+                n AS (SELECT count(*) AS nt FROM t)
+            SELECT token, count(*) AS cnt FROM t, n
+            GROUP BY token, nt HAVING count(*) * {tx.HH_K} > nt
+            ORDER BY cnt DESC, token"""
+    ).fetchall()
+    assert got == [(t, c) for t, c in ref] and len(got) > 0
+
+    # (b)+(c) adversarial synthetic stream through the same merge step
+    def mg_candidates(stream, k):
+        summary: Counter = Counter()
+        for i in range(0, len(stream), 97):  # odd batch size
+            summary.update(Counter(stream[i : i + 97]))
+            if len(summary) > k:
+                kth = sorted(summary.values(), reverse=True)[k]
+                summary = Counter(
+                    {t: c - kth for t, c in summary.items() if c > kth}
+                )
+            assert len(summary) <= k
+        return set(summary)
+
+    rng = np.random.RandomState(3)
+    heavy = [f"h{i}" for i in range(5)]
+    stream = heavy * 400 + [f"n{i}" for i in range(3000)]
+    n = len(stream)
+    k = 50
+    true_hh = {t for t, c in Counter(stream).items() if c * k > n}
+    assert true_hh == set(heavy)
+    for order in (stream, list(rng.permutation(stream))):
+        cands = mg_candidates(order, k)
+        assert true_hh <= cands, "MG completeness violated"
+
+
 def test_logprob_fxlog2_metric_tracks_libm_ln(spark):
     """The unigram/bigram nll_bp metric is DEFINED as the portable
     fxlog2 algorithm (bit-identical across engines by construction —
