@@ -395,6 +395,68 @@ _GRADE_FIRST_R8_FULL = [
 _GRADE_FIRST = _GRADE_FIRST_R8_FULL
 
 
+# ROUND-9 window, pre-staged (round-9 first commit:
+# `_GRADE_FIRST = _GRADE_FIRST_R9_FULL`). Derived from
+# CORRECTNESS_r01..r07 plus the live r8 window (treated as graded in
+# r8), oldest latest-row first with a name tie-break: the 8 remaining
+# round-2-era rows (the tail slots the r8 additions displaced), then
+# the oldest round-3 rows to fill 50. Any query REGISTERED DURING
+# ROUND 8 after this staging must be inserted at the head and the
+# tail trimmed (closure guard enforces coverage).
+_GRADE_FIRST_R9_FULL = [
+    "text_mixture_sample",
+    "text_quality_score",
+    "text_tfidf_top_terms",
+    "text_token_stats",
+    "udf_apply_in_pandas",
+    "udf_grouped_agg_pandas",
+    "udf_python_udtf",
+    "udf_scalar_pandas",
+    "agg_approx_topk",
+    "agg_bitmap_distinct",
+    "agg_equiwidth_histogram",
+    "agg_hll_partial_merge",
+    "agg_incremental_merge",
+    "agg_mode",
+    "dedup_cdc_chunking",
+    "dedup_neardup_pagerank",
+    "dedup_repeated_spans",
+    "diag_join_key_skew",
+    "emb_centroid_purity",
+    "emb_label_knn_accuracy",
+    "fn_table_fingerprint",
+    "join_fuzzy_name_match",
+    "join_salted_skew",
+    "layout_zorder_stats",
+    "mm_byte_histogram",
+    "mm_frame_sample_checksum",
+    "mm_modality_routing",
+    "rel_merge_upsert",
+    "rel_snapshot_diff",
+    "sim_brp_lsh_topk",
+    "sim_semantic_dedup",
+    "src_csv_scan",
+    "src_rest_stream_scan",
+    "src_xml_scan",
+    "text_cms_heavy_hitters",
+    "text_contamination_overlap",
+    "text_corpus_curation",
+    "text_fingerprint",
+    "text_gopher_quality_rules",
+    "text_pii_scrub",
+    "text_pmi_collocations",
+    "text_sequence_packing",
+    "text_source_reputation",
+    "text_stratified_reservoir",
+    "text_token_budget_alloc",
+    "ts_ewma",
+    "ts_interval_overlap_join",
+    "ts_resample_ffill",
+    "ts_scd2_intervals",
+    "udf_scalar_iter_pandas",
+]
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _sql) in _collect().items()}
 

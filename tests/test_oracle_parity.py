@@ -265,3 +265,43 @@ def test_round8_window_is_staged_and_covers_new_queries():
     assert ungraded <= covered, (
         f"round-7 additions outside both windows: {sorted(ungraded - covered)}"
     )
+
+
+def test_round9_window_is_staged_and_covers_new_queries():
+    """The pre-staged FULL round-9 window: 50 unique registered names,
+    no overlap with the live round-8 window (every slot buys a fresh
+    driver row), leading with the 8 remaining round-2-era rows the r8
+    additions displaced. Coverage duty: any query registered during
+    round 8 AFTER the staging (no CORRECTNESS row, not in the live r8
+    window) must occupy an r9 slot. Era pin: once CORRECTNESS_r08
+    lands, the live window must BE this list."""
+    import glob
+    import json
+    import os
+
+    from seamless_sharepoint_etl_spark import registry
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    graded: set[str] = set()
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        graded |= set(json.load(open(path)))
+    registered = set(registry.queries())
+    w9 = registry._GRADE_FIRST_R9_FULL
+    assert len(w9) == 50, f"round-9 window holds {len(w9)} names, not 50"
+    assert len(w9) == len(set(w9)), "duplicate names in _GRADE_FIRST_R9_FULL"
+    assert set(w9) <= registered, (
+        f"unregistered names staged: {sorted(set(w9) - registered)}"
+    )
+    assert not (set(w9) & set(registry._GRADE_FIRST_R8_FULL)), (
+        "round-9 names double-booked in the round-8 window"
+    )
+    ungraded = registered - graded
+    covered = set(registry._GRADE_FIRST_R8_FULL) | set(w9)
+    assert ungraded <= covered, (
+        f"round-8 additions outside both windows: {sorted(ungraded - covered)}"
+    )
+    if os.path.exists(os.path.join(repo, "CORRECTNESS_r08.json")):
+        assert registry._GRADE_FIRST is registry._GRADE_FIRST_R9_FULL, (
+            "CORRECTNESS_r08 has landed but the live window is not "
+            "_GRADE_FIRST_R9_FULL — the round-9 swap commit is missing"
+        )
