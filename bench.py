@@ -237,8 +237,10 @@ HEADLINE = [
     # symbolic series indexing
     "mm_bmp_rle8_decode_features",
     "ts_sax_symbolic",
-    # round-8: bounded-memory frequent tokens (MG sketch + exact pass)
+    # round-8: bounded-memory frequent tokens (MG sketch + exact pass),
+    # Aho-Corasick dictionary spotting
     "text_heavy_hitters",
+    "text_dictionary_spotting",
 ]
 
 

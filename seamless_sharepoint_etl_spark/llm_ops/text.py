@@ -1550,9 +1550,156 @@ ORDER BY cnt DESC, token
 """
 
 
+# ---------------------------------------------------------------------------
+# Aho–Corasick multi-pattern dictionary spotting
+# ---------------------------------------------------------------------------
+
+# Fixed spotting dictionary (the blocklist/keyword-watch primitive).
+# Deliberately nested — "he" ⊂ "the" ⊂ "then"-style chains exercise
+# the automaton's failure and output links: one position can emit
+# SEVERAL pattern hits, and the metric counts ALL of them (every
+# (pattern, position) match, overlapping included — AC semantics).
+SPOT_PATTERNS = (
+    "a", "an", "can", "scan", "he", "the", "at", "batch", "ch",
+    "order", "rde", "err", "error", "key", "ey", "win", "window",
+    "sort", "or", "stream",
+)
+
+
+def _ac_automaton(patterns):
+    """Build the Aho–Corasick automaton: goto trie, BFS failure
+    links, and output lists merged through the failure chain — the
+    textbook construction (Aho & Corasick 1975)."""
+    from collections import deque
+
+    goto: list[dict] = [{}]
+    out: list[list] = [[]]
+    for pi, p in enumerate(patterns):
+        st = 0
+        for ch in p:
+            nxt = goto[st].get(ch)
+            if nxt is None:
+                goto.append({})
+                out.append([])
+                nxt = len(goto) - 1
+                goto[st][ch] = nxt
+            st = nxt
+        out[st].append(pi)
+    fail = [0] * len(goto)
+    q = deque()
+    for ch, st in goto[0].items():
+        q.append(st)
+    while q:
+        st = q.popleft()
+        for ch, nxt in goto[st].items():
+            q.append(nxt)
+            f = fail[st]
+            while f and ch not in goto[f]:
+                f = fail[f]
+            fail[nxt] = goto[f].get(ch, 0) if goto[f].get(ch, 0) != nxt else 0
+            out[nxt] = out[nxt] + out[fail[nxt]]
+    return goto, fail, out
+
+
+def _ac_count(text: str, goto, fail, out, n_patterns: int):
+    """Run the automaton once over ``text``; per-pattern ALL-match
+    counts (overlapping included)."""
+    counts = [0] * n_patterns
+    st = 0
+    for ch in text:
+        while st and ch not in goto[st]:
+            st = fail[st]
+        st = goto[st].get(ch, 0)
+        for pi in out[st]:
+            counts[pi] += 1
+    return counts
+
+
+def dictionary_spotting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pattern dictionary spotting over the corpus with a REAL
+    Aho–Corasick automaton — the one-pass way to run a large
+    blocklist/keyword watch at 100 TB: the dictionary compiles to an
+    automaton ONCE (here per executor via the kernel closure; a real
+    deployment broadcasts the compiled trie), each document streams
+    through it in O(len + matches) regardless of dictionary size, and
+    only per-doc counters shuffle. The naive alternative — one
+    `contains`/`LIKE` column per pattern — rescans every document
+    |dictionary| times and dies first at scale.
+
+    Metric: ALL (pattern, position) matches, overlapping and nested
+    included — exactly what the output links emit, and exactly what
+    the oracle re-counts position-by-position with a range lambda. A
+    hash match therefore proves the failure/output-link construction,
+    not just happy-path substring search. best_pattern tie-breaks
+    lexicographically smallest among the argmax counts."""
+    import pandas as pd
+
+    d = io.load_table_parallel(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.coalesce("text", F.lit(""))).alias("s")
+    )
+    pats = SPOT_PATTERNS
+
+    def run(batches):
+        goto, fail, out = _ac_automaton(pats)
+        for pdf in batches:
+            rows = []
+            for doc_id, s in zip(pdf["doc_id"], pdf["s"]):
+                counts = _ac_count(s, goto, fail, out, len(pats))
+                n_hits = sum(counts)
+                n_pat = sum(1 for c in counts if c > 0)
+                # lexicographic tie-break on the PATTERN among argmax
+                mx = max(counts)
+                best = min(pats[i] for i in range(len(pats)) if counts[i] == mx)
+                rows.append((doc_id, n_hits, n_pat, best, mx))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_hits", "n_patterns", "best_pattern",
+                    "best_count",
+                ],
+            )
+
+    return d.mapInPandas(
+        run,
+        "doc_id LONG, n_hits LONG, n_patterns LONG,"
+        " best_pattern STRING, best_count LONG",
+    ).orderBy("doc_id")
+
+
+_SPOT_VALUES = ", ".join(f"('{p}')" for p in SPOT_PATTERNS)
+
+DICTIONARY_SPOTTING_SQL = f"""
+WITH pats(p) AS (VALUES {_SPOT_VALUES}),
+d AS (SELECT doc_id, lower(coalesce(text, '')) AS s FROM documents),
+hits AS (
+  SELECT doc_id, p,
+         CAST(coalesce(list_sum(list_transform(
+           range(1, greatest(length(s) - length(p) + 2, 1)),
+           i -> CASE WHEN substr(s, CAST(i AS INTEGER), length(p)) = p
+                THEN 1 ELSE 0 END)), 0) AS BIGINT) AS c
+  FROM d, pats
+),
+agg AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_hits,
+         CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_patterns,
+         CAST(max(c) AS BIGINT) AS best_count
+  FROM hits GROUP BY doc_id
+)
+SELECT agg.doc_id, n_hits, n_patterns,
+       min(hits.p) AS best_pattern,
+       best_count
+FROM agg JOIN hits ON hits.doc_id = agg.doc_id AND hits.c = agg.best_count
+GROUP BY agg.doc_id, n_hits, n_patterns, best_count
+ORDER BY agg.doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": (token_stats, TOKEN_STATS_SQL),
     "text_heavy_hitters": (heavy_hitters, HEAVY_HITTERS_SQL),
+    "text_dictionary_spotting": (dictionary_spotting, DICTIONARY_SPOTTING_SQL),
     "text_unicode_nfc": (unicode_nfc, UNICODE_NFC_SQL),
     "text_url_canonicalize": (url_canonicalize, URL_CANONICALIZE_SQL),
     "text_token_entropy": (token_entropy, TOKEN_ENTROPY_SQL),

@@ -433,6 +433,52 @@ def test_curation_ops_survive_degenerate_docs(spark, tmp_path):
     curation.contamination_overlap(spark, d).collect()
 
 
+def test_dictionary_spotting_is_a_real_aho_corasick(spark):
+    """text_dictionary_spotting: (a) a hand vector pins the output
+    links — 'scan' emits scan+can+an+a at one end position, 'the'
+    emits the+he — i.e. nested patterns all fire (the property naive
+    substring search shares but a broken failure chain loses);
+    (b) 500 random strings over the dictionary alphabet match a
+    brute-force position scan for every pattern (overlapping
+    included); (c) corpus pass is deterministic."""
+    import random
+
+    from seamless_sharepoint_etl_spark.llm_ops import text as tx
+
+    goto, fail, out = tx._ac_automaton(tx.SPOT_PATTERNS)
+    n = len(tx.SPOT_PATTERNS)
+    idx = {p: i for i, p in enumerate(tx.SPOT_PATTERNS)}
+
+    c = tx._ac_count("scan", goto, fail, out, n)
+    assert c[idx["scan"]] == 1 and c[idx["can"]] == 1
+    assert c[idx["an"]] == 1 and c[idx["a"]] == 1
+    c = tx._ac_count("the", goto, fail, out, n)
+    assert c[idx["the"]] == 1 and c[idx["he"]] == 1
+    c = tx._ac_count("window order", goto, fail, out, n)
+    assert c[idx["window"]] == 1 and c[idx["win"]] == 1
+    assert c[idx["order"]] == 1 and c[idx["rde"]] == 1 and c[idx["or"]] == 1
+    c = tx._ac_count("sort or", goto, fail, out, n)
+    assert c[idx["sort"]] == 1 and c[idx["or"]] == 2
+
+    random.seed(5)
+    for _ in range(500):
+        s = "".join(
+            random.choice("athencsorwidbky ")
+            for _ in range(random.randint(0, 120))
+        )
+        got = tx._ac_count(s, goto, fail, out, n)
+        ref = [
+            sum(1 for i in range(len(s) - len(p) + 1) if s[i : i + len(p)] == p)
+            for p in tx.SPOT_PATTERNS
+        ]
+        assert got == ref
+
+    rows = tx.dictionary_spotting(spark, SF_DIR).collect()
+    assert rows and all(r["n_hits"] >= r["best_count"] >= 0 for r in rows)
+    again = tx.dictionary_spotting(spark, SF_DIR).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
 def test_heavy_hitters_mg_guarantee(spark):
     """text_heavy_hitters: (a) the output equals the exact GROUP
     BY/HAVING answer (the sketch only prunes, never decides); (b) the
