@@ -241,6 +241,8 @@ HEADLINE = [
     # Aho-Corasick dictionary spotting
     "text_heavy_hitters",
     "text_dictionary_spotting",
+    # round-8: Hilbert-vs-Z layout locality shootout
+    "layout_hilbert_locality",
 ]
 
 

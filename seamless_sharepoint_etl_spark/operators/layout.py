@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import io
@@ -124,6 +124,224 @@ SELECT zbucket, count(*) AS n_rows,
 FROM m
 GROUP BY zbucket
 """
+
+
+HB_BITS = 8  # Hilbert grid: 256×256 cells, index 0..65535
+HB_BLOCK_CELLS = 256  # cells per locality block (= one "file")
+
+
+def _hilbert_steps(nbits: int = HB_BITS) -> list[tuple[str, str]]:
+    """Sequential (column, expression) pairs computing the Hilbert
+    index ``hidx`` of non-negative integer columns ``x``/``y`` in
+    [0, 2^nbits) — the textbook xy2d unrolled: per level s, extract
+    the quadrant pair (rx, ry), accumulate s²·gray(rx,ry) (the XOR
+    written as arithmetic since rx,ry ∈ {0,1}), then flip+swap the
+    frame when ry = 0. Only &, *, -, +, CASE — one expression text
+    serves BOTH engines (the fxlog2_steps pattern), so the index is
+    bit-identical by construction. Verified exhaustively against a
+    sequential Python xy2d on all 65536 grid points, plus the curve
+    properties (bijection, unit-Manhattan adjacency) in pytest."""
+    steps: list[tuple[str, str]] = [
+        ("hx0", "x"),
+        ("hy0", "y"),
+        ("hd0", "CAST(0 AS BIGINT)"),
+    ]
+    for i in range(nbits):
+        s = 1 << (nbits - 1 - i)
+        steps.append(
+            (f"rx{i}", f"CASE WHEN (hx{i} & {s}) > 0 THEN 1 ELSE 0 END")
+        )
+        steps.append(
+            (f"ry{i}", f"CASE WHEN (hy{i} & {s}) > 0 THEN 1 ELSE 0 END")
+        )
+        steps.append(
+            (
+                f"hd{i + 1}",
+                f"hd{i} + {s * s} *"
+                f" (CASE WHEN rx{i} = 1 THEN 3 - ry{i} ELSE ry{i} END)",
+            )
+        )
+        steps.append(
+            (
+                f"hx{i + 1}",
+                f"CASE WHEN ry{i} = 1 THEN hx{i}"
+                f" WHEN rx{i} = 1 THEN {s} - 1 - hy{i}"
+                f" ELSE hy{i} END",
+            )
+        )
+        steps.append(
+            (
+                f"hy{i + 1}",
+                f"CASE WHEN ry{i} = 1 THEN hy{i}"
+                f" WHEN rx{i} = 1 THEN {s} - 1 - hx{i}"
+                f" ELSE hx{i} END",
+            )
+        )
+    steps.append(("hidx", f"CAST(hd{nbits} AS BIGINT)"))
+    return steps
+
+
+def _morton8_sql(x: str, y: str) -> str:
+    """8-bit Morton interleave via pure arithmetic (no shifts — Spark
+    SQL's parser lacks >>), identical text for both engines."""
+    terms = []
+    for i in range(HB_BITS):
+        p = 1 << i
+        terms.append(f"((({x}) & {p}) * {1 << (i + 1)})")
+        terms.append(f"((({y}) & {p}) * {1 << i})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def hilbert_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout-curve shootout: order the (custkey, order-day) grid by
+    the HILBERT index vs the Z-ORDER (Morton) index and measure
+    locality — the average Manhattan distance between consecutive
+    points within each 256-cell block (≈ one file). Hilbert's defining
+    property (consecutive indexes are unit-adjacent cells) makes its
+    clustering strictly tighter than Z's quadrant jumps; this query
+    quantifies by how much on the real data, which is exactly the
+    evidence a table-layout decision needs before an expensive
+    rewrite.
+
+    Exactness: the Hilbert chain (_hilbert_steps) and the Morton
+    interleave are shared expression TEXT across engines — pure
+    integer &/*/CASE arithmetic, bit-identical by construction.
+    Locality sums are windowed lags PARTITIONED by curve block (never
+    a global-sort window), with a deterministic (idx, ck, day) order;
+    equal keys are identical grid cells, so their pair distance is 0
+    regardless of tie order. At 100 TB both windows shuffle once on
+    their block key; everything else is per-row arithmetic."""
+    o = io.load_table(spark, sf_dir, "orders")
+    raw = o.select(
+        F.col("o_custkey").cast("long").alias("ck"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.to_date(F.lit(ZORDER_EPOCH))
+        )
+        .cast("long")
+        .alias("day"),
+    )
+    bounds = raw.agg(
+        F.max("ck").alias("ck_max"), F.max("day").alias("day_max")
+    )
+    pts = raw.crossJoin(F.broadcast(bounds)).select(
+        "ck",
+        "day",
+        F.expr(
+            f"(ck * {(1 << HB_BITS) - 1}) div greatest(ck_max, 1)"
+        ).alias("x"),
+        F.expr(
+            f"(day * {(1 << HB_BITS) - 1}) div greatest(day_max, 1)"
+        ).alias("y"),
+    )
+    for name, expr in _hilbert_steps():
+        pts = pts.withColumn(name, F.expr(expr))
+    pts = pts.select(
+        "ck",
+        "day",
+        "x",
+        "y",
+        "hidx",
+        F.expr(_morton8_sql("x", "y")).cast("long").alias("zidx"),
+    )
+
+    def locality(df: DataFrame, idx: str):
+        blk = (F.col(idx) / HB_BLOCK_CELLS).cast("long").alias("blk")
+        w = Window.partitionBy("blk").orderBy(idx, "ck", "day")
+        d = (
+            df.select("ck", "day", "x", "y", F.col(idx), blk)
+            .withColumn("px", F.lag("x").over(w))
+            .withColumn("py", F.lag("y").over(w))
+            .filter(F.col("px").isNotNull())
+            .select(
+                (
+                    F.abs(F.col("x") - F.col("px"))
+                    + F.abs(F.col("y") - F.col("py"))
+                ).alias("dist")
+            )
+        )
+        return d.agg(
+            F.count(F.lit(1)).alias("pairs"),
+            F.sum("dist").cast("long").alias("dist_sum"),
+        )
+
+    h = locality(pts, "hidx").select(
+        F.col("pairs").alias("h_pairs"), F.col("dist_sum").alias("h_sum")
+    )
+    z = locality(pts, "zidx").select(
+        F.col("pairs").alias("z_pairs"), F.col("dist_sum").alias("z_sum")
+    )
+    n = pts.agg(F.count(F.lit(1)).alias("n_points"))
+    return (
+        n.crossJoin(h)
+        .crossJoin(z)
+        .select(
+            "n_points",
+            "h_pairs",
+            "h_sum",
+            F.expr("h_sum * 1000 div greatest(h_pairs, 1)").alias(
+                "h_avg_milli"
+            ),
+            "z_pairs",
+            "z_sum",
+            F.expr("z_sum * 1000 div greatest(z_pairs, 1)").alias(
+                "z_avg_milli"
+            ),
+        )
+    )
+
+
+def _hilbert_locality_sql() -> str:
+    ctes = []
+    prev = "pts"
+    for j, (name, expr) in enumerate(_hilbert_steps()):
+        ctes.append(f"h{j} AS (SELECT *, {expr} AS {name} FROM {prev})")
+        prev = f"h{j}"
+    return f"""
+WITH raw AS (
+  SELECT CAST(o_custkey AS BIGINT) AS ck,
+         CAST(datediff('day', DATE '{ZORDER_EPOCH}',
+                        CAST(o_orderdate AS DATE)) AS BIGINT) AS day
+  FROM orders
+),
+bounds AS (SELECT max(ck) AS ck_max, max(day) AS day_max FROM raw),
+pts AS (
+  SELECT ck, day,
+         (ck * {(1 << HB_BITS) - 1}) // greatest(ck_max, 1) AS x,
+         (day * {(1 << HB_BITS) - 1}) // greatest(day_max, 1) AS y
+  FROM raw, bounds
+),
+{", ".join(ctes)},
+idx AS (
+  SELECT ck, day, x, y, hidx,
+         CAST({_morton8_sql("x", "y")} AS BIGINT) AS zidx
+  FROM {prev}
+),
+hl AS (
+  SELECT abs(x - lag(x) OVER w) + abs(y - lag(y) OVER w) AS dist
+  FROM idx
+  WINDOW w AS (PARTITION BY hidx // {HB_BLOCK_CELLS}
+               ORDER BY hidx, ck, day)
+),
+zl AS (
+  SELECT abs(x - lag(x) OVER w) + abs(y - lag(y) OVER w) AS dist
+  FROM idx
+  WINDOW w AS (PARTITION BY zidx // {HB_BLOCK_CELLS}
+               ORDER BY zidx, ck, day)
+),
+ha AS (SELECT count(dist) AS h_pairs,
+              CAST(coalesce(sum(dist), 0) AS BIGINT) AS h_sum FROM hl),
+za AS (SELECT count(dist) AS z_pairs,
+              CAST(coalesce(sum(dist), 0) AS BIGINT) AS z_sum FROM zl),
+np AS (SELECT count(*) AS n_points FROM idx)
+SELECT n_points, h_pairs, h_sum,
+       h_sum * 1000 // greatest(h_pairs, 1) AS h_avg_milli,
+       z_pairs, z_sum,
+       z_sum * 1000 // greatest(z_pairs, 1) AS z_avg_milli
+FROM np, ha, za
+"""
+
+
+HILBERT_LOCALITY_SQL = _hilbert_locality_sql()
 
 
 SKEW_TOP_K = 10
@@ -641,6 +859,7 @@ ORDER BY seg
 
 QUERIES = {
     "layout_zorder_stats": (zorder_stats, ZORDER_STATS_SQL),
+    "layout_hilbert_locality": (hilbert_locality, HILBERT_LOCALITY_SQL),
     "diag_table_profile": (table_profile, TABLE_PROFILE_SQL),
     "diag_join_key_skew": (join_key_skew, JOIN_KEY_SKEW_SQL),
     "layout_partition_pruned_read": (partition_pruned_read, PARTITION_PRUNED_SQL),

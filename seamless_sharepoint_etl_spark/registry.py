@@ -331,14 +331,16 @@ _GRADE_FIRST_R8_FULL = [
     # carry pre-port values). One tail slot trimmed per insertion
     # (udf_scalar_pandas, udf_python_udtf, udf_grouped_agg_pandas,
     # udf_apply_in_pandas, text_token_stats, text_tfidf_top_terms,
-    # text_quality_score, text_mixture_sample, text_langid_confusion —
-    # all deferred to r9) to keep the window at 50
+    # text_quality_score, text_mixture_sample, text_langid_confusion,
+    # text_clean_normalize — all deferred to r9) to keep the window
+    # at 50
     "mm_adpcm_decode_features",
     "src_protobuf_wire_scan",
     "mm_bmp_rle8_decode_features",
     "ts_sax_symbolic",
     "text_heavy_hitters",
     "text_dictionary_spotting",
+    "layout_hilbert_locality",
     "text_unigram_logprob",
     "text_bigram_logprob",
     "text_perplexity_buckets",
@@ -385,7 +387,6 @@ _GRADE_FIRST_R8_FULL = [
     "stream_tumbling_window",
     "stream_watermark_filter",
     "text_bigram_tf",
-    "text_clean_normalize",
 ]
 
 # LIVE round-8 window (swapped as round 8's first commit, per the
@@ -404,6 +405,7 @@ _GRADE_FIRST = _GRADE_FIRST_R8_FULL
 # ROUND 8 after this staging must be inserted at the head and the
 # tail trimmed (closure guard enforces coverage).
 _GRADE_FIRST_R9_FULL = [
+    "text_clean_normalize",
     "text_langid_confusion",
     "text_mixture_sample",
     "text_quality_score",
@@ -453,7 +455,6 @@ _GRADE_FIRST_R9_FULL = [
     "ts_ewma",
     "ts_interval_overlap_join",
     "ts_resample_ffill",
-    "ts_scd2_intervals",
 ]
 
 

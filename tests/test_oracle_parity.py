@@ -242,13 +242,14 @@ def test_round8_window_is_staged_and_covers_new_queries():
     assert not (set(w8) & set(registry._GRADE_FIRST_R7_FULL)), (
         "round-8 names double-booked in the round-7 window"
     )
-    assert w8[:13] == [
+    assert w8[:14] == [
         "mm_adpcm_decode_features",
         "src_protobuf_wire_scan",
         "mm_bmp_rle8_decode_features",
         "ts_sax_symbolic",
         "text_heavy_hitters",
         "text_dictionary_spotting",
+        "layout_hilbert_locality",
         "text_unigram_logprob",
         "text_bigram_logprob",
         "text_perplexity_buckets",
