@@ -244,49 +244,43 @@ def hilbert_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_morton8_sql("x", "y")).cast("long").alias("zidx"),
     )
 
-    def locality(df: DataFrame, idx: str):
-        blk = (F.col(idx) / HB_BLOCK_CELLS).cast("long").alias("blk")
-        w = Window.partitionBy("blk").orderBy(idx, "ck", "day")
-        d = (
-            df.select("ck", "day", "x", "y", F.col(idx), blk)
-            .withColumn("px", F.lag("x").over(w))
-            .withColumn("py", F.lag("y").over(w))
-            .filter(F.col("px").isNotNull())
-            .select(
-                (
-                    F.abs(F.col("x") - F.col("px"))
-                    + F.abs(F.col("y") - F.col("py"))
-                ).alias("dist")
-            )
+    # Both curves' lag distances ride ONE relation — two chained
+    # window exchanges, a single orders scan, one final aggregate.
+    # (The first cut aggregated each curve separately; the dup-scan
+    # plan audit flagged 6 scan leaves, so at 100 TB the corpus would
+    # have been read six times.)
+    wh = Window.partitionBy(
+        F.expr(f"hidx div {HB_BLOCK_CELLS}")
+    ).orderBy("hidx", "ck", "day")
+    wz = Window.partitionBy(
+        F.expr(f"zidx div {HB_BLOCK_CELLS}")
+    ).orderBy("zidx", "ck", "day")
+    both = (
+        pts.withColumn(
+            "h_dist",
+            F.abs(F.col("x") - F.lag("x").over(wh))
+            + F.abs(F.col("y") - F.lag("y").over(wh)),
         )
-        return d.agg(
-            F.count(F.lit(1)).alias("pairs"),
-            F.sum("dist").cast("long").alias("dist_sum"),
+        .withColumn(
+            "z_dist",
+            F.abs(F.col("x") - F.lag("x").over(wz))
+            + F.abs(F.col("y") - F.lag("y").over(wz)),
         )
-
-    h = locality(pts, "hidx").select(
-        F.col("pairs").alias("h_pairs"), F.col("dist_sum").alias("h_sum")
     )
-    z = locality(pts, "zidx").select(
-        F.col("pairs").alias("z_pairs"), F.col("dist_sum").alias("z_sum")
-    )
-    n = pts.agg(F.count(F.lit(1)).alias("n_points"))
-    return (
-        n.crossJoin(h)
-        .crossJoin(z)
-        .select(
-            "n_points",
-            "h_pairs",
-            "h_sum",
-            F.expr("h_sum * 1000 div greatest(h_pairs, 1)").alias(
-                "h_avg_milli"
-            ),
-            "z_pairs",
-            "z_sum",
-            F.expr("z_sum * 1000 div greatest(z_pairs, 1)").alias(
-                "z_avg_milli"
-            ),
-        )
+    return both.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.count("h_dist").alias("h_pairs"),
+        F.coalesce(F.sum("h_dist"), F.lit(0)).cast("long").alias("h_sum"),
+        F.count("z_dist").alias("z_pairs"),
+        F.coalesce(F.sum("z_dist"), F.lit(0)).cast("long").alias("z_sum"),
+    ).select(
+        "n_points",
+        "h_pairs",
+        "h_sum",
+        F.expr("h_sum * 1000 div greatest(h_pairs, 1)").alias("h_avg_milli"),
+        "z_pairs",
+        "z_sum",
+        F.expr("z_sum * 1000 div greatest(z_pairs, 1)").alias("z_avg_milli"),
     )
 
 
