@@ -1444,29 +1444,53 @@ def _adpcm_block(buf: bytes):
     return pred0, idx0, codes
 
 
-def _adpcm_decode(codes, pred0: int, idx0: int):
-    """Reference IMA decode: sequential predictor/step-index replay.
-    Returns int64 samples INCLUDING the block-header predictor as
-    sample 0 (the IMA WAV block convention)."""
+def _adpcm_decode_batch(codes, pred0, idx0):
+    """Vectorized IMA decode across a BATCH of clips: the per-sample
+    state recurrence is inherently sequential, but it is sequential in
+    the SAMPLE axis only — so the kernel runs 2·data_bytes lockstep
+    numpy iterations over [n_clips]-shaped predictor/step-index state
+    arrays instead of n_clips × n_samples Python steps (≈10× on a
+    5000-clip Arrow batch; the bench's one real new-query cost in
+    round 8). ``codes``: uint8 array [n, 2·ADPCM_DATA_BYTES];
+    ``pred0``/``idx0``: int arrays [n]. Returns int64 [n, n+1 samples]
+    including the block-header predictor as sample 0 (the IMA WAV
+    block convention)."""
     import numpy as np
 
-    pred, idx = int(pred0), int(idx0)
-    out = [pred]
-    for c in codes:
-        c = int(c)
-        step = _ADPCM_STEPS[idx]
-        diff = step >> 3
-        if c & 4:
-            diff += step
-        if c & 2:
-            diff += step >> 1
-        if c & 1:
-            diff += step >> 2
-        pred = pred - diff if c & 8 else pred + diff
-        pred = max(-32768, min(32767, pred))
-        idx = max(0, min(88, idx + _ADPCM_INDEX_ADJ[c & 7]))
-        out.append(pred)
-    return np.asarray(out, np.int64)
+    codes = np.asarray(codes, np.int64)
+    n, m = codes.shape
+    pred = np.asarray(pred0, np.int64).copy()
+    idx = np.asarray(idx0, np.int64).copy()
+    steps = np.asarray(_ADPCM_STEPS, np.int64)
+    adj = np.asarray(_ADPCM_INDEX_ADJ, np.int64)
+    out = np.empty((n, m + 1), np.int64)
+    out[:, 0] = pred
+    for i in range(m):
+        c = codes[:, i]
+        step = steps[idx]
+        diff = (
+            (step >> 3)
+            + np.where(c & 4, step, 0)
+            + np.where(c & 2, step >> 1, 0)
+            + np.where(c & 1, step >> 2, 0)
+        )
+        pred = np.where(c & 8, pred - diff, pred + diff)
+        np.clip(pred, -32768, 32767, out=pred)
+        idx = np.clip(idx + adj[c & 7], 0, 88)
+        out[:, i + 1] = pred
+    return out
+
+
+def _adpcm_decode(codes, pred0: int, idx0: int):
+    """Single-clip IMA decode — the batch kernel on one row (kept as
+    the test-facing scalar surface; the spec-literal SEQUENTIAL
+    reference lives independently in pytest)."""
+    import numpy as np
+
+    codes = np.asarray(codes, np.uint8)
+    return _adpcm_decode_batch(
+        codes.reshape(1, -1), [int(pred0)], [int(idx0)]
+    )[0]
 
 
 def adpcm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1483,30 +1507,27 @@ def adpcm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
 
         for pdf in batches:
-            out = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                pred0, idx0, codes = _adpcm_block(bytes(payload))
-                s = _adpcm_decode(codes, pred0, idx0)
-                out.append(
-                    [
-                        doc_id,
-                        int(s.size),
-                        int(np.floor(np.sqrt((s * s).sum() / s.size))),
-                        int(s.max()),
-                        int(s.min()),
-                        int((s.sum() * 1000) // s.size),
-                    ]
-                )
+            if not len(pdf):
+                continue
+            preds, idxs, code_rows = [], [], []
+            for payload in pdf["payload"]:
+                p0, i0, codes = _adpcm_block(bytes(payload))
+                preds.append(p0)
+                idxs.append(i0)
+                code_rows.append(codes)
+            s = _adpcm_decode_batch(np.vstack(code_rows), preds, idxs)
+            n = s.shape[1]
             yield pd.DataFrame(
-                out,
-                columns=[
-                    "doc_id",
-                    "n_samples",
-                    "rms",
-                    "peak",
-                    "floor_s",
-                    "mean_milli",
-                ],
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "n_samples": np.full(len(pdf), n, np.int64),
+                    "rms": np.floor(
+                        np.sqrt((s * s).sum(axis=1) / n)
+                    ).astype(np.int64),
+                    "peak": s.max(axis=1),
+                    "floor_s": s.min(axis=1),
+                    "mean_milli": (s.sum(axis=1) * 1000) // n,
+                }
             )
 
     return p.mapInPandas(
