@@ -389,11 +389,9 @@ _GRADE_FIRST_R8_FULL = [
     "text_bigram_tf",
 ]
 
-# LIVE round-8 window (swapped as round 8's first commit, per the
-# round-7 verdict item #1): the 5 round-7 additions, the 3 set ops
-# deferred since r1, a fresh graph_kcore row, and the oldest
-# (round-2-era) re-grades. CORRECTNESS_r07 landed 50/50 green.
-_GRADE_FIRST = _GRADE_FIRST_R8_FULL
+# Round-8 window went live as round 8's first commit; CORRECTNESS_r08
+# landed 42 green + 8 rows-only-by-design. The live window is now the
+# round-9 list (assigned below it, per the round-8 verdict item #1).
 
 
 # ROUND-9 window, pre-staged (round-9 first commit:
@@ -456,6 +454,11 @@ _GRADE_FIRST_R9_FULL = [
     "ts_interval_overlap_join",
     "ts_resample_ffill",
 ]
+
+# LIVE round-9 window (swapped as round 9's first commit, per the
+# round-8 verdict item #1): the 10 round-2-era rows the r8 additions
+# displaced (UDF surface ×4, text ×6) plus the oldest round-3 rows.
+_GRADE_FIRST = _GRADE_FIRST_R9_FULL
 
 
 def queries() -> dict[str, QueryFn]:

@@ -190,9 +190,15 @@ def test_round7_window_closes_the_rotation():
     # era-aware swap pin: once a round's CORRECTNESS file lands, the
     # live window must advance to the NEXT pre-staged list, verbatim
     # (each round's first-commit action per the standing verdict plan)
+    repo_has_r8 = os.path.exists(os.path.join(repo, "CORRECTNESS_r08.json"))
     repo_has_r7 = os.path.exists(os.path.join(repo, "CORRECTNESS_r07.json"))
     repo_has_r6 = os.path.exists(os.path.join(repo, "CORRECTNESS_r06.json"))
-    if repo_has_r7:
+    if repo_has_r8:
+        assert registry._GRADE_FIRST is registry._GRADE_FIRST_R9_FULL, (
+            "CORRECTNESS_r08 has landed but the live window is not "
+            "_GRADE_FIRST_R9_FULL — the round-9 swap commit is missing"
+        )
+    elif repo_has_r7:
         assert registry._GRADE_FIRST is registry._GRADE_FIRST_R8_FULL, (
             "CORRECTNESS_r07 has landed but the live window is not "
             "_GRADE_FIRST_R8_FULL — the round-8 swap commit is missing"
@@ -256,8 +262,12 @@ def test_round8_window_is_staged_and_covers_new_queries():
         "set_distinct", "set_intersect", "set_except", "graph_kcore",
     ], "r8 priority head changed — update NOTES if deliberate"
     # round-8 era: the swap has landed — the live window must BE the
-    # pre-staged list, verbatim (the r7 verdict's first-commit action)
-    if os.path.exists(os.path.join(repo, "CORRECTNESS_r07.json")):
+    # pre-staged list, verbatim (the r7 verdict's first-commit action).
+    # Once CORRECTNESS_r08 lands the live window advances to R9_FULL
+    # (pinned by test_round9_window_is_staged_and_covers_new_queries).
+    if os.path.exists(
+        os.path.join(repo, "CORRECTNESS_r07.json")
+    ) and not os.path.exists(os.path.join(repo, "CORRECTNESS_r08.json")):
         assert registry._GRADE_FIRST is registry._GRADE_FIRST_R8_FULL, (
             "CORRECTNESS_r07 has landed but the live window is not "
             "_GRADE_FIRST_R8_FULL — the round-8 swap commit is missing"
