@@ -610,10 +610,13 @@ def neardup_pagerank(
         # and persist does NOT truncate lineage — by round ~40 the
         # analyzed plan chains every previous round's joins and the
         # DRIVER OOMs on plan bookkeeping (hit live at 5 nodes!). The
-        # eager checkpoint cuts the plan to a leaf each round; on a
-        # cluster use reliable checkpointing for the same effect with
-        # fault tolerance. CC gets away with persist because label
-        # propagation converges in O(diameter) ≈ a handful of rounds.
+        # checkpoint cuts the plan to a leaf each round; it is LAZY
+        # because the L1-delta aggregate right below materializes it
+        # in the same job (sum touches every partition), halving the
+        # per-round job count. On a cluster use reliable checkpointing
+        # for the same effect with fault tolerance. CC gets away with
+        # persist because label propagation converges in O(diameter)
+        # ≈ a handful of rounds.
         new_ranks = (
             ranks.join(contrib, ranks.doc_id == contrib.dst, "left")
             .select(
@@ -624,7 +627,7 @@ def neardup_pagerank(
                     + F.lit(PR_DAMPING) * F.coalesce("inflow", F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         moved = new_ranks.agg(
             F.sum(F.abs(F.col("rank") - F.col("old_rank"))).alias("l1")

@@ -218,10 +218,18 @@ def kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     prev_n = -1
     for _ in range(KCORE_MAX_ROUNDS):
+        # LAZY checkpoint + count(): the count materializes the
+        # checkpoint blocks in the SAME job, so each peel round costs
+        # one job instead of three (eager-verts + count + eager-edges
+        # ran 3 driver-synchronized jobs/round; the restricted edge
+        # relation now materializes inside the next round's count).
+        # count() computes every partition, so the truncated lineage
+        # is never left with missing blocks (a limit()-style partial
+        # action would be unsafe here).
         verts = (
             degrees(cur_edges)
             .filter(F.col("deg") >= KCORE_K)
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         n = verts.count()
         if n == prev_n:
@@ -231,7 +239,7 @@ def kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             verts.select(F.col("v").alias("id_lo")), "id_lo", "left_semi"
         ).join(
             verts.select(F.col("v").alias("id_hi")), "id_hi", "left_semi"
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         prev_n = n
     else:
         raise RuntimeError(
@@ -351,9 +359,12 @@ def bfs_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("anc2").alias("anc"),
                 (F.col("dist") + F.col("d2")).alias("dist"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        if state.filter(F.col("anc") != 0).isEmpty():
+        # full-scan count (not isEmpty/limit — a partial action must
+        # not materialize a lazy checkpoint) doubles as the checkpoint
+        # materialization: one job per doubling round instead of two
+        if state.filter(F.col("anc") != 0).count() == 0:
             break
     else:
         raise RuntimeError(f"pointer doubling exceeded {BFS_MAX_ROUNDS} rounds")
@@ -924,8 +935,16 @@ def _min_label_cc(edges: DataFrame, max_rounds: int, what: str) -> DataFrame:
         sym.select(F.col("ka").alias("k"))
         .distinct()
         .select("k", F.col("k").alias("label"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
+    # Convergence by the monotone label-sum invariant: min-propagation
+    # only ever DECREASES a vertex's label, so Σ label is strictly
+    # decreasing until the fixpoint and equal exactly at it — the same
+    # fixpoint the old join-and-compare diff detected, in one 1-row
+    # aggregate per round instead of a join + count job. The agg also
+    # materializes the round's LAZY checkpoint in the same job
+    # (sum(label) touches every partition).
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_rounds):
         msgs = sym.join(labels, sym.ka == labels.k).select(
             F.col("kb").alias("k"), "label"
@@ -934,17 +953,13 @@ def _min_label_cc(edges: DataFrame, max_rounds: int, what: str) -> DataFrame:
             labels.unionAll(msgs)
             .groupBy("k")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "k")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     else:
         raise RuntimeError(f"{what} did not converge in {max_rounds} rounds")
     return labels

@@ -1063,8 +1063,16 @@ def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("kb").alias("ka"), F.col("ka").alias("kb"))
     ).localCheckpoint(eager=True)
     labels = s.select("k", F.col("k").alias("label")).localCheckpoint(
-        eager=True
+        eager=False
     )
+    # Convergence by the monotone label-sum invariant (the
+    # graph._min_label_cc pattern): min-propagation only DECREASES
+    # labels, so Σ label is strictly decreasing until the fixpoint and
+    # equal exactly at it. One 1-row aggregate per round replaces the
+    # old join-and-compare count job, and the same aggregate
+    # materializes the round's LAZY checkpoint (sum touches every
+    # partition), so each round costs one job instead of two.
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(ER_MAX_ROUNDS):
         msgs = sym.join(labels, sym.ka == labels.k).select(
             F.col("kb").alias("k"), "label"
@@ -1073,17 +1081,13 @@ def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             labels.unionAll(msgs)
             .groupBy("k")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "k")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     else:
         raise RuntimeError(
             f"entity_resolution did not converge in {ER_MAX_ROUNDS} rounds"
