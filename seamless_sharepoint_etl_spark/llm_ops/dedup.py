@@ -454,22 +454,31 @@ CDC_MAX = 128
 _CDC_WINDOW = 16  # gear-hash lookback, bytes
 
 
+_GEAR_CACHE = None  # per-process memo: 256 blake2b digests, content-fixed
+
+
 def _gear_table():
     """Deterministic 256-entry gear table — derived from blake2b, no
-    RNG state, so chunk boundaries are identical on every run/engine."""
-    import hashlib
+    RNG state, so chunk boundaries are identical on every run/engine.
+    Memoized per process (guide §4.5): ``cdc_chunks`` runs once per
+    DOCUMENT inside the Arrow kernel, and rebuilding 256 blake2b
+    digests per call was pure per-row overhead."""
+    global _GEAR_CACHE
+    if _GEAR_CACHE is None:
+        import hashlib
 
-    import numpy as np
+        import numpy as np
 
-    return np.array(
-        [
-            int.from_bytes(
-                hashlib.blake2b(bytes([i]), digest_size=8).digest(), "big"
-            )
-            for i in range(256)
-        ],
-        dtype=np.uint64,
-    )
+        _GEAR_CACHE = np.array(
+            [
+                int.from_bytes(
+                    hashlib.blake2b(bytes([i]), digest_size=8).digest(), "big"
+                )
+                for i in range(256)
+            ],
+            dtype=np.uint64,
+        )
+    return _GEAR_CACHE
 
 
 def cdc_chunks(data: bytes) -> list[tuple[int, int, str]]:
@@ -513,13 +522,19 @@ def cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document chunk-dedup stats: how many of a doc's CDC chunks
     (and bytes) also appear in other documents.
 
-    Plan: mapInPandas emits the (doc_id, chunk_hash, chunk_len)
-    relation (Arrow-batched, numpy gear hash — no per-byte Python);
-    chunk frequencies are ONE groupBy on the 8-byte chunk hash; the
-    join back is hash-partitioned on the same key, so AQE can reuse
-    the partitioning. Chunk hashes are uniform — no skew — and every
-    shuffle row is (8-byte hash, int), independent of chunk size:
-    exactly how storage dedup scales to petabytes.
+    Plan (r9): mapInPandas emits the (doc_id, chunk_hash, chunk_len)
+    relation (Arrow-batched, numpy gear hash — no per-byte Python) and
+    the kernel runs ONCE: the chunk rows are hash-partitioned on the
+    8-byte chunk hash, pre-aggregated per (hash, doc) on that
+    partitioning (no second exchange — subset rule), and the per-hash
+    document frequency is a window count over the SAME partitioning,
+    so "how many docs share this chunk" never needs the old
+    freq-then-join-back shape that re-executed the opaque Python
+    subtree per reference (Catalyst cannot dedup across references of
+    a mapInPandas). One wide exchange on the hash, one narrow
+    per-doc_id aggregate exchange. Chunk hashes are uniform — no skew
+    — and every shuffled row is (8-byte hash, ids, ints), independent
+    of chunk size: exactly how storage dedup scales to petabytes.
 
     rows-only for the driver (boundaries are gear-hash state, not
     SQL-expressible); pytest gates reassembly, determinism, and the
@@ -541,20 +556,26 @@ def cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     chunks = d.select("doc_id", "text").mapInPandas(gen, schema)
-    freq = chunks.groupBy("chunk_hash").agg(
-        F.count_distinct("doc_id").alias("ndocs")
+    per_doc_hash = (
+        chunks.repartition("chunk_hash")
+        .groupBy("chunk_hash", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("chunk_len").alias("bytes"),
+        )
     )
+    w = Window.partitionBy("chunk_hash")
     return (
-        chunks.join(freq, "chunk_hash")
+        per_doc_hash.withColumn("ndocs", F.count(F.lit(1)).over(w))
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_chunks"),
-            F.sum("chunk_len").alias("total_bytes"),
-            F.sum(F.when(F.col("ndocs") > 1, 1).otherwise(0)).alias(
-                "n_shared_chunks"
-            ),
+            F.sum("n").cast("long").alias("n_chunks"),
+            F.sum("bytes").alias("total_bytes"),
+            F.sum(F.when(F.col("ndocs") > 1, F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("n_shared_chunks"),
             F.coalesce(
-                F.sum(F.when(F.col("ndocs") > 1, F.col("chunk_len"))), F.lit(0)
+                F.sum(F.when(F.col("ndocs") > 1, F.col("bytes"))), F.lit(0)
             ).alias("shared_bytes"),
         )
     )

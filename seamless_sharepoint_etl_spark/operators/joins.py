@@ -649,7 +649,14 @@ def market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = io.load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    b = li.distinct()
+    # ONE wide shuffle for the whole query (r9): partition by basket
+    # key first — HashPartitioning(l_orderkey) satisfies the clustered
+    # distribution of the (l_orderkey, l_partkey) distinct, the basket
+    # collect, AND the n_baskets distinct below (subset rule), and AQE
+    # stage reuse serves all three references of `b` from the same
+    # materialized exchange instead of re-scanning lineitem per
+    # reference. The old shape paid EX(o,p) then EX(o) back to back.
+    b = li.repartition("l_orderkey").distinct()
     baskets = b.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("parts")
     )
@@ -670,18 +677,26 @@ def market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     part_counts = b.groupBy(F.col("l_partkey").alias("part")).agg(
         F.count(F.lit(1)).alias("c")
     )
-    n_baskets = b.select("l_orderkey").distinct().count()  # scalar frontier
+    # n_baskets rides a broadcast 1-row aggregate (the oracle's CROSS
+    # JOIN n shape) instead of a driver collect — one fewer
+    # driver-synchronized job per pass, same scalar
+    nb = (
+        b.select("l_orderkey")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
+    )
     ca = part_counts.select(F.col("part").alias("pa"), F.col("c").alias("ca"))
     cb = part_counts.select(F.col("part").alias("pb"), F.col("c").alias("cb"))
     return (
         sup.join(F.broadcast(ca), "pa")
         .join(F.broadcast(cb), "pb")
+        .crossJoin(F.broadcast(nb))
         .select(
             "pa",
             "pb",
             "support",
             F.expr(
-                f"CAST(floor(CAST(support AS DOUBLE) * {n_baskets}"
+                "CAST(floor(CAST(support AS DOUBLE) * n_baskets"
                 " * 10000 / (CAST(ca AS DOUBLE) * cb)) AS BIGINT)"
             ).alias("lift_bp"),
         )

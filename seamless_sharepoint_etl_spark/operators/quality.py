@@ -57,51 +57,78 @@ def referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL-key / distinct-key / orphan-key counts per edge (see module
     docstring for the scale shape).
 
-    Scan economy: a child table appearing in several edges (lineitem
-    carries three FKs) gets ONE fused stats pass computing every
-    edge's row/NULL/distinct counts in a single aggregate — per-edge
-    stats scans would re-read the 100 TB fact once per FK. The 1-row
-    stats and per-edge orphan scalars chain through scalar-frontier
-    crossJoins and un-pivot back to edge rows via ``stack``, so the
-    child is read 1 + |edges| times (stats + one distinct-key orphan
-    probe per edge) instead of 2·|edges|."""
+    Scan economy (r9): every edge's (edge, key) pairs are stacked into
+    ONE tall relation per child scan and unioned with every parent's
+    tagged key set, so the whole audit is ONE pass over each table no
+    matter how many FKs it carries, with NO join at all — a two-level
+    aggregate (per (edge, key), then per edge) answers every column:
+    n_rows = Σ child occurrences, n_null = the NULL-key group's count,
+    n_keys = non-null groups with a child occurrence, n_orphan_keys =
+    those groups with no parent occurrence. An earlier r9 draft used a
+    distinct + anti-join against the parent union, but Catalyst's
+    left-anti-through-union pushdown rewrote it into one anti-join PER
+    child branch each re-scanning ALL parents (6×7 scans — the
+    registry dup-scan audit caught it); the aggregate form has no join
+    to push. Keys are cast to BIGINT for the stack (all FK columns are
+    integral; distinctness/NULLness and key matches are unchanged by
+    the widening). One wide exchange of 8-byte keys + one 7-row
+    exchange — the minimal shape at 100 TB."""
     by_child: dict[str, list[tuple[str, str, str]]] = {}
     for child, ckey, parent, pkey in FK_EDGES:
         by_child.setdefault(child, []).append((ckey, parent, pkey))
-    parts = []
-    for child, edges in by_child.items():
+
+    def _stacked(child: str, edges: list[tuple[str, str, str]]) -> DataFrame:
         keys = list(dict.fromkeys(ckey for ckey, _, _ in edges))
         c = io.load_table(spark, sf_dir, child).select(*keys)
-        aggs = [F.count(F.lit(1)).alias("n_rows")]
-        for ckey, _, _ in edges:
-            aggs.append(
-                F.count(F.when(F.col(ckey).isNull(), 1)).alias(f"n_null_{ckey}")
-            )
-            aggs.append(F.countDistinct(ckey).alias(f"n_keys_{ckey}"))
-        row = c.agg(*aggs)
-        for ckey, parent, pkey in edges:
-            p = io.load_table(spark, sf_dir, parent).select(pkey)
-            orphans = (
-                c.select(ckey)
-                .filter(F.col(ckey).isNotNull())
-                .distinct()
-                .join(p, F.col(ckey) == F.col(pkey), "left_anti")
-                .agg(F.count(F.lit(1)).alias(f"n_orphan_{ckey}"))
-            )
-            row = row.crossJoin(orphans)
-        stacked = ", ".join(
-            f"'{child}.{ckey}->{parent}.{pkey}', "
-            f"n_null_{ckey}, n_keys_{ckey}, n_orphan_{ckey}"
+        pairs = ", ".join(
+            f"'{child}.{ckey}->{parent}.{pkey}', CAST({ckey} AS BIGINT)"
             for ckey, parent, pkey in edges
         )
-        parts.append(
-            row.selectExpr(
-                "n_rows",
-                f"stack({len(edges)}, {stacked})"
-                " AS (edge, n_null, n_keys, n_orphan_keys)",
-            ).select("edge", "n_rows", "n_null", "n_keys", "n_orphan_keys")
+        return c.selectExpr(
+            f"stack({len(edges)}, {pairs}) AS (edge, k)"
+        ).select("edge", "k", F.lit(1).alias("nc"), F.lit(0).alias("np"))
+
+    tagged = reduce(
+        DataFrame.unionAll,
+        [_stacked(child, edges) for child, edges in by_child.items()]
+        + [
+            io.load_table(spark, sf_dir, parent)
+            .select(F.col(pkey).cast("long").alias("k"))
+            .select(
+                F.lit(f"{child}.{ckey}->{parent}.{pkey}").alias("edge"),
+                "k",
+                F.lit(0).alias("nc"),
+                F.lit(1).alias("np"),
+            )
+            for child, ckey, parent, pkey in FK_EDGES
+        ],
+    )
+    per_key = tagged.groupBy("edge", "k").agg(
+        F.sum("nc").alias("nc"), F.max("np").alias("hp")
+    )
+    return (
+        per_key.groupBy("edge")
+        .agg(
+            F.sum("nc").cast("long").alias("n_rows"),
+            F.coalesce(
+                F.sum(F.when(F.col("k").isNull(), F.col("nc"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_null"),
+            F.count(
+                F.when(F.col("k").isNotNull() & (F.col("nc") > 0), 1)
+            ).alias("n_keys"),
+            F.count(
+                F.when(
+                    F.col("k").isNotNull()
+                    & (F.col("nc") > 0)
+                    & (F.col("hp") == 0),
+                    1,
+                )
+            ).alias("n_orphan_keys"),
         )
-    return reduce(DataFrame.unionAll, parts).orderBy("edge")
+        .orderBy("edge")
+    )
 
 
 def _ri_edge_sql(child: str, ckey: str, parent: str, pkey: str) -> str:
@@ -416,28 +443,49 @@ def duplicate_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     excess in basis points — the cheapest data-quality tripwire after
     a botched backfill double-loads a partition.
 
-    Shape: per table ONE scan — groupBy over all columns (a hash
-    aggregate on the full row; at 100 TB this is the one audit that
-    genuinely must touch every byte once, and partial aggregation
-    still combines map-side) whose group counts roll up into BOTH
-    totals in a second, 32-partition-sized aggregate: n_rows =
-    sum(count), n_distinct = count(*). The earlier two-subtree form
-    (count ⨯ distinct().count()) scanned every table twice — at scale
-    that is 2× the scan bytes for the same answer. Pure integer
-    output, unioned into a 4-row report.
+    Shape (r9, guide §8 "decide with small rows"): the old plan
+    groupBy'd every table over ALL columns, shuffling the FULL ROW
+    BYTES of four tables (mostly-unique rows defeat map-side partial
+    aggregation, so ~every byte crossed the exchange — the one shape
+    §2.3 says to kill first). Now each row is reduced to an 8-byte
+    ``xxhash64`` proxy: ONE narrow exchange of (hash) counts gives
+    n_rows and the count of hash groups of size 1 (rows PROVABLY unique
+    — nothing else shares even their hash), and only the collision
+    candidates (hash groups with n > 1: true duplicates plus any
+    colliding distinct pair) are re-read and exactly re-grouped by full
+    row. n_distinct = |singleton hashes| + |distinct full rows among
+    candidates| — exact under arbitrary hash collisions, while the
+    bytes shuffled drop from the full table to 8/row + the duplicate
+    subset. Costs a second scan of each table (plan-audited, like the
+    referential-integrity probe pass); at 100 TB a rescan is strictly
+    cheaper than shuffling every byte. The candidate join is not
+    broadcast-hinted: AQE broadcasts the (tiny) duplicate-hash set at
+    fixture scale and shuffle-joins if a botched backfill makes it
+    huge. Pure integer output, unioned into a 4-row report.
     """
     parts = []
     for t in DUP_AUDIT_TABLES:
-        df = io.load_table_parallel(spark, sf_dir, t)
+        df = io.load_table(spark, sf_dir, t)
         if "ts_ns" in df.columns:  # engine-added normalization column
             df = df.drop("ts_ns")
-        stats = (
-            df.groupBy(*df.columns)
-            .agg(F.count(F.lit(1)).alias("n"))
-            .agg(
-                F.sum("n").cast("long").alias("n_rows"),
-                F.count(F.lit(1)).alias("n_distinct"),
-            )
+        cols = df.columns
+        dfh = df.withColumn("_h", F.xxhash64(*cols))
+        hg = dfh.groupBy("_h").agg(F.count(F.lit(1)).alias("n"))
+        base = hg.agg(
+            F.sum("n").cast("long").alias("n_rows"),
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_uniq_h"),
+        )
+        cand_distinct = (
+            dfh.join(hg.filter(F.col("n") > 1).select("_h"), "_h", "left_semi")
+            .select(*cols)
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("long").alias("n_cand_distinct"))
+        )
+        stats = base.crossJoin(F.broadcast(cand_distinct)).select(
+            F.col("n_rows"),
+            (F.col("n_uniq_h") + F.col("n_cand_distinct")).alias("n_distinct"),
         )
         parts.append(
             stats.select(
