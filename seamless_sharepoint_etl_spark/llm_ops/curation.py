@@ -132,9 +132,10 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     libm exposure after diag_mutual_information's port; VERDICT r7).
     The ratio is ≥ 1 by construction (cnt ≤ g_total), the sweet spot
     of fxlog2's precision; the METRIC is defined as this algorithm.
-    g_total is collected as a one-row frontier (the MI guard pattern)
-    both to enforce the a < 2^43 fixed-point domain and to inline the
-    scalar, replacing the old crossJoin(broadcast(total)).
+    g_total rides a broadcast 1-row aggregate with an in-plan
+    raise_error domain guard (a < 2^43) — no driver collect in the
+    query path (guide §5), and the vocab exchange is runtime-reused by
+    both its references.
 
     Scale shape: the vocabulary aggregate is a classic map-side-partial
     hash agg (vocab ≪ corpus); the trained model (token → fxlog2) is
@@ -147,21 +148,28 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     toks = _token_relation(spark, sf_dir)
     vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
-    g_total = vocab.agg(F.sum("cnt")).collect()[0][0] or 0
-    if g_total >= _NLL_DOMAIN_BOUND:
-        raise ValueError(
-            "unigram_logprob: corpus token count >= 2^43 exceeds the "
-            "fxlog2 fixed-point domain — pre-scale (divide counts by a "
-            "common power of two) before the log (see portable.py)"
-        )
-    lm = vocab.select(
+    # Domain guard, in-plan (r9): g_total rides a broadcast 1-row
+    # aggregate and the a < 2^43 fxlog2 domain is enforced with
+    # raise_error INSIDE the model projection — Spark raises (like the
+    # DuckDB oracle would on overflow) instead of wrapping, with no
+    # driver-synchronized collect job per query call, and the vocab
+    # exchange is computed once and runtime-reused by both references
+    # instead of once per job.
+    g = vocab.agg(F.sum("cnt").cast("long").alias("g_total"))
+    lm = vocab.crossJoin(F.broadcast(g)).select(
         "token",
-        F.lit(int(g_total)).cast("long").alias("a"),
+        F.expr(
+            f"CASE WHEN g_total < {_NLL_DOMAIN_BOUND} THEN g_total "
+            "ELSE raise_error('unigram_logprob: corpus token count >= "
+            "2^43 exceeds the fxlog2 fixed-point domain — pre-scale "
+            "(divide counts by a common power of two) before the log "
+            "(see portable.py)') END"
+        ).alias("a"),
         F.col("cnt").cast("long").alias("b"),
     )
-    for name, expr in portable.fxlog2_steps("div"):
-        lm = lm.withColumn(name, F.expr(expr))
-    lm = lm.select("token", "fxlog2")
+    lm = lm.selectExpr(
+        "token", *portable.fxlog2_select_items("div")
+    ).select("token", "fxlog2")
     return (
         toks.join(F.broadcast(lm), "token")
         .groupBy("doc_id")
@@ -704,29 +712,36 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text import _bigram_relation
 
     bg = _bigram_relation(spark, sf_dir)
-    # fxlog2 domain guard on a one-row frontier (the MI pattern):
-    # max(c1) ≤ the total bigram count, an O(1)-row agg over the
-    # session-cached bigram relation
-    n_bg = bg.agg(F.count(F.lit(1))).collect()[0][0] or 0
-    if n_bg >= _NLL_DOMAIN_BOUND:
-        raise ValueError(
-            "bigram_logprob: corpus bigram count >= 2^43 exceeds the "
-            "fxlog2 fixed-point domain — pre-scale the model counts "
-            "before the log (see portable.py)"
-        )
+    # fxlog2 domain guard, in-plan (r9): max(c1) ≤ the total bigram
+    # count, an O(1)-row agg over the session-cached bigram relation —
+    # broadcast into the model projection with raise_error instead of a
+    # driver-synchronized collect job per query call (Spark raises,
+    # like the DuckDB oracle would on overflow, instead of wrapping).
+    ng = bg.agg(F.count(F.lit(1)).cast("long").alias("n_bg"))
     c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     # per-model-row term: fxlog2(c1, c2) = log2(c1/c2)·2^16 ≥ 0 —
     # pure-BIGINT portable log, not libm (see unigram_logprob)
-    lm = c2.join(c1, "w1").select(
-        "w1",
-        "w2",
-        F.col("c1").cast("long").alias("a"),
-        F.col("c2").cast("long").alias("b"),
+    lm = (
+        c2.join(c1, "w1")
+        .crossJoin(F.broadcast(ng))
+        .select(
+            "w1",
+            "w2",
+            F.expr(
+                f"CASE WHEN n_bg < {_NLL_DOMAIN_BOUND} "
+                "THEN CAST(c1 AS BIGINT) "
+                "ELSE raise_error('bigram_logprob: corpus bigram count "
+                ">= 2^43 exceeds the fxlog2 fixed-point domain — "
+                "pre-scale the model counts before the log "
+                "(see portable.py)') END"
+            ).alias("a"),
+            F.col("c2").cast("long").alias("b"),
+        )
     )
-    for name, expr in portable.fxlog2_steps("div"):
-        lm = lm.withColumn(name, F.expr(expr))
-    lm = lm.select("w1", "w2", "fxlog2")
+    lm = lm.selectExpr(
+        "w1", "w2", *portable.fxlog2_select_items("div")
+    ).select("w1", "w2", "fxlog2")
     return (
         bg.join(lm, ["w1", "w2"])
         .groupBy("doc_id")

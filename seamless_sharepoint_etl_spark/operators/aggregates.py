@@ -2080,8 +2080,7 @@ def hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("a", F.lit(HLL_M).cast("long"))
         .withColumn("b", F.expr("greatest(v_empty, 1)"))
     )
-    for name, expr in portable.fxlog2_steps("div"):
-        base = base.withColumn(name, F.expr(expr))
+    base = base.selectExpr("*", *portable.fxlog2_select_items("div"))
     est = (
         f"CASE WHEN e_raw * 2 <= {5 * HLL_M} AND v_empty > 0"
         f" THEN ({HLL_M} * fxlog2 * {_LN2_E6}) div {65536 * 1000000}"

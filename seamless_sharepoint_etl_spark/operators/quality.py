@@ -1011,8 +1011,7 @@ def mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(tot))
         .select("c", "n", (F.col("c") * F.col("n")).alias("a"), (F.col("cx") * F.col("cy")).alias("b"))
     )
-    for name, expr in portable.fxlog2_steps("div"):
-        base = base.withColumn(name, F.expr(expr))
+    base = base.selectExpr("*", *portable.fxlog2_select_items("div"))
     return base.agg(
         F.max("n").cast("long").alias("n_rows"),
         F.count(F.lit(1)).cast("long").alias("n_cells"),

@@ -124,3 +124,19 @@ def fxlog2_steps(div: str, a: str = "a", b: str = "b") -> list[tuple[str, str]]:
         )
     )
     return steps
+
+
+def fxlog2_select_items(div: str, a: str = "a", b: str = "b") -> list[str]:
+    """The same ``fxlog2_steps`` chain as ``"expr AS name"`` items for a
+    SINGLE ``selectExpr`` using lateral column aliases (each item may
+    reference aliases defined earlier in the same list; Spark 3.4+
+    resolves these in one analysis pass).
+
+    Why it exists (r9, guide §1.2 step 2): the original per-step
+    ``withColumn`` loop creates 54 Dataset objects, each EAGERLY
+    analyzed over a growing plan — ~0.5-1 s of pure driver/Catalyst
+    time per query call. One lateral-alias select is the identical
+    arithmetic (verified ``exceptAll``-empty both ways) analyzed once.
+    The DuckDB oracle keeps rendering ``fxlog2_steps`` as a CTE chain —
+    same expressions, same results, one implementation of the math."""
+    return [f"{expr} AS {name}" for name, expr in fxlog2_steps(div, a, b)]
