@@ -1034,9 +1034,11 @@ def _l2sq(a, b):
     )
 
 
-def _pq_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+def _pq_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Train the PQ codebook (per-subspace Lloyd, L2 metric) and encode
-    the table. Returns ``(codes, cent)``:
+    the table. Returns ``(codes, cent, cnorm)``:
 
       codes = (vec_id, m, code)          — 8 small ints per vector; the
                                            4-bit-code compression is the
@@ -1044,6 +1046,9 @@ def _pq_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
                                            nibbles ≈ 64× smaller)
       cent  = (m, code, cv, c2)          — PQ_M·PQ_K = 128 rows, with
                                            |cv|² precomputed
+      cnorm = (vec_id, can)              — code-derived candidate norms,
+                                           index metadata cached at
+                                           training time (r9)
 
     All PQ_M subspace k-means runs happen in the SAME distributed jobs
     (the subspace id ``m`` is just another key), so training is
@@ -1134,8 +1139,20 @@ def _pq_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     )
     cent.count()
     carr.unpersist()  # codes + cent are materialized; the codebook-array form is done
-    _PQ_CACHE[key] = (codes, cent)
-    return codes, cent
+    # candidate approx norms |x̂| = sqrt(Σ_m |c_{m,code}|²) — pure index
+    # metadata (codes × codebook), so computed ONCE at training time
+    # and cached with the index (r9): pq_topk and rerank_two_stage
+    # each re-derived it per query call, a full aggregate over the
+    # N×PQ_M code relation per pass.
+    cnorm = (
+        codes.join(F.broadcast(cent.select("m", "code", "c2")), ["m", "code"])
+        .groupBy("vec_id")
+        .agg(F.sqrt(F.sum("c2")).alias("can"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cnorm.count()
+    _PQ_CACHE[key] = (codes, cent, cnorm)
+    return codes, cent, cnorm
 
 
 def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1155,19 +1172,15 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest gates recall on the high-cosine planted structure and the
     quantizer's reconstruction error.
     """
-    codes, cent = _pq_index(spark, sf_dir)
+    codes, cent, can = _pq_index(spark, sf_dir)
     probes, cand = _ivf_probes_and_candidates(spark, sf_dir)
     q = probes.select("query_id", "qv", "qn").distinct()
     qsub = _subvectors(q.select("query_id", "qv"), "query_id", "qv")
     lut = qsub.join(F.broadcast(cent.select("m", "code", "cv")), "m").select(
         "query_id", "m", "code", _dot(F.col("sv"), F.col("cv")).alias("pd")
     )
-    # candidate approx norm from code norms: |x̂|² = Σ_m |c_{m,code}|²
-    can = (
-        codes.join(F.broadcast(cent.select("m", "code", "c2")), ["m", "code"])
-        .groupBy("vec_id")
-        .agg(F.sqrt(F.sum("c2")).alias("can"))
-    )
+    # candidate approx norm |x̂|² = Σ_m |c_{m,code}|² — session-cached
+    # index metadata (see _pq_index), not recomputed per call
     pairs = (
         probes.select("query_id", "bucket", "qn")
         .join(cand.select("bucket", "cand_id"), "bucket")
@@ -1303,7 +1316,7 @@ def rerank_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     within the shortlist — only shortlist misses cost recall, so the
     pytest gate is strictly tighter than PQ-alone.
     """
-    codes, cent = _pq_index(spark, sf_dir)
+    codes, cent, can = _pq_index(spark, sf_dir)
     probes, cand = _ivf_probes_and_candidates(spark, sf_dir)
     q = probes.select("query_id", "qv", "qn").distinct()
     qsub = _subvectors(q.select("query_id", "qv"), "query_id", "qv")
@@ -1319,14 +1332,10 @@ def rerank_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes.select(F.col("vec_id").alias("cand_id"), "m", "code"), "cand_id"
     )
     # shortlist by approx COSINE (adot normalized by the code-derived
-    # candidate norm) — the same metric pq_topk and the exact stage
-    # rank by; a raw-inner-product pool would be norm-biased and could
-    # drop high-cosine/small-norm candidates that PQ-alone returns
-    can = (
-        codes.join(F.broadcast(cent.select("m", "code", "c2")), ["m", "code"])
-        .groupBy("vec_id")
-        .agg(F.sqrt(F.sum("c2")).alias("can"))
-    )
+    # candidate norm — session-cached index metadata, see _pq_index) —
+    # the same metric pq_topk and the exact stage rank by; a
+    # raw-inner-product pool would be norm-biased and could drop
+    # high-cosine/small-norm candidates that PQ-alone returns
     adc = (
         pc.join(F.broadcast(lut), ["query_id", "m", "code"])
         .groupBy("query_id", "cand_id")
