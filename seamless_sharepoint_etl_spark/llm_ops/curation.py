@@ -104,19 +104,42 @@ GROUP BY train_doc, eval_doc, s.n_sh
 #          = (2·s·LN2_MICRO + D) div (2·D),  D = n · 2^16 · 100
 # — pure BIGINT on both engines (Spark `div` and DuckDB `//` both
 # truncate; operands are positive so truncation == floor). Headroom:
-# s ≤ n·43·2^16, so 2·s·LN2_MICRO < 2^63 for any n < 2^24 tokens/doc.
+# s ≤ n·43·2^16 and 2·43·2^16·LN2_MICRO ≈ 2^41.8, so 2·s·LN2_MICRO
+# stays under 2^63 only for n < ~2.36M ≈ 2^21.2 tokens/doc (ADVICE r8
+# corrected the earlier 2^24 claim). _NLL_DOC_BOUND = 2^21 is the
+# conservative per-doc guard: past it Spark's non-ANSI BIGINT multiply
+# would WRAP silently while DuckDB raises — the Spark rendering
+# therefore raise_error's per doc instead of diverging (the guard
+# never fires on any in-domain corpus; a 2M-token single document is
+# beyond every tokenizer's doc cap).
 _LN2_MICRO = 693147  # ln(2) · 10^6, the agg_hll_portable constant
 _NLL_DEN = (1 << portable.FXLOG2_FRAC_BITS) * 100
 # fxlog2's q20 normalization needs a·2^20 < 2^63 (portable.py)
 _NLL_DOMAIN_BOUND = 1 << 43
+_NLL_DOC_BOUND = 1 << 21  # per-doc token bound for the bp conversion
 
 
 def _nll_bp_expr(s: str, n: str) -> str:
     """Rounded nll basis points from a fxlog2 term sum — identical
-    text for Spark (div) and DuckDB (//) modulo the division token."""
+    text for Spark (div) and DuckDB (//) modulo the division token.
+    The caller-side Spark rendering should wrap with
+    ``_nll_bp_guarded`` (DuckDB raises on BIGINT overflow by itself;
+    Spark must be told to)."""
     return (
         f"(2 * {s} * {_LN2_MICRO} + {n} * {_NLL_DEN})"
         f" {{div}} (2 * {n} * {_NLL_DEN})"
+    )
+
+
+def _nll_bp_guarded(s: str, n: str) -> str:
+    """Spark rendering of ``_nll_bp_expr`` with the per-doc domain
+    guard: raise loudly past n ≥ 2^21 instead of wrapping silently."""
+    return (
+        f"CASE WHEN {n} < {_NLL_DOC_BOUND}"
+        f" THEN {_nll_bp_expr(s, n).format(div='div')}"
+        f" ELSE raise_error('nll_bp: document with >= 2^21 tokens"
+        " exceeds the BIGINT headroom of the basis-point conversion"
+        " — pre-scale or split the document') END"
     )
 
 
@@ -180,7 +203,7 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "n_tokens",
-            F.expr(_nll_bp_expr("s", "n_tokens").format(div="div"))
+            F.expr(_nll_bp_guarded("s", "n_tokens"))
             .cast("long")
             .alias("nll_bp"),
         )
@@ -752,7 +775,7 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "n_bigrams",
-            F.expr(_nll_bp_expr("s", "n_bigrams").format(div="div"))
+            F.expr(_nll_bp_guarded("s", "n_bigrams"))
             .cast("long")
             .alias("nll_bp"),
         )

@@ -1477,6 +1477,7 @@ FROM n ORDER BY doc_id
 # ---------------------------------------------------------------------------
 
 HH_K = 200  # frequency threshold denominator: heavy = count·K > N
+_HH_CHUNK = 16 * HH_K  # MG trim granularity: peak state O(chunk + k)
 
 
 def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1500,27 +1501,34 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no division).
 
     At 100 TB this is the shape that works when the vocabulary itself
-    doesn't fit a shuffle: summaries are O(k) per partition regardless
-    of input size, and only candidates (≤ k·P) cross the wire.
+    doesn't fit a shuffle: the summary trims every {_HH_CHUNK}-token
+    slice, so peak state is O(slice vocabulary + k) — genuinely bounded
+    per partition regardless of input size (ADVICE r8: a whole-batch
+    Counter update was O(batch vocabulary) at its peak) — and only
+    candidates (≤ k·P) cross the wire. N rides a broadcast 1-row
+    aggregate instead of a per-call driver count (r9).
     """
     import pandas as pd
 
     toks = _token_relation(spark, sf_dir)
-    n_total = toks.count()  # cheap agg over the session-cached relation
+    nt = toks.agg(F.count(F.lit(1)).alias("n_total"))
 
     def mg(batches):
         from collections import Counter
 
         summary: Counter = Counter()
         for pdf in batches:
-            summary.update(Counter(pdf["token"]))
-            if len(summary) > HH_K:
-                # Berinde-style merge: subtract the (k+1)-th largest
-                # count, drop non-positives — the batched MG step
-                kth = sorted(summary.values(), reverse=True)[HH_K]
-                summary = Counter(
-                    {t: c - kth for t, c in summary.items() if c > kth}
-                )
+            col = pdf["token"]
+            for lo in range(0, len(col), _HH_CHUNK):
+                summary.update(Counter(col.iloc[lo : lo + _HH_CHUNK]))
+                if len(summary) > HH_K:
+                    # Berinde-style merge: subtract the (k+1)-th
+                    # largest count, drop non-positives — the
+                    # chunked MG step
+                    kth = sorted(summary.values(), reverse=True)[HH_K]
+                    summary = Counter(
+                        {t: c - kth for t, c in summary.items() if c > kth}
+                    )
         yield pd.DataFrame({"token": list(summary.keys())})
 
     candidates = (
@@ -1530,7 +1538,8 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.join(F.broadcast(candidates), "token", "left_semi")
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .filter(F.col("cnt") * HH_K > F.lit(n_total))
+        .crossJoin(F.broadcast(nt))
+        .filter(F.col("cnt") * HH_K > F.col("n_total"))
     )
     return exact.select("token", "cnt").orderBy(
         F.col("cnt").desc(), "token"
@@ -1631,11 +1640,22 @@ def dictionary_spotting(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle re-counts position-by-position with a range lambda. A
     hash match therefore proves the failure/output-link construction,
     not just happy-path substring search. best_pattern tie-breaks
-    lexicographically smallest among the argmax counts."""
+    lexicographically smallest among the argmax counts.
+
+    Case folding is an explicit A-Z→a-z ``translate`` on BOTH engines
+    (r9, ADVICE r8): locale-aware ``lower()`` is JVM vs utf8proc across
+    the two engines, and codepoints like U+0130 lower to different
+    LENGTHS, silently shifting positions and match counts on non-ASCII
+    corpora. ``translate`` is per-codepoint, length-preserving and
+    engine-independent — the metric is DEFINED as ASCII case folding
+    (identical to lower() on the ASCII fixtures)."""
     import pandas as pd
 
     d = io.load_table_parallel(spark, sf_dir, "documents").select(
-        "doc_id", F.lower(F.coalesce("text", F.lit(""))).alias("s")
+        "doc_id",
+        F.translate(
+            F.coalesce("text", F.lit("")), _ASCII_UPPER, _ASCII_LOWER
+        ).alias("s"),
     )
     pats = SPOT_PATTERNS
 
@@ -1667,10 +1687,15 @@ def dictionary_spotting(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SPOT_VALUES = ", ".join(f"('{p}')" for p in SPOT_PATTERNS)
+_ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
 
 DICTIONARY_SPOTTING_SQL = f"""
 WITH pats(p) AS (VALUES {_SPOT_VALUES}),
-d AS (SELECT doc_id, lower(coalesce(text, '')) AS s FROM documents),
+d AS (SELECT doc_id,
+             translate(coalesce(text, ''),
+                       '{_ASCII_UPPER}', '{_ASCII_LOWER}') AS s
+      FROM documents),
 hits AS (
   SELECT doc_id, p,
          CAST(coalesce(list_sum(list_transform(
