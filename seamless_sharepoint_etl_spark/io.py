@@ -78,10 +78,37 @@ _TS_NS_TO_NTZ = (
 )
 
 
+# (applicationId, fixture_token, table) → UNMATERIALIZED DataFrame.
+# Memoizing the lazy plan object (r9, guide §1.2 step 2): every
+# `spark.read.parquet` call costs ~90 ms of driver work (py4j round
+# trips, file listing, footer schema read) and the engine issues
+# hundreds per bench pass. This is plan-construction memoization, NOT
+# result caching — nothing is persisted or computed here; every action
+# still scans the parquet inputs. The fixture token (file size+mtime)
+# keys the entry, so a driver-side fixture regeneration invalidates it
+# automatically, and the applicationId scopes it to one session.
+_TABLE_MEMO: dict[tuple[str, str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table with its canonical engine schema."""
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    memo_key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        fixture_token(sf_dir),
+        name,
+    )
+    got = _TABLE_MEMO.get(memo_key)
+    if got is not None:
+        return got
+    df = _load_table_uncached(spark, sf_dir, name)
+    _TABLE_MEMO[memo_key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         # Harmless when the file is micros; required when it is nanos.
@@ -123,6 +150,15 @@ def load_table_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFram
     scale the scan already has thousands of splits and this is a no-op
     (the branch below does nothing when partitions ≥ cores).
     """
+    memo_key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        fixture_token(sf_dir),
+        name + ":parallel",
+    )
+    got = _TABLE_MEMO.get(memo_key)
+    if got is not None:
+        return got
     df = load_table(spark, sf_dir, name)
     target = spark.sparkContext.defaultParallelism
     # file count as the split proxy — len(inputFiles()) is a pure file
@@ -130,6 +166,7 @@ def load_table_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFram
     # plan compile per call
     if len(df.inputFiles()) < target:
         df = df.repartition(target)
+    _TABLE_MEMO[memo_key] = df
     return df
 
 

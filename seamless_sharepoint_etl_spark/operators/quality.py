@@ -71,22 +71,32 @@ def referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     registry dup-scan audit caught it); the aggregate form has no join
     to push. Keys are cast to BIGINT for the stack (all FK columns are
     integral; distinctness/NULLness and key matches are unchanged by
-    the widening). One wide exchange of 8-byte keys + one 7-row
+    the widening). The shuffled edge tag is a SMALL INT id (mapped to
+    the edge name only in the final 7-row select) so the wide exchange
+    carries (int, 8-byte key, two flags) per row, not a ~30-byte edge
+    string (r9 follow-up: the string tag made this the single most
+    expensive headline exchange). One wide exchange + one 7-row
     exchange — the minimal shape at 100 TB."""
-    by_child: dict[str, list[tuple[str, str, str]]] = {}
+    edge_ids = {edge: i for i, edge in enumerate(FK_EDGES)}
+    edge_names = [
+        f"{child}.{ckey}->{parent}.{pkey}"
+        for child, ckey, parent, pkey in FK_EDGES
+    ]
+    by_child: dict[str, list[tuple[int, str]]] = {}
     for child, ckey, parent, pkey in FK_EDGES:
-        by_child.setdefault(child, []).append((ckey, parent, pkey))
+        by_child.setdefault(child, []).append(
+            (edge_ids[(child, ckey, parent, pkey)], ckey)
+        )
 
-    def _stacked(child: str, edges: list[tuple[str, str, str]]) -> DataFrame:
-        keys = list(dict.fromkeys(ckey for ckey, _, _ in edges))
+    def _stacked(child: str, edges: list[tuple[int, str]]) -> DataFrame:
+        keys = list(dict.fromkeys(ckey for _, ckey in edges))
         c = io.load_table(spark, sf_dir, child).select(*keys)
         pairs = ", ".join(
-            f"'{child}.{ckey}->{parent}.{pkey}', CAST({ckey} AS BIGINT)"
-            for ckey, parent, pkey in edges
+            f"{eid}, CAST({ckey} AS BIGINT)" for eid, ckey in edges
         )
         return c.selectExpr(
-            f"stack({len(edges)}, {pairs}) AS (edge, k)"
-        ).select("edge", "k", F.lit(1).alias("nc"), F.lit(0).alias("np"))
+            f"stack({len(edges)}, {pairs}) AS (edge_id, k)"
+        ).select("edge_id", "k", F.lit(1).alias("nc"), F.lit(0).alias("np"))
 
     tagged = reduce(
         DataFrame.unionAll,
@@ -95,7 +105,7 @@ def referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
             io.load_table(spark, sf_dir, parent)
             .select(F.col(pkey).cast("long").alias("k"))
             .select(
-                F.lit(f"{child}.{ckey}->{parent}.{pkey}").alias("edge"),
+                F.lit(edge_ids[(child, ckey, parent, pkey)]).alias("edge_id"),
                 "k",
                 F.lit(0).alias("nc"),
                 F.lit(1).alias("np"),
@@ -103,11 +113,11 @@ def referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
             for child, ckey, parent, pkey in FK_EDGES
         ],
     )
-    per_key = tagged.groupBy("edge", "k").agg(
+    per_key = tagged.groupBy("edge_id", "k").agg(
         F.sum("nc").alias("nc"), F.max("np").alias("hp")
     )
     return (
-        per_key.groupBy("edge")
+        per_key.groupBy("edge_id")
         .agg(
             F.sum("nc").cast("long").alias("n_rows"),
             F.coalesce(
@@ -126,6 +136,16 @@ def referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
                     1,
                 )
             ).alias("n_orphan_keys"),
+        )
+        .select(
+            F.element_at(
+                F.array(*[F.lit(n) for n in edge_names]),
+                F.col("edge_id") + 1,
+            ).alias("edge"),
+            "n_rows",
+            "n_null",
+            "n_keys",
+            "n_orphan_keys",
         )
         .orderBy("edge")
     )
