@@ -191,7 +191,10 @@ def json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     source). Hoisting also lets the consumer Project stay in
     whole-stage codegen; measured ~20% faster warm at sf0.1.
     """
-    ev = io.load_table(spark, sf_dir, "events")
+    # parallel load (r9): single-file scan → one task for the whole
+    # JSON parse otherwise (same fix as fn_variant_shred; no-op at
+    # real scale where the scan has ≥cores splits)
+    ev = io.load_table_parallel(spark, sf_dir, "events")
     p = ev.select(
         "event_id",
         "props",
@@ -384,7 +387,12 @@ def variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
     Monetary values ride as integer cents so no float crosses the
     JSON text boundary (NOTES trap 1).
     """
-    ev = io.load_table(spark, sf_dir, "events")
+    # parallel load (r9): events arrives as ONE parquet file → one scan
+    # split, so the whole JSON-build + variant-parse projection ran in
+    # a single task (census: 1 job / 1 task / 1.8 s). The round-robin
+    # fan-out costs one narrow exchange of the five consumed columns
+    # and is a no-op at real scale (≥cores splits already).
+    ev = io.load_table_parallel(spark, sf_dir, "events")
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
     payload = F.to_json(
         F.struct(
