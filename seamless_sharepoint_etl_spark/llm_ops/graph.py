@@ -837,6 +837,15 @@ def pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = bidir.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).select(
         F.col("src").alias("v"), "deg"
     )
+    # deg anchors every round's left join (keeping the unrolled lineage
+    # LINEAR — anchoring on rel would reference it twice per round and
+    # double the subtree per unroll), but Catalyst inlines the degree
+    # aggregate once per reference and AQE stage reuse does not match
+    # the copies over a cached input (census: 18 jobs / 585 tasks for
+    # 4 rounds, ~5 of them re-running deg). A lazy localCheckpoint
+    # materializes the O(|V|) degree relation once inside the final
+    # action; every round then reads the stored partitions.
+    deg = deg.localCheckpoint(eager=False)
     rel = deg.select("v", "deg", F.lit(1_000_000).cast("long").alias("r"))
     for _ in range(PR_ITERS):
         contrib = bidir.join(rel, bidir.src == rel.v).select(

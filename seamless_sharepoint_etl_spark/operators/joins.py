@@ -1092,10 +1092,31 @@ def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         msgs = sym.join(labels, sym.ka == labels.k).select(
             F.col("kb").alias("k"), "label"
         )
-        new_labels = (
+        relaxed = (
             labels.unionAll(msgs)
             .groupBy("k")
             .agg(F.min("label").alias("label"))
+            # checkpoint BEFORE the doubling self-join: both references
+            # read the stored partitions instead of re-running the
+            # relax aggregate (Catalyst inlines self-joined subtrees)
+            .localCheckpoint(eager=False)
+        )
+        # Pointer doubling (r9): label(k) is always a member id of k's
+        # component, so label(label(k)) is too — folding it in each
+        # round makes convergence O(log diameter) hops instead of one
+        # hop per round (supplier name chains gave this graph a ~25-hop
+        # diameter; the plain loop paid one driver job per hop). The
+        # fixpoint is unchanged: both steps only decrease labels within
+        # the component, and a stable label sum means NEITHER step
+        # moved, i.e. the one-hop fixpoint the oracle's WITH RECURSIVE
+        # walk computes.
+        l2 = relaxed.select(F.col("k").alias("lk"), F.col("label").alias("l2"))
+        new_labels = (
+            relaxed.join(l2, relaxed.label == l2.lk, "left")
+            .select(
+                "k",
+                F.least("label", F.coalesce("l2", "label")).alias("label"),
+            )
             .localCheckpoint(eager=False)
         )
         new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
