@@ -697,6 +697,46 @@ def _decode_png(buf: bytes) -> "np.ndarray":  # noqa: F821
     return img.reshape(h, w, 3).astype(np.uint8)
 
 
+def _png_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, raw) pixel-body relation shared by the PNG encoder's
+    two consumers (payload builder and the fused decode query)."""
+    d = io.load_table_parallel(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.encode(_cycled_body(_PNG_BODY_LEN), "utf-8").alias("raw")
+    )
+
+
+def _png_enc_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Arrow-batched PNG encoder: (doc_id, raw) → (doc_id, payload).
+    Module-level (guide §4.5) so the decode query can compose it with
+    the feature kernel in ONE Python eval node instead of paying a
+    second JVM↔Python boundary for the payload bytes."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    ihdr = struct.pack(">IIBBBBB", PNG_W, PNG_H, 8, 2, 0, 0, 0)
+    head = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    iend = _png_chunk(b"IEND", b"")
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        # filter the whole Arrow batch in one vectorized pass; only
+        # the deflate (C-speed) runs per image
+        raws = np.stack(
+            [np.frombuffer(bytes(r), np.uint8) for r in pdf["raw"]]
+        ).reshape(-1, PNG_H, PNG_W * 3).astype(np.int64)
+        streams = _filter_scanlines_batch(raws)
+        payloads = [
+            head + _png_chunk(b"IDAT", zlib.compress(s.tobytes(), 6)) + iend
+            for s in streams
+        ]
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
 def with_png_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → VALID binary PNG images: the SAME cycled-printable
     pixel body as the PPM path (so the DuckDB oracle derives channel
@@ -707,35 +747,9 @@ def with_png_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``with_ppm_payload``); the PNG container is assembled in an
     Arrow-batched mapInPandas (zlib is driver/worker stdlib — exactly
     where a JPEG encoder would sit)."""
-    d = io.load_table_parallel(spark, sf_dir, "documents")
-    body = _cycled_body(_PNG_BODY_LEN)
-    raw = d.select("doc_id", F.encode(body, "utf-8").alias("raw"))
-
-    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import struct
-        import zlib
-
-        import numpy as np
-
-        ihdr = struct.pack(">IIBBBBB", PNG_W, PNG_H, 8, 2, 0, 0, 0)
-        head = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
-        iend = _png_chunk(b"IEND", b"")
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            # filter the whole Arrow batch in one vectorized pass; only
-            # the deflate (C-speed) runs per image
-            raws = np.stack(
-                [np.frombuffer(bytes(r), np.uint8) for r in pdf["raw"]]
-            ).reshape(-1, PNG_H, PNG_W * 3).astype(np.int64)
-            streams = _filter_scanlines_batch(raws)
-            payloads = [
-                head + _png_chunk(b"IDAT", zlib.compress(s.tobytes(), 6)) + iend
-                for s in streams
-            ]
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
-
-    return raw.mapInPandas(enc, "doc_id LONG, payload BINARY")
+    return _png_raw(spark, sf_dir).mapInPandas(
+        _png_enc_batches, "doc_id LONG, payload BINARY"
+    )
 
 
 def png_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -751,10 +765,13 @@ def png_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     seam: ffmpeg-class codecs (H.264/MP3) only — baseline JPEG became
     a real path in round 6 (``jpeg_decode_features``).
 
-    Scale: payload bytes ride Arrow once; per-image output is 6 ints;
-    decode is embarrassingly parallel across partitions (documents is
+    Scale: payload bytes never LEAVE the Python worker (r9: the
+    encoder and the decode kernel compose inside ONE mapInPandas —
+    the old two-node chain shipped every payload JVM→Python→JVM→Python
+    for no reason); per-image output is 6 ints; decode is
+    embarrassingly parallel across partitions (documents is
     repartitioned on load — NOTES trap 3)."""
-    p = with_png_payload(spark, sf_dir)
+    raw = _png_raw(spark, sf_dir)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
@@ -815,8 +832,13 @@ def png_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return p.mapInPandas(
-        run,
+    def enc_then_run(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        return run(_png_enc_batches(batches))
+
+    return raw.mapInPandas(
+        enc_then_run,
         "doc_id LONG, width INT, height INT, r_mean_milli LONG,"
         " g_mean_milli LONG, b_mean_milli LONG",
     ).orderBy("doc_id")
@@ -2291,32 +2313,45 @@ def _decode_jpeg(buf: bytes) -> tuple:
     return img, int(dc_sum), int(nz)
 
 
+def _jpeg_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, raw) coefficient-byte relation shared by the JPEG
+    encoder's two consumers (payload builder and the fused decode)."""
+    d = io.load_table_parallel(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.encode(_cycled_body(_JPEG_BODY_LEN), "utf-8").alias("raw")
+    )
+
+
+def _jpeg_enc_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Arrow-batched JPEG encoder: (doc_id, raw) → (doc_id, payload).
+    Module-level so the decode query composes it with the feature
+    kernel in ONE Python eval node (see _png_enc_batches)."""
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        payloads = []
+        for r in pdf["raw"]:
+            b = bytes(r)
+            payloads.append(
+                _encode_jpeg(
+                    [b[2 * i] - _JPEG_DC_BIAS for i in range(JPEG_N_BLOCKS)],
+                    [b[2 * i + 1] % JPEG_N_PATTERNS for i in range(JPEG_N_BLOCKS)],
+                )
+            )
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
 def with_jpeg_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → VALID baseline JPEG images: 2 printable text bytes
     per 8×8 block pick the quantized DC level and one of
     ``JPEG_N_PATTERNS`` AC menus; the Arrow-batched encoder
     Huffman-codes them into a real entropy stream (the same
     worker-side hop where a libjpeg encoder would sit)."""
-    d = io.load_table_parallel(spark, sf_dir, "documents")
-    body = _cycled_body(_JPEG_BODY_LEN)
-    raw = d.select("doc_id", F.encode(body, "utf-8").alias("raw"))
-
-    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            payloads = []
-            for r in pdf["raw"]:
-                b = bytes(r)
-                payloads.append(
-                    _encode_jpeg(
-                        [b[2 * i] - _JPEG_DC_BIAS for i in range(JPEG_N_BLOCKS)],
-                        [b[2 * i + 1] % JPEG_N_PATTERNS for i in range(JPEG_N_BLOCKS)],
-                    )
-                )
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
-
-    return raw.mapInPandas(enc, "doc_id LONG, payload BINARY")
+    return _jpeg_raw(spark, sf_dir).mapInPandas(
+        _jpeg_enc_batches, "doc_id LONG, payload BINARY"
+    )
 
 
 def jpeg_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2334,9 +2369,10 @@ def jpeg_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     IDCT and its rounding — pixel-exactly. Remaining declared stub:
     H.264/MP3 (``decode_payload``).
 
-    Scale: payload bytes ride Arrow once; decode is embarrassingly
+    Scale: payload bytes never leave the Python worker (encoder and
+    decoder compose in ONE mapInPandas — r9); decode is embarrassingly
     parallel across partitions; per-image output is 6 ints."""
-    p = with_jpeg_payload(spark, sf_dir)
+    raw = _jpeg_raw(spark, sf_dir)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -2365,8 +2401,13 @@ def jpeg_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    return p.mapInPandas(
-        run,
+    def enc_then_run(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        return run(_jpeg_enc_batches(batches))
+
+    return raw.mapInPandas(
+        enc_then_run,
         "doc_id LONG, width INT, height INT, dc_sum LONG,"
         " nonzero_ac LONG, pixel_sum LONG, pix_weighted LONG",
     ).orderBy("doc_id")
@@ -2624,28 +2665,38 @@ def with_gif_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     length-prefixed sub-blocks + trailer. The compressor runs in an
     Arrow-batched mapInPandas (the same worker-side hop as the PNG
     zlib encoder)."""
-    raw = io.load_table_parallel(spark, sf_dir, "documents").select(
+    return _gif_raw(spark, sf_dir).mapInPandas(
+        _gif_enc_batches, "doc_id LONG, payload BINARY"
+    )
+
+
+def _gif_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, raw) index-byte relation shared by the GIF encoder's
+    two consumers (payload builder and the fused decode query)."""
+    return io.load_table_parallel(spark, sf_dir, "documents").select(
         "doc_id", F.encode(_cycled_body(_GIF_BODY_LEN), "utf-8").alias("raw")
     )
+
+
+def _gif_enc_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Arrow-batched GIF87a/LZW encoder: (doc_id, raw) → (doc_id,
+    payload). Module-level so the decode query composes it with the
+    feature kernel in ONE Python eval node (see _png_enc_batches)."""
     header = _gif_header()
-
-    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payloads = []
-            for body in pdf["raw"]:
-                stream = _lzw_encode(bytes(body))
-                blocks = bytearray([_GIF_MIN_CODE_SIZE])
-                for i in range(0, len(stream), 255):
-                    chunk = stream[i : i + 255]
-                    blocks.append(len(chunk))
-                    blocks += chunk
-                blocks.append(0x00)  # block terminator
-                payloads.append(header + bytes(blocks) + b"\x3b")
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "payload": payloads}
-            )
-
-    return raw.mapInPandas(enc, "doc_id LONG, payload BINARY")
+    for pdf in batches:
+        payloads = []
+        for body in pdf["raw"]:
+            stream = _lzw_encode(bytes(body))
+            blocks = bytearray([_GIF_MIN_CODE_SIZE])
+            for i in range(0, len(stream), 255):
+                chunk = stream[i : i + 255]
+                blocks.append(len(chunk))
+                blocks += chunk
+            blocks.append(0x00)  # block terminator
+            payloads.append(header + bytes(blocks) + b"\x3b")
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
 
 def gif_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2657,9 +2708,10 @@ def gif_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the same byte construction, so a hash match proves the LZW
     round-trip bit-exactly — the same proof shape as PNG's zlib path.
 
-    Scale: payload bytes ride Arrow once; LZW is linear in pixels;
+    Scale: payload bytes never leave the Python worker (encoder and
+    decoder compose in ONE mapInPandas — r9); LZW is linear in pixels;
     only a few ints per image shuffle."""
-    p = with_gif_payload(spark, sf_dir)
+    raw = _gif_raw(spark, sf_dir)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -2696,8 +2748,13 @@ def gif_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    return p.mapInPandas(
-        run,
+    def enc_then_run(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        return run(_gif_enc_batches(batches))
+
+    return raw.mapInPandas(
+        enc_then_run,
         "doc_id LONG, width LONG, height LONG, n_pixels LONG,"
         " idx_mean_milli LONG, idx_max LONG, idx_min LONG,"
         " n_distinct_idx LONG",
@@ -2877,27 +2934,37 @@ def with_bmp_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     stored bottom-up with EOL escapes and a final EOB. The encoder
     runs worker-side in an Arrow-batched mapInPandas (the GIF/PNG
     hop)."""
-    raw = io.load_table_parallel(spark, sf_dir, "documents").select(
+    return _bmp_raw(spark, sf_dir).mapInPandas(
+        _bmp_enc_batches, "doc_id LONG, payload BINARY"
+    )
+
+
+def _bmp_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, raw) pixel-byte relation shared by the BMP encoder's
+    two consumers (payload builder and the fused decode query)."""
+    return io.load_table_parallel(spark, sf_dir, "documents").select(
         "doc_id", F.encode(_cycled_body(_BMP_BODY_LEN), "utf-8").alias("raw")
     )
 
-    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payloads = []
-            for body in pdf["raw"]:
-                px = bytes(body)
-                data = bytearray()
-                for r in range(BMP_H):  # bottom-up storage order
-                    row = px[(BMP_H - 1 - r) * BMP_W : (BMP_H - r) * BMP_W]
-                    data += _rle8_encode_row(row)
-                    data += b"\x00\x00"  # EOL
-                data += b"\x00\x01"  # EOB
-                payloads.append(_bmp_headers(len(data)) + bytes(data))
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "payload": payloads}
-            )
 
-    return raw.mapInPandas(enc, "doc_id LONG, payload BINARY")
+def _bmp_enc_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Arrow-batched BMP/RLE8 encoder: (doc_id, raw) → (doc_id,
+    payload). Module-level so the decode query composes it with the
+    feature kernel in ONE Python eval node (see _png_enc_batches)."""
+    for pdf in batches:
+        payloads = []
+        for body in pdf["raw"]:
+            px = bytes(body)
+            data = bytearray()
+            for r in range(BMP_H):  # bottom-up storage order
+                row = px[(BMP_H - 1 - r) * BMP_W : (BMP_H - r) * BMP_W]
+                data += _rle8_encode_row(row)
+                data += b"\x00\x00"  # EOL
+            data += b"\x00\x01"  # EOB
+            payloads.append(_bmp_headers(len(data)) + bytes(data))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
 
 def bmp_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2909,11 +2976,12 @@ def bmp_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     absolute padding skipped. The oracle re-derives everything from
     the byte construction, so a hash match proves the RLE8 round trip.
 
-    Scale: payloads ride Arrow once; RLE decode is linear in encoded
-    bytes; a handful of ints per image shuffles."""
+    Scale: payload bytes never leave the Python worker (encoder and
+    decoder compose in ONE mapInPandas — r9); RLE decode is linear in
+    encoded bytes; a handful of ints per image shuffles."""
     import struct
 
-    p = with_bmp_payload(spark, sf_dir)
+    raw = _bmp_raw(spark, sf_dir)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -2962,8 +3030,13 @@ def bmp_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    return p.mapInPandas(
-        run,
+    def enc_then_run(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        return run(_bmp_enc_batches(batches))
+
+    return raw.mapInPandas(
+        enc_then_run,
         "doc_id LONG, width INT, height INT, n_pixels LONG,"
         " idx_mean_milli LONG, idx_max LONG, idx_min LONG,"
         " n_distinct_idx LONG, pos_weighted LONG",
