@@ -455,10 +455,76 @@ _GRADE_FIRST_R9_FULL = [
     "ts_resample_ffill",
 ]
 
-# LIVE round-9 window (swapped as round 9's first commit, per the
-# round-8 verdict item #1): the 10 round-2-era rows the r8 additions
-# displaced (UDF surface ×4, text ×6) plus the oldest round-3 rows.
-_GRADE_FIRST = _GRADE_FIRST_R9_FULL
+# Round-9 window went live as round 9's first commit; CORRECTNESS_r09
+# landed 44 green + 6 rows-only-by-design. The live window is now the
+# round-10 list (assigned below, per the round-9 verdict item #7).
+
+
+# ROUND-10 window, pre-staged (round-10 first commit:
+# `_GRADE_FIRST = _GRADE_FIRST_R10_FULL`). Derived from
+# CORRECTNESS_r01..r09, oldest latest-row first with a name
+# tie-break: the 7 remaining round-3-era rows, then the 43 oldest
+# round-4 rows (the cut lands mid-round-4 — win_attribution_linear
+# onward defer to round 11). No new queries were registered during
+# round 9 (optimization-only), so no head insertions.
+_GRADE_FIRST_R10_FULL = [
+    # round-3-era rows (oldest on record)
+    "ts_scd2_intervals",
+    "udf_scalar_iter_pandas",
+    "win_cohort_retention",
+    "win_funnel_conversion",
+    "win_gaps_islands",
+    "win_moving_median",
+    "win_sessionize_gap",
+    # oldest round-4 rows, name order
+    "agg_equidepth_histogram",
+    "agg_gini_coefficient",
+    "agg_kmv_distinct",
+    "agg_rfm_segments",
+    "agg_sample_estimate",
+    "join_asof_nearest",
+    "join_auto_skew_remedy",
+    "join_bloom_prefilter",
+    "join_geo_gridblock",
+    "join_market_basket",
+    "olap_q10_returned_items",
+    "olap_q11_important_share",
+    "olap_q12_priority_by_mode",
+    "olap_q13_customer_distribution",
+    "olap_q14_promo_share",
+    "olap_q15_top_supplier",
+    "olap_q16_supplier_variety",
+    "olap_q17_small_qty_revenue",
+    "olap_q18_large_volume_customers",
+    "olap_q19_disjunctive_join",
+    "olap_q20_supplier_quota",
+    "olap_q21_late_suppliers",
+    "olap_q22_dormant_customers",
+    "olap_q2_min_cost_supplier",
+    "olap_q3_shipping_priority",
+    "olap_q4_priority_exists",
+    "olap_q5_local_supplier_volume",
+    "olap_q6_forecast_revenue",
+    "olap_q7_nation_volume",
+    "olap_q8_market_share",
+    "olap_q9_product_profit",
+    "sql_gateway_grouping_sets",
+    "sql_gateway_topn",
+    "sql_gateway_window",
+    "ts_cusum_changepoint",
+    "ts_daily_zscore_anomalies",
+    "ts_holt_linear",
+    "ts_linear_interpolate",
+    "ts_lttb_downsample",
+    "ts_mom_growth",
+    "ts_seasonal_decompose",
+    "ts_theil_sen",
+    "ts_trend_slope",
+]
+
+# LIVE round-10 window (swapped as round 10's first commit, per the
+# round-9 verdict item #7).
+_GRADE_FIRST = _GRADE_FIRST_R10_FULL
 
 
 def queries() -> dict[str, QueryFn]:

@@ -190,10 +190,16 @@ def test_round7_window_closes_the_rotation():
     # era-aware swap pin: once a round's CORRECTNESS file lands, the
     # live window must advance to the NEXT pre-staged list, verbatim
     # (each round's first-commit action per the standing verdict plan)
+    repo_has_r9 = os.path.exists(os.path.join(repo, "CORRECTNESS_r09.json"))
     repo_has_r8 = os.path.exists(os.path.join(repo, "CORRECTNESS_r08.json"))
     repo_has_r7 = os.path.exists(os.path.join(repo, "CORRECTNESS_r07.json"))
     repo_has_r6 = os.path.exists(os.path.join(repo, "CORRECTNESS_r06.json"))
-    if repo_has_r8:
+    if repo_has_r9:
+        assert registry._GRADE_FIRST is registry._GRADE_FIRST_R10_FULL, (
+            "CORRECTNESS_r09 has landed but the live window is not "
+            "_GRADE_FIRST_R10_FULL — the round-10 swap commit is missing"
+        )
+    elif repo_has_r8:
         assert registry._GRADE_FIRST is registry._GRADE_FIRST_R9_FULL, (
             "CORRECTNESS_r08 has landed but the live window is not "
             "_GRADE_FIRST_R9_FULL — the round-9 swap commit is missing"
@@ -312,8 +318,49 @@ def test_round9_window_is_staged_and_covers_new_queries():
     assert ungraded <= covered, (
         f"round-8 additions outside both windows: {sorted(ungraded - covered)}"
     )
-    if os.path.exists(os.path.join(repo, "CORRECTNESS_r08.json")):
+    if os.path.exists(os.path.join(repo, "CORRECTNESS_r09.json")):
+        assert registry._GRADE_FIRST is registry._GRADE_FIRST_R10_FULL, (
+            "CORRECTNESS_r09 has landed but the live window is not "
+            "_GRADE_FIRST_R10_FULL — the round-10 swap commit is missing"
+        )
+    elif os.path.exists(os.path.join(repo, "CORRECTNESS_r08.json")):
         assert registry._GRADE_FIRST is registry._GRADE_FIRST_R9_FULL, (
             "CORRECTNESS_r08 has landed but the live window is not "
             "_GRADE_FIRST_R9_FULL — the round-9 swap commit is missing"
         )
+
+
+def test_round10_window_is_staged_and_covers_new_queries():
+    """The pre-staged FULL round-10 window: 50 unique registered names,
+    no overlap with the round-9 window (every slot buys a fresh driver
+    row), composed of the oldest latest-graded rows on record (the 7
+    remaining round-3-era rows, then the oldest round-4 rows in name
+    order). Coverage duty: any query registered during round 9 (no
+    CORRECTNESS row, not in the live r9 window) must occupy an r10
+    slot. Era pin: once CORRECTNESS_r09 lands, the live window must BE
+    this list (enforced in test_round9_window... above)."""
+    import glob
+    import json
+    import os
+
+    from seamless_sharepoint_etl_spark import registry
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    graded: set[str] = set()
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        graded |= set(json.load(open(path)))
+    registered = set(registry.queries())
+    w10 = registry._GRADE_FIRST_R10_FULL
+    assert len(w10) == 50, f"round-10 window holds {len(w10)} names, not 50"
+    assert len(w10) == len(set(w10)), "duplicate names in _GRADE_FIRST_R10_FULL"
+    assert set(w10) <= registered, (
+        f"unregistered names staged: {sorted(set(w10) - registered)}"
+    )
+    assert not (set(w10) & set(registry._GRADE_FIRST_R9_FULL)), (
+        "round-10 names double-booked in the round-9 window"
+    )
+    ungraded = registered - graded
+    covered = set(registry._GRADE_FIRST_R9_FULL) | set(w10)
+    assert ungraded <= covered, (
+        f"round-9 additions outside both windows: {sorted(ungraded - covered)}"
+    )
