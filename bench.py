@@ -245,6 +245,71 @@ HEADLINE = [
     "layout_hilbert_locality",
 ]
 
+# Queries published in the PREVIOUS round's bench line (BENCH_r09
+# "queries" keys, verbatim). The driver keeps only the last ~2000
+# chars of stdout, so the line can carry ~55-60 of the 180 headline
+# timings; before round 10 the line held whichever queries were
+# slowest THAT round, so any query that sped up fell off the line and
+# the driver's round-over-round comparison recorded a phantom
+# "dropped_from_bench" (VERDICT r9 item 1). Publishing is now
+# additions-only: this set is retained verbatim every round (append
+# the new names each round), and the remaining budget is filled with
+# the slowest not-yet-published queries. Full 180-query detail is
+# always in BENCH_FULL.json.
+PUBLISH_ALWAYS = [
+    "dedup_estimator_pr",
+    "diag_duplicate_rows",
+    "text_bigram_logprob",
+    "dedup_minhash_estimate",
+    "agg_percentiles",
+    "text_pmi_collocations",
+    "join_entity_resolution",
+    "sim_rerank_two_stage",
+    "diag_referential_integrity",
+    "diag_functional_deps",
+    "diag_table_profile",
+    "join_market_basket",
+    "graph_pagerank_exact",
+    "graph_bfs_depth",
+    "layout_hilbert_locality",
+    "text_source_overlap",
+    "text_unigram_logprob",
+    "dedup_minhash_lsh",
+    "text_perplexity_buckets",
+    "diag_mutual_information",
+    "graph_kcore",
+    "text_rake_keywords",
+    "sim_pq_topk",
+    "agg_winsorized_stats",
+    "src_protobuf_wire_scan",
+    "text_winnow_crossdoc",
+    "sim_matryoshka_prefix_recall",
+    "text_dsir_importance",
+    "text_corpus_curation",
+    "dedup_bloom_incremental",
+    "mm_jpeg_decode_features",
+    "agg_equidepth_histogram",
+    "mm_gif_decode_features",
+    "diag_ks_drift",
+    "mm_bmp_rle8_decode_features",
+    "ts_purged_walkforward_split",
+    "join_interval_bucketed",
+    "agg_weighted_median",
+    "sim_mmr_diversify",
+    "flagship_incremental_load",
+    "text_heavy_hitters",
+    "text_sequence_packing",
+    "graph_edge_support",
+    "mm_adpcm_decode_features",
+    "agg_hll_portable",
+    "win_session_paths",
+    "text_bm25_topk",
+    "src_warc_scan",
+    "win_attribution_linear",
+    "layout_codec_stats",
+    "win_pareto_abc",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -443,22 +508,38 @@ def main() -> None:
     # The round driver keeps only the LAST 2000 chars of stdout and
     # parses the JSON line out of that tail — round 3's 121-query line
     # was ~3.3 kB and failed to parse (BENCH_r03.json "parsed": null).
-    # Emit a line guaranteed to fit: total + as many of the slowest
-    # per-query timings as fit in the budget, plus a pointer to the
-    # full map.
+    # Emit a line guaranteed to fit. Round-10 line-format change
+    # (VERDICT r9 item 1, declared in OPTIMIZATION_r10.md — the TIMING
+    # methodology is untouched): per-query values are rounded to 2
+    # decimals in the line (3-decimal detail stays in BENCH_FULL.json),
+    # the PUBLISH_ALWAYS set (every query published in the previous
+    # round's line) is retained verbatim so round-over-round
+    # comparisons never see a phantom drop, and the remaining budget
+    # goes to the slowest not-yet-published queries.
     line_payload = dict(payload)
     line_payload["detail"] = "BENCH_FULL.json"
     del line_payload["setup"]  # per-artifact detail lives in BENCH_FULL
     del line_payload["aggregation"]  # ditto — keep the line small
     kept: dict[str, float] = {}
     line_payload["queries"] = kept  # alias: the loop mutates kept in place
-    for name, secs in sorted(timings.items(), key=lambda kv: -kv[1]):
-        kept[name] = secs
-        if len(json.dumps(line_payload, separators=(",", ":"))) > 1700:
+    for name in PUBLISH_ALWAYS:
+        kept[name] = round(timings[name], 2)
+    base_len = len(json.dumps(line_payload, separators=(",", ":")))
+    assert base_len <= 1700, (
+        f"PUBLISH_ALWAYS alone is {base_len} chars — trim the additions"
+    )
+    rest = sorted(
+        (kv for kv in timings.items() if kv[0] not in kept),
+        key=lambda kv: -kv[1],
+    )
+    for name, secs in rest:
+        kept[name] = round(secs, 2)
+        if len(json.dumps(line_payload, separators=(",", ":"))) > 1820:
             del kept[name]
             break
     line = json.dumps(line_payload, separators=(",", ":"))
     assert len(line) <= 1900, f"bench JSON line too long: {len(line)}"
+    assert set(PUBLISH_ALWAYS) <= set(kept), "published set regressed"
     print(line)
     spark.stop()
 
