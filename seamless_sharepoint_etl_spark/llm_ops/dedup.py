@@ -1023,6 +1023,52 @@ def _portable_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psh
 
 
+def _est_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pair relation of the portable MinHash estimator:
+    ``(doc_lo, doc_hi, match_k)`` for every pair agreeing on ≥
+    ``MH_EST_MIN_MATCH`` of the K signature components. Shared by
+    ``minhash_estimate`` (which verifies each candidate against exact
+    shingle Jaccard) and ``estimator_pr`` (whose predicted-pair set is
+    a pure ``match_k`` threshold — no verify columns needed, so it
+    consumes this relation directly instead of executing the verify
+    subtree; guide §1.2 step 1 "don't compute things you throw away").
+    Returned UN-persisted: single-reference consumers should not pin
+    executor memory for it.
+    """
+    psh = _portable_shingles(spark, sf_dir)
+    K = len(MH_EST_SEEDS)
+    mins = [
+        F.min((F.col("ph") * F.lit(a) + F.lit(b)) % F.lit(MH_EST_P)).alias(f"s{k}")
+        for k, (a, b) in enumerate(MH_EST_SEEDS)
+    ]
+    sig = psh.groupBy("doc_id").agg(*mins)
+    comp = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(k).alias("k"), F.col(f"s{k}").alias("sv"))
+                    for k in range(K)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "c.k", "c.sv")
+    ca, cb = comp.alias("ca"), comp.alias("cb")
+    return (
+        ca.join(
+            cb,
+            (F.col("ca.k") == F.col("cb.k"))
+            & (F.col("ca.sv") == F.col("cb.sv"))
+            & (F.col("ca.doc_id") < F.col("cb.doc_id")),
+        )
+        .groupBy(
+            F.col("ca.doc_id").alias("doc_lo"), F.col("cb.doc_id").alias("doc_hi")
+        )
+        .agg(F.count(F.lit(1)).alias("match_k"))
+        .filter(F.col("match_k") >= MH_EST_MIN_MATCH)
+    )
+
+
 def minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash Jaccard ESTIMATES next to the exact Jaccard they
     estimate — the sketch-accuracy audit of the dedup pipeline, and the
@@ -1048,59 +1094,41 @@ def minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     psh = _portable_shingles(spark, sf_dir)
     K = len(MH_EST_SEEDS)
-    mins = [
-        F.min((F.col("ph") * F.lit(a) + F.lit(b)) % F.lit(MH_EST_P)).alias(f"s{k}")
-        for k, (a, b) in enumerate(MH_EST_SEEDS)
-    ]
-    sig = psh.groupBy("doc_id").agg(*mins)
-    comp = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(k).alias("k"), F.col(f"s{k}").alias("sv"))
-                    for k in range(K)
-                ]
-            )
-        ).alias("c"),
-    ).select("doc_id", "c.k", "c.sv")
-    ca, cb = comp.alias("ca"), comp.alias("cb")
     pairs = (
-        ca.join(
-            cb,
-            (F.col("ca.k") == F.col("cb.k"))
-            & (F.col("ca.sv") == F.col("cb.sv"))
-            & (F.col("ca.doc_id") < F.col("cb.doc_id")),
-        )
-        .groupBy(
-            F.col("ca.doc_id").alias("doc_lo"), F.col("cb.doc_id").alias("doc_hi")
-        )
-        .agg(F.count(F.lit(1)).alias("match_k"))
-        .filter(F.col("match_k") >= MH_EST_MIN_MATCH)
-        .persist()  # referenced 3× below (two doc filters + the final join)
+        _est_candidate_pairs(spark, sf_dir)
+        .persist()  # referenced 3× below (doc filter, pair semi, final join)
     )
-    sizes = psh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    lo_sh = psh.join(
-        F.broadcast(pairs.select(F.col("doc_lo").alias("doc_id")).distinct()),
-        "doc_id",
-        "left_semi",
-    ).select(F.col("doc_id").alias("doc_lo"), "ph")
-    hi_sh = psh.join(
-        F.broadcast(pairs.select(F.col("doc_hi").alias("doc_id")).distinct()),
-        "doc_id",
-        "left_semi",
-    ).select(F.col("doc_id").alias("doc_hi"), "ph")
-    inter = (
-        lo_sh.join(hi_sh, "ph")
-        .join(F.broadcast(pairs), ["doc_lo", "doc_hi"])
-        .groupBy("doc_lo", "doc_hi", "match_k")
+    # Exact-Jaccard verify over candidate docs ONLY, as the candidate-
+    # restricted POSTING-LIST plan (r10 — the ``minhash_lsh_pairs``
+    # verify shape this docstring already described): ONE semi-join
+    # pass over the cached shingle spine (the old shape made three —
+    # two per-side semi-joins feeding a shingle-keyed equi-join, plus a
+    # FULL-corpus size aggregate), sizes computed from the restricted
+    # relation (candidate docs only), pair intersections from the
+    # in-array ordered-pair explode. No posting cap: the explode
+    # produces exactly the pair multiset the old shingle equi-join
+    # produced, so the result set is identical by construction.
+    cdocs = (
+        pairs.select(F.explode(F.array("doc_lo", "doc_hi")).alias("doc_id"))
+        .distinct()
+    )
+    rsh = psh.join(F.broadcast(cdocs), "doc_id", "left_semi")
+    sizes = rsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    posting = (
+        rsh.join(F.broadcast(sizes), "doc_id")
+        .groupBy("ph")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    cand_inter = (
+        posting.select(F.explode(F.expr(_PAIR_EXPLODE)).alias("p"))
+        .select("p.*")
+        .groupBy("doc_lo", "n_lo", "doc_hi", "n_hi")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    sz_lo = sizes.select(F.col("doc_id").alias("doc_lo"), F.col("n_sh").alias("n_lo"))
-    sz_hi = sizes.select(F.col("doc_id").alias("doc_hi"), F.col("n_sh").alias("n_hi"))
+    inter = cand_inter.join(F.broadcast(pairs), ["doc_lo", "doc_hi"])
     return (
-        inter.join(F.broadcast(sz_lo), "doc_lo")
-        .join(F.broadcast(sz_hi), "doc_hi")
+        inter
         .select(
             "doc_lo",
             "doc_hi",
@@ -1254,9 +1282,23 @@ def estimator_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: a full-outer join of two already-tiny pair relations
     (both ride the session shingle caches); the fact-sized work happens
     once inside the cached inputs.
+
+    The predicted set is computed from the estimator's CANDIDATE pair
+    relation directly (r10, guide §1.2 step 1): est_bp =
+    floor(match_k·10000/K) is a pure function of match_k, so
+    ``est_bp ≥ T ⟺ match_k ≥ ceil(T·K/10000)`` — the exact-Jaccard
+    verify subtree of ``minhash_estimate`` (two shingle semi-joins, an
+    intersection join and two aggregates) only produced columns this
+    query DISCARDS, and Catalyst cannot prune cardinality-preserving
+    inner joins it cannot prove lossless. Identical pair set, proven by
+    the unchanged oracle (which still filters MINHASH_ESTIMATE_SQL on
+    est_bp).
     """
-    pred = minhash_estimate(spark, sf_dir).filter(
-        F.col("est_bp") >= EST_PR_THRESHOLD_BP
+    K = len(MH_EST_SEEDS)
+    # smallest match_k with floor(match_k*10000/K) >= EST_PR_THRESHOLD_BP
+    k_needed = max(MH_EST_MIN_MATCH, -(-EST_PR_THRESHOLD_BP * K // 10000))
+    pred = _est_candidate_pairs(spark, sf_dir).filter(
+        F.col("match_k") >= k_needed
     ).select("doc_lo", "doc_hi", F.lit(1).alias("p"))
     truth = ngram_jaccard_pairs(spark, sf_dir).select(
         "doc_lo", "doc_hi", F.lit(1).alias("t")

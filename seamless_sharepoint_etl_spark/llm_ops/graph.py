@@ -825,9 +825,13 @@ def pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     the edge list) + one vertex-keyed hash aggregate — the textbook
     distributed-PageRank plan. The edge relation is persisted once (the
     graph-family policy); ranks are O(vertices) rows of three BIGINTs.
-    Four unrolled rounds keep the lineage shallow enough that no
-    checkpoint is needed (the 40-round float fixpoint in dedup.py is
-    where localCheckpoint becomes mandatory — NOTES trap 16).
+    Four unrolled rounds keep the RANK lineage shallow enough that it
+    needs no checkpoint (the 40-round float fixpoint in dedup.py is
+    where localCheckpoint becomes mandatory — NOTES trap 16); the
+    O(|V|) DEGREE relation, referenced once per unrolled round, IS
+    lazily ``localCheckpoint``ed below because AQE stage reuse does not
+    deduplicate the per-round subtree copies Catalyst inlines over a
+    cached input (r9 diagnosis).
     """
     e = _edges(spark, sf_dir)
     e.persist()
@@ -921,6 +925,12 @@ def clear_cc_label_cache() -> None:
     _CC_LABEL_CACHE.clear()
 
 
+# Introspection: rounds the LAST _min_label_cc invocation took to
+# converge (set on every call; read by tests and the optimization log
+# to evidence the pointer-doubling round count).
+_CC_LAST_ROUNDS = 0
+
+
 def _min_label_cc(edges: DataFrame, max_rounds: int, what: str) -> DataFrame:
     """Exact min-label connected components over an undirected edge
     relation (first column, second column) — returns ``(k, label)``
@@ -928,11 +938,12 @@ def _min_label_cc(edges: DataFrame, max_rounds: int, what: str) -> DataFrame:
     vertex that appears in ``edges`` (isolated vertices are absent;
     callers coalesce to the vertex's own id).
 
-    Scale: per round one vertex-keyed hash join + one min-aggregate,
+    Scale: per round one vertex-keyed hash join + min-aggregate
+    (relax) plus one label-keyed self-join (pointer doubling),
     ``localCheckpoint``ed (NOTES trap 16) so the plan never deepens;
-    rounds bounded by component diameter with a hard cap that RAISES
-    (``what`` names the caller) rather than returning a silently split
-    partition.
+    doubling makes the round count O(log diameter) instead of one
+    round per hop, with a hard cap that RAISES (``what`` names the
+    caller) rather than returning a silently split partition.
     """
     lo, hi = edges.columns
     sym = (
@@ -953,15 +964,37 @@ def _min_label_cc(edges: DataFrame, max_rounds: int, what: str) -> DataFrame:
     # aggregate per round instead of a join + count job. The agg also
     # materializes the round's LAZY checkpoint in the same job
     # (sum(label) touches every partition).
+    global _CC_LAST_ROUNDS
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
+        _CC_LAST_ROUNDS = rnd + 1
         msgs = sym.join(labels, sym.ka == labels.k).select(
             F.col("kb").alias("k"), "label"
         )
-        new_labels = (
+        relaxed = (
             labels.unionAll(msgs)
             .groupBy("k")
             .agg(F.min("label").alias("label"))
+            # checkpoint BEFORE the doubling self-join: both references
+            # read the stored partitions instead of re-running the
+            # relax aggregate (Catalyst inlines self-joined subtrees)
+            .localCheckpoint(eager=False)
+        )
+        # Pointer doubling (r10 — the join_entity_resolution r9
+        # precedent applied verbatim): label(k) is always a member id
+        # of k's component, so label(label(k)) is too — folding it in
+        # each round makes convergence O(log diameter) driver barriers
+        # instead of one per hop. The fixpoint is unchanged: both steps
+        # only decrease labels within the component, and a stable label
+        # sum means NEITHER step moved, i.e. the same one-hop fixpoint
+        # the oracle's WITH RECURSIVE walk computes.
+        l2 = relaxed.select(F.col("k").alias("lk"), F.col("label").alias("l2"))
+        new_labels = (
+            relaxed.join(l2, relaxed.label == l2.lk, "left")
+            .select(
+                "k",
+                F.least("label", F.coalesce("l2", "label")).alias("label"),
+            )
             .localCheckpoint(eager=False)
         )
         new_sum = new_labels.agg(F.sum("label")).collect()[0][0]

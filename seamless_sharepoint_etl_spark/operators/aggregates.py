@@ -337,16 +337,19 @@ def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = io.load_table(spark, sf_dir, "lineitem")
 
-    def proj(metric: str, cents) -> DataFrame:
-        return li.select(
-            F.col("l_returnflag").alias("flag"),
-            F.lit(metric).alias("metric"),
-            cents.cast("long").alias("v"),
-        )
-
-    base = proj(
-        "price", F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
-    ).unionByName(proj("qty", F.floor(F.col("l_quantity") + F.lit(0.5)) * 100))
+    # Both metrics in ONE scan (r10, guide §2.4 — remove repeated
+    # passes): the old two-projection union gave each branch its own
+    # FileScan, so the two actions this query runs (frontier collect +
+    # final extraction) cost FOUR lineitem scans; stack() emits the
+    # identical (flag, metric, v) row multiset from one scan — two
+    # narrow generator rows per input row, no extra shuffle bytes.
+    base = li.selectExpr(
+        "l_returnflag AS flag",
+        "stack(2,"
+        " 'price', CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT),"
+        " 'qty', CAST(floor(l_quantity + 0.5) AS BIGINT) * 100"
+        ") AS (metric, v)",
+    )
 
     # one-pass frontier: per-(group, metric, bucket) counts under a
     # DOMAIN-FIXED order-preserving bucket width (price cents div 2^16,

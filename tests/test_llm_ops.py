@@ -1970,6 +1970,55 @@ def test_estimator_pr_confusion_identities_and_fixture_quality(spark):
     assert r["n_truth"] > 0
     assert r["recall_bp"] >= 9000
     assert r["precision_bp"] >= 9000
+    # r10: estimator_pr derives its predicted set from the CANDIDATE
+    # pair relation via a match_k threshold instead of executing
+    # minhash_estimate's exact-verify subtree. The threshold must be
+    # exactly equivalent to est_bp >= EST_PR_THRESHOLD_BP for every
+    # possible match_k, and the resulting pair set identical to
+    # filtering the full estimator output.
+    K = len(dedup.MH_EST_SEEDS)
+    k_needed = max(
+        dedup.MH_EST_MIN_MATCH, -(-dedup.EST_PR_THRESHOLD_BP * K // 10000)
+    )
+    for mk in range(dedup.MH_EST_MIN_MATCH, K + 1):
+        assert (mk * 10000 // K >= dedup.EST_PR_THRESHOLD_BP) == (
+            mk >= k_needed
+        ), mk
+    via_full = {
+        (p["doc_lo"], p["doc_hi"])
+        for p in dedup.minhash_estimate(spark, SF_DIR)
+        .filter(f"est_bp >= {dedup.EST_PR_THRESHOLD_BP}")
+        .collect()
+    }
+    via_cand = {
+        (p["doc_lo"], p["doc_hi"])
+        for p in dedup._est_candidate_pairs(spark, SF_DIR)
+        .filter(f"match_k >= {k_needed}")
+        .collect()
+    }
+    assert via_full == via_cand
+
+
+def test_min_label_cc_pointer_doubling_converges_in_log_rounds(spark):
+    """r10: _min_label_cc folds label(label(k)) per round (pointer
+    doubling, the join_entity_resolution precedent). On a 64-vertex
+    PATH graph (diameter 63) the one-hop loop needs 64 rounds; the
+    doubled loop must finish in O(log d) — and still produce the exact
+    partition (every vertex labeled with the component minimum)."""
+    from seamless_sharepoint_etl_spark.llm_ops import graph
+
+    n = 64
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a long, b long"
+    )
+    labels = graph._min_label_cc(edges, 20, "pointer-doubling test")
+    rows = {r["k"]: r["label"] for r in labels.collect()}
+    assert rows == {i: 0 for i in range(n)}, "path must collapse to label 0"
+    # log2(63) ≈ 6 doubling rounds + 1 detection round; one-hop needs 64
+    assert graph._CC_LAST_ROUNDS <= 10, (
+        f"doubling took {graph._CC_LAST_ROUNDS} rounds on a 64-path — "
+        "O(log d) convergence regressed"
+    )
 
 
 def test_three_cc_algorithms_agree_on_every_cluster(spark):
