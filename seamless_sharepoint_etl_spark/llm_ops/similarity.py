@@ -1036,19 +1036,23 @@ def _l2sq(a, b):
 
 def _pq_index(
     spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """Train the PQ codebook (per-subspace Lloyd, L2 metric) and encode
-    the table. Returns ``(codes, cent, cnorm)``:
+    the table. Returns ``(codes, cent, cnorm, pmeta)``:
 
       codes = (vec_id, m, code)          — 8 small ints per vector; the
                                            4-bit-code compression is the
                                            whole point (64 float32 → 8
                                            nibbles ≈ 64× smaller)
-      cent  = (m, code, cv, c2)          — PQ_M·PQ_K = 128 rows, with
-                                           |cv|² precomputed
+      cent  = (m, code, cv, c2, lpos)    — PQ_M·PQ_K = 128 rows, with
+                                           |cv|² and the dense LUT slot
+                                           precomputed
       cnorm = (vec_id, can)              — code-derived candidate norms,
                                            index metadata cached at
                                            training time (r9)
+      pmeta = (vec_id, lps, can)         — codes+norm reshaped to ONE
+                                           narrow row per vector for the
+                                           ADC queries (r10)
 
     All PQ_M subspace k-means runs happen in the SAME distributed jobs
     (the subspace id ``m`` is just another key), so training is
@@ -1120,6 +1124,11 @@ def _pq_index(
         StorageLevel.MEMORY_AND_DISK
     )
     codes.count()
+    # lpos: dense LUT slot per (m, code) — m·PQ_K + per-m code rank
+    # (collision-free: every subspace holds ≤ PQ_K codes). Lets the ADC
+    # queries address a per-query LUT MAP with one int instead of
+    # joining on (m, code) rows (r10).
+    wm = Window.partitionBy("m").orderBy("code")
     cent = (
         carr.select("m", F.explode("carr").alias("c"))
         .select(
@@ -1134,6 +1143,10 @@ def _pq_index(
             F.aggregate(
                 F.col("cv"), F.lit(0.0), lambda acc, x: acc + x * x
             ).alias("c2"),
+        )
+        .withColumn(
+            "lpos",
+            (F.col("m") * PQ_K + F.row_number().over(wm) - 1).cast("int"),
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -1151,8 +1164,29 @@ def _pq_index(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     cnorm.count()
-    _PQ_CACHE[key] = (codes, cent, cnorm)
-    return codes, cent, cnorm
+    # pmeta: per-vector PQ metadata row (vec_id, lps, can) — the 8 LUT
+    # slots in subspace order plus the code-derived norm, i.e. the SAME
+    # index content as (codes, cnorm) reshaped to one narrow row per
+    # vector (r10, guide §2.3). The ADC queries join candidates to this
+    # ONE row instead of 8 code rows + a norm row, so the pair stream
+    # never blows up 8× and the per-pair LUT sum is a fixed-order array
+    # expression instead of a join + re-aggregate. Pure function of the
+    # trained index — same artifact class as cnorm (r9 precedent).
+    pmeta = (
+        codes.join(F.broadcast(cent.select("m", "code", "lpos")), ["m", "code"])
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "lpos"))),
+                lambda s: s.getField("lpos"),
+            ).alias("lps")
+        )
+        .join(cnorm, "vec_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    pmeta.count()
+    _PQ_CACHE[key] = (codes, cent, cnorm, pmeta)
+    return codes, cent, cnorm, pmeta
 
 
 def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1172,32 +1206,45 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest gates recall on the high-cosine planted structure and the
     quantizer's reconstruction error.
     """
-    codes, cent, can = _pq_index(spark, sf_dir)
+    _codes, cent, _can, pmeta = _pq_index(spark, sf_dir)
     probes, cand = _ivf_probes_and_candidates(spark, sf_dir)
     q = probes.select("query_id", "qv", "qn").distinct()
     qsub = _subvectors(q.select("query_id", "qv"), "query_id", "qv")
-    lut = qsub.join(F.broadcast(cent.select("m", "code", "cv")), "m").select(
-        "query_id", "m", "code", _dot(F.col("sv"), F.col("cv")).alias("pd")
+    # per-query LUT as ONE map row keyed by the dense lpos slot (r10):
+    # the old shape joined the pair stream to 8 code rows per candidate
+    # and re-aggregated (an 8× row blowup through two wide exchanges);
+    # now candidates join their single pmeta row, the LUT map rides a
+    # broadcast, and the ADC sum is a fixed-order array fold.
+    lutm = (
+        qsub.join(F.broadcast(cent.select("m", "cv", "lpos")), "m")
+        .select("query_id", "lpos", _dot(F.col("sv"), F.col("cv")).alias("pd"))
+        .groupBy("query_id")
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("lpos", "pd")))
+            ).alias("lutm")
+        )
     )
-    # candidate approx norm |x̂|² = Σ_m |c_{m,code}|² — session-cached
-    # index metadata (see _pq_index), not recomputed per call
     pairs = (
         probes.select("query_id", "bucket", "qn")
         .join(cand.select("bucket", "cand_id"), "bucket")
         .filter(F.col("query_id") != F.col("cand_id"))
     )
-    pc = pairs.join(
-        codes.select(F.col("vec_id").alias("cand_id"), "m", "code"), "cand_id"
+    adot = F.aggregate(
+        F.col("lps"),
+        F.lit(0.0),
+        lambda acc, p: acc + F.element_at(F.col("lutm"), p),
     )
     scored = (
-        pc.join(F.broadcast(lut), ["query_id", "m", "code"])
-        .groupBy("query_id", "cand_id", "qn")
-        .agg(F.sum("pd").alias("adot"))
-        .join(can.withColumnRenamed("vec_id", "cand_id"), "cand_id")
+        pairs.join(
+            pmeta.select(F.col("vec_id").alias("cand_id"), "lps", "can"),
+            "cand_id",
+        )
+        .join(F.broadcast(lutm), "query_id")
         .select(
             "query_id",
             "cand_id",
-            (F.col("adot") / (F.col("qn") * F.col("can"))).alias("pq_cos"),
+            (adot / (F.col("qn") * F.col("can"))).alias("pq_cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("pq_cos"), F.asc("cand_id"))
@@ -1316,34 +1363,45 @@ def rerank_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     within the shortlist — only shortlist misses cost recall, so the
     pytest gate is strictly tighter than PQ-alone.
     """
-    codes, cent, can = _pq_index(spark, sf_dir)
+    _codes, cent, _can, pmeta = _pq_index(spark, sf_dir)
     probes, cand = _ivf_probes_and_candidates(spark, sf_dir)
     q = probes.select("query_id", "qv", "qn").distinct()
     qsub = _subvectors(q.select("query_id", "qv"), "query_id", "qv")
-    lut = qsub.join(F.broadcast(cent.select("m", "code", "cv")), "m").select(
-        "query_id", "m", "code", _dot(F.col("sv"), F.col("cv")).alias("pd")
+    # per-query LUT map + single pmeta row per candidate — the pq_topk
+    # r10 shape (see there); the old 8-rows-per-candidate join +
+    # re-aggregate is gone.
+    lutm = (
+        qsub.join(F.broadcast(cent.select("m", "cv", "lpos")), "m")
+        .select("query_id", "lpos", _dot(F.col("sv"), F.col("cv")).alias("pd"))
+        .groupBy("query_id")
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("lpos", "pd")))
+            ).alias("lutm")
+        )
     )
     pairs = (
         probes.select("query_id", "bucket")
         .join(cand.select("bucket", "cand_id"), "bucket")
         .filter(F.col("query_id") != F.col("cand_id"))
     )
-    pc = pairs.join(
-        codes.select(F.col("vec_id").alias("cand_id"), "m", "code"), "cand_id"
-    )
     # shortlist by approx COSINE (adot normalized by the code-derived
     # candidate norm — session-cached index metadata, see _pq_index) —
     # the same metric pq_topk and the exact stage rank by; a
     # raw-inner-product pool would be norm-biased and could drop
     # high-cosine/small-norm candidates that PQ-alone returns
+    adot = F.aggregate(
+        F.col("lps"),
+        F.lit(0.0),
+        lambda acc, p: acc + F.element_at(F.col("lutm"), p),
+    )
     adc = (
-        pc.join(F.broadcast(lut), ["query_id", "m", "code"])
-        .groupBy("query_id", "cand_id")
-        .agg(F.sum("pd").alias("adot"))
-        .join(can.withColumnRenamed("vec_id", "cand_id"), "cand_id")
-        .select(
-            "query_id", "cand_id", (F.col("adot") / F.col("can")).alias("acos")
+        pairs.join(
+            pmeta.select(F.col("vec_id").alias("cand_id"), "lps", "can"),
+            "cand_id",
         )
+        .join(F.broadcast(lutm), "query_id")
+        .select("query_id", "cand_id", (adot / F.col("can")).alias("acos"))
     )
     wpool = Window.partitionBy("query_id").orderBy(F.desc("acos"), F.asc("cand_id"))
     shortlist = (

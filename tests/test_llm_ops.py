@@ -823,7 +823,7 @@ def test_pq_topk_recall_and_reconstruction(spark):
     # half the float-IVF scan-fraction floor
     assert len(truth & approx) / len(truth) >= 0.25 * sim.NPROBE / sim.NLIST
 
-    codes, cent, _cnorm = sim._pq_index(spark, SF_DIR)
+    codes, cent, _cnorm, _pmeta = sim._pq_index(spark, SF_DIR)
     v = io.load_table_parallel(spark, SF_DIR, "embeddings").select(
         "vec_id", sim._dbl("embedding").alias("v")
     )
