@@ -777,8 +777,17 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     lm = lm.selectExpr(
         "w1", "w2", *portable.fxlog2_select_items("div")
     ).select("w1", "w2", "fxlog2")
+    # Explicit broadcast of the MODEL side (r10): the cached bigram
+    # stream carries exact statistics, so the static planner judged IT
+    # broadcastable and built a hashed relation over the whole corpus
+    # stream while probing with the 3-orders-smaller model (the
+    # aggregate's output size is unknown statically) — measured 1.2 s
+    # of pure broadcast-build at sf0.1, and upside down at any scale.
+    # Scoring a corpus under an LM ships the MODEL to the workers —
+    # the hint pins that side. (unigram_logprob already builds on its
+    # model side without a hint; only this join mis-planned.)
     return (
-        bg.join(lm, ["w1", "w2"])
+        bg.join(F.broadcast(lm), ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
