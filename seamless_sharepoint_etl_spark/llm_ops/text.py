@@ -339,12 +339,25 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break. Min-support {m} keeps noise bigrams out.
     """
     toks = _token_relation(spark, sf_dir)
-    uni = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    # uni is consumed 3x (totals + the x/y joins) and the bigram-TF
+    # table 2x (the filtered model + its total); Catalyst inlines every
+    # reference and AQE stage reuse does not deduplicate subtree copies
+    # rooted on the cached token/bigram relations (r9 diagnosis), so
+    # the unigram aggregate ran 3x and the bigram aggregate 2x per
+    # call. Both are vocab-sized narrow relations: the lazy per-call
+    # localCheckpoint materializes each once in its first consumer's
+    # job, and every other reference reads stored partitions.
+    uni = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     totals = uni.agg(
         F.sum("c").alias("tu")
     )
-    bi = bigram_tf(spark, sf_dir).filter(F.col("tf") >= PMI_MIN_COUNT)
-    t_bi = bigram_tf(spark, sf_dir).agg(F.sum("tf").alias("tb"))
+    btf = bigram_tf(spark, sf_dir).localCheckpoint(eager=False)
+    bi = btf.filter(F.col("tf") >= PMI_MIN_COUNT)
+    t_bi = btf.agg(F.sum("tf").alias("tb"))
     ux = uni.select(F.col("token").alias("x"), F.col("c").alias("cx"))
     uy = uni.select(F.col("token").alias("y"), F.col("c").alias("cy"))
     pmi = F.log(
