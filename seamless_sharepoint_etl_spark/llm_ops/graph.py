@@ -750,7 +750,17 @@ def edge_support_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ab = e.select(F.col("id_lo").alias("a"), F.col("id_hi").alias("b"))
     bc = e.select(F.col("id_lo").alias("b"), F.col("id_hi").alias("c"))
     ac = e.select(F.col("id_lo").alias("a"), F.col("id_hi").alias("c"))
-    closed = ab.join(bc, "b").join(ac, ["a", "c"], "left_semi")
+    # closed is consumed THREE times by the union below; Catalyst
+    # inlines each reference and AQE stage reuse does not deduplicate
+    # subtree copies rooted on the cached edge relation (r9 diagnosis),
+    # so the two-hop triangle join executed three times per call. The
+    # lazy per-call localCheckpoint materializes the O(triangles)
+    # relation once; the other branches read stored partitions.
+    closed = (
+        ab.join(bc, "b")
+        .join(ac, ["a", "c"], "left_semi")
+        .localCheckpoint(eager=False)
+    )
     tri_edges = (
         closed.select(F.col("a").alias("lo"), F.col("b").alias("hi"))
         .unionAll(closed.select(F.col("b").alias("lo"), F.col("c").alias("hi")))
