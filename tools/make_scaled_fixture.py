@@ -31,7 +31,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 DST = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
 K = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 SRC = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
-STRIDE = 1_000_000_000
+# Key shift per copy. Must exceed every source key (sf0.1 max is
+# 149,999) to keep copies disjoint, and stay SMALL: the engine's
+# portable 31-bit LCG hashes (portable.py) compute key·1103515245
+# under ANSI mode, so keys must stay ≲ 2^33 or the hash overflows
+# BIGINT and the run fails loudly (observed with a 10^9 stride).
+STRIDE = 1_000_000
 
 # per-table long key columns shifted by copy_index * STRIDE
 SHIFT_KEYS = {
